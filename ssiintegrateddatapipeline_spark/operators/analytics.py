@@ -1,0 +1,263 @@
+"""Windowed analytics operators — the reference's PromQL query surface.
+
+The reference evaluates its "queries" as PromQL over Prometheus-scraped
+metrics (SURVEY §2.6, grafana thesis_dashboard.json): windowed rates,
+histogram_quantile(0.95, ...) over cumulative buckets, max-gauges, and
+payload-size heatmaps. Here those are declarative DataFrame plans over an
+event table with an event-time column — the same plans work on a streaming
+DataFrame with ``F.window`` + watermark (see streaming/).
+
+Scale notes (100 TB):
+- every op is a single groupBy on (window, low-cardinality labels): map-side
+  partial aggregation applies, shuffle carries only per-window partials;
+- the histogram ops join against a tiny literal bucket table that Spark
+  broadcasts (no shuffle of the fact side beyond the one aggregation);
+- no Python UDFs anywhere — whole-stage codegen end to end.
+
+Each query has a DuckDB oracle twin in ``ORACLES`` (identical arithmetic,
+identical column aliases) used by the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+# Prometheus-style cumulative bucket upper bounds.
+# e2e latency buckets: kafka_consumer/app/metrics/metrics.py:59 (reference).
+E2E_BUCKETS = [0.1, 0.5, 1.0, 2.0, 5.0, 10.0, 30.0, 60.0, 120.0, 300.0]
+# verification buckets: metrics.py:129 (reference).
+VERIFY_BUCKETS = [0.01, 0.05, 0.1, 0.25, 0.5, 1.0, 2.0, 5.0]
+# payload-size buckets: exponential, metrics.go:57-62 (reference) uses
+# 256*2^i; the test events' payload (props JSON) is small, so start at 8 B.
+PAYLOAD_BUCKETS = [8.0, 16.0, 32.0, 64.0, 128.0, 256.0]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# Q3: throughput — tumbling-window event rate per label
+# reference: sum(rate(kafka_consumer_kafka_messages_consumed_total[30s]))
+# (dashboard :965) and the app-level 10 s window count (kafka_consumer.py:119-124)
+# ---------------------------------------------------------------------------
+
+def windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "30 seconds").alias("w"), "event_type")
+        .agg(F.count("*").alias("events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "events",
+            F.round(F.col("events") / F.lit(30.0), 6).alias("rate_per_sec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 sliding: 30 s window sliding by 5 s (PromQL rate() evaluated each scrape)
+# ---------------------------------------------------------------------------
+
+def sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "30 seconds", "5 seconds").alias("w"))
+        .agg(F.count("*").alias("events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "events",
+            F.round(F.col("events") / F.lit(30.0), 6).alias("rate_per_sec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4: consumer lag — max gauge per label
+# reference: max(kafka_consumer_kafka_consumer_lag) (dashboard :855),
+# computed as now - last_message_time (kafka_consumer.py:167-174).
+# Deterministic variant: "now" = global max event time.
+# ---------------------------------------------------------------------------
+
+def consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_type = ev.groupBy("event_type").agg(F.max("ts").alias("last_ts"))
+    now = ev.agg(F.max("ts").alias("now_ts"))
+    return (
+        per_type.crossJoin(F.broadcast(now))
+        .select(
+            "event_type",
+            F.round(
+                (F.unix_micros("now_ts") - F.unix_micros("last_ts")) / F.lit(1000000.0), 6
+            ).alias("lag_seconds"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1/Q2/Q6: p95 via Prometheus histogram_quantile over cumulative buckets.
+# reference: histogram_quantile(0.95, sum by(le)(rate(..._bucket[30s])))
+# (dashboard :135,:247,:743,:1455...). Exact bucket-interpolation semantics:
+#   - cumulative count per le (le buckets are cumulative: value <= le)
+#   - target = q * total
+#   - first bucket whose cumulative >= target; linear interpolation between
+#     bucket bounds; if target falls in +Inf bucket -> highest finite bound;
+#     if in the first bucket -> interpolate from 0.
+# Implemented as: broadcast inequality-join against a literal bucket table
+# (gives cumulative counts directly), lag() window over le, interpolate.
+# ---------------------------------------------------------------------------
+
+def _histogram_quantile(
+    df: DataFrame, value_col: str, label_col: str, buckets: list[float], q: float
+) -> DataFrame:
+    spark = df.sparkSession
+    bucket_df = spark.createDataFrame([(b,) for b in buckets], "le double")
+    totals = df.groupBy(label_col).agg(F.count("*").alias("total"))
+    # cumulative count per (label, le): every row with value <= le
+    cum = (
+        df.join(F.broadcast(bucket_df), F.col(value_col) <= F.col("le"))
+        .groupBy(label_col, "le")
+        .agg(F.count("*").alias("cum"))
+    )
+    # densify: every (label, le) pair, missing -> 0
+    labels = totals.select(label_col)
+    dense = (
+        labels.crossJoin(F.broadcast(bucket_df))
+        .join(cum, [label_col, "le"], "left")
+        .fillna({"cum": 0})
+    )
+    w = Window.partitionBy(label_col).orderBy("le")
+    dense = dense.withColumn("prev_cum", F.coalesce(F.lag("cum").over(w), F.lit(0)))
+    dense = dense.withColumn("prev_le", F.coalesce(F.lag("le").over(w), F.lit(0.0)))
+    j = dense.join(totals, label_col).withColumn("target", F.lit(q) * F.col("total"))
+    hit = (
+        j.where(F.col("cum") >= F.col("target"))
+        .groupBy(label_col)
+        .agg(F.min_by(F.struct("le", "prev_le", "cum", "prev_cum", "target"), "le").alias("b"))
+        .select(
+            label_col,
+            (
+                F.col("b.prev_le")
+                + (F.col("b.le") - F.col("b.prev_le"))
+                * (F.col("b.target") - F.col("b.prev_cum"))
+                / (F.col("b.cum") - F.col("b.prev_cum"))
+            ).alias("quantile_raw"),
+        )
+    )
+    # labels whose target falls beyond the last finite bucket -> highest bound
+    top = F.lit(float(buckets[-1]))
+    return (
+        totals.select(label_col)
+        .join(hit, label_col, "left")
+        .select(
+            label_col,
+            F.round(F.coalesce(F.col("quantile_raw"), top), 6).alias(f"p{int(q * 100)}"),
+        )
+    )
+
+
+def p95_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p95 of events.value per event_type, Prometheus bucket interpolation.
+
+    events.value stands in for the e2e-latency observation
+    (kafka_event_handler.py:357-383 in the reference); buckets widened to the
+    test data's value range.
+    """
+    buckets = [1.0, 2.0, 5.0, 10.0, 25.0, 50.0, 100.0, 150.0, 200.0, 300.0]
+    ev = _events(spark, sf_dir)
+    return _histogram_quantile(ev, "value", "event_type", buckets, 0.95)
+
+
+def payload_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: payload-size heatmap — cumulative bucket counts (sum by le).
+
+    reference: sum by(le)(rate(data_synthesizer_finnhub_payload_size_bytes
+    _bucket[30s])) (dashboard :605). Payload bytes = octet length of the
+    serialized props JSON (P11: kafka_consumer.py:112-116).
+    """
+    ev = _events(spark, sf_dir).withColumn("payload_bytes", F.octet_length("props"))
+    bucket_df = spark.createDataFrame([(b,) for b in PAYLOAD_BUCKETS], "le double")
+    return (
+        ev.join(F.broadcast(bucket_df), F.col("payload_bytes") <= F.col("le"))
+        .groupBy("le")
+        .agg(F.count("*").alias("cum_count"))
+        .select("le", "cum_count")
+    )
+
+
+QUERIES = {
+    "analytics_throughput_30s": windowed_throughput,
+    "analytics_sliding_rate": sliding_rate,
+    "analytics_consumer_lag": consumer_lag,
+    "analytics_p95_histogram": p95_value_histogram,
+    "analytics_payload_size_hist": payload_size_histogram,
+}
+
+_P95_ORACLE = """
+WITH buckets(le) AS (VALUES (1.0),(2.0),(5.0),(10.0),(25.0),(50.0),(100.0),(150.0),(200.0),(300.0)),
+totals AS (SELECT event_type, count(*) AS total FROM events GROUP BY event_type),
+cum AS (
+  SELECT e.event_type, b.le, count(*) AS cum
+  FROM events e JOIN buckets b ON e.value <= b.le
+  GROUP BY e.event_type, b.le
+),
+dense AS (
+  SELECT t.event_type, b.le, coalesce(c.cum, 0) AS cum
+  FROM totals t CROSS JOIN buckets b
+  LEFT JOIN cum c ON c.event_type = t.event_type AND c.le = b.le
+),
+lagged AS (
+  SELECT event_type, le, cum,
+         coalesce(lag(cum) OVER (PARTITION BY event_type ORDER BY le), 0) AS prev_cum,
+         coalesce(lag(le) OVER (PARTITION BY event_type ORDER BY le), 0.0) AS prev_le
+  FROM dense
+),
+hit AS (
+  SELECT l.event_type,
+         min_by(struct_pack(le := l.le, prev_le := l.prev_le, cum := l.cum,
+                            prev_cum := l.prev_cum, target := 0.95 * t.total), l.le) AS b
+  FROM lagged l JOIN totals t USING (event_type)
+  WHERE l.cum >= 0.95 * t.total
+  GROUP BY l.event_type
+)
+SELECT t.event_type,
+       round(coalesce(b.prev_le + (b.le - b.prev_le) * (b.target - b.prev_cum)
+                      / (b.cum - b.prev_cum), 300.0), 6) AS p95
+FROM totals t LEFT JOIN hit h ON h.event_type = t.event_type
+"""
+
+ORACLES = {
+    "analytics_throughput_30s": """
+        SELECT to_timestamp(floor(epoch(ts) / 30) * 30) AS window_start,
+               event_type,
+               count(*) AS events,
+               round(count(*) / 30.0, 6) AS rate_per_sec
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "analytics_sliding_rate": """
+        SELECT to_timestamp(floor(epoch(ts) / 5) * 5 - i * 5) AS window_start,
+               count(*) AS events,
+               round(count(*) / 30.0, 6) AS rate_per_sec
+        FROM events CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i)
+        GROUP BY 1
+    """,
+    "analytics_consumer_lag": """
+        SELECT event_type,
+               round((epoch_us((SELECT max(ts) FROM events)) - epoch_us(max(ts)))
+                     / 1000000.0, 6) AS lag_seconds
+        FROM events
+        GROUP BY event_type
+    """,
+    "analytics_p95_histogram": _P95_ORACLE,
+    "analytics_payload_size_hist": """
+        WITH buckets(le) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (8.0),(16.0),(32.0),(64.0),(128.0),(256.0)) v(x))
+        SELECT b.le, count(*) AS cum_count
+        FROM events e JOIN buckets b ON strlen(e.props) <= b.le
+        GROUP BY b.le
+    """,
+}
