@@ -12,10 +12,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ssiintegrateddatapipeline_spark.operators import analytics
+from ssiintegrateddatapipeline_spark.operators import analytics, dedup, similarity, text
 from ssiintegrateddatapipeline_spark.plans import relational
 
-_MODULES = [analytics, relational]
+_MODULES = [analytics, relational, text, dedup, similarity]
 
 
 def entry(spark: SparkSession) -> DataFrame:

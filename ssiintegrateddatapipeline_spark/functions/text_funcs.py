@@ -1,0 +1,102 @@
+"""Column-level text/hash primitives shared by dedup, similarity and text ops.
+
+Everything here is a pure Catalyst expression (no UDFs): whole-stage codegen
+applies, and each primitive has an exactly-equivalent DuckDB SQL spelling so
+the driver's oracle can reproduce results bit-for-bit.
+
+Cross-dialect hash: both engines expose md5 over UTF-8 strings; we take the
+first 8 hex chars as an unsigned 32-bit int (fits in a long). Spark:
+``conv(substring(md5(x),1,8),16,10)``; DuckDB: ``('0x'||substr(md5(x),1,8))
+::UBIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_int32(c: Column) -> Column:
+    """First 32 bits of md5(c) as a non-negative long (dialect-portable)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization (single-space split, matching string_split)."""
+    return F.split(c, " ")
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """k-word shingles: [join(tokens[i..i+k-1]) for i in 0..n-k].
+
+    Pure higher-order-function expression — scales per-row, no explode.
+    """
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)])
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 8) -> Column:
+    """MinHash signature: per seed s, min over shingles of md5_int32(s|sh).
+
+    Independent permutations come from salting the md5 input with the seed.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda sh: md5_int32(F.concat(F.lit(f"{s}|"), sh)))
+            )
+            for s in range(n_hashes)
+        ]
+    )
+
+
+def simhash32(toks: Column) -> Column:
+    """32-bit SimHash over token md5 hashes.
+
+    bit j of the result is 1 iff sum over tokens of (+1 if bit j of
+    md5_int32(token) else -1) is > 0. Entirely nested higher-order
+    functions — no explode, no shuffle.
+    """
+    hashes = F.transform(toks, md5_int32)
+
+    def bit_mask(j: Column) -> Column:
+        # 2^j as long (shiftleft needs a literal amount; pow is exact here)
+        return F.pow(F.lit(2.0), j).cast("long")
+
+    bit_vals = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda j: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(bit_mask(j)) > 0, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            > 0,
+            bit_mask(j),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, computed in doubles in index
+    order (parity with the oracle's list_transform/list_sum)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+# --- DuckDB spellings of the same primitives (oracle-side building blocks) --
+
+SQL_MD5_INT32 = "(('0x' || substr(md5({x}), 1, 8))::UBIGINT::BIGINT)"
+SQL_TOKENS = "string_split({x}, ' ')"
+SQL_SHINGLES3 = (
+    "list_transform(generate_series(1, len({t}) - 2), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
+)

@@ -1,0 +1,286 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB training-data-pipeline path:
+
+- exact dedup: hash-groupBy on a content hash / business key — one shuffle
+  on the hash, map-side partial aggregation, no data skew (md5 keys are
+  uniform);
+- MinHash+LSH near-dup: per-row signature (pure expressions, no shuffle) →
+  explode only the B band keys (B=4 here) → self-join on the band key. The
+  join key space is uniform hashes, so the shuffle partitions evenly; the
+  candidate set is tiny relative to n^2 — this is the scale path, never
+  all-pairs;
+- SimHash: per-row 32-bit signature, no shuffle at all; near-dup grouping is
+  an exact groupBy on the signature (or prefix buckets for hamming<k);
+- n-gram Jaccard: exact verification on a bounded candidate subset only.
+
+All ops are Catalyst expressions (md5-based hashing shared with the DuckDB
+oracle — see functions/text_funcs.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ssiintegrateddatapipeline_spark.functions.text_funcs import (
+    minhash_signature,
+    simhash32,
+    tokens,
+    word_shingles,
+)
+from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+N_MINHASH = 8
+N_BANDS = 4  # 2 rows per band
+NEAR_DUP_MIN_MATCHES = 4  # >= 4/8 matching minhashes to report a pair
+
+
+def exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a business key: keep the earliest event per
+    (user_id, event_type). The canonical 'keep first occurrence' pattern —
+    one shuffle on the key, resolved by row_number."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group by md5(text), keep min doc_id + group size."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id", minhash_signature(word_shingles(toks), N_MINHASH).alias("sig")
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature, one column per permutation."""
+    sigs = _signatures(spark, sf_dir)
+    return sigs.select(
+        "doc_id", *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(N_MINHASH)]
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    shingle -> minhash -> band -> bucket-join: explode the 4 band keys,
+    self-join on (band, key), dedup candidate pairs, then estimate Jaccard
+    as the fraction of matching minhashes and keep pairs >= 4/8.
+    """
+    sigs = _signatures(spark, sf_dir).select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            F.element_at("sig", 2 * b + 1),
+                            F.element_at("sig", 2 * b + 2),
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a = sigs.select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    b = a.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_id") < F.col("doc_id_b"))
+        .select("doc_id", "doc_id_b", "sig", "sig_b")
+        .dropDuplicates(["doc_id", "doc_id_b"])
+    )
+    n_match = F.size(
+        F.filter(F.zip_with("sig", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        cand.withColumn("n_matching_minhashes", n_match)
+        .where(F.col("n_matching_minhashes") >= NEAR_DUP_MIN_MATCHES)
+        .select(
+            F.col("doc_id").alias("doc_id_a"),
+            "doc_id_b",
+            "n_matching_minhashes",
+            F.round(F.col("n_matching_minhashes") / F.lit(float(N_MINHASH)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash (token-hash bit-vote), plus a 8-bit
+    prefix bucket usable for hamming-distance blocking."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        simhash32(toks).alias("simhash"),
+    ).withColumn("simhash_prefix", F.shiftright(F.col("simhash"), 24))
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity on a bounded subset (doc_id < 500)
+    via shingle explode + equi-join on shingle — the verification stage that
+    follows LSH candidate generation at scale."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens(F.col("text"))))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= 0.1)
+        .select("doc_id_a", "doc_id_b", "n_common", "jaccard")
+    )
+
+
+QUERIES = {
+    "dedup_exact_events": exact_dedup_events,
+    "dedup_exact_documents": exact_dedup_documents,
+    "dedup_minhash_signatures": minhash_signatures,
+    "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_simhash_signatures": simhash_signatures,
+    "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
+}
+
+_TOKS = "string_split(text, ' ')"
+_SHINGLES = (
+    "list_transform(generate_series(1, len(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+
+
+def _sig_sql() -> str:
+    per_seed = ", ".join(
+        "list_min(list_transform(shingles, "
+        f"sh -> ('0x' || substr(md5('{s}|' || sh), 1, 8))::UBIGINT::BIGINT))"
+        for s in range(N_MINHASH)
+    )
+    return f"[{per_seed}]"
+
+
+_SIG_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    shing AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+    sigs AS (SELECT doc_id, {_sig_sql()} AS sig FROM shing)
+"""
+
+ORACLES = {
+    "dedup_exact_events": """
+        SELECT user_id, event_type, event_id, ts FROM (
+            SELECT user_id, event_type, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "dedup_exact_documents": """
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    "dedup_minhash_signatures": f"""
+        WITH {_SIG_CTE}
+        SELECT doc_id, {", ".join(f"sig[{i + 1}] AS mh{i}" for i in range(N_MINHASH))}
+        FROM sigs
+    """,
+    "dedup_minhash_lsh_pairs": f"""
+        WITH {_SIG_CTE},
+        bands AS (
+            SELECT doc_id, sig, b,
+                   sig[2*b + 1]::VARCHAR || '_' || sig[2*b + 2]::VARCHAR AS key
+            FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+                            x.sig AS sig_a, y.sig AS sig_b
+            FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+                                      AND x.doc_id < y.doc_id
+        ),
+        scored AS (
+            SELECT doc_id_a, doc_id_b,
+                   len(list_filter(list_zip(sig_a, sig_b),
+                                   p -> p[1] = p[2])) AS n_matching_minhashes
+            FROM cand
+        )
+        SELECT doc_id_a, doc_id_b, n_matching_minhashes,
+               round(n_matching_minhashes / {float(N_MINHASH)}, 6) AS est_jaccard
+        FROM scored
+        WHERE n_matching_minhashes >= {NEAR_DUP_MIN_MATCHES}
+    """,
+    "dedup_simhash_signatures": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        hashes AS (
+            SELECT doc_id,
+                   list_transform(toks,
+                       t -> ('0x' || substr(md5(t), 1, 8))::UBIGINT::BIGINT) AS hs
+            FROM toks
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_sum(list_transform(generate_series(0, 31), j ->
+                       CASE WHEN list_sum(list_transform(hs, h ->
+                                CASE WHEN (h & CAST(pow(2, j) AS BIGINT)) > 0
+                                     THEN 1 ELSE -1 END)) > 0
+                            THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))::BIGINT AS simhash
+            FROM hashes
+        )
+        SELECT doc_id, simhash, simhash >> 24 AS simhash_prefix FROM sh
+    """,
+    "dedup_ngram_jaccard_pairs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 500),
+        shing AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shingles FROM toks),
+        sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS n_common
+            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b, n_common,
+               round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_id_a
+        JOIN sizes sb ON sb.doc_id = doc_id_b
+        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.1
+    """,
+}

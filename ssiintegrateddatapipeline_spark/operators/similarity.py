@@ -1,0 +1,175 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Two tiers, per the 100 TB design:
+
+- brute-force cosine top-k — the correctness baseline. Query set broadcast
+  against the corpus; per-pair cosine is a pure Catalyst expression
+  (zip_with dot product in doubles) so the whole scan stays JVM-side in
+  whole-stage codegen. Cost is |Q| x |corpus|; only sane for small |Q|.
+- LSH-bucketed (random-hyperplane / sign LSH) — the scale path. Each vector
+  gets a b-bit signature from deterministic pseudo-random hyperplanes
+  (hash-derived, so the oracle reproduces them); candidate pairs come from
+  an equi-join on the signature bucket, then exact cosine re-ranks. At
+  100 TB this replaces the n^2 cross join with a uniform bucket join.
+
+Embedding dim is read from the data (64 in the driver's testdata).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ssiintegrateddatapipeline_spark.functions.text_funcs import cosine, md5_int32
+from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+TOP_K = 10
+N_QUERY_VECS = 5  # vec_id < 5 are the query set for the top-k benchmark
+NEAR_DUP_THRESHOLD = 0.35  # calibrated to the testdata's cosine range
+N_PLANES = 8  # sign-LSH signature bits
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the query vectors (vec_id < 5).
+
+    The query side is tiny -> broadcast; the corpus scan is a single pass.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs on a bounded subset
+    (vec_id % 10 == 0): all pairs with cosine >= threshold."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= NEAR_DUP_THRESHOLD)
+    )
+
+
+def _lsh_signature(emb_col) -> "F.Column":
+    """Sign-LSH signature: bit p = 1 iff dot(v, h_p) > 0, where hyperplane
+    h_p's component j is a deterministic pseudo-random value in [-1, 1)
+    derived from md5(p|j) — reproducible in SQL."""
+    def plane_component(p: int, j) -> "F.Column":
+        # uniform in [-1, 1): md5_int32 / 2^31 - 1
+        return (
+            md5_int32(F.concat(F.lit(f"{p}|"), j.cast("string"))) / F.lit(2147483648.0)
+            - F.lit(1.0)
+        )
+
+    dims = F.sequence(F.lit(0), F.size(emb_col) - 1)
+    bits = []
+    for p in range(N_PLANES):
+        dot = F.aggregate(
+            F.zip_with(
+                emb_col,
+                dims,
+                lambda x, j: x.cast("double") * plane_component(p, j),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing: per-vector signature and per-bucket population —
+    the candidate-generation stage of ANN at scale (bucket equi-join replaces
+    the n^2 cross join). Exposed as bucket stats so the oracle can verify
+    the signature computation end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = emb.select("vec_id", _lsh_signature(F.col("embedding")).alias("lsh_sig"))
+    return (
+        sigs.groupBy("lsh_sig")
+        .agg(F.count("*").alias("bucket_size"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+QUERIES = {
+    "similarity_brute_topk": brute_force_topk,
+    "similarity_cosine_near_dup": cosine_near_dup_pairs,
+    "similarity_lsh_buckets": lsh_bucket_stats,
+}
+
+_COS = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) * "
+    "sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+
+def _lsh_sig_sql(emb: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        dot = (
+            f"list_sum(list_transform(generate_series(1, len({emb})), "
+            f"i -> {emb}[i]::DOUBLE * "
+            f"((('0x' || substr(md5('{p}|' || (i - 1)::VARCHAR), 1, 8))::UBIGINT::BIGINT"
+            f" / 2147483648.0) - 1.0)))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+ORACLES = {
+    "similarity_brute_topk": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round({_COS.format(a="q.q_emb", b="e.embedding")}, 6) AS cosine_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+    "similarity_cosine_near_dup": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_COS.format(a="a.embedding", b="b.embedding")}, 6) AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+          AND round({_COS.format(a="a.embedding", b="b.embedding")}, 6)
+              >= {NEAR_DUP_THRESHOLD}
+    """,
+    "similarity_lsh_buckets": f"""
+        WITH sigs AS (
+            SELECT vec_id, {_lsh_sig_sql("embedding")} AS lsh_sig FROM embeddings
+        )
+        SELECT lsh_sig, count(*) AS bucket_size, min(vec_id) AS min_vec_id
+        FROM sigs GROUP BY lsh_sig
+    """,
+}

@@ -1,0 +1,186 @@
+"""Text-analysis operators over the documents table.
+
+LLM-training-data-pipeline text ops (BASELINE.json north star): token
+statistics, quality scoring, n-gram-heuristic language ID, and document
+fingerprinting. All pure Catalyst expressions over the text column — no
+UDFs, no shuffle beyond an optional final aggregate; at 100 TB this runs
+embarrassingly parallel per partition with the text column pruned straight
+out of the parquet scan when unused.
+
+Every query has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssiintegrateddatapipeline_spark.functions.text_funcs import (
+    md5_int32,
+    minhash_signature,
+    tokens,
+    word_shingles,
+)
+from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+# tiny stopword marker lists for the n-gram language heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "les", "des", "et"),
+}
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: counts, distinct counts, lengths."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.size(toks), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: type-token ratio, stopword ratio, length.
+
+    score = 0.4*type_token_ratio + 0.3*(1 - stopword_ratio)
+          + 0.3*min(1, n_tokens/50)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop_ratio = n_stop / n
+    length_term = F.least(F.lit(1.0), n / F.lit(50.0))
+    score = F.lit(0.4) * ttr + F.lit(0.3) * (F.lit(1.0) - stop_ratio) + F.lit(0.3) * length_term
+    return d.select(
+        "doc_id",
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID: count per-language marker words, pick
+    the best with fixed priority tiebreak en > de > es > fr."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    cnt = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    predicted = (
+        F.when((cnt["en"] >= cnt["de"]) & (cnt["en"] >= cnt["es"]) & (cnt["en"] >= cnt["fr"]), "en")
+        .when((cnt["de"] >= cnt["es"]) & (cnt["de"] >= cnt["fr"]), "de")
+        .when(cnt["es"] >= cnt["fr"], "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted.alias("predicted_lang"),
+        cnt["en"].alias("en_markers"),
+        cnt["de"].alias("de_markers"),
+        cnt["es"].alias("es_markers"),
+        cnt["fr"].alias("fr_markers"),
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: an order-insensitive content fingerprint
+    (md5 over the sorted distinct token set) plus a shingle fingerprint
+    (min 32-bit hash over 3-word shingles — 1-permutation MinHash)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    content_fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    shingle_fp = F.element_at(minhash_signature(word_shingles(toks), n_hashes=1), 1)
+    return d.select(
+        "doc_id",
+        content_fp.alias("content_fingerprint"),
+        shingle_fp.alias("shingle_fingerprint"),
+    )
+
+
+QUERIES = {
+    "text_token_stats": token_stats,
+    "text_quality_score": quality_score,
+    "text_language_id": language_id,
+    "text_fingerprint": fingerprint,
+}
+
+_TOKS = "string_split(text, ' ')"
+
+
+def _markers_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKS}, t -> t IN ({words})))"
+
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+ORACLES = {
+    "text_token_stats": f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               len(list_distinct({_TOKS})) AS n_distinct_tokens,
+               strlen(text) AS n_chars_measured,
+               round(strlen(replace(text, ' ', '')) / len({_TOKS}), 6) AS avg_token_len
+        FROM documents
+    """,
+    "text_quality_score": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n,
+                   len(list_distinct({_TOKS})) AS nd,
+                   len(list_filter({_TOKS}, t -> t IN ({_STOPWORDS_SQL}))) AS ns
+            FROM documents
+        )
+        SELECT doc_id,
+               round(nd / n, 6) AS type_token_ratio,
+               round(ns / n, 6) AS stopword_ratio,
+               round(0.4 * (nd / n) + 0.3 * (1.0 - ns / n)
+                     + 0.3 * least(1.0, n / 50.0), 6) AS quality_score
+        FROM t
+    """,
+    "text_language_id": f"""
+        WITH t AS (
+            SELECT doc_id, lang AS labeled_lang,
+                   {_markers_sql("en")} AS en_markers,
+                   {_markers_sql("de")} AS de_markers,
+                   {_markers_sql("es")} AS es_markers,
+                   {_markers_sql("fr")} AS fr_markers
+            FROM documents
+        )
+        SELECT doc_id, labeled_lang,
+               CASE WHEN en_markers >= de_markers AND en_markers >= es_markers
+                         AND en_markers >= fr_markers THEN 'en'
+                    WHEN de_markers >= es_markers AND de_markers >= fr_markers THEN 'de'
+                    WHEN es_markers >= fr_markers THEN 'es'
+                    ELSE 'fr' END AS predicted_lang,
+               en_markers, de_markers, es_markers, fr_markers
+        FROM t
+    """,
+    "text_fingerprint": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        )
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS content_fingerprint,
+               list_min(list_transform(
+                   list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                   sh -> ('0x' || substr(md5('0|' || sh), 1, 8))::UBIGINT::BIGINT
+               )) AS shingle_fingerprint
+        FROM t
+    """,
+}

@@ -72,7 +72,7 @@ def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: order-priority checking via semi join (no shuffle of
     lineitem payload columns — only the key reaches the join)."""
     orders = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1994-01-01")) & (F.col("o_orderdate") < F.lit("1995-01-01"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
     # commit-date column doesn't exist in this schema; emulate "late line item"
     # as quantity > 45 (deterministic predicate on an existing column).
@@ -95,7 +95,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1994-01-01")) & (F.col("o_orderdate") < F.lit("1995-01-01"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -202,8 +202,8 @@ ORACLES = {
     "tpch_order_priority_count": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1994-01-01'
-          AND o_orderdate < TIMESTAMP '1995-01-01'
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
           AND EXISTS (SELECT 1 FROM lineitem
                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         GROUP BY o_orderpriority
@@ -218,8 +218,8 @@ ORACLES = {
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1994-01-01'
-          AND o_orderdate < TIMESTAMP '1995-01-01'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
     """,
     "tpch_revenue_by_nation": """

@@ -44,7 +44,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in TIMESTAMP_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+            # integer division: float division would lose precision on
+            # 19-digit nanosecond values (> 2^53)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 
