@@ -12,10 +12,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ssiintegrateddatapipeline_spark.operators import analytics, dedup, similarity, text
+from ssiintegrateddatapipeline_spark.operators import (
+    analytics,
+    dedup,
+    similarity,
+    text,
+    trade_pipeline,
+)
 from ssiintegrateddatapipeline_spark.plans import relational
 
-_MODULES = [analytics, relational, text, dedup, similarity]
+_MODULES = [analytics, relational, trade_pipeline, text, dedup, similarity]
 
 
 def entry(spark: SparkSession) -> DataFrame:

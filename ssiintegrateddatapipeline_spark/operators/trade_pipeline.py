@@ -1,0 +1,302 @@
+"""Trade-pipeline transforms — the reference's dataflow layer as Spark plans.
+
+Re-expresses SURVEY §2.2/§2.3/§2.8 record-at-a-time operators as declarative
+column expressions over an event stream/table:
+
+- P1 rename map + P2 default-fill + P3 envelope + P7 ingest timestamp
+  (finnhub.go:47-53, models/types.go:27-34, trade_handler.go:122-145)
+- P12 did:web alias construction (create_web_url.go:15-59) and P13 DID
+  parse (host_did_web/src/main.go:398-417) as pure string expressions
+- F4 host validation filter (main.go:166-168)
+- U4 authorization-grant check (veramo_authorisation_credential.ts:242-556):
+  permission superset, scope wildcard, expiry — pure column logic
+- U1/U2 sign+verify (Ed25519 JWT) as Arrow-batched Pandas UDFs with a
+  broadcast identity dimension (J1)
+
+All queries run on the driver's `events`/`documents` tables so the DuckDB
+oracle can check them; the streaming variants compose the same column
+expressions (see streaming/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssiintegrateddatapipeline_spark.operators.identity import (
+    SYMBOLS,
+    build_identity_dim,
+    sign_column,
+    verify_column,
+)
+from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+REQUIRED_PERMISSIONS = (
+    "createVerifiableCredential",
+    "dataStoreSaveVerifiableCredential",
+)
+
+_GRANTS = {
+    "signup": ("didManagerGetOrCreate", "didManagerAddKey"),
+    "purchase": (
+        "didManagerGetOrCreate",
+        "didManagerAddKey",
+        "didManagerAddService",
+        "keyManagerCreate",
+        "keyManagerSign",
+        "createVerifiableCredential",
+        "dataStoreSaveVerifiableCredential",
+    ),
+    "click": ("createVerifiableCredential",),
+    "view": (),
+    "error": (
+        "createVerifiableCredential",
+        "dataStoreSaveVerifiableCredential",
+        "keyManagerSign",
+    ),
+}
+
+
+def _symbol_col() -> Column:
+    """Deterministic user->symbol mapping (stands in for the per-symbol
+    stream routing of the reference's 5 configured tickers)."""
+    arr = F.array(*[F.lit(s) for s in SYMBOLS])
+    return F.element_at(arr, (F.col("user_id") % 5 + 1).cast("int"))
+
+
+def trade_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P3+P7+A6: rename map, default-fill, envelope, ingest stamp,
+    e2e latency — flattened for the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    ingest_delay = (F.col("event_id") % 5).cast("long")  # deterministic skew
+    return ev.select(
+        F.md5(F.col("event_id").cast("string")).alias("trade_event_id"),
+        _symbol_col().alias("symbol"),
+        F.col("value").alias("price"),
+        ((F.col("event_id") % 100 + 1).cast("double")).alias("volume"),
+        # default-fill: 'view' events carry no condition -> null -> []
+        F.coalesce(
+            F.when(F.col("event_type") != "view", F.array(F.col("event_type"))),
+            F.array().cast("array<string>"),
+        ).alias("trade_condition"),
+        F.col("ts").alias("event_timestamp"),
+        F.timestamp_micros(F.unix_micros("ts") + ingest_delay * 1000000).alias(
+            "start_timestamp"
+        ),
+        ingest_delay.cast("double").alias("e2e_latency_secs"),
+    )
+
+
+def _sanitize(c: Column) -> Column:
+    """create_web_url.go:15-59 semantics: lowercase, strip illegal chars to
+    dashes, collapse dash runs, trim edge dashes."""
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9.-]", "-")
+    c = F.regexp_replace(c, "-+", "-")
+    return F.regexp_replace(c, "(^-)|(-$)", "")
+
+
+def _did_web() -> Column:
+    host = _sanitize(F.concat(F.col("source"), F.lit(".github.io")))
+    project = _sanitize(F.concat(F.lit("Trade Project_"), F.col("lang")))
+    entity = _sanitize(F.concat(F.lit("Sym/"), F.col("doc_id").cast("string")))
+    return F.concat_ws(":", F.lit("did:web"), host, project, entity)
+
+
+def did_web_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: did:web alias construction from raw host/project/entity parts."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _did_web().alias("did"))
+
+
+def did_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13+F4: parse a did:web string into segments and validate the host
+    (must end .github.io — host_did_web/src/main.go:166-168)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _did_web().alias("did")
+    )
+    parts = F.split(F.col("did"), ":")
+    return d.select(
+        "doc_id",
+        F.element_at(parts, 2).alias("method"),
+        F.element_at(parts, 3).alias("host"),
+        F.element_at(parts, 4).alias("project"),
+        F.element_at(parts, 5).alias("entity"),
+        F.element_at(parts, 3).endswith(".github.io").alias("host_valid"),
+    )
+
+
+def authz_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: verify a DID authorization grant — permission superset
+    (array_except), scope wildcard ('/*' suffix), expiry — as pure columns."""
+    ev = load_table(spark, sf_dir, "events")
+    granted = F.lit(None).cast("array<string>")
+    expr = None
+    for etype, perms in _GRANTS.items():
+        arm = F.array(*[F.lit(p) for p in perms]) if perms else F.array().cast("array<string>")
+        expr = F.when(F.col("event_type") == etype, arm) if expr is None else expr.when(
+            F.col("event_type") == etype, arm
+        )
+    granted = expr.otherwise(F.array().cast("array<string>"))
+    required = F.array(*[F.lit(p) for p in REQUIRED_PERMISSIONS])
+    has_permissions = F.size(F.array_except(required, granted)) == 0
+
+    base = F.concat(F.lit("did:web:example:"), F.col("user_id").cast("string"))
+    granted_scope = F.when(
+        F.col("user_id") % 2 == 0, F.concat(base, F.lit("/*"))
+    ).otherwise(F.concat(base, F.lit("/trades/42")))
+    resource = F.concat(base, F.lit("/trades/"), (F.col("event_id") % 100).cast("string"))
+    scope_ok = F.when(
+        granted_scope.endswith("/*"),
+        resource.startswith(F.substring(granted_scope, 1, F.length(granted_scope) - 1)),
+    ).otherwise(resource == granted_scope)
+
+    expires_at = F.timestamp_micros(
+        F.unix_micros("ts") + (F.col("user_id") % 48).cast("long") * 3600 * 1000000
+    )
+    not_expired = expires_at > F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    return ev.select(
+        "event_id",
+        has_permissions.alias("has_permissions"),
+        scope_ok.alias("scope_ok"),
+        not_expired.alias("not_expired"),
+        (has_permissions & scope_ok & not_expired).alias("authorized"),
+    )
+
+
+def sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2 round trip: sign each event's payload with its symbol's Ed25519
+    key, tamper a deterministic subset (event_id % 50 == 0), verify.
+
+    The oracle predicts the outcome column exactly: verification succeeds
+    iff the payload was not tampered with.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", _symbol_col().alias("symbol"), F.col("props").alias("payload")
+    )
+    signed = sign_column(ev, "symbol", "payload")
+    tampered = signed.withColumn(
+        "jwt",
+        F.when(
+            F.col("event_id") % 50 == 0, F.concat(F.col("jwt"), F.lit("x"))
+        ).otherwise(F.col("jwt")),
+    )
+    return verify_column(tampered, "symbol", "jwt").select(
+        "event_id",
+        "symbol",
+        (F.col("event_id") % 50 == 0).alias("tampered"),
+        "verified",
+    )
+
+
+def identity_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: the per-symbol identity dimension (did:key, pubkey, authz JWT).
+
+    Not SQL-expressible (Ed25519 + base58) -> rows-only driver check; the
+    crypto itself is covered by property tests and by sign_verify's oracle.
+    """
+    return build_identity_dim(spark)
+
+
+QUERIES = {
+    "trade_envelope": trade_envelope,
+    "trade_did_web_alias": did_web_alias,
+    "trade_did_parse": did_parse,
+    "trade_authz_check": authz_check,
+    "trade_sign_verify": sign_verify,
+    "trade_identity_dim": identity_dim,
+}
+
+_SYMBOLS_SQL = "[" + ", ".join(f"'{s}'" for s in SYMBOLS) + "]"
+_SANITIZE = (
+    "regexp_replace(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9.-]', '-', 'g'), "
+    "'-+', '-', 'g'), '(^-)|(-$)', '', 'g')"
+)
+_DID_SQL = (
+    "'did:web:' || "
+    + _SANITIZE.format(x="source || '.github.io'")
+    + " || ':' || "
+    + _SANITIZE.format(x="'Trade Project_' || lang")
+    + " || ':' || "
+    + _SANITIZE.format(x="'Sym/' || doc_id::VARCHAR")
+)
+
+
+def _grants_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{etype}' THEN [{', '.join(repr(p) for p in perms)}]"
+        + ("::VARCHAR[]" if not perms else "")
+        for etype, perms in _GRANTS.items()
+    )
+    return f"CASE event_type {arms} ELSE []::VARCHAR[] END"
+
+
+ORACLES = {
+    "trade_envelope": f"""
+        SELECT md5(event_id::VARCHAR) AS trade_event_id,
+               {_SYMBOLS_SQL}[(user_id % 5 + 1)::INT] AS symbol,
+               value AS price,
+               (event_id % 100 + 1)::DOUBLE AS volume,
+               CASE WHEN event_type != 'view' THEN [event_type]
+                    ELSE []::VARCHAR[] END AS trade_condition,
+               ts AS event_timestamp,
+               make_timestamp(epoch_us(ts) + (event_id % 5) * 1000000)
+                   AS start_timestamp,
+               (event_id % 5)::DOUBLE AS e2e_latency_secs
+        FROM events
+    """,
+    "trade_did_web_alias": f"""
+        SELECT doc_id, {_DID_SQL} AS did FROM documents
+    """,
+    "trade_did_parse": f"""
+        WITH d AS (SELECT doc_id, {_DID_SQL} AS did FROM documents),
+        parts AS (SELECT doc_id, string_split(did, ':') AS p FROM d)
+        SELECT doc_id, p[2] AS method, p[3] AS host, p[4] AS project,
+               p[5] AS entity, ends_with(p[3], '.github.io') AS host_valid
+        FROM parts
+    """,
+    "trade_authz_check": f"""
+        WITH g AS (
+            SELECT event_id, user_id, ts,
+                   {_grants_case_sql()} AS granted,
+                   ['createVerifiableCredential',
+                    'dataStoreSaveVerifiableCredential'] AS required,
+                   'did:web:example:' || user_id::VARCHAR AS base
+            FROM events
+        ),
+        s AS (
+            SELECT event_id, ts, user_id, base,
+                   len(list_filter(required, r -> NOT list_contains(granted, r))) = 0
+                       AS has_permissions,
+                   CASE WHEN user_id % 2 = 0 THEN base || '/*'
+                        ELSE base || '/trades/42' END AS granted_scope,
+                   base || '/trades/' || (event_id % 100)::VARCHAR AS resource
+            FROM g
+        )
+        SELECT event_id, has_permissions,
+               CASE WHEN ends_with(granted_scope, '/*')
+                    THEN starts_with(resource,
+                         substr(granted_scope, 1, strlen(granted_scope) - 1))
+                    ELSE resource = granted_scope END AS scope_ok,
+               make_timestamp(epoch_us(ts) + (user_id % 48) * 3600 * 1000000)
+                   > TIMESTAMP '2024-01-15 00:00:00' AS not_expired,
+               has_permissions
+                 AND (CASE WHEN ends_with(granted_scope, '/*')
+                      THEN starts_with(resource,
+                           substr(granted_scope, 1, strlen(granted_scope) - 1))
+                      ELSE resource = granted_scope END)
+                 AND (make_timestamp(epoch_us(ts) + (user_id % 48) * 3600 * 1000000)
+                      > TIMESTAMP '2024-01-15 00:00:00') AS authorized
+        FROM s
+    """,
+    "trade_sign_verify": f"""
+        SELECT event_id,
+               {_SYMBOLS_SQL}[(user_id % 5 + 1)::INT] AS symbol,
+               (event_id % 50 = 0) AS tampered,
+               (event_id % 50 != 0) AS verified
+        FROM events
+    """,
+    # trade_identity_dim: intentionally no oracle (Ed25519 + base58 not
+    # SQL-expressible) -> driver records rows-only check.
+}
