@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a full collect (the driver's consumption pattern);
+time includes plan + execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "tpch_pricing_summary",
+    "tpch_local_supplier_volume",
+    "tpch_top_customers",
+    "analytics_throughput_30s",
+    "analytics_sliding_rate",
+    "analytics_p95_histogram",
+    "trade_envelope",
+    "trade_sign_verify",
+    "dedup_exact_events",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_signatures",
+    "text_quality_score",
+    "similarity_brute_topk",
+    "similarity_lsh_buckets",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import __spark_entry__ as entry_mod
+    from ssiintegrateddatapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="ssi-spark-bench")
+    queries = entry_mod.queries()
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).collect()
+        dt = round(time.perf_counter() - t0, 3)
+        per_query[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({len(n)} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

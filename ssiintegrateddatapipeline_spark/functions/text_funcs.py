@@ -38,18 +38,28 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 8) -> Column:
-    """MinHash signature: per seed s, min over shingles of md5_int32(s|sh).
-
-    Independent permutations come from salting the md5 input with the seed.
+    """MinHash signature: hash s of a shingle is 32 bits sliced out of
+    md5(group|shingle), where group = s div 4 — one md5 yields four
+    independent 32-bit hashes, so 8 permutations cost only 2 md5 calls per
+    shingle (4x cheaper than salting per seed).
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda sh: md5_int32(F.concat(F.lit(f"{s}|"), sh)))
-            )
-            for s in range(n_hashes)
-        ]
-    )
+    assert n_hashes % 4 == 0 or n_hashes < 4
+    n_groups = (n_hashes + 3) // 4
+    # per group: md5 hex per shingle, computed once and sliced 4 ways
+    def slicer(k: int):
+        # NB: the lambda must take exactly one arg — a two-arg HOF lambda is
+        # interpreted by Spark as (value, index)
+        return lambda h: F.conv(F.substring(h, 8 * k + 1, 8), 16, 10).cast("long")
+
+    def md5_group(g: int):
+        return lambda sh: F.md5(F.concat(F.lit(f"{g}|"), sh))
+
+    sigs = []
+    for g in range(n_groups):
+        hexes = F.transform(shingles, md5_group(g))
+        for k in range(min(4, n_hashes - 4 * g)):
+            sigs.append(F.array_min(F.transform(hexes, slicer(k))))
+    return F.array(*sigs)
 
 
 def simhash32(toks: Column) -> Column:

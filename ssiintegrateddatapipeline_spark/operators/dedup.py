@@ -59,7 +59,12 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # repartition first: the raw scan is a handful of parquet splits, but the
+    # signature computation is expression-heavy — spread it across all cores
+    # (at production scale the scan itself would already be wide).
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id", minhash_signature(word_shingles(toks), N_MINHASH).alias("sig")
@@ -80,8 +85,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle -> minhash -> band -> bucket-join: explode the 4 band keys,
     self-join on (band, key), dedup candidate pairs, then estimate Jaccard
     as the fraction of matching minhashes and keep pairs >= 4/8.
+
+    Signatures are persisted before the self-join: otherwise Catalyst inlines
+    the (expensive) signature expression into both join branches and the band
+    keys, recomputing the md5 work up to 10x.
     """
-    sigs = _signatures(spark, sf_dir).select(
+    sigs = _signatures(spark, sf_dir).persist()
+    sigs = sigs.select(
         "doc_id",
         "sig",
         F.explode(
@@ -130,7 +140,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash (token-hash bit-vote), plus a 8-bit
     prefix bucket usable for hamming-distance blocking."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
@@ -188,9 +200,12 @@ _SHINGLES = (
 
 
 def _sig_sql() -> str:
+    # mirror minhash_signature: hash s = 32-bit slice (s mod 4) of
+    # md5((s div 4)|shingle)
     per_seed = ", ".join(
         "list_min(list_transform(shingles, "
-        f"sh -> ('0x' || substr(md5('{s}|' || sh), 1, 8))::UBIGINT::BIGINT))"
+        f"sh -> ('0x' || substr(md5('{s // 4}|' || sh), {8 * (s % 4) + 1}, 8))"
+        "::UBIGINT::BIGINT))"
         for s in range(N_MINHASH)
     )
     return f"[{per_seed}]"

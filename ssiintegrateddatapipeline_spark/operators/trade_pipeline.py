@@ -172,8 +172,12 @@ def sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle predicts the outcome column exactly: verification succeeds
     iff the payload was not tampered with.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", _symbol_col().alias("symbol"), F.col("props").alias("payload")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        # the crypto UDF stage must be wide: the scan is 1-2 parquet splits,
+        # which would serialize all signing onto 1-2 Python workers
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("event_id", _symbol_col().alias("symbol"), F.col("props").alias("payload"))
     )
     signed = sign_column(ev, "symbol", "payload")
     tampered = signed.withColumn(
