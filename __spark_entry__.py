@@ -20,8 +20,17 @@ from ssiintegrateddatapipeline_spark.operators import (
     trade_pipeline,
 )
 from ssiintegrateddatapipeline_spark.plans import relational
+from ssiintegrateddatapipeline_spark.streaming import pipeline as streaming_pipeline
 
-_MODULES = [analytics, relational, trade_pipeline, text, dedup, similarity]
+_MODULES = [
+    analytics,
+    relational,
+    trade_pipeline,
+    text,
+    dedup,
+    similarity,
+    streaming_pipeline,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,275 @@
+"""Structured Streaming surface of the engine (SURVEY §2.7).
+
+The reference is a streaming system end-to-end: WebSocket → Kafka →
+consumer, with processing-time metrics evaluated continuously
+(kafka_consumer/app/handlers/kafka_consumer.py:82-161, read loop;
+kafka_consumer.py:119-124, 10 s tumbling throughput). This module
+re-expresses that surface as Structured Streaming plans:
+
+- a file-replay source (the deterministic stand-in for the Kafka source S3;
+  on a cluster the same plans run off ``spark.readStream.format("kafka")``);
+- event-time windowed aggregations with watermarks — a semantic upgrade the
+  reference lacks (it is processing-time only and never handles late data,
+  SURVEY §2.7);
+- a custom stateful operator via ``applyInPandasWithState`` (the Spark
+  analogue of the reference's per-topic last-message-time dict,
+  kafka_consumer.py:41,108,167-174);
+- ``run_available_now`` — drains a bounded replay through the *streaming*
+  engine (micro-batch execution, state store, watermark advance) and hands
+  back the result as a batch DataFrame, so the driver's DuckDB oracle can
+  check streaming results exactly like batch ones.
+
+Scale notes (100 TB): windowed aggs carry only per-window partials through
+the shuffle (map-side partial aggregation); state is partitioned by group
+key across executors (RocksDB state store on a real cluster); the replay
+source is trivially swapped for Kafka with ``maxOffsetsPerTrigger`` as the
+backpressure knob (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+
+# ---------------------------------------------------------------------------
+# Source: deterministic file replay of the events table (S3 stand-in)
+# ---------------------------------------------------------------------------
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Replay ``events.parquet`` as an unbounded streaming DataFrame.
+
+    Schema comes from the batch loader (including the nanos→timestamp
+    conversion), so the streaming plan sees the exact batch schema.
+    ``maxFilesPerTrigger`` is the file-source backpressure knob (the Kafka
+    equivalent is ``maxOffsetsPerTrigger``).
+    """
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file stream source wants a directory; select just the events
+    # parquet out of the sf dir with a glob filter
+    reader = spark.readStream.schema(batch.schema).option(
+        "pathGlobFilter", "events.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
+    ts_type = batch.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+# ---------------------------------------------------------------------------
+# Streaming plans (same arithmetic as operators/analytics.py — the point:
+# one declarative plan serves both batch and streaming execution)
+# ---------------------------------------------------------------------------
+
+def throughput_plan(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """A4/Q3: tumbling 30 s event rate per type, event-time windows."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "30 seconds").alias("w"), "event_type")
+        .agg(F.count("*").alias("events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "events",
+            F.round(F.col("events") / F.lit(30.0), 6).alias("rate_per_sec"),
+        )
+    )
+
+
+def last_seen_plan(stream: DataFrame) -> DataFrame:
+    """A3 gauge: last event time + running count per type (order-insensitive
+    aggregates, so streaming and batch agree exactly)."""
+    return stream.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count("*").alias("seen")
+    )
+
+
+def payload_hist_plan(stream: DataFrame, buckets: list[float]) -> DataFrame:
+    """Q5 streaming form: cumulative bucket counts via a stream-static
+    broadcast join against the literal bucket table."""
+    spark = stream.sparkSession
+    bucket_df = spark.createDataFrame([(b,) for b in buckets], "le double")
+    return (
+        stream.withColumn("payload_bytes", F.octet_length("props"))
+        .join(F.broadcast(bucket_df), F.col("payload_bytes") <= F.col("le"))
+        .groupBy("le")
+        .agg(F.count("*").alias("cum_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user running stats via applyInPandasWithState
+# (reference analogue: the consumer's mutable per-topic dict,
+# kafka_consumer.py:41,108 — here partitioned state with timeout support)
+# ---------------------------------------------------------------------------
+
+_USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_ts", T.TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_ts_us", T.LongType()),
+    ]
+)
+
+
+def _update_user_stats(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    events, total, max_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdf_iter:
+        events += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        if pd.notna(batch_max):
+            max_us = max(max_us, int(batch_max.value // 1000))
+    state.update((events, total, max_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "events": [events],
+            "total_value": [total],
+            "max_ts": [pd.Timestamp(max_us, unit="us")],
+        }
+    )
+
+
+def user_stats_plan(stream: DataFrame) -> DataFrame:
+    """Running per-user event count / value sum / last event time, held in
+    partitioned operator state (update mode emits the latest row per user)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=_USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Runner: drain a bounded replay through the streaming engine
+# ---------------------------------------------------------------------------
+
+def run_available_now(
+    plan: DataFrame, output_mode: str = "complete", dedup_keys: list[str] | None = None
+) -> DataFrame:
+    """Execute a streaming plan with ``trigger(availableNow=True)`` into a
+    memory sink and return the materialized result as a batch DataFrame.
+
+    ``update`` mode may emit a row per micro-batch per key; pass
+    ``dedup_keys`` to keep only each key's final row (latest ``events``).
+    """
+    spark = plan.sparkSession
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ssi_spark_ckpt_")
+    try:
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+        if dedup_keys:
+            out = out.groupBy(*dedup_keys).agg(
+                F.max_by(
+                    F.struct(*[c for c in out.columns if c not in dedup_keys]), "events"
+                ).alias("_s")
+            ).select(*dedup_keys, "_s.*")
+        # materialize before the checkpoint dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract entries: streaming execution checked by the batch oracle
+# ---------------------------------------------------------------------------
+
+def streaming_throughput_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(throughput_plan(events_stream(spark, sf_dir)))
+
+
+def streaming_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(last_seen_plan(events_stream(spark, sf_dir)))
+
+
+def streaming_payload_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ssiintegrateddatapipeline_spark.operators.analytics import PAYLOAD_BUCKETS
+
+    return run_available_now(
+        payload_hist_plan(events_stream(spark, sf_dir), PAYLOAD_BUCKETS)
+    )
+
+
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_available_now(
+        user_stats_plan(events_stream(spark, sf_dir)),
+        output_mode="update",
+        dedup_keys=["user_id"],
+    )
+    return out.select(
+        "user_id", "events", F.round("total_value", 4).alias("total_value"), "max_ts"
+    )
+
+
+QUERIES = {
+    "streaming_throughput_30s": streaming_throughput_30s,
+    "streaming_last_seen": streaming_last_seen,
+    "streaming_payload_hist": streaming_payload_hist,
+    "streaming_user_stats": streaming_user_stats,
+}
+
+ORACLES = {
+    "streaming_throughput_30s": """
+        SELECT to_timestamp(floor(epoch(ts) / 30) * 30) AS window_start,
+               event_type,
+               count(*) AS events,
+               round(count(*) / 30.0, 6) AS rate_per_sec
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "streaming_last_seen": """
+        SELECT event_type, max(ts) AS last_ts, count(*) AS seen
+        FROM events
+        GROUP BY event_type
+    """,
+    "streaming_payload_hist": """
+        WITH buckets(le) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (8.0),(16.0),(32.0),(64.0),(128.0),(256.0)) v(x))
+        SELECT b.le, count(*) AS cum_count
+        FROM events e JOIN buckets b ON strlen(e.props) <= b.le
+        GROUP BY b.le
+    """,
+    "streaming_user_stats": """
+        SELECT user_id,
+               count(*) AS events,
+               round(sum(value), 4) AS total_value,
+               max(ts) AS max_ts
+        FROM events
+        GROUP BY user_id
+    """,
+}
