@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ssiintegrateddatapipeline_spark.operators import (
     analytics,
     dedup,
+    multimodal,
     similarity,
     text,
     trade_pipeline,
@@ -29,6 +30,7 @@ _MODULES = [
     text,
     dedup,
     similarity,
+    multimodal,
     streaming_pipeline,
 ]
 

@@ -1,0 +1,249 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+The pattern the reference establishes for opaque nested payloads (the
+4-level ``tradeCredential`` struct riding alongside scalar columns,
+kafka_initialiser/app/resources/avro/trade/trade_event.avsc) generalizes to
+media: an image/audio/video is an opaque ``binary`` column with a typed
+metadata struct, processed by Arrow-batched Pandas functions via
+``mapInPandas`` — never row-at-a-time Python.
+
+The actual codecs (Pillow / ffmpeg / librosa) are NOT in this container, so
+the decode kernels are STUBS: ``_decode_image_real`` raises
+``NotImplementedError`` and the pipeline substitutes a deterministic fake
+decode derived from the payload bytes. Everything Spark-side — the binary
+schema, the metadata struct, the mapInPandas batch shape, the explode for
+frame sampling, partition-preserving execution — is real and oracle-checked.
+
+Scale notes (100 TB):
+- binary payloads stay in Arrow buffers end-to-end (no per-row Python
+  object churn); ``maxPartitionBytes`` bounds decode-batch memory;
+- frame sampling explodes rows inside the executor (mapInPandas), so the
+  fan-out never crosses a shuffle boundary;
+- metadata-only predicates (media_type, byte_len) are plain columns -> they
+  push down to the parquet scan and prune payload reads entirely (parquet
+  column pruning skips the heavy binary column when not selected).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# Ingest: documents -> multimodal table (binary payload + metadata struct)
+# ---------------------------------------------------------------------------
+
+_MEDIA_TYPES = ["image/png", "audio/wav", "video/mp4"]
+
+
+def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multimodal stand-in: each document's utf-8 bytes become
+    the opaque payload; media_type assigned round-robin by doc_id. The
+    metadata struct is the typed, queryable face of the opaque blob."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            media.alias("media_type"),
+            F.octet_length("text").alias("byte_len"),
+            F.sha2(F.encode("text", "utf-8"), 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode kernels (stubbed): real codec behind NotImplementedError, fake
+# decode is a pure deterministic function of the bytes
+# ---------------------------------------------------------------------------
+
+def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Real path would be Pillow: Image.open(BytesIO(payload)).size etc."""
+    raise NotImplementedError("image codec not available in this container")
+
+
+def _decode_image_fake(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in: dims derived from payload length and first
+    byte — stable across engines, so the DuckDB oracle can reproduce it."""
+    n = len(payload)
+    first = payload[0] if n else 0
+    width = 64 + (n % 512)
+    height = 64 + (first * 7) % 512
+    channels = 3
+    return width, height, channels
+
+
+def decode_image_meta(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batches in, decoded metadata out."""
+    for pdf in batch_iter:
+        payloads = pdf["payload"]
+        try:
+            dims = [_decode_image_real(p) for p in payloads]
+        except NotImplementedError:
+            dims = [_decode_image_fake(p) for p in payloads]
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "channels": [d[2] for d in dims],
+                "byte_len": [len(p) for p in payloads],
+            }
+        )
+        yield out
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("byte_len", T.IntegerType()),
+    ]
+)
+
+
+def decode_images(mm: DataFrame) -> DataFrame:
+    """Feature-extract every image payload (mapInPandas, Arrow-batched)."""
+    images = mm.where(F.col("meta.media_type") == "image/png").select(
+        "doc_id", "payload"
+    )
+    return images.mapInPandas(decode_image_meta, schema=_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: one video payload -> N frame rows (executor-local fan-out)
+# ---------------------------------------------------------------------------
+
+def frame_sample_plan(mm: DataFrame, every_n: int = 10) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video. Fake frame count =
+    byte_len div 100 (a real decoder would read the container header). The
+    explode happens JVM-side — no Python in this path at all."""
+    videos = mm.where(F.col("meta.media_type") == "video/mp4")
+    n_frames = (F.col("meta.byte_len") / F.lit(100)).cast("int")
+    return (
+        videos.withColumn("n_frames", n_frames)
+        .where(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.round(F.col("frame_idx") / F.lit(25.0), 6).alias("ts_sec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resize: metadata-level transform (vectorized pandas over decoded dims)
+# ---------------------------------------------------------------------------
+
+def resize_meta(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """Compute target dims preserving aspect ratio; pure column math (the
+    real pixel resample would live in the same mapInPandas as the decode)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")),
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale)).cast("int").alias("out_w"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale)).cast("int").alias("out_h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract entries
+# ---------------------------------------------------------------------------
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal_table(spark, sf_dir)
+    return mm.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_images(multimodal_table(spark, sf_dir))
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample_plan(multimodal_table(spark, sf_dir))
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_meta(decode_images(multimodal_table(spark, sf_dir)))
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_decode": multimodal_decode,
+    "multimodal_frames": multimodal_frames,
+    "multimodal_resize": multimodal_resize,
+}
+
+# The fake decode is deterministic byte math, so every op has an exact
+# SQL oracle: width = 64 + n%512, height = 64 + (first_byte*7)%512.
+_DECODED = """
+  SELECT doc_id,
+         CAST(64 + (strlen(text) % 512) AS INT) AS width,
+         CAST(64 + ((ord(text[1]) * 7) % 512) AS INT) AS height,
+         3 AS channels,
+         CAST(strlen(text) AS INT) AS byte_len
+  FROM documents
+  WHERE doc_id % 3 = 0
+"""
+
+ORACLES = {
+    "multimodal_meta": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               strlen(text) AS byte_len,
+               sha256(text) AS sha256
+        FROM documents
+    """,
+    "multimodal_decode": _DECODED,
+    "multimodal_frames": """
+        WITH videos AS (
+          SELECT doc_id, CAST(strlen(text) // 100 AS INT) AS n_frames
+          FROM documents
+          WHERE doc_id % 3 = 2 AND strlen(text) // 100 > 0
+        )
+        SELECT v.doc_id,
+               CAST(f.frame_idx AS INT) AS frame_idx,
+               round(f.frame_idx / 25.0, 6) AS ts_sec
+        FROM videos v,
+             LATERAL (SELECT unnest(generate_series(0, v.n_frames - 1, 10)) AS frame_idx) f
+    """,
+    "multimodal_resize": f"""
+        WITH decoded AS ({_DECODED})
+        SELECT doc_id, width, height,
+               CAST(greatest(1, floor(width * least(1.0, 256.0 / greatest(width, height)))) AS INT) AS out_w,
+               CAST(greatest(1, floor(height * least(1.0, 256.0 / greatest(width, height)))) AS INT) AS out_h
+        FROM decoded
+    """,
+}
