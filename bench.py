@@ -41,8 +41,24 @@ def main() -> None:
     spark = get_spark(app_name="ssi-spark-bench")
     queries = entry_mod.queries()
 
-    # warm the JVM + parquet footers with a trivial action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm-up: run every headline query once at the smallest scale factor.
+    # This compiles the whole-stage-codegen classes and JITs them (identical
+    # generated code across scale factors), so the timed sf runs measure
+    # execution, not Janino+JIT compilation. Falls back to the bench dir if
+    # the small dir is missing.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    t0 = time.perf_counter()
+    for name in HEADLINE:
+        try:
+            queries[name](spark, warm_dir).collect()
+        except Exception as exc:  # warm-up must never fail the bench
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    print(
+        f"# warmup pass ({warm_dir}): {time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
 
     per_query: dict[str, float] = {}
     total = 0.0

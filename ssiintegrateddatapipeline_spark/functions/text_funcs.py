@@ -37,40 +37,61 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
     )
 
 
+def _mh_slicer(k: int):
+    # NB: the lambda must take exactly one arg — a two-arg HOF lambda is
+    # interpreted by Spark as (value, index)
+    return lambda h: F.conv(F.substring(h, 8 * k + 1, 8), 16, 10).cast("long")
+
+
+def _mh_md5_group(g: int):
+    return lambda sh: F.md5(F.concat(F.lit(f"{g}|"), sh))
+
+
 def minhash_signature(shingles: Column, n_hashes: int = 8) -> Column:
     """MinHash signature: hash s of a shingle is 32 bits sliced out of
     md5(group|shingle), where group = s div 4 — one md5 yields four
     independent 32-bit hashes, so 8 permutations cost only 2 md5 calls per
     shingle (4x cheaper than salting per seed).
+
+    NOTE: as a single Column the md5 transform gets re-inlined once per
+    slicer (4x the md5 work) because Catalyst does not CSE across the four
+    array_min consumers. Prefer ``with_minhash_signature`` on a DataFrame,
+    which materializes the hex arrays in an intermediate projection.
     """
     assert n_hashes % 4 == 0 or n_hashes < 4
     n_groups = (n_hashes + 3) // 4
-    # per group: md5 hex per shingle, computed once and sliced 4 ways
-    def slicer(k: int):
-        # NB: the lambda must take exactly one arg — a two-arg HOF lambda is
-        # interpreted by Spark as (value, index)
-        return lambda h: F.conv(F.substring(h, 8 * k + 1, 8), 16, 10).cast("long")
-
-    def md5_group(g: int):
-        return lambda sh: F.md5(F.concat(F.lit(f"{g}|"), sh))
-
     sigs = []
     for g in range(n_groups):
-        hexes = F.transform(shingles, md5_group(g))
+        hexes = F.transform(shingles, _mh_md5_group(g))
         for k in range(min(4, n_hashes - 4 * g)):
-            sigs.append(F.array_min(F.transform(hexes, slicer(k))))
+            sigs.append(F.array_min(F.transform(hexes, _mh_slicer(k))))
     return F.array(*sigs)
 
 
-def simhash32(toks: Column) -> Column:
-    """32-bit SimHash over token md5 hashes.
+def with_minhash_signature(df, shingles: Column, n_hashes: int = 8, out: str = "sig"):
+    """Two-projection MinHash: first materialize md5 hex arrays (one per
+    4-hash group), then slice mins out of them. Each md5 computes exactly
+    once; CollapseProject keeps the projections separate because the hex
+    arrays are non-cheap and multiply referenced."""
+    assert n_hashes % 4 == 0 or n_hashes < 4
+    n_groups = (n_hashes + 3) // 4
+    hex_cols = [
+        F.transform(shingles, _mh_md5_group(g)).alias(f"_mh_hex{g}")
+        for g in range(n_groups)
+    ]
+    step = df.select("*", *hex_cols)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col(f"_mh_hex{s // 4}"), _mh_slicer(s % 4)))
+            for s in range(n_hashes)
+        ]
+    )
+    return step.select(
+        *[c for c in df.columns], sig.alias(out)
+    )
 
-    bit j of the result is 1 iff sum over tokens of (+1 if bit j of
-    md5_int32(token) else -1) is > 0. Entirely nested higher-order
-    functions — no explode, no shuffle.
-    """
-    hashes = F.transform(toks, md5_int32)
 
+def _simhash_from_hashes(hashes: Column) -> Column:
     def bit_mask(j: Column) -> Column:
         # 2^j as long (shiftleft needs a literal amount; pow is exact here)
         return F.pow(F.lit(2.0), j).cast("long")
@@ -89,6 +110,28 @@ def simhash32(toks: Column) -> Column:
         ).otherwise(F.lit(0).cast("long")),
     )
     return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash32(toks: Column) -> Column:
+    """32-bit SimHash over token md5 hashes.
+
+    bit j of the result is 1 iff sum over tokens of (+1 if bit j of
+    md5_int32(token) else -1) is > 0. Entirely nested higher-order
+    functions — no explode, no shuffle. Prefer ``with_simhash32`` on a
+    DataFrame: it materializes the md5 array once instead of letting the
+    32 bit-aggregates each re-inline it.
+    """
+    return _simhash_from_hashes(F.transform(toks, md5_int32))
+
+
+def with_simhash32(df, toks: Column, out: str = "simhash"):
+    """Two-projection SimHash: md5 per token computed exactly once, the 32
+    bit-votes then aggregate over the materialized int array."""
+    step = df.select("*", F.transform(toks, md5_int32).alias("_sh_hashes"))
+    return step.select(
+        *[c for c in df.columns],
+        _simhash_from_hashes(F.col("_sh_hashes")).alias(out),
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:

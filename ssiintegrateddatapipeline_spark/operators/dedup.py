@@ -24,9 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.functions.text_funcs import (
-    minhash_signature,
-    simhash32,
     tokens,
+    with_minhash_signature,
+    with_simhash32,
     word_shingles,
 )
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
@@ -66,9 +66,11 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     toks = tokens(F.col("text"))
-    return d.select(
-        "doc_id", minhash_signature(word_shingles(toks), N_MINHASH).alias("sig")
-    )
+    return with_minhash_signature(
+        d.select("doc_id", word_shingles(toks).alias("_shingles")),
+        F.col("_shingles"),
+        N_MINHASH,
+    ).select("doc_id", "sig")
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,11 +145,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = tokens(F.col("text"))
-    return d.select(
-        "doc_id",
-        simhash32(toks).alias("simhash"),
-    ).withColumn("simhash_prefix", F.shiftright(F.col("simhash"), 24))
+    return (
+        with_simhash32(d.select("doc_id", "text"), tokens(F.col("text")))
+        .select("doc_id", "simhash")
+        .withColumn("simhash_prefix", F.shiftright(F.col("simhash"), 24))
+    )
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

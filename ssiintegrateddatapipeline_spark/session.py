@@ -51,6 +51,14 @@ def get_spark(
         # Spark has no native type for: read as long, converted in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # whole-stage codegen emits one class per stage shape; the JVM
+        # default 240m code cache fills after a few dozen heavy stages and
+        # the JIT silently disables itself (5-10x slowdowns on
+        # expression-heavy stages). Size it for a long-lived session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
