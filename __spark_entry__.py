@@ -19,6 +19,7 @@ from ssiintegrateddatapipeline_spark.operators import (
     similarity,
     text,
     trade_pipeline,
+    wire,
 )
 from ssiintegrateddatapipeline_spark.plans import relational
 from ssiintegrateddatapipeline_spark.streaming import pipeline as streaming_pipeline
@@ -31,6 +32,7 @@ _MODULES = [
     dedup,
     similarity,
     multimodal,
+    wire,
     streaming_pipeline,
 ]
 
