@@ -115,10 +115,115 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path, complementing sign-LSH.
+# Coarse quantizer: K deterministic pseudo-random centroids (component j of
+# centroid k derived from md5(c{k}|j), same trick as the hyperplanes, so the
+# oracle reproduces assignment bit-for-bit). Each corpus vector is assigned
+# to its argmax-dot centroid (one pass, no shuffle); a query probes its top-P
+# centroids and exact-reranks only those inverted lists. At 100 TB the
+# corpus is written partitioned by centroid id -> a probe reads P/K of the
+# data (partition pruning), and the rerank join shuffles only candidates.
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+N_PROBES = 3
+
+
+def _centroid_dots(emb_col) -> "F.Column":
+    """array of dot(v, c_k) for k in 0..K-1 (doubles, index order)."""
+    def comp(k: int, j) -> "F.Column":
+        return (
+            md5_int32(F.concat(F.lit(f"c{k}|"), j.cast("string")))
+            / F.lit(2147483648.0)
+            - F.lit(1.0)
+        )
+
+    def term(k: int):
+        return lambda x, j: x.cast("double") * comp(k, j)
+
+    dims = F.sequence(F.lit(0), F.size(emb_col) - 1)
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(emb_col, dims, term(k)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            for k in range(N_CENTROIDS)
+        ]
+    )
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-side IVF assignment: vec_id -> centroid (1-based argmax dot)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    step = emb.select("vec_id", "embedding", _centroid_dots(F.col("embedding")).alias("dots"))
+    return step.select(
+        "vec_id",
+        "embedding",
+        F.array_position(F.col("dots"), F.array_max("dots")).cast("int").alias("centroid"),
+    )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search: each query (vec_id < 5) probes its top-2 centroids,
+    exact cosine reranks candidates from just those lists."""
+    assigned = ivf_assignments(spark, sf_dir)
+    q_step = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _centroid_dots(F.col("embedding")).alias("dots"),
+        )
+    )
+    # top-P probe list: sort (dot, idx) structs desc, take the first P idx
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.lit(N_CENTROIDS)),
+        lambda k: F.struct(F.element_at(F.col("dots"), k).alias("d"), k.alias("k")),
+    )
+    probes = F.slice(
+        F.transform(F.sort_array(pairs, asc=False), lambda s: s["k"]), 1, N_PROBES
+    )
+    q = q_step.select(
+        "query_id", "q_emb", F.explode(probes).alias("probe_raw")
+    ).select("query_id", "q_emb", F.col("probe_raw").cast("int").alias("probe"))
+    cand = assigned.join(
+        F.broadcast(q), on=F.col("centroid") == F.col("probe")
+    ).where(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list populations — verifies the assignment stage end-to-end
+    (and is the list-size skew diagnostic you'd watch at scale)."""
+    return (
+        ivf_assignments(spark, sf_dir)
+        .groupBy("centroid")
+        .agg(F.count("*").alias("list_size"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
 QUERIES = {
     "similarity_brute_topk": brute_force_topk,
     "similarity_cosine_near_dup": cosine_near_dup_pairs,
     "similarity_lsh_buckets": lsh_bucket_stats,
+    "similarity_ivf_topk": ivf_topk,
+    "similarity_ivf_centroids": ivf_centroid_stats,
 }
 
 _COS = (
@@ -141,7 +246,61 @@ def _lsh_sig_sql(emb: str) -> str:
     return " + ".join(terms)
 
 
+def _centroid_dots_sql(emb: str) -> str:
+    dots = ", ".join(
+        f"list_sum(list_transform(generate_series(1, len({emb})), "
+        f"i -> {emb}[i]::DOUBLE * "
+        f"((('0x' || substr(md5('c{k}|' || (i - 1)::VARCHAR), 1, 8))::UBIGINT::BIGINT"
+        f" / 2147483648.0) - 1.0)))"
+        for k in range(N_CENTROIDS)
+    )
+    return f"[{dots}]"
+
+
+_IVF_ASSIGNED = f"""
+    SELECT vec_id, embedding,
+           list_indexof(dots, list_max(dots))::INT AS centroid
+    FROM (SELECT vec_id, embedding,
+                 {_centroid_dots_sql("embedding")} AS dots
+          FROM embeddings)
+"""
+
+_IVF_PROBES = f"""
+    SELECT query_id, q_emb, unnest(probes)::INT AS probe
+    FROM (
+        SELECT query_id, q_emb,
+               list_transform(
+                   list_sort(
+                       list_transform(generate_series(1, {N_CENTROIDS}),
+                                      k -> {{d: dots[k], k: k}}))[-{N_PROBES}:],
+                   s -> s.k) AS probes
+        FROM (SELECT vec_id AS query_id, embedding AS q_emb,
+                     {_centroid_dots_sql("embedding")} AS dots
+              FROM embeddings WHERE vec_id < {N_QUERY_VECS})
+    )
+"""
+
 ORACLES = {
+    "similarity_ivf_centroids": f"""
+        WITH assigned AS ({_IVF_ASSIGNED})
+        SELECT centroid, count(*) AS list_size, min(vec_id) AS min_vec_id
+        FROM assigned GROUP BY centroid
+    """,
+    "similarity_ivf_topk": f"""
+        WITH assigned AS ({_IVF_ASSIGNED}),
+        probes AS ({_IVF_PROBES}),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   round({_COS.format(a="p.q_emb", b="a.embedding")}, 6) AS cosine_sim
+            FROM assigned a JOIN probes p ON a.centroid = p.probe
+            WHERE a.vec_id != p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
     "similarity_brute_topk": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                    FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
