@@ -123,17 +123,22 @@ def _histogram_quantile(
         .groupBy(label_col, "le")
         .agg(F.count("*").alias("cum"))
     )
-    # densify: every (label, le) pair, missing -> 0
+    # densify: every (label, le) pair, missing -> 0. Both sides are
+    # post-aggregation (|labels| x |buckets| and |labels x le|) — broadcast
+    # the probe side so no shuffle survives the aggregation.
     labels = totals.select(label_col)
     dense = (
         labels.crossJoin(F.broadcast(bucket_df))
-        .join(cum, [label_col, "le"], "left")
+        .join(F.broadcast(cum), [label_col, "le"], "left")
         .fillna({"cum": 0})
     )
     w = Window.partitionBy(label_col).orderBy("le")
     dense = dense.withColumn("prev_cum", F.coalesce(F.lag("cum").over(w), F.lit(0)))
     dense = dense.withColumn("prev_le", F.coalesce(F.lag("le").over(w), F.lit(0.0)))
-    j = dense.join(totals, label_col).withColumn("target", F.lit(q) * F.col("total"))
+    # totals is |labels| rows — always broadcast, never sort-merge
+    j = dense.join(F.broadcast(totals), label_col).withColumn(
+        "target", F.lit(q) * F.col("total")
+    )
     hit = (
         j.where(F.col("cum") >= F.col("target"))
         .groupBy(label_col)
@@ -152,7 +157,7 @@ def _histogram_quantile(
     top = F.lit(float(buckets[-1]))
     return (
         totals.select(label_col)
-        .join(hit, label_col, "left")
+        .join(F.broadcast(hit), label_col, "left")
         .select(
             label_col,
             F.round(F.coalesce(F.col("quantile_raw"), top), 6).alias(f"p{int(q * 100)}"),
