@@ -161,6 +161,84 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders —
+    a left ANTI join (only keys cross the shuffle, payload never moves)."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items below 50% of their part's
+    average quantity — the correlated scalar subquery decorrelated into an
+    aggregate-then-join (the per-part aggregate is small -> broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(part_avg), "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer over order dates (bounded subset) — the
+    cumulative-window shape (partitioned running sum, no global sort)."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+    )
+
+
+def returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (grouping sets): per (returnflag,
+    linestatus), per returnflag, and grand total in one pass — map-side
+    partial aggregation covers all grouping sets without re-scanning."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.grouping_id().alias("grp"),
+        )
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": pricing_summary,
     "tpch_top_unshipped_orders": top_unshipped_orders,
@@ -169,9 +247,59 @@ QUERIES = {
     "tpch_revenue_by_nation": revenue_by_nation,
     "tpch_top_customers": top_customers,
     "tpch_part_type_stats": part_type_stats,
+    "tpch_idle_customers": idle_customers,
+    "tpch_small_qty_revenue": small_quantity_revenue,
+    "tpch_running_totals": customer_running_totals,
+    "tpch_returnflag_rollup": returnflag_rollup,
 }
 
 ORACLES = {
+    "tpch_idle_customers": """
+        WITH rich AS (
+            SELECT * FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM rich r
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "tpch_small_qty_revenue": """
+        WITH part_avg AS (
+            SELECT l_partkey, avg(l_quantity) * 0.5 AS half_avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+        JOIN part_avg a ON l.l_partkey = a.l_partkey
+        WHERE l.l_quantity < a.half_avg_qty
+    """,
+    "tpch_running_totals": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_revenue,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   AS order_seq
+        FROM orders
+        WHERE o_custkey < 50
+    """,
+    "tpch_returnflag_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS total_price,
+               CASE WHEN grouping(l_returnflag) = 1 AND grouping(l_linestatus) = 1 THEN 3
+                    WHEN grouping(l_linestatus) = 1 THEN 1
+                    ELSE 0 END AS grp
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
     "tpch_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
