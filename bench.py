@@ -17,17 +17,22 @@ HEADLINE = [
     "tpch_pricing_summary",
     "tpch_local_supplier_volume",
     "tpch_top_customers",
+    "tpch_returnflag_rollup",
     "analytics_throughput_30s",
     "analytics_sliding_rate",
     "analytics_p95_histogram",
     "trade_envelope",
     "trade_sign_verify",
+    "wire_avro_roundtrip",
     "dedup_exact_events",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_signatures",
     "text_quality_score",
     "similarity_brute_topk",
     "similarity_lsh_buckets",
+    "similarity_ivf_topk",
+    "multimodal_decode",
+    "streaming_throughput_30s",
 ]
 
 
