@@ -23,6 +23,7 @@ from ssiintegrateddatapipeline_spark.operators import (
     wire,
 )
 from ssiintegrateddatapipeline_spark.plans import relational
+from ssiintegrateddatapipeline_spark.sources import trade_feed
 from ssiintegrateddatapipeline_spark.streaming import pipeline as streaming_pipeline
 
 _MODULES = [
@@ -35,6 +36,7 @@ _MODULES = [
     multimodal,
     transform,
     wire,
+    trade_feed,
     streaming_pipeline,
 ]
 

@@ -1,0 +1,259 @@
+"""Custom Python DataSource: deterministic Finnhub-style trade feed (S1/S2).
+
+The reference ingests trades over a WebSocket (data_synthesizer/service/
+finnhub/finnhub.go:59-169: connect, subscribe, read JSON frames with
+single-letter wire fields). Spark has no WebSocket source; the idiomatic
+Spark 4 answer is a custom Python DataSource, implemented here twice over
+the same generator:
+
+- ``TradeFeedDataSource`` batch reader — partitioned deterministic replay
+  (each partition independently generates its index range, so generation is
+  embarrassingly parallel and scales with the cluster);
+- its ``DataSourceStreamReader`` — offset-tracked micro-batches with
+  ``rows_per_batch`` as the backpressure knob (the maxOffsetsPerTrigger
+  analogue), exactly-once via offset commit.
+
+Every field derives from md5 of the trade index, so the DuckDB oracle can
+reproduce the full feed with generate_series + the same md5 arithmetic —
+the wire shape (single-letter fields, occasional ping frames, null
+condition lists) matches the reference's documented frames
+(data_synthesizer/README.md:95-133, column map finnhub.go:47-53).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SYMBOLS = (
+    "BINANCE:BTCUSDT",
+    "BINANCE:ETHUSDT",
+    "BINANCE:SOLUSDT",
+    "BINANCE:ADAUSDT",
+    "BINANCE:XRPUSDT",
+)
+
+FEED_SCHEMA = "type string, c array<string>, p double, s string, t bigint, v double"
+
+BASE_EPOCH_MS = 1704067200000  # 2024-01-01T00:00:00Z
+PING_EVERY = 97  # every 97th frame is a keepalive ping (dropped by F1)
+
+
+def _h32(tag: str, i: int) -> int:
+    """First 32 bits of md5(f'{tag}|{i}') — the cross-dialect hash used
+    throughout the engine (same spelling as functions/text_funcs.md5_int32)."""
+    return int(hashlib.md5(f"{tag}|{i}".encode()).hexdigest()[:8], 16)
+
+
+def gen_frame(i: int) -> tuple:
+    """Deterministic wire frame for trade index i (raw Finnhub field names)."""
+    if i % PING_EVERY == 0:
+        return ("ping", None, None, None, None, None)
+    price = 100.0 + (_h32("p", i) % 1000000) / 100.0
+    volume = (_h32("v", i) % 10000) / 1000.0
+    cond = None if _h32("c", i) % 10 == 0 else ["market"]
+    return (
+        "trade",
+        cond,
+        price,
+        SYMBOLS[i % len(SYMBOLS)],
+        BASE_EPOCH_MS + i * 250,
+        volume,
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class _TradeFeedBatchReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.n_partitions = int(options.get("numpartitions", 8))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = max(1, -(-self.n // self.n_partitions))
+        return [
+            _RangePartition(s, min(s + step, self.n))
+            for s in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield gen_frame(i)
+
+
+class _TradeFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.rows_per_batch = int(options.get("rowsperbatch", 250))
+        self.n_partitions = int(options.get("numpartitions", 4))
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        # advance by at most rows_per_batch per trigger, capped at the feed
+        # end — the backpressure contract (maxOffsetsPerTrigger analogue)
+        self._current = min(self._current + self.rows_per_batch, self.n)
+        return {"index": self._current}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["index"], end["index"]
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        step = max(1, -(-(hi - lo) // self.n_partitions))
+        return [
+            _RangePartition(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield gen_frame(i)
+
+    def commit(self, end: dict) -> None:
+        pass  # generation is deterministic; nothing to clean up
+
+    def stop(self) -> None:
+        pass
+
+
+class TradeFeedDataSource(DataSource):
+    """spark.read.format("trade_feed").option("n", N).load() — and the same
+    via readStream for offset-tracked micro-batch replay."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "trade_feed"
+
+    def schema(self) -> str:
+        return FEED_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _TradeFeedBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _TradeFeedStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(TradeFeedDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries: the S1->P1->F1->P2 ingest path over the source
+# ---------------------------------------------------------------------------
+
+FEED_N = 2000
+
+
+def _ingest_projection(raw):
+    """F1 type filter + P1 rename map + P2 default-fill + timestamp decode
+    (finnhub.go:47-53, :186-198; models/types.go:27-34)."""
+    from pyspark.sql import functions as F
+
+    return (
+        raw.where(F.col("type") == "trade")
+        .select(
+            F.col("s").alias("symbol"),
+            F.col("p").alias("price"),
+            F.col("v").alias("volume"),
+            F.coalesce(F.col("c"), F.array().cast("array<string>")).alias(
+                "trade_condition"
+            ),
+            F.timestamp_millis(F.col("t")).alias("event_timestamp"),
+        )
+    )
+
+
+def feed_ingest(spark, sf_dir: str):
+    """Batch read of the custom source through the ingest projection."""
+    register(spark)
+    raw = (
+        spark.read.format("trade_feed")
+        .option("n", FEED_N)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return _ingest_projection(raw)
+
+
+def feed_ingest_streaming(spark, sf_dir: str):
+    """Same plan through the offset-tracked stream reader: micro-batches of
+    rows_per_batch advance the offset until the feed is drained (real
+    multi-batch offset progression — availableNow would snapshot
+    latestOffset once and stop after one batch). Result must equal the
+    batch read exactly."""
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    register(spark)
+    raw = (
+        spark.readStream.format("trade_feed")
+        .option("n", FEED_N)
+        .option("rowsPerBatch", 500)
+        .option("numPartitions", 4)
+        .load()
+    )
+    plan = _ingest_projection(raw)
+    name = f"feed_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ssi_feed_ckpt_")
+    expected = FEED_N - len(range(0, FEED_N, PING_EVERY))
+    try:
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= expected:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+        out = spark.table(name)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+QUERIES = {
+    "source_trade_feed": feed_ingest,
+    "source_trade_feed_stream": feed_ingest_streaming,
+}
+
+_H32 = "(('0x' || substr(md5('{tag}|' || i::VARCHAR), 1, 8))::UBIGINT::BIGINT)"
+
+_FEED_ORACLE = f"""
+    WITH idx AS (SELECT unnest(generate_series(0, {FEED_N - 1})) AS i)
+    SELECT ['BINANCE:BTCUSDT','BINANCE:ETHUSDT','BINANCE:SOLUSDT',
+            'BINANCE:ADAUSDT','BINANCE:XRPUSDT'][(i % 5)::INT + 1] AS symbol,
+           100.0 + ({_H32.format(tag="p")} % 1000000) / 100.0 AS price,
+           ({_H32.format(tag="v")} % 10000) / 1000.0 AS volume,
+           CASE WHEN {_H32.format(tag="c")} % 10 = 0 THEN []::VARCHAR[]
+                ELSE ['market'] END AS trade_condition,
+           make_timestamp(({BASE_EPOCH_MS} + i * 250) * 1000) AS event_timestamp
+    FROM idx
+    WHERE i % {PING_EVERY} != 0
+"""
+
+ORACLES = {
+    "source_trade_feed": _FEED_ORACLE,
+    "source_trade_feed_stream": _FEED_ORACLE,
+}
