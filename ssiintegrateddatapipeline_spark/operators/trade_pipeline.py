@@ -194,6 +194,39 @@ def sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_parse_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 + F5: JSON frame parse with corrupt-record routing.
+
+    The reference parses each frame and routes parse errors to a counter
+    instead of failing the stream (finnhub.go:172-199 message dispatch;
+    process_data.py:34-59 json.loads with per-message error handling;
+    kafka_consumer.py:142-150 deserialization-error skip). Here: a
+    deterministic subset of payloads is corrupted (trailing brace), then
+    ``from_json`` in PERMISSIVE mode yields null structs for malformed
+    input — the status column routes ok vs corrupt without any Python."""
+    ev = load_table(spark, sf_dir, "events")
+    # corruption = truncation (unclosed object) — trailing garbage would not
+    # do: Jackson stops at the first complete document and accepts it
+    wire_payload = F.when(
+        F.col("event_id") % 97 == 0,
+        F.substring(F.col("props"), 1, F.length("props") - 1),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(
+        wire_payload,
+        "k int, _corrupt_record string",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return ev.select(
+        "event_id",
+        F.when(
+            parsed.getField("_corrupt_record").isNotNull(), F.lit("corrupt")
+        )
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+        parsed.getField("k").alias("k"),
+    )
+
+
 def identity_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3: the per-symbol identity dimension (did:key, pubkey, authz JWT).
 
@@ -210,6 +243,7 @@ QUERIES = {
     "trade_authz_check": authz_check,
     "trade_sign_verify": sign_verify,
     "trade_identity_dim": identity_dim,
+    "trade_json_parse_route": json_parse_route,
 }
 
 _SYMBOLS_SQL = "[" + ", ".join(f"'{s}'" for s in SYMBOLS) + "]"
@@ -300,6 +334,20 @@ ORACLES = {
                (event_id % 50 = 0) AS tampered,
                (event_id % 50 != 0) AS verified
         FROM events
+    """,
+    "trade_json_parse_route": """
+        WITH wire AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 97 = 0
+                        THEN substr(props, 1, strlen(props) - 1)
+                        ELSE props END AS payload
+            FROM events
+        )
+        SELECT event_id,
+               CASE WHEN json_valid(payload) THEN 'ok' ELSE 'corrupt' END AS status,
+               CASE WHEN json_valid(payload)
+                    THEN json_extract(payload, '$.k')::INT END AS k
+        FROM wire
     """,
     # trade_identity_dim: intentionally no oracle (Ed25519 + base58 not
     # SQL-expressible) -> driver records rows-only check.
