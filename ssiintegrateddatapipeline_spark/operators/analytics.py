@@ -194,7 +194,42 @@ def payload_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap.
+
+    Batch spelling of ``F.session_window`` (gaps-and-islands: a new session
+    starts when the gap from the previous event exceeds the threshold;
+    session id = running count of session starts). The streaming form is
+    ``groupBy(F.session_window("ts", "30 minutes"), "user_id")`` — same
+    semantics, and this batch plan is what the oracle can check exactly.
+    One shuffle on user_id; the windows are computed per-partition.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000.0),
+            3,
+        ).alias("duration_secs"),
+    )
+
+
 QUERIES = {
+    "analytics_session_windows": session_windows,
     "analytics_throughput_30s": windowed_throughput,
     "analytics_sliding_rate": sliding_rate,
     "analytics_consumer_lag": consumer_lag,
@@ -236,6 +271,36 @@ FROM totals t LEFT JOIN hit h ON h.event_type = t.event_type
 """
 
 ORACLES = {
+    "analytics_session_windows": """
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM gaps
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+            FROM marked
+        )
+        SELECT user_id, session_seq,
+               count(*) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 3)
+                   AS duration_secs
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
     "analytics_throughput_30s": """
         SELECT to_timestamp(floor(epoch(ts) / 30) * 30) AS window_start,
                event_type,
