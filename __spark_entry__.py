@@ -22,6 +22,7 @@ from ssiintegrateddatapipeline_spark.operators import (
     transform,
     wire,
 )
+from ssiintegrateddatapipeline_spark.plans import pipeline as pipeline_plans
 from ssiintegrateddatapipeline_spark.plans import relational
 from ssiintegrateddatapipeline_spark.sources import trade_feed
 from ssiintegrateddatapipeline_spark.streaming import pipeline as streaming_pipeline
@@ -29,6 +30,7 @@ from ssiintegrateddatapipeline_spark.streaming import pipeline as streaming_pipe
 _MODULES = [
     analytics,
     relational,
+    pipeline_plans,
     trade_pipeline,
     text,
     dedup,

@@ -228,8 +228,36 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 counters by label, skew-safe: two-phase salted aggregation over
+    the 5-value event_type column (at production scale a handful of hot
+    labels would otherwise pin whole partitions on single reducers).
+    Result is identical to the direct groupBy — that's what the oracle
+    checks."""
+    from ssiintegrateddatapipeline_spark.functions.skew import salted_agg
+
+    ev = _events(spark, sf_dir)
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        salt_source=F.col("event_id"),
+        aggs={
+            "n_events": ("event_id", "count"),
+            "total_value": ("value", "sum"),
+            "max_ts": ("ts", "max"),
+        },
+        n_salts=16,
+    ).select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        "max_ts",
+    )
+
+
 QUERIES = {
     "analytics_session_windows": session_windows,
+    "analytics_salted_counts": salted_label_counts,
     "analytics_throughput_30s": windowed_throughput,
     "analytics_sliding_rate": sliding_rate,
     "analytics_consumer_lag": consumer_lag,
@@ -271,6 +299,14 @@ FROM totals t LEFT JOIN hit h ON h.event_type = t.event_type
 """
 
 ORACLES = {
+    "analytics_salted_counts": """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value,
+               max(ts) AS max_ts
+        FROM events
+        GROUP BY event_type
+    """,
     "analytics_session_windows": """
         WITH gaps AS (
             SELECT user_id, event_id, ts,
