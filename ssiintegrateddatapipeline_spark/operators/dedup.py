@@ -152,6 +152,35 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_MAX_HAMMING = 8  # well below the ~16 mean of unrelated 32-bit hashes
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: block on the 8-bit prefix (the scale trick —
+    candidate pairs only form inside a bucket, turning n^2 into sum of
+    bucket^2), then keep pairs with Hamming distance <= k via bit_count of
+    the XOR. Both stages are pure JVM expressions."""
+    sigs = simhash_signatures(spark, sf_dir)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("simhash").alias("sh_a"),
+        "simhash_prefix",
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("simhash").alias("sh_b"),
+        "simhash_prefix",
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, "simhash_prefix")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity on a bounded subset (doc_id < 500)
     via shingle explode + equi-join on shingle — the verification stage that
@@ -191,6 +220,7 @@ QUERIES = {
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_simhash_signatures": simhash_signatures,
+    "dedup_simhash_pairs": simhash_near_dup_pairs,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
 }
 
@@ -282,6 +312,29 @@ ORACLES = {
             FROM hashes
         )
         SELECT doc_id, simhash, simhash >> 24 AS simhash_prefix FROM sh
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        hashes AS (
+            SELECT doc_id,
+                   list_transform(toks,
+                       t -> ('0x' || substr(md5(t), 1, 8))::UBIGINT::BIGINT) AS hs
+            FROM toks
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_sum(list_transform(generate_series(0, 31), j ->
+                       CASE WHEN list_sum(list_transform(hs, h ->
+                                CASE WHEN (h & CAST(pow(2, j) AS BIGINT)) > 0
+                                     THEN 1 ELSE -1 END)) > 0
+                            THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))::BIGINT AS simhash
+            FROM hashes
+        ),
+        pref AS (SELECT doc_id, simhash, simhash >> 24 AS p FROM sh)
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM pref a JOIN pref b ON a.p = b.p AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     """,
     "dedup_ngram_jaccard_pairs": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 500),
