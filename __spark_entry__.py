@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ssiintegrateddatapipeline_spark.operators import (
     analytics,
     dedup,
+    metrics,
     multimodal,
     similarity,
     text,
@@ -38,6 +39,7 @@ _MODULES = [
     multimodal,
     transform,
     wire,
+    metrics,
     trade_feed,
     streaming_pipeline,
 ]

@@ -1,0 +1,125 @@
+"""Prometheus-style metric families as DataFrame aggregations (A1-A3).
+
+The reference instruments everything with prometheus_client metric families
+(counters kafka_consumer/app/metrics/metrics.py:41-45, histograms :47-60
+with the _bucket/_sum/_count triple, gauges :63-101) which Prometheus
+scrapes into a time-series store. The engine-side equivalent is a *metrics
+table*: one long-format DataFrame (metric, label, le, value) produced by
+three family builders, writable through sinks.foreach_batch_metrics_sink as
+the streaming K4 sink.
+
+Histogram semantics are exactly Prometheus's: cumulative `le` buckets
+(value <= le counts, +Inf == _count), plus _sum and _count rows — the same
+shape histogram_quantile() consumes, and what analytics._histogram_quantile
+interpolates over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+METRICS_SCHEMA_COLS = ("metric", "label", "le", "value")
+
+
+def counter(df: DataFrame, name: str, label_col: str) -> DataFrame:
+    """A1: counter family — count per label value."""
+    return df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").cast("double").alias("value")
+    ).select(
+        F.lit(name).alias("metric"),
+        "label",
+        F.lit(None).cast("double").alias("le"),
+        "value",
+    )
+
+
+def gauge_last(df: DataFrame, name: str, label_col: str, value_col: str, ts_col: str) -> DataFrame:
+    """A3: gauge family — last observed value per label (by event time)."""
+    return df.groupBy(F.col(label_col).alias("label")).agg(
+        F.max_by(F.col(value_col), F.col(ts_col)).cast("double").alias("value")
+    ).select(
+        F.lit(name).alias("metric"),
+        "label",
+        F.lit(None).cast("double").alias("le"),
+        "value",
+    )
+
+
+def histogram(
+    df: DataFrame, name: str, label_col: str, value_col: str, buckets: list[float]
+) -> DataFrame:
+    """A2: histogram family — cumulative le buckets + _sum + _count."""
+    spark = df.sparkSession
+    bucket_df = spark.createDataFrame([(b,) for b in buckets], "le double")
+    labeled = df.select(F.col(label_col).alias("label"), F.col(value_col).alias("v"))
+    cum = (
+        labeled.join(F.broadcast(bucket_df), F.col("v") <= F.col("le"))
+        .groupBy("label", "le")
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(F.lit(f"{name}_bucket").alias("metric"), "label", "le", "value")
+    )
+    sums = labeled.groupBy("label").agg(
+        F.round(F.sum("v"), 4).alias("value"), F.count("*").cast("double").alias("cnt")
+    )
+    sum_rows = sums.select(
+        F.lit(f"{name}_sum").alias("metric"),
+        "label",
+        F.lit(None).cast("double").alias("le"),
+        F.col("value").cast("double").alias("value"),
+    )
+    count_rows = sums.select(
+        F.lit(f"{name}_count").alias("metric"),
+        "label",
+        F.lit(None).cast("double").alias("le"),
+        F.col("cnt").alias("value"),
+    )
+    return cum.unionByName(sum_rows).unionByName(count_rows)
+
+
+VALUE_BUCKETS = [1.0, 2.0, 5.0, 10.0, 25.0, 50.0, 100.0, 150.0, 200.0, 300.0]
+
+
+def metrics_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scrape: counters + gauges + histograms over the events
+    stream, one long-format table (the engine's /metrics endpoint)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        counter(ev, "events_processed_total", "event_type")
+        .unionByName(gauge_last(ev, "last_value", "event_type", "value", "ts"))
+        .unionByName(
+            histogram(ev, "event_value", "event_type", "value", VALUE_BUCKETS)
+        )
+    )
+
+
+QUERIES = {
+    "metrics_scrape_table": metrics_table,
+}
+
+_BUCKETS_SQL = "(VALUES (1.0),(2.0),(5.0),(10.0),(25.0),(50.0),(100.0),(150.0),(200.0),(300.0))"
+
+ORACLES = {
+    "metrics_scrape_table": f"""
+        SELECT 'events_processed_total' AS metric, event_type AS label,
+               NULL::DOUBLE AS le, count(*)::DOUBLE AS value
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'last_value', event_type, NULL,
+               max_by(value, ts)::DOUBLE
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'event_value_bucket', event_type, b.le, count(*)::DOUBLE
+        FROM events e JOIN (SELECT CAST(x AS DOUBLE) AS le FROM {_BUCKETS_SQL} v(x)) b
+          ON e.value <= b.le
+        GROUP BY event_type, b.le
+        UNION ALL
+        SELECT 'event_value_sum', event_type, NULL, round(sum(value), 4)::DOUBLE
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'event_value_count', event_type, NULL, count(*)::DOUBLE
+        FROM events GROUP BY event_type
+    """,
+}
