@@ -55,16 +55,19 @@ IDENTITY_SCHEMA = (
 
 
 def _executor_keys(symbol: str):
-    """Executor-local key cache — built on demand, never serialized."""
+    """Executor-local key cache (J2 slot) — LRU 100 + 10 min TTL, the
+    reference's DID-cache parameters (veramo-verifier/src/server.ts:249-252);
+    built on demand in each worker, never serialized."""
     from ssiintegrateddatapipeline_spark.functions import crypto
+    from ssiintegrateddatapipeline_spark.functions.ttl_cache import executor_cache
 
-    if not hasattr(_executor_keys, "_cache"):
-        _executor_keys._cache = {}
-    cache = _executor_keys._cache
-    if symbol not in cache:
+    def load():
         priv, pub = crypto.keypair_for(symbol)
-        cache[symbol] = (priv, pub, crypto.did_key_for(pub))
-    return cache[symbol]
+        return (priv, pub, crypto.did_key_for(pub))
+
+    return executor_cache("symbol_keys", max_size=100, ttl_secs=600.0).get_or_load(
+        symbol, load
+    )
 
 
 def build_identity_dim(spark: SparkSession, symbols=SYMBOLS) -> DataFrame:
