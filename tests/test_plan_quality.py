@@ -1,0 +1,91 @@
+"""Plan-quality regressions: predicate pushdown must reach the scans,
+small sides must broadcast (no sort-merge joins of tiny aggregates), and
+column pruning must drop unused columns from the parquet read."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+_QUERIES = entry_mod.queries()
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    plan = _formatted(_QUERIES["tpch_pricing_summary"](spark, sf_dir))
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert pushed and any("l_shipdate" in line for line in pushed), pushed
+
+
+def test_histogram_quantile_all_broadcast(spark, sf_dir):
+    plan = _executed_plan(_QUERIES["analytics_p95_histogram"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_star_joins_broadcast_dims(spark, sf_dir):
+    plan = _executed_plan(_QUERIES["tpch_revenue_by_nation"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_semi_and_anti_joins_used(spark, sf_dir):
+    semi = _executed_plan(_QUERIES["tpch_order_priority_count"](spark, sf_dir))
+    anti = _executed_plan(_QUERIES["tpch_idle_customers"](spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_column_pruning_two_column_projection(spark, sf_dir):
+    """A 2-column projection over lineitem must not read all 11 columns."""
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert read_schema
+    assert "l_extendedprice" not in read_schema[0]
+    assert "l_orderkey" in read_schema[0]
+
+
+def test_no_python_udfs_in_jvm_only_paths(spark, sf_dir):
+    """Dedup/analytics/relational plans must stay JVM-side — no Arrow or
+    row-at-a-time Python evaluation nodes."""
+    for name in [
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_pairs",
+        "analytics_p95_histogram",
+        "analytics_session_windows",
+        "tpch_pricing_summary",
+        "similarity_ivf_topk",
+        "text_quality_score",
+    ]:
+        plan = _executed_plan(_QUERIES[name](spark, sf_dir))
+        assert "Python" not in plan and "MapInPandas" not in plan, name
+
+
+def test_partition_filter_prunes_partitioned_sink(spark, sf_dir, tmp_path):
+    from ssiintegrateddatapipeline_spark.sources import sinks
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    path = str(tmp_path / "events_part")
+    sinks.write_partitioned(
+        load_table(spark, sf_dir, "events"), path, partition_cols=("event_type",)
+    )
+    df = spark.read.parquet(path).where(F.col("event_type") == "view")
+    plan = _executed_plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
