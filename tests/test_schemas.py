@@ -37,6 +37,20 @@ def test_catalog_loads_all_named_types(catalog):
         assert expected in names
 
 
+def test_health_sensor_compiles(catalog):
+    """The sibling topic family: nested inline record + int vitals
+    (IntegerType, not LongType)."""
+    st = catalog.compile("com.example.health.HealthSensorRecord")
+    assert [f.name for f in st.fields] == [
+        "data", "vc_store_signature", "start_timestamp", "did", "jwt",
+    ]
+    data = st["data"].dataType
+    assert isinstance(data, T.StructType)
+    assert data["heart_rate"].dataType == T.IntegerType()
+    assert data["temperature"].dataType == T.DoubleType()
+    assert not st["data"].nullable  # non-union field
+
+
 def test_trade_event_compiles_with_inlined_refs(catalog):
     st = catalog.compile("io.malmike.trades.TradeEventRef")
     assert [f.name for f in st.fields] == [
