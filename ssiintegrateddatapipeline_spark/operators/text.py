@@ -48,6 +48,33 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer regex (GPT-2-style simplified to the RE2-compatible
+# subset both engines share: letter runs, digit runs, single punctuation)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-pre-tokenizer flavor: regexp_extract_all with the
+    letter/digit/punct split LLM tokenizers apply before merges — the count
+    that tracks real token budgets far better than whitespace splitting."""
+    d = load_table(spark, sf_dir, "documents")
+    # NB: F.lit, not F.expr — a SQL string literal would eat the backslash
+    # in \s and the negated class would start matching whitespace
+    pieces = F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+    words = F.filter(pieces, lambda p: p.rlike("^[A-Za-z]+$"))
+    nums = F.filter(pieces, lambda p: p.rlike("^[0-9]+$"))
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(words).alias("n_word_pieces"),
+        F.size(nums).alias("n_number_pieces"),
+        (F.size(pieces) - F.size(words) - F.size(nums)).alias("n_punct_pieces"),
+        F.round(F.size(pieces) / F.size(tokens(F.col("text"))), 6).alias(
+            "bpe_to_whitespace_ratio"
+        ),
+    )
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: type-token ratio, stopword ratio, length.
 
@@ -113,6 +140,7 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_token_stats": token_stats,
+    "text_bpe_tokens": bpe_token_stats,
     "text_quality_score": quality_score,
     "text_language_id": language_id,
     "text_fingerprint": fingerprint,
@@ -136,6 +164,26 @@ ORACLES = {
                strlen(text) AS n_chars_measured,
                round(strlen(replace(text, ' ', '')) / len({_TOKS}), 6) AS avg_token_len
         FROM documents
+    """,
+    "text_bpe_tokens": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS pieces,
+                   len(string_split(text, ' ')) AS n_ws
+            FROM documents
+        )
+        SELECT doc_id,
+               len(pieces) AS n_bpe_tokens,
+               len(list_filter(pieces, p -> regexp_matches(p, '^[A-Za-z]+$')))
+                   AS n_word_pieces,
+               len(list_filter(pieces, p -> regexp_matches(p, '^[0-9]+$')))
+                   AS n_number_pieces,
+               len(pieces)
+                 - len(list_filter(pieces, p -> regexp_matches(p, '^[A-Za-z]+$')))
+                 - len(list_filter(pieces, p -> regexp_matches(p, '^[0-9]+$')))
+                   AS n_punct_pieces,
+               round(len(pieces) / n_ws, 6) AS bpe_to_whitespace_ratio
+        FROM t
     """,
     "text_quality_score": f"""
         WITH t AS (
