@@ -177,6 +177,31 @@ def p95_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _histogram_quantile(ev, "value", "event_type", buckets, 0.95)
 
 
+def p95_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 in its true PromQL shape: histogram_quantile evaluated PER TIME
+    WINDOW per label (the dashboard recomputes the quantile at every
+    evaluation step over a sliding rate window). Composite (window, label)
+    key through the same exact bucket-interpolation operator; 6-hour
+    tumbling windows keep the key cardinality test-sized — the plan is
+    identical at 30 s."""
+    buckets = [1.0, 2.0, 5.0, 10.0, 25.0, 50.0, 100.0, 150.0, 200.0, 300.0]
+    ev = _events(spark, sf_dir).withColumn(
+        "_lbl",
+        F.concat(
+            (F.floor(F.unix_seconds("ts") / 21600) * 21600).cast("string"),
+            F.lit("|"),
+            F.col("event_type"),
+        ),
+    )
+    hq = _histogram_quantile(ev, "value", "_lbl", buckets, 0.95)
+    parts = F.split(F.col("_lbl"), "\\|")
+    return hq.select(
+        F.timestamp_seconds(F.element_at(parts, 1).cast("long")).alias("window_start"),
+        F.element_at(parts, 2).alias("event_type"),
+        "p95",
+    )
+
+
 def payload_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5: payload-size heatmap — cumulative bucket counts (sum by le).
 
@@ -258,6 +283,7 @@ def salted_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "analytics_session_windows": session_windows,
     "analytics_salted_counts": salted_label_counts,
+    "analytics_p95_windowed": p95_windowed,
     "analytics_throughput_30s": windowed_throughput,
     "analytics_sliding_rate": sliding_rate,
     "analytics_consumer_lag": consumer_lag,
@@ -298,7 +324,47 @@ SELECT t.event_type,
 FROM totals t LEFT JOIN hit h ON h.event_type = t.event_type
 """
 
+_P95_WINDOWED_ORACLE = """
+WITH buckets(le) AS (VALUES (1.0),(2.0),(5.0),(10.0),(25.0),(50.0),(100.0),(150.0),(200.0),(300.0)),
+ev AS (
+  SELECT (floor(epoch(ts) / 21600) * 21600)::BIGINT::VARCHAR || '|' || event_type AS lbl,
+         value
+  FROM events
+),
+totals AS (SELECT lbl, count(*) AS total FROM ev GROUP BY lbl),
+cum AS (
+  SELECT e.lbl, b.le, count(*) AS cum
+  FROM ev e JOIN buckets b ON e.value <= b.le
+  GROUP BY e.lbl, b.le
+),
+dense AS (
+  SELECT t.lbl, b.le, coalesce(c.cum, 0) AS cum
+  FROM totals t CROSS JOIN buckets b
+  LEFT JOIN cum c ON c.lbl = t.lbl AND c.le = b.le
+),
+lagged AS (
+  SELECT lbl, le, cum,
+         coalesce(lag(cum) OVER (PARTITION BY lbl ORDER BY le), 0) AS prev_cum,
+         coalesce(lag(le) OVER (PARTITION BY lbl ORDER BY le), 0.0) AS prev_le
+  FROM dense
+),
+hit AS (
+  SELECT l.lbl,
+         min_by(struct_pack(le := l.le, prev_le := l.prev_le, cum := l.cum,
+                            prev_cum := l.prev_cum, target := 0.95 * t.total), l.le) AS b
+  FROM lagged l JOIN totals t USING (lbl)
+  WHERE l.cum >= 0.95 * t.total
+  GROUP BY l.lbl
+)
+SELECT to_timestamp(string_split(t.lbl, '|')[1]::BIGINT) AS window_start,
+       string_split(t.lbl, '|')[2] AS event_type,
+       round(coalesce(b.prev_le + (b.le - b.prev_le) * (b.target - b.prev_cum)
+                      / (b.cum - b.prev_cum), 300.0), 6) AS p95
+FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
+"""
+
 ORACLES = {
+    "analytics_p95_windowed": _P95_WINDOWED_ORACLE,
     "analytics_salted_counts": """
         SELECT event_type,
                count(*) AS n_events,
