@@ -280,7 +280,70 @@ def salted_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: one conditional-min pass
+    per user (single shuffle on user_id), then a global stage-count
+    aggregate. The per-user frame never materializes row-per-stage, so the
+    shuffle payload is 3 timestamps per user regardless of event volume."""
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    reached_click = F.col("first_click") > F.col("first_view")
+    reached_purchase = reached_click & (F.col("first_purchase") > F.col("first_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("first_view").isNotNull(), 1).otherwise(0)).alias("stage_view"),
+        F.sum(F.when(reached_click, 1).otherwise(0)).alias("stage_click"),
+        F.sum(F.when(reached_purchase, 1).otherwise(0)).alias("stage_purchase"),
+    )
+
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, distinct
+    active users per week offset. The per-user first-activity table is tiny
+    relative to the event log, so it broadcasts back onto the fact side."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                (F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                 - F.unix_timestamp(F.col("cohort_week"))) / F.lit(604800)
+            ).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the JSON props column
+    (JVM-side get_json_object, no Python), bucket by tens, aggregate."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((F.floor(k / 10) * 10).cast("int").alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
 QUERIES = {
+    "analytics_event_funnel": event_funnel,
+    "analytics_weekly_retention": weekly_retention,
+    "analytics_props_json": props_json_stats,
     "analytics_session_windows": session_windows,
     "analytics_salted_counts": salted_label_counts,
     "analytics_p95_windowed": p95_windowed,
@@ -364,6 +427,43 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_event_funnel": """
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+            GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
+               sum(CASE WHEN first_click > first_view THEN 1 ELSE 0 END) AS stage_click,
+               sum(CASE WHEN first_click > first_view
+                         AND first_purchase > first_click THEN 1 ELSE 0 END) AS stage_purchase
+        FROM firsts
+    """,
+    "analytics_weekly_retention": """
+        WITH first AS (
+            SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+            FROM events GROUP BY user_id
+        )
+        SELECT cohort_week,
+               ((epoch(date_trunc('week', ts)) - epoch(cohort_week)) / 604800)::INT
+                   AS week_offset,
+               count(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    "analytics_props_json": """
+        SELECT (floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) * 10)::INT
+                   AS k_bucket,
+               count(*) AS n_events,
+               round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY 1
+    """,
     "analytics_p95_windowed": _P95_WINDOWED_ORACLE,
     "analytics_salted_counts": """
         SELECT event_type,

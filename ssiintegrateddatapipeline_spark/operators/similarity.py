@@ -17,10 +17,13 @@ Embedding dim is read from the data (64 in the driver's testdata).
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ssiintegrateddatapipeline_spark.functions.text_funcs import cosine, md5_int32
+from ssiintegrateddatapipeline_spark.functions.text_funcs import cosine
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
 
 TOP_K = 10
@@ -72,25 +75,51 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_signature(emb_col) -> "F.Column":
-    """Sign-LSH signature: bit p = 1 iff dot(v, h_p) > 0, where hyperplane
-    h_p's component j is a deterministic pseudo-random value in [-1, 1)
-    derived from md5(p|j) — reproducible in SQL."""
-    def plane_component(p: int, j) -> "F.Column":
-        # uniform in [-1, 1): md5_int32 / 2^31 - 1
-        return (
-            md5_int32(F.concat(F.lit(f"{p}|"), j.cast("string"))) / F.lit(2147483648.0)
-            - F.lit(1.0)
-        )
+def _pseudo_component(prefix: str, j: int) -> float:
+    """Deterministic pseudo-random value in [-1, 1) from md5(prefix|j) —
+    bit-identical to the oracle's SQL spelling: the 32-bit hash divided by
+    2^31 is exact in binary64 (<= 32 mantissa bits) and so is the -1 shift,
+    so inlining the Python-computed double changes nothing vs computing
+    md5 per row in the JVM (which cost 512 md5 calls PER ROW before)."""
+    v = int(hashlib.md5(f"{prefix}|{j}".encode()).hexdigest()[:8], 16)
+    return v / 2147483648.0 - 1.0
 
-    dims = F.sequence(F.lit(0), F.size(emb_col) - 1)
+
+@lru_cache(maxsize=None)
+def _plane_literals(dim: int) -> tuple[tuple[float, ...], ...]:
+    return tuple(
+        tuple(_pseudo_component(str(p), j) for j in range(dim)) for p in range(N_PLANES)
+    )
+
+
+@lru_cache(maxsize=None)
+def _centroid_literals(dim: int) -> tuple[tuple[float, ...], ...]:
+    return tuple(
+        tuple(_pseudo_component(f"c{k}", j) for j in range(dim))
+        for k in range(N_CENTROIDS)
+    )
+
+
+def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding dimensionality — a schema-level constant of the dataset,
+    fetched once from the first row (plan-time lookup, not a data pass)."""
+    row = load_table(spark, sf_dir, "embeddings").select(
+        F.size("embedding").alias("d")
+    ).first()
+    return int(row["d"])
+
+
+def _lsh_signature(emb_col, dim: int) -> "F.Column":
+    """Sign-LSH signature: bit p = 1 iff dot(v, h_p) > 0. Hyperplane
+    components are plan-time literal arrays (see _pseudo_component), so the
+    per-row work is N_PLANES fused zip_with dot products — pure codegen."""
     bits = []
-    for p in range(N_PLANES):
+    for p, plane in enumerate(_plane_literals(dim)):
         dot = F.aggregate(
             F.zip_with(
                 emb_col,
-                dims,
-                lambda x, j: x.cast("double") * plane_component(p, j),
+                F.array(*[F.lit(c) for c in plane]),
+                lambda x, c: x.cast("double") * c,
             ),
             F.lit(0.0),
             lambda s, x: s + x,
@@ -108,7 +137,8 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n^2 cross join). Exposed as bucket stats so the oracle can verify
     the signature computation end-to-end."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = emb.select("vec_id", _lsh_signature(F.col("embedding")).alias("lsh_sig"))
+    dim = _embedding_dim(spark, sf_dir)
+    sigs = emb.select("vec_id", _lsh_signature(F.col("embedding"), dim).alias("lsh_sig"))
     return (
         sigs.groupBy("lsh_sig")
         .agg(F.count("*").alias("bucket_size"), F.min("vec_id").alias("min_vec_id"))
@@ -130,27 +160,21 @@ N_CENTROIDS = 8
 N_PROBES = 3
 
 
-def _centroid_dots(emb_col) -> "F.Column":
-    """array of dot(v, c_k) for k in 0..K-1 (doubles, index order)."""
-    def comp(k: int, j) -> "F.Column":
-        return (
-            md5_int32(F.concat(F.lit(f"c{k}|"), j.cast("string")))
-            / F.lit(2147483648.0)
-            - F.lit(1.0)
-        )
-
-    def term(k: int):
-        return lambda x, j: x.cast("double") * comp(k, j)
-
-    dims = F.sequence(F.lit(0), F.size(emb_col) - 1)
+def _centroid_dots(emb_col, dim: int) -> "F.Column":
+    """array of dot(v, c_k) for k in 0..K-1 (doubles, index order). Centroid
+    components are plan-time literals — K fused dot products per row."""
     return F.array(
         *[
             F.aggregate(
-                F.zip_with(emb_col, dims, term(k)),
+                F.zip_with(
+                    emb_col,
+                    F.array(*[F.lit(c) for c in centroid]),
+                    lambda x, c: x.cast("double") * c,
+                ),
                 F.lit(0.0),
                 lambda s, x: s + x,
             )
-            for k in range(N_CENTROIDS)
+            for centroid in _centroid_literals(dim)
         ]
     )
 
@@ -158,7 +182,10 @@ def _centroid_dots(emb_col) -> "F.Column":
 def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-side IVF assignment: vec_id -> centroid (1-based argmax dot)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    step = emb.select("vec_id", "embedding", _centroid_dots(F.col("embedding")).alias("dots"))
+    dim = _embedding_dim(spark, sf_dir)
+    step = emb.select(
+        "vec_id", "embedding", _centroid_dots(F.col("embedding"), dim).alias("dots")
+    )
     return step.select(
         "vec_id",
         "embedding",
@@ -176,7 +203,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            _centroid_dots(F.col("embedding")).alias("dots"),
+            _centroid_dots(F.col("embedding"), _embedding_dim(spark, sf_dir)).alias("dots"),
         )
     )
     # top-P probe list: sort (dot, idx) structs desc, take the first P idx

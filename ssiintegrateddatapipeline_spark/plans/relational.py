@@ -162,8 +162,9 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers with no orders —
-    a left ANTI join (only keys cross the shuffle, payload never moves)."""
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders (none since 2000) — a left ANTI join (only keys cross the
+    shuffle, payload never moves); the date filter pushes into the scan."""
     cust = _t(spark, sf_dir, "customer")
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("avg_bal")
@@ -171,7 +172,11 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = cust.crossJoin(F.broadcast(avg_bal)).where(
         F.col("c_acctbal") > F.col("avg_bal")
     )
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
     return (
         rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -777,7 +782,9 @@ ORACLES = {
                count(*) AS n_customers,
                round(sum(c_acctbal), 2) AS total_acctbal
         FROM rich r
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = r.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c_mktsegment
     """,
     "tpch_small_qty_revenue": """
