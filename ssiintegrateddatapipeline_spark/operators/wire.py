@@ -100,6 +100,11 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("start_timestamp").alias("start_ts_us"),
         "e2e_latency_secs",
     )
+    # The local events table is a single parquet split, which would run the
+    # whole Python codec chain on one worker; fan out to all cores first (at
+    # production scale the scan is already wide and this repartition is a
+    # no-op to remove).
+    env = env.repartition(spark.sparkContext.defaultParallelism)
     decoded = avro_deserialize(avro_serialize(env))
     return decoded.select(
         "trade_event_id",
@@ -127,6 +132,8 @@ def avro_payload_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("start_timestamp").alias("start_ts_us"),
         "e2e_latency_secs",
     )
+    # single-split scan -> fan out before the Python codec (see avro_roundtrip)
+    env = env.repartition(spark.sparkContext.defaultParallelism)
     wire = avro_serialize(env)
     return (
         wire.groupBy("key")

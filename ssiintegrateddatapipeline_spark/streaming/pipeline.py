@@ -200,8 +200,11 @@ def run_available_now(
                     F.struct(*[c for c in out.columns if c not in dedup_keys]), "events"
                 ).alias("_s")
             ).select(*dedup_keys, "_s.*")
-        # materialize before the checkpoint dir disappears
-        return spark.createDataFrame(out.collect(), out.schema)
+        # materialize before the checkpoint dir disappears (and so the
+        # session-scoped memory sink table can be dropped) — via Arrow
+        # batches, not per-row Py4J pickling
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
