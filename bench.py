@@ -21,6 +21,10 @@ HEADLINE = [
     "tpch_local_supplier_volume",
     "tpch_top_customers",
     "tpch_returnflag_rollup",
+    "tpch_volume_shipping",
+    "tpch_waiting_orders",
+    "analytics_event_funnel",
+    "dedup_near_dup_clusters",
     "analytics_throughput_30s",
     "analytics_sliding_rate",
     "analytics_p95_histogram",
@@ -49,14 +53,12 @@ def main() -> None:
     spark = get_spark(app_name="ssi-spark-bench")
     queries = entry_mod.queries()
 
-    # Warm-up: run every headline query once at the smallest scale factor.
-    # This compiles the whole-stage-codegen classes and JITs them (identical
-    # generated code across scale factors), so the timed sf runs measure
-    # execution, not Janino+JIT compilation. Falls back to the bench dir if
-    # the small dir is missing.
-    warm_dir = "/root/testdata/sf0.001"
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    # Warm-up: run every headline query once at the bench scale factor.
+    # AQE finalizes different physical plans per scale factor (different
+    # stats -> different codegen classes), so warming at a smaller sf leaves
+    # Janino+JIT compilation inside the timed runs. One untimed pass at the
+    # target sf compiles and JITs exactly the plans being measured.
+    warm_dir = sf_dir
     t0 = time.perf_counter()
     for name in HEADLINE:
         try:

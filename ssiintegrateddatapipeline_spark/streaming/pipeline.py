@@ -110,6 +110,46 @@ def payload_hist_plan(stream: DataFrame, buckets: list[float]) -> DataFrame:
     )
 
 
+def attribution_plan(stream: DataFrame) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the user's
+    clicks in the preceding 30 minutes.
+
+    Both sides carry watermarks and the join condition bounds click_ts to a
+    range of purchase_ts, so the state store can evict rows once the
+    watermark passes — the canonical bounded-state stream-stream join. At
+    100 TB the join key (user_id) partitions both sides; state per key is
+    bounded by the 30-minute range + 1-hour watermark.
+    """
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND click_ts <= purchase_ts "
+            "AND click_ts >= purchase_ts - INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts", "purchase_value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: per-user running stats via applyInPandasWithState
 # (reference analogue: the consumer's mutable per-topic dict,
@@ -240,7 +280,14 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        attribution_plan(events_stream(spark, sf_dir)), output_mode="append"
+    )
+
+
 QUERIES = {
+    "streaming_attribution": streaming_attribution,
     "streaming_throughput_30s": streaming_throughput_30s,
     "streaming_last_seen": streaming_last_seen,
     "streaming_payload_hist": streaming_payload_hist,
@@ -248,6 +295,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_attribution": """
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               p.ts AS purchase_ts,
+               c.event_id AS click_id,
+               c.ts AS click_ts,
+               p.value AS purchase_value
+        FROM events p
+        JOIN events c ON p.user_id = c.user_id
+        WHERE p.event_type = 'purchase'
+          AND c.event_type = 'click'
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
     "streaming_throughput_30s": """
         SELECT to_timestamp(floor(epoch(ts) / 30) * 30) AS window_start,
                event_type,

@@ -50,6 +50,40 @@ def test_semi_and_anti_joins_used(spark, sf_dir):
     assert "LeftAnti" in anti
 
 
+def test_forecast_revenue_pushes_all_predicates(spark, sf_dir):
+    """Q6 shape: shipdate/discount/quantity predicates all reach the scan."""
+    plan = _formatted(_QUERIES["tpch_forecast_revenue"](spark, sf_dir))
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert pushed, plan
+    joined = " ".join(pushed)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in joined, (col, pushed)
+
+
+def test_volume_shipping_broadcasts_all_dims(spark, sf_dir):
+    """Q7 shape: both nation aliases + supplier broadcast; the only
+    sort-merge-eligible join is orders<->lineitem on orderkey."""
+    plan = _executed_plan(_QUERIES["tpch_volume_shipping"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_waiting_orders_self_semi_and_anti(spark, sf_dir):
+    """Q21 shape: the exists/not-exists pair compiles to one LeftSemi and
+    one LeftAnti self-join, not to cross products."""
+    plan = _executed_plan(_QUERIES["tpch_waiting_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_aggregation_shuffle(spark, sf_dir):
+    """The funnel is one user_id aggregation plus a scalar aggregate — no
+    join, no window, exactly two exchanges (partial->final per agg)."""
+    plan = _executed_plan(_QUERIES["analytics_event_funnel"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
 def test_column_pruning_two_column_projection(spark, sf_dir):
     """A 2-column projection over lineitem must not read all 11 columns."""
     from ssiintegrateddatapipeline_spark.sources.batch import load_table
