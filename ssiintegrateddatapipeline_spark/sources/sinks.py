@@ -45,6 +45,31 @@ def write_partitioned(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table sink: pay the shuffle ONCE at write time.
+
+    Every later equi-join or aggregation on the bucket key reads
+    co-located buckets and skips its Exchange entirely — at 100 TB this is
+    how the orders<->lineitem join loses its shuffle (both sides bucketed
+    by the join key into the same bucket count). ``sort_cols`` additionally
+    pre-sorts within buckets so sort-merge joins skip their Sort."""
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def kafka_wire_frame(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """K2 projection: exactly the (key, value) binary columns the Kafka sink
     contract requires."""

@@ -112,6 +112,51 @@ def test_no_python_udfs_in_jvm_only_paths(spark, sf_dir):
         assert "Python" not in plan and "MapInPandas" not in plan, name
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Tables bucketed on the join key must join without any Exchange —
+    the write-once-shuffle-never-again layout for the biggest fact joins."""
+    from ssiintegrateddatapipeline_spark.sources import sinks
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    sinks.write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        ),
+        "bq_lineitem",
+        bucket_cols=("l_orderkey",),
+        n_buckets=8,
+        sort_cols=("l_orderkey",),
+    )
+    sinks.write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        "bq_orders",
+        bucket_cols=("o_orderkey",),
+        n_buckets=8,
+        sort_cols=("o_orderkey",),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("bq_lineitem")
+            .join(
+                spark.table("bq_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderdate")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = _executed_plan(joined)
+        assert "Exchange" not in plan.split("HashAggregate")[-1], plan
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bq_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bq_orders")
+
+
 def test_partition_filter_prunes_partitioned_sink(spark, sf_dir, tmp_path):
     from ssiintegrateddatapipeline_spark.sources import sinks
     from ssiintegrateddatapipeline_spark.sources.batch import load_table
