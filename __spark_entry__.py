@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ssiintegrateddatapipeline_spark.operators import (
     analytics,
+    asof,
     dedup,
     metrics,
     multimodal,
@@ -30,6 +31,7 @@ from ssiintegrateddatapipeline_spark.streaming import pipeline as streaming_pipe
 
 _MODULES = [
     analytics,
+    asof,
     relational,
     pipeline_plans,
     trade_pipeline,

@@ -245,7 +245,35 @@ def ivf_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration: recompute each IVF centroid as the mean of its
+    assigned vectors — the iterative-refinement step that turns the
+    deterministic coarse quantizer into trained k-means (loop this plan to
+    convergence; each round is one posexplode + two aggregations).
+
+    Scale shape: the explode produces |corpus| x dim rows but they reduce
+    immediately through map-side partial aggregation on (centroid, pos) —
+    the shuffle carries K x dim partials per map task, not the exploded
+    data. Means are rounded to 6 decimals in plan and oracle alike so the
+    float summation order can't flip the value hash."""
+    assigned = ivf_assignments(spark, sf_dir)
+    exploded = assigned.select(
+        "centroid", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    means = exploded.groupBy("centroid", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("m")
+    )
+    new_c = (
+        means.groupBy("centroid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("centroid", F.transform("pm", lambda s: s["m"]).alias("new_centroid"))
+    )
+    sizes = assigned.groupBy("centroid").agg(F.count("*").alias("list_size"))
+    return sizes.join(new_c, "centroid").select("centroid", "list_size", "new_centroid")
+
+
 QUERIES = {
+    "similarity_kmeans_refine": kmeans_refine,
     "similarity_brute_topk": brute_force_topk,
     "similarity_cosine_near_dup": cosine_near_dup_pairs,
     "similarity_lsh_buckets": lsh_bucket_stats,
@@ -312,6 +340,30 @@ ORACLES = {
         WITH assigned AS ({_IVF_ASSIGNED})
         SELECT centroid, count(*) AS list_size, min(vec_id) AS min_vec_id
         FROM assigned GROUP BY centroid
+    """,
+    "similarity_kmeans_refine": f"""
+        WITH assigned AS ({_IVF_ASSIGNED}),
+        dims AS (
+            SELECT unnest(generate_series(1,
+                (SELECT len(embedding) FROM embeddings LIMIT 1))) AS pos
+        ),
+        exploded AS (
+            SELECT centroid, pos, embedding[pos]::DOUBLE AS val
+            FROM assigned CROSS JOIN dims
+        ),
+        means AS (
+            SELECT centroid, pos, round(avg(val), 6) AS m
+            FROM exploded GROUP BY centroid, pos
+        ),
+        newc AS (
+            SELECT centroid, list(m ORDER BY pos) AS new_centroid
+            FROM means GROUP BY centroid
+        ),
+        sizes AS (
+            SELECT centroid, count(*) AS list_size FROM assigned GROUP BY centroid
+        )
+        SELECT s.centroid, s.list_size, n.new_centroid
+        FROM sizes s JOIN newc n USING (centroid)
     """,
     "similarity_ivf_topk": f"""
         WITH assigned AS ({_IVF_ASSIGNED}),

@@ -138,7 +138,49 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLEAN_MIN_QUALITY = 0.55
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline, end to end:
+
+    1. language filter     — keep predicted-English documents,
+    2. quality filter      — heuristic score >= CLEAN_MIN_QUALITY,
+    3. exact dedup         — keep the lowest doc_id per md5(text),
+    4. near-dup dedup      — drop every near-dup cluster member except the
+                             cluster representative (min doc_id = cluster id).
+
+    Each stage is the already-oracle-checked operator; this query checks
+    their composition. All joins against the survivor sets are
+    key-only semi/left joins — document text never crosses a shuffle
+    after the first scan."""
+    from ssiintegrateddatapipeline_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    lang = language_id(spark, sf_dir).where(F.col("predicted_lang") == "en").select("doc_id")
+    qual = (
+        quality_score(spark, sf_dir)
+        .where(F.col("quality_score") >= CLEAN_MIN_QUALITY)
+        .select("doc_id", "quality_score")
+    )
+    exact_keep = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    clusters = dedup.near_dup_clusters(spark, sf_dir)
+    return (
+        d.join(lang, "doc_id", "left_semi")
+        .join(exact_keep, "doc_id", "left_semi")
+        .join(qual, "doc_id")
+        .join(clusters, "doc_id", "left")
+        .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "source", "n_chars", "quality_score")
+    )
+
+
 QUERIES = {
+    "text_clean_corpus": clean_corpus,
     "text_token_stats": token_stats,
     "text_bpe_tokens": bpe_token_stats,
     "text_quality_score": quality_score,
@@ -156,7 +198,67 @@ def _markers_sql(lang: str) -> str:
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
+# cluster CTEs shared with the dedup module (same signature/pair pipeline)
+from ssiintegrateddatapipeline_spark.operators.dedup import (  # noqa: E402
+    _PAIRS_CTE as _DEDUP_PAIRS_CTE,
+    _SIG_CTE as _DEDUP_SIG_CTE,
+)
+
+_CLEAN_CORPUS_ORACLE = f"""
+    WITH RECURSIVE {_DEDUP_SIG_CTE}, {_DEDUP_PAIRS_CTE},
+    edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    reach(doc_id, root) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    clusters AS (
+        SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    lang AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   {_markers_sql("en")} AS en_markers,
+                   {_markers_sql("de")} AS de_markers,
+                   {_markers_sql("es")} AS es_markers,
+                   {_markers_sql("fr")} AS fr_markers
+            FROM documents
+        )
+        WHERE en_markers >= de_markers AND en_markers >= es_markers
+          AND en_markers >= fr_markers
+    ),
+    qual AS (
+        SELECT doc_id,
+               round(0.4 * (nd / n) + 0.3 * (1.0 - ns / n)
+                     + 0.3 * least(1.0, n / 50.0), 6) AS quality_score
+        FROM (
+            SELECT doc_id,
+                   len({_TOKS}) AS n,
+                   len(list_distinct({_TOKS})) AS nd,
+                   len(list_filter({_TOKS}, t -> t IN ({_STOPWORDS_SQL}))) AS ns
+            FROM documents
+        )
+        WHERE round(0.4 * (nd / n) + 0.3 * (1.0 - ns / n)
+                    + 0.3 * least(1.0, n / 50.0), 6) >= {{min_quality}}
+    ),
+    keepers AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id, d.source, d.n_chars, q.quality_score
+    FROM documents d
+    JOIN lang USING (doc_id)
+    JOIN keepers USING (doc_id)
+    JOIN qual q USING (doc_id)
+    LEFT JOIN clusters c USING (doc_id)
+    WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+"""
+
 ORACLES = {
+    "text_clean_corpus": _CLEAN_CORPUS_ORACLE.format(min_quality=CLEAN_MIN_QUALITY),
     "text_token_stats": f"""
         SELECT doc_id,
                len({_TOKS}) AS n_tokens,
