@@ -280,6 +280,33 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_plan(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native streaming sessionization: ``F.session_window`` merges events
+    into per-user sessions separated by `gap` of inactivity — the streaming
+    twin of analytics.session_windows (same semantics, state-store-backed
+    session merge instead of a batch window)."""
+    return (
+        stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round(
+                (F.unix_micros("session_end") - F.unix_micros("session_start"))
+                / F.lit(1_000_000.0),
+                3,
+            ).alias("duration_secs"),
+        )
+    )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(session_plan(events_stream(spark, sf_dir)))
+
+
 def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         attribution_plan(events_stream(spark, sf_dir)), output_mode="append"
@@ -287,6 +314,7 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "streaming_session_windows": streaming_session_windows,
     "streaming_attribution": streaming_attribution,
     "streaming_throughput_30s": streaming_throughput_30s,
     "streaming_last_seen": streaming_last_seen,
@@ -295,6 +323,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_session_windows": """
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM gaps
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(*) AS n_events,
+               round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 3)
+                   AS duration_secs
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
     "streaming_attribution": """
         SELECT p.user_id,
                p.event_id AS purchase_id,
