@@ -211,3 +211,263 @@ def dumps(value: Any, schema: Any) -> bytes:
 
 def loads(raw: bytes, schema: Any) -> Any:
     return decode(schema, io.BytesIO(raw))
+
+
+# ---------------------------------------------------------------------------
+# compiled codec: specialize the schema walk into closures ONCE per process,
+# so the per-record hot path is straight-line appends/slices with no
+# isinstance dispatch, no dict lookups, and no BytesIO. Used by
+# operators/wire.py; identical wire bytes to encode()/decode() (property-
+# tested round trip in tests/test_wire.py).
+# ---------------------------------------------------------------------------
+
+
+def _append_long(out: bytearray, n: int) -> None:
+    n = ((n << 1) ^ (n >> 63)) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _take_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (acc >> 1) ^ -(acc & 1), pos
+        shift += 7
+
+
+def _compile_enc(schema: Any):
+    """schema -> fn(value, out: bytearray)."""
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, list):
+        branch_encs = [_compile_enc(b) for b in schema]
+        branch_types = [b if isinstance(b, str) else b.get("type") for b in schema]
+        null_idx = branch_types.index("null") if "null" in branch_types else -1
+        if null_idx >= 0 and len(schema) == 2:  # the ["null", T] fast path
+            other_idx = 1 - null_idx
+            other_enc = branch_encs[other_idx]
+
+            def enc_union2(v, out):
+                if v is None:
+                    _append_long(out, null_idx)
+                else:
+                    _append_long(out, other_idx)
+                    other_enc(v, out)
+
+            return enc_union2
+
+        def enc_union(v, out):
+            idx = _union_branch(v, schema)
+            _append_long(out, idx)
+            branch_encs[idx](v, out)
+
+        return enc_union
+    else:
+        t = schema["type"]
+        if isinstance(t, (dict, list)):
+            return _compile_enc(t)
+
+    if t == "null":
+        return lambda v, out: None
+    if t == "boolean":
+        return lambda v, out: out.append(1 if v else 0)
+    if t in ("int", "long"):
+        return lambda v, out: _append_long(out, int(v))
+    if t == "float":
+        pack_f = struct.Struct("<f").pack
+        return lambda v, out: out.extend(pack_f(float(v)))
+    if t == "double":
+        pack_d = struct.Struct("<d").pack
+        return lambda v, out: out.extend(pack_d(float(v)))
+    if t == "string":
+
+        def enc_str(v, out):
+            raw = v.encode("utf-8")
+            _append_long(out, len(raw))
+            out.extend(raw)
+
+        return enc_str
+    if t == "bytes":
+
+        def enc_bytes(v, out):
+            raw = bytes(v)
+            _append_long(out, len(raw))
+            out.extend(raw)
+
+        return enc_bytes
+    if t == "record":
+        pairs = [(f["name"], _compile_enc(f["type"])) for f in schema["fields"]]
+
+        def enc_record(v, out):
+            for name, fe in pairs:
+                fe(v[name], out)
+
+        return enc_record
+    if t == "array":
+        item_enc = _compile_enc(schema["items"])
+
+        def enc_array(v, out):
+            n = len(v)
+            if n:
+                _append_long(out, n)
+                for item in v:
+                    item_enc(item, out)
+            _append_long(out, 0)
+
+        return enc_array
+    if t == "map":
+        val_enc = _compile_enc(schema["values"])
+
+        def enc_map(v, out):
+            if v:
+                _append_long(out, len(v))
+                for k, val in v.items():
+                    raw = k.encode("utf-8")
+                    _append_long(out, len(raw))
+                    out.extend(raw)
+                    val_enc(val, out)
+            _append_long(out, 0)
+
+        return enc_map
+    if t == "enum":
+        index = {s: i for i, s in enumerate(schema["symbols"])}
+        return lambda v, out: _append_long(out, index[v])
+    if t == "fixed":
+        return lambda v, out: out.extend(bytes(v))
+    raise ValueError(f"unsupported avro type: {t!r}")
+
+
+def _compile_dec(schema: Any):
+    """schema -> fn(buf: bytes, pos: int) -> (value, pos)."""
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, list):
+        branch_decs = [_compile_dec(b) for b in schema]
+
+        def dec_union(buf, pos):
+            idx, pos = _take_long(buf, pos)
+            return branch_decs[idx](buf, pos)
+
+        return dec_union
+    else:
+        t = schema["type"]
+        if isinstance(t, (dict, list)):
+            return _compile_dec(t)
+
+    if t == "null":
+        return lambda buf, pos: (None, pos)
+    if t == "boolean":
+        return lambda buf, pos: (buf[pos] == 1, pos + 1)
+    if t in ("int", "long"):
+        return _take_long
+    if t == "float":
+        unpack_f = struct.Struct("<f").unpack_from
+        return lambda buf, pos: (unpack_f(buf, pos)[0], pos + 4)
+    if t == "double":
+        unpack_d = struct.Struct("<d").unpack_from
+        return lambda buf, pos: (unpack_d(buf, pos)[0], pos + 8)
+    if t == "string":
+
+        def dec_str(buf, pos):
+            n, pos = _take_long(buf, pos)
+            return buf[pos : pos + n].decode("utf-8"), pos + n
+
+        return dec_str
+    if t == "bytes":
+
+        def dec_bytes(buf, pos):
+            n, pos = _take_long(buf, pos)
+            return buf[pos : pos + n], pos + n
+
+        return dec_bytes
+    if t == "record":
+        pairs = [(f["name"], _compile_dec(f["type"])) for f in schema["fields"]]
+
+        def dec_record(buf, pos):
+            out = {}
+            for name, fd in pairs:
+                out[name], pos = fd(buf, pos)
+            return out, pos
+
+        return dec_record
+    if t == "array":
+        item_dec = _compile_dec(schema["items"])
+
+        def dec_array(buf, pos):
+            out = []
+            while True:
+                n, pos = _take_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    _, pos = _take_long(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    v, pos = item_dec(buf, pos)
+                    out.append(v)
+
+        return dec_array
+    if t == "map":
+        val_dec = _compile_dec(schema["values"])
+
+        def dec_map(buf, pos):
+            out = {}
+            while True:
+                n, pos = _take_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    _, pos = _take_long(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    klen, pos = _take_long(buf, pos)
+                    k = buf[pos : pos + klen].decode("utf-8")
+                    pos += klen
+                    out[k], pos = val_dec(buf, pos)
+
+        return dec_map
+    if t == "enum":
+        symbols = schema["symbols"]
+
+        def dec_enum(buf, pos):
+            i, pos = _take_long(buf, pos)
+            return symbols[i], pos
+
+        return dec_enum
+    if t == "fixed":
+        size = schema["size"]
+        return lambda buf, pos: (buf[pos : pos + size], pos + size)
+    raise ValueError(f"unsupported avro type: {t!r}")
+
+
+def compile_dumps(schema: Any):
+    """One-time schema compile -> fast fn(value) -> bytes."""
+    enc = _compile_enc(schema)
+
+    def dumps_compiled(value: Any) -> bytes:
+        out = bytearray()
+        enc(value, out)
+        return bytes(out)
+
+    return dumps_compiled
+
+
+def compile_loads(schema: Any):
+    """One-time schema compile -> fast fn(raw) -> value."""
+    dec = _compile_dec(schema)
+
+    def loads_compiled(raw: bytes) -> Any:
+        return dec(bytes(raw), 0)[0]
+
+    return loads_compiled

@@ -64,12 +64,16 @@ _DECODED_SPARK_SCHEMA = (
 
 
 def avro_serialize(df: DataFrame) -> DataFrame:
-    """P10: rows -> (key, value) with value = Avro binary per TRADE_WIRE_SCHEMA."""
+    """P10: rows -> (key, value) with value = Avro binary per TRADE_WIRE_SCHEMA.
+
+    The codec is schema-compiled once per Python worker (module import),
+    so the per-record path is straight-line byte appends."""
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dumps = avro_codec.compile_dumps(TRADE_WIRE_SCHEMA)
         for pdf in batches:
             records = pdf[_FIELDS].to_dict("records")
-            values = [avro_codec.dumps(r, TRADE_WIRE_SCHEMA) for r in records]
+            values = [dumps(r) for r in records]
             yield pd.DataFrame({"key": pdf["symbol"], "value": values})
 
     return df.mapInPandas(enc, "key string, value binary")
@@ -79,8 +83,9 @@ def avro_deserialize(df: DataFrame) -> DataFrame:
     """S3: (key, value) -> decoded columns."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        loads = avro_codec.compile_loads(TRADE_WIRE_SCHEMA)
         for pdf in batches:
-            rows = [avro_codec.loads(v, TRADE_WIRE_SCHEMA) for v in pdf["value"]]
+            rows = [loads(v) for v in pdf["value"]]
             yield pd.DataFrame(rows, columns=_FIELDS)
 
     return df.mapInPandas(dec, _DECODED_SPARK_SCHEMA)

@@ -150,3 +150,25 @@ def test_wire_payload_sizes_match_local_encoding(spark, sf_dir):
     decoded = [C.loads(bytes(r["value"]), wire.TRADE_WIRE_SCHEMA) for r in sizes]
     for row, r in zip(decoded, sizes):
         assert got[row["trade_event_id"]] == r["n"]
+
+
+@given(
+    s=_text,
+    n=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    d=st.floats(allow_nan=False),
+    opt=st.none() | _text,
+    tags=st.lists(_text, max_size=5),
+    attrs=st.dictionaries(_text, st.integers(-(2**31), 2**31 - 1), max_size=5),
+    b=st.booleans(),
+)
+def test_compiled_codec_matches_interpreted(s, n, d, opt, tags, attrs, b):
+    """compile_dumps/compile_loads must produce byte-identical wire format
+    and identical decoded values vs the interpreted encode/decode."""
+    value = {"s": s, "n": n, "d": d, "opt": opt, "tags": tags, "attrs": attrs, "b": b}
+    dumps_c = C.compile_dumps(_RECORD_SCHEMA)
+    loads_c = C.compile_loads(_RECORD_SCHEMA)
+    raw_interp = C.dumps(value, _RECORD_SCHEMA)
+    raw_comp = dumps_c(value)
+    assert raw_comp == raw_interp
+    assert loads_c(raw_interp) == value
+    assert C.loads(raw_comp, _RECORD_SCHEMA) == value
