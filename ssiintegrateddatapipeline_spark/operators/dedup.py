@@ -139,19 +139,44 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_clusters(
+    spark: SparkSession, sf_dir: str, max_local_pairs: int = 1_000_000
+) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
-    pair graph, by iterative min-label propagation to fixpoint.
+    pair graph — the step a dedup pipeline actually needs after pair
+    generation (keep one doc per cluster).
 
-    This is the step a dedup pipeline actually needs after pair generation
-    (keep one doc per cluster). The iteration runs on the candidate-pair
-    graph only — orders of magnitude smaller than the corpus — and each
-    round is one equi-join + min-aggregate (the bounded-iteration skeleton
-    of the large-star/small-star CC algorithm). Convergence is checked
-    driver-side with an anti-join count per round; near-dup components are
-    short chains, so this terminates in a handful of rounds.
+    Two-tier execution, chosen by the measured pair count:
+
+    - the LSH contract makes the pair graph orders of magnitude smaller
+      than the corpus; when it fits the driver (<= max_local_pairs) the
+      components are solved with a union-find in microseconds — one
+      collect of 2 longs per pair, no iteration jobs at all;
+    - a genuinely huge graph falls back to distributed min-label
+      propagation to fixpoint (the bounded-iteration skeleton of
+      large-star/small-star): each round is one equi-join + min-aggregate,
+      convergence checked with an anti-join count.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b").persist()
+    if pairs.count() <= max_local_pairs:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs.collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(doc, find(doc)) for doc in parent]
+        pairs.unpersist()
+        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+
     edges = (
         pairs.union(pairs.select(F.col("doc_id_b"), F.col("doc_id_a")))
         .toDF("src", "dst")
@@ -182,6 +207,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    pairs.unpersist()
     return labels.select("doc_id", "cluster_id")
 
 

@@ -27,3 +27,20 @@ def test_query_matches_oracle(spark, sf_dir, name):
         return
     ok, msg = compare(spark, sf_dir, _QUERIES[name], _ORACLES[name])
     assert ok, f"{name}: {msg}"
+
+
+def test_cluster_distributed_path_matches_local(spark, sf_dir):
+    """The distributed min-label-propagation fallback must produce exactly
+    the same components as the driver-side union-find fast path."""
+    from ssiintegrateddatapipeline_spark.operators import dedup
+
+    local = sorted(
+        map(tuple, dedup.near_dup_clusters(spark, sf_dir).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            dedup.near_dup_clusters(spark, sf_dir, max_local_pairs=0).collect(),
+        )
+    )
+    assert local == dist and len(local) > 0
