@@ -50,3 +50,27 @@ def salted_agg(
             for out, (col, fn) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_salt_source: Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for a hot-keyed left side against a right side
+    too large to broadcast: salt each left row into one of n buckets and
+    replicate every right row across all n, joining on (key, salt). A hot
+    key's rows land on n reducers instead of one; cost is n x |right|
+    replication — the standard trade when AQE's runtime skew split can't
+    apply (e.g. a hash-partitioned stateful stage). Result is identical to
+    the unsalted join, which is what the oracle checks."""
+    salted_l = left.withColumn(
+        "_salt", F.pmod(F.hash(left_salt_source), F.lit(n_salts))
+    )
+    salted_r = right.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    )
+    return salted_l.join(salted_r, on=[key, "_salt"], how=how).drop("_salt")

@@ -340,7 +340,46 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact<->dim equi-join: enrich each event with its user's
+    total event count via salted_join (hot user_ids spread over 16
+    reducers), then roll up per event_type. Identical to the plain join —
+    the oracle checks that."""
+    from ssiintegrateddatapipeline_spark.functions.skew import salted_join
+
+    ev = _events(spark, sf_dir)
+    user_dim = ev.groupBy(F.col("user_id").alias("u_key")).agg(
+        F.count("*").alias("user_total")
+    )
+    enriched = salted_join(
+        ev.withColumn("u_key", F.col("user_id")),
+        user_dim,
+        key="u_key",
+        left_salt_source=F.col("event_id"),
+    )
+    return enriched.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("user_total"), 6).alias("avg_user_total"),
+        F.max("user_total").alias("max_user_total"),
+    )
+
+
+def p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate fast path for Q1/Q2-style quantiles:
+    ``approx_percentile`` (Greenwald-Khanna sketch, JVM-side, single pass,
+    mergeable partials). Kept alongside the exact bucket-interpolation
+    operator; approximate by construction, so the driver records the
+    rows-only check (no SQL oracle)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.95).alias("p95_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
 QUERIES = {
+    "analytics_salted_join": salted_join_enrich,
+    "analytics_p95_approx": p95_approx,
     "analytics_event_funnel": event_funnel,
     "analytics_weekly_retention": weekly_retention,
     "analytics_props_json": props_json_stats,
@@ -427,6 +466,18 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_salted_join": """
+        WITH user_dim AS (
+            SELECT user_id AS u_key, count(*) AS user_total
+            FROM events GROUP BY user_id
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               round(avg(user_total), 6) AS avg_user_total,
+               max(user_total) AS max_user_total
+        FROM events e JOIN user_dim d ON e.user_id = d.u_key
+        GROUP BY event_type
+    """,
     "analytics_event_funnel": """
         WITH firsts AS (
             SELECT user_id,

@@ -152,6 +152,65 @@ def frame_sample_plan(mm: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio: chunk + feature-extract (stub kernel, real mapInPandas plumbing)
+# ---------------------------------------------------------------------------
+
+_AUDIO_CHUNK_BYTES = 256
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _audio_features_real(chunk: bytes) -> list[float]:
+    """Real path would be librosa MFCC / torchaudio spectrogram."""
+    raise NotImplementedError("audio codec not available in this container")
+
+
+def _audio_features_fake(chunk: bytes) -> list[float]:
+    """Deterministic stand-in spectral stats from raw bytes (exact in the
+    SQL oracle: mean/min/max of byte values). The mean stays UNROUNDED:
+    int-sum / len is the identical IEEE double in Python and SQL, while
+    rounding would diverge on the frequent exact .5 ties of n/256."""
+    return [
+        sum(chunk) / len(chunk),
+        float(min(chunk)),
+        float(max(chunk)),
+    ]
+
+
+def audio_chunk_kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: split each audio payload into fixed-size chunks
+    and emit one feature row per chunk — the fan-out stays executor-local,
+    exactly like frame sampling."""
+    for pdf in batch_iter:
+        rows = {"doc_id": [], "chunk_idx": [], "n_bytes": [], "features": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            for idx in range(0, (len(raw) + _AUDIO_CHUNK_BYTES - 1) // _AUDIO_CHUNK_BYTES):
+                chunk = raw[idx * _AUDIO_CHUNK_BYTES : (idx + 1) * _AUDIO_CHUNK_BYTES]
+                try:
+                    feats = _audio_features_real(chunk)
+                except NotImplementedError:
+                    feats = _audio_features_fake(chunk)
+                rows["doc_id"].append(doc_id)
+                rows["chunk_idx"].append(idx)
+                rows["n_bytes"].append(len(chunk))
+                rows["features"].append(feats)
+        yield pd.DataFrame(rows)
+
+
+def audio_chunks(mm: DataFrame) -> DataFrame:
+    audio = mm.where(F.col("meta.media_type") == "audio/wav").select("doc_id", "payload")
+    return audio.mapInPandas(audio_chunk_kernel, schema=_AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Resize: metadata-level transform (vectorized pandas over decoded dims)
 # ---------------------------------------------------------------------------
 
@@ -197,11 +256,16 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_meta(decode_images(multimodal_table(spark, sf_dir)))
 
 
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_chunks(multimodal_table(spark, sf_dir))
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
     "multimodal_resize": multimodal_resize,
+    "multimodal_audio_chunks": multimodal_audio_chunks,
 }
 
 # The fake decode is deterministic byte math, so every op has an exact
@@ -238,6 +302,31 @@ ORACLES = {
                round(f.frame_idx / 25.0, 6) AS ts_sec
         FROM videos v,
              LATERAL (SELECT unnest(generate_series(0, v.n_frames - 1, 10)) AS frame_idx) f
+    """,
+    "multimodal_audio_chunks": """
+        WITH audio AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        ),
+        chunks AS (
+            SELECT doc_id, i AS chunk_idx,
+                   substr(text, i * 256 + 1, 256) AS s
+            FROM audio,
+                 LATERAL (SELECT unnest(generate_series(0,
+                     CAST(ceil(strlen(text) / 256.0) AS INT) - 1)) AS i)
+        ),
+        byted AS (
+            SELECT doc_id, chunk_idx, s,
+                   list_transform(generate_series(1, strlen(s)),
+                                  j -> ord(substr(s, j, 1))) AS bs
+            FROM chunks
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(strlen(s) AS INT) AS n_bytes,
+               [list_aggregate(bs, 'avg'),
+                list_aggregate(bs, 'min')::DOUBLE,
+                list_aggregate(bs, 'max')::DOUBLE] AS features
+        FROM byted
     """,
     "multimodal_resize": f"""
         WITH decoded AS ({_DECODED})
