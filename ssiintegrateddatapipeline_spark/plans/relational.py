@@ -571,7 +571,35 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_surface_market_pulse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw Spark SQL surface: temp views + one ANSI query
+    (CTE, window function, join) — proving SQL text is a first-class entry
+    point next to the DataFrame API; Catalyst plans both identically."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlv_{t}")
+    return spark.sql(
+        """
+        WITH monthly AS (
+            SELECT n_name,
+                   date_trunc('month', o_orderdate) AS month,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM sqlv_orders
+            JOIN sqlv_customer ON o_custkey = c_custkey
+            JOIN sqlv_nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, date_trunc('month', o_orderdate)
+        )
+        SELECT n_name, month, revenue,
+               round(sum(revenue) OVER (
+                   PARTITION BY n_name ORDER BY month
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                   AS revenue_3mo_sum
+        FROM monthly
+        """
+    )
+
+
 QUERIES = {
+    "tpch_sql_market_pulse": sql_surface_market_pulse,
     "tpch_pricing_summary": pricing_summary,
     "tpch_top_unshipped_orders": top_unshipped_orders,
     "tpch_order_priority_count": order_priority_count,
@@ -599,6 +627,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_sql_market_pulse": """
+        WITH monthly AS (
+            SELECT n_name,
+                   date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, date_trunc('month', o_orderdate)
+        )
+        SELECT n_name, month, revenue,
+               round(sum(revenue) OVER (
+                   PARTITION BY n_name ORDER BY month
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                   AS revenue_3mo_sum
+        FROM monthly
+    """,
     "tpch_forecast_revenue": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                count(*) AS n_items
