@@ -377,7 +377,43 @@ def p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trend fit: slope/correlation of event value over time via
+    the built-in regression aggregates (single-pass, mergeable partials —
+    distributed least-squares without any Python). Users with constant x
+    or y yield null corr; slope is value-units per DAY since 2024-01-01 —
+    centering x near zero avoids the catastrophic cancellation that makes
+    single-pass covariance diverge between engines when x carries a large
+    epoch offset."""
+    ev = _events(spark, sf_dir)
+    x_days = (F.unix_micros("ts") / F.lit(1e6) - F.lit(1704067200.0)) / F.lit(86400.0)
+    y = F.col("value")
+    # slope from explicit sums — engines' built-in regr_slope kernels
+    # differ at ~1e-6; the closed form over plain SUMs is reproducible
+    # bit-for-bit modulo summation order (invisible at round-6 with
+    # centered x).
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.corr(x_days, y), 6).alias("value_time_corr"),
+        F.sum(x_days).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x_days * y).alias("sxy"),
+        F.sum(x_days * x_days).alias("sxx"),
+    )
+    n = F.col("n_events")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "value_time_corr",
+        F.round(slope, 6).alias("value_per_day"),
+    )
+
+
 QUERIES = {
+    "analytics_user_trend": user_trend,
     "analytics_salted_join": salted_join_enrich,
     "analytics_p95_approx": p95_approx,
     "analytics_event_funnel": event_funnel,
@@ -466,6 +502,25 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_user_trend": """
+        WITH s AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   round(corr(value, (epoch_us(ts) / 1e6 - 1704067200.0) / 86400.0), 6)
+                       AS value_time_corr,
+                   sum((epoch_us(ts) / 1e6 - 1704067200.0) / 86400.0) AS sx,
+                   sum(value) AS sy,
+                   sum((epoch_us(ts) / 1e6 - 1704067200.0) / 86400.0 * value) AS sxy,
+                   sum((epoch_us(ts) / 1e6 - 1704067200.0) / 86400.0
+                       * ((epoch_us(ts) / 1e6 - 1704067200.0) / 86400.0)) AS sxx
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id, n_events, value_time_corr,
+               round((n_events * sxy - sx * sy)
+                     / (n_events * sxx - sx * sx), 6) AS value_per_day
+        FROM s
+    """,
     "analytics_salted_join": """
         WITH user_dim AS (
             SELECT user_id AS u_key, count(*) AS user_total
