@@ -412,7 +412,45 @@ def user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p50_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per label: Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share the same sorted-interpolation
+    definition, so this hash-matches without bucket emulation. Exact
+    quantiles need the full sorted group — the expensive path reserved for
+    small label cardinalities; the sketch (p95_approx) and bucket
+    (p95_histogram) variants are the scale paths."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map normalization via ``applyInPandas``: each user's values
+    standardized against the group mean/std (ddof=0 to match SQL's
+    population stddev). The grouped-map API ships each whole group to one
+    Python worker as an Arrow batch — the right tool when the transform
+    needs the full group in memory (normalization, per-group model fit)."""
+    import pandas as pd
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["value"].mean()
+        std = pdf["value"].std(ddof=0)
+        z = (pdf["value"] - mean) / std if std > 0 else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "zscore": z.round(6)}
+        )
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        norm, "user_id long, event_id long, zscore double"
+    )
+
+
 QUERIES = {
+    "analytics_p50_exact": p50_exact,
+    "analytics_zscore": zscore_normalize,
     "analytics_user_trend": user_trend,
     "analytics_salted_join": salted_join_enrich,
     "analytics_p95_approx": p95_approx,
@@ -502,6 +540,26 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_p50_exact": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    "analytics_zscore": """
+        WITH stats AS (
+            SELECT user_id,
+                   avg(value) AS mean,
+                   stddev_pop(value) AS std
+            FROM events GROUP BY user_id
+        )
+        SELECT e.user_id, e.event_id,
+               CASE WHEN s.std > 0
+                    THEN round((e.value - s.mean) / s.std, 6)
+                    ELSE 0.0 END AS zscore
+        FROM events e JOIN stats s ON e.user_id = s.user_id
+    """,
     "analytics_user_trend": """
         WITH s AS (
             SELECT user_id,
