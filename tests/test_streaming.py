@@ -56,3 +56,43 @@ def test_last_seen_gauge(spark, sf_dir):
     got = run_available_now(last_seen_plan(events_stream(spark, sf_dir)))
     assert got.count() == 5  # five event types in the synthetic data
     assert set(got.columns) == {"event_type", "last_ts", "seen"}
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-resume: a second run against the SAME checkpoint must pick
+    up only files that arrived after the first run — nothing re-read,
+    nothing lost (exactly-once to the idempotent file sink)."""
+    import shutil
+
+    src_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src_dir.mkdir()
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = batch.count()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "part1.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+        q = (
+            stream.select("event_id", "user_id")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == total
+
+    # second file arrives; resume from the same checkpoint
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "part2.parquet")
+    run_once()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 2 * total  # part1 not re-read, part2 not missed
+    # every event id appears exactly twice (once per input file)
+    dup = out.groupBy("event_id").count().where(F.col("count") != 2).count()
+    assert dup == 0
