@@ -272,7 +272,38 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.join(new_c, "centroid").select("centroid", "list_size", "new_centroid")
 
 
+def cross_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal check: embedding-cosine near-dup pairs joined back to
+    the documents table (vec_id == doc_id) and re-scored with token-set
+    Jaccard — the standard 'does semantic similarity agree with lexical
+    overlap' audit of a dedup pipeline. Pair list is tiny -> both doc
+    joins broadcast it; token sets are per-row expressions."""
+    from ssiintegrateddatapipeline_spark.functions.text_funcs import tokens
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table as _lt
+
+    pairs = cosine_near_dup_pairs(spark, sf_dir).select("id_a", "id_b", "cosine_sim")
+    docs = _lt(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok_set")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("tok_set").alias("tok_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("tok_set").alias("tok_b"))
+    jac = F.size(F.array_intersect("tok_a", "tok_b")) / F.size(
+        F.array_union("tok_a", "tok_b")
+    )
+    return (
+        a.join(F.broadcast(pairs), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cosine_sim",
+            F.round(jac, 6).alias("token_jaccard"),
+        )
+    )
+
+
 QUERIES = {
+    "similarity_cross_modal": cross_modal_agreement,
     "similarity_kmeans_refine": kmeans_refine,
     "similarity_brute_topk": brute_force_topk,
     "similarity_cosine_near_dup": cosine_near_dup_pairs,
@@ -402,6 +433,28 @@ ORACLES = {
         WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
           AND round({_COS.format(a="a.embedding", b="b.embedding")}, 6)
               >= {NEAR_DUP_THRESHOLD}
+    """,
+    "similarity_cross_modal": f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_COS.format(a="a.embedding", b="b.embedding")}, 6)
+                       AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+              AND round({_COS.format(a="a.embedding", b="b.embedding")}, 6)
+                  >= {NEAR_DUP_THRESHOLD}
+        ),
+        toksets AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok_set
+            FROM documents
+        )
+        SELECT p.id_a, p.id_b, p.cosine_sim,
+               round(len(list_intersect(ta.tok_set, tb.tok_set))
+                     / len(list_distinct(ta.tok_set || tb.tok_set)), 6)
+                   AS token_jaccard
+        FROM pairs p
+        JOIN toksets ta ON p.id_a = ta.doc_id
+        JOIN toksets tb ON p.id_b = tb.doc_id
     """,
     "similarity_lsh_buckets": f"""
         WITH sigs AS (
