@@ -179,7 +179,28 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term statistics: explode tokens, count document
+    frequency and total occurrences per term (stopwords excluded), keep
+    the 20 most document-frequent. The explode fans out inside the scan
+    stage; the aggregate shuffles only (term, partial-count) pairs —
+    the wordcount shape at its scalable best."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    toks = toks.where(~F.col("term").isin(*EN_STOPWORDS) & (F.col("term") != ""))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count("*").alias("total_occurrences"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("total_occurrences").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "text_top_terms": top_terms,
     "text_clean_corpus": clean_corpus,
     "text_token_stats": token_stats,
     "text_bpe_tokens": bpe_token_stats,
@@ -258,6 +279,18 @@ _CLEAN_CORPUS_ORACLE = f"""
 """
 
 ORACLES = {
+    "text_top_terms": f"""
+        SELECT term, doc_freq, total_occurrences FROM (
+            SELECT term,
+                   count(DISTINCT doc_id) AS doc_freq,
+                   count(*) AS total_occurrences
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            WHERE term NOT IN ({_STOPWORDS_SQL}) AND term <> ''
+            GROUP BY term
+        )
+        ORDER BY doc_freq DESC, total_occurrences DESC, term
+        LIMIT 20
+    """,
     "text_clean_corpus": _CLEAN_CORPUS_ORACLE.format(min_quality=CLEAN_MIN_QUALITY),
     "text_token_stats": f"""
         SELECT doc_id,
