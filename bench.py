@@ -24,7 +24,11 @@ HEADLINE = [
     "tpch_volume_shipping",
     "tpch_waiting_orders",
     "analytics_event_funnel",
+    "analytics_session_windows",
+    "asof_last_touch",
     "dedup_near_dup_clusters",
+    "text_clean_corpus",
+    "similarity_kmeans_refine",
     "analytics_throughput_30s",
     "analytics_sliding_rate",
     "analytics_p95_histogram",
