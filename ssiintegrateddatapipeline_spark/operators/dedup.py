@@ -231,8 +231,13 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: block on the 8-bit prefix (the scale trick —
     candidate pairs only form inside a bucket, turning n^2 into sum of
     bucket^2), then keep pairs with Hamming distance <= k via bit_count of
-    the XOR. Both stages are pure JVM expressions."""
-    sigs = simhash_signatures(spark, sf_dir)
+    the XOR. Both stages are pure JVM expressions.
+
+    Signatures are persisted before the self-join — otherwise Catalyst
+    inlines the (expensive: per-token hash + 32 bit-sums) signature
+    expression into both join branches and computes it twice (the same
+    trap minhash_lsh_pairs documents)."""
+    sigs = simhash_signatures(spark, sf_dir).persist()
     a = sigs.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("simhash").alias("sh_a"),
