@@ -303,6 +303,25 @@ def session_plan(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_plan(stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup: the stream unioned with itself (every event
+    arrives twice) deduplicated on event_id by the streaming state store —
+    each key's first arrival wins; duplicates are identical rows, so the
+    output is value-deterministic and equals the distinct batch table. At
+    scale, pair with a watermark (dropDuplicatesWithinWatermark) to bound
+    the key state."""
+    doubled = stream.unionByName(stream)
+    return doubled.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        dedup_plan(events_stream(spark, sf_dir)), output_mode="append"
+    )
+
+
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(session_plan(events_stream(spark, sf_dir)))
 
@@ -314,6 +333,7 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "streaming_dedup": streaming_dedup,
     "streaming_session_windows": streaming_session_windows,
     "streaming_attribution": streaming_attribution,
     "streaming_throughput_30s": streaming_throughput_30s,
@@ -323,6 +343,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_dedup": """
+        SELECT event_id, user_id, event_type, value FROM events
+    """,
     "streaming_session_windows": """
         WITH gaps AS (
             SELECT user_id, event_id, ts,
