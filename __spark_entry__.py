@@ -18,6 +18,8 @@ from ssiintegrateddatapipeline_spark.operators import (
     dedup,
     metrics,
     multimodal,
+    profiling,
+    sampling,
     similarity,
     text,
     trade_pipeline,
@@ -39,6 +41,8 @@ _MODULES = [
     dedup,
     similarity,
     multimodal,
+    sampling,
+    profiling,
     transform,
     wire,
     metrics,

@@ -1,0 +1,173 @@
+"""Dataset profiling operators — the "know your corpus" pass a training-data
+pipeline runs before anything else.
+
+Everything here is built to be ONE scan + one aggregation over the fact
+table, however many columns are profiled: Spark evaluates all the
+aggregate expressions (including multiple `count(DISTINCT ...)`, via the
+Expand operator) in a single grouped pass, then the wide result row is
+unpivoted driver-free with `stack`. Profiling 100 TB therefore costs one
+pass over the data, not one pass per column.
+
+Reference parallel: the reference's only profiling is Prometheus counters
+per label set (kafka_consumer/app/metrics/metrics.py:35-101); this module
+generalizes that to arbitrary-column completeness / cardinality / range
+audits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+# columns profiled on events: (name, renderable-as-string min/max?)
+_PROFILE_COLS = [("event_id", True), ("user_id", True), ("event_type", True), ("props", True), ("value", False)]
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness / cardinality / bounds for the events table,
+    one aggregation pass, output in long form.
+
+    min/max are rendered as strings for the integer and varchar columns
+    (integer decimal rendering is engine-independent; float rendering is
+    not, so the double column reports bounds as NULL and is covered by
+    profile_numeric instead).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")]
+    for c, renderable in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            (F.min(c).cast("string") if renderable else F.lit(None).cast("string")).alias(f"{c}__min"),
+            (F.max(c).cast("string") if renderable else F.lit(None).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nonnull, {c}__distinct, {c}__min, {c}__max"
+        for c, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nonnull, n_distinct, min_repr, max_repr)",
+    ).select("column_name", "n_rows", "n_nonnull", "n_distinct", "min_repr", "max_repr")
+
+
+def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / stddev for numeric measures, computed from explicit SUM/COUNT
+    partials so the arithmetic is the same expression tree in any engine
+    (built-in stddev kernels differ at the 1e-6 level between engines;
+    sums of the same doubles do not).  Partial aggregation makes this a
+    map-side-combined single shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def stats(df: DataFrame, label: str, col: str) -> DataFrame:
+        d = df.select(F.col(col).cast("double").alias("x")).agg(
+            F.count("x").alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+        )
+        return d.select(
+            F.lit(label).alias("measure"),
+            "n",
+            F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+            F.round(
+                F.sqrt(
+                    (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                    / (F.col("n") - 1)
+                ),
+                6,
+            ).alias("stddev"),
+        )
+
+    return stats(ev, "events.value", "value").unionByName(
+        stats(li, "lineitem.l_extendedprice", "l_extendedprice")
+    )
+
+
+def profile_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most frequent values for low-cardinality categorical columns
+    across two tables (frequency desc, value asc as the deterministic
+    tie-break). Each branch is a partial-aggregated groupBy on a
+    low-cardinality key — tiny shuffles — followed by a per-column window
+    over a handful of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = load_table(spark, sf_dir, "documents")
+
+    def top(df: DataFrame, label: str, col: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        counts = df.groupBy(F.col(col).alias("val")).agg(F.count("*").alias("freq"))
+        w = Window.orderBy(F.col("freq").desc(), F.col("val").asc())
+        return (
+            counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select(F.lit(label).alias("column_name"), "val", "freq", "rank")
+        )
+
+    return (
+        top(ev, "events.event_type", "event_type")
+        .unionByName(top(doc, "documents.lang", "lang"))
+        .unionByName(top(doc, "documents.source", "source"))
+    )
+
+
+QUERIES = {
+    "profile_columns": profile_columns,
+    "profile_numeric": profile_numeric,
+    "profile_top_values": profile_top_values,
+}
+
+_PROFILE_ORACLE_ROWS = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           count(*) AS n_rows,
+           count({c}) AS n_nonnull,
+           count(DISTINCT {c}) AS n_distinct,
+           {f"cast(min({c}) AS VARCHAR)" if renderable else "CAST(NULL AS VARCHAR)"} AS min_repr,
+           {f"cast(max({c}) AS VARCHAR)" if renderable else "CAST(NULL AS VARCHAR)"} AS max_repr
+    FROM events
+    """
+    for c, renderable in _PROFILE_COLS
+)
+
+_NUMERIC_ORACLE = """
+    SELECT measure, n,
+           round(s / n, 6) AS mean,
+           round(sqrt((ss - s * s / n) / (n - 1)), 6) AS stddev
+    FROM (
+        SELECT '{label}' AS measure, count(*) AS n,
+               sum(cast({col} AS DOUBLE)) AS s,
+               sum(cast({col} AS DOUBLE) * cast({col} AS DOUBLE)) AS ss
+        FROM {table}
+    )
+"""
+
+_TOP_ORACLE = """
+    SELECT '{label}' AS column_name, val, freq, rank FROM (
+        SELECT {col} AS val, count(*) AS freq,
+               row_number() OVER (ORDER BY count(*) DESC, {col} ASC) AS rank
+        FROM {table} GROUP BY {col}
+    ) WHERE rank <= 3
+"""
+
+ORACLES = {
+    "profile_columns": _PROFILE_ORACLE_ROWS,
+    "profile_numeric": (
+        _NUMERIC_ORACLE.format(label="events.value", col="value", table="events")
+        + " UNION ALL "
+        + _NUMERIC_ORACLE.format(
+            label="lineitem.l_extendedprice", col="l_extendedprice", table="lineitem"
+        )
+    ),
+    "profile_top_values": " UNION ALL ".join(
+        [
+            _TOP_ORACLE.format(label="events.event_type", col="event_type", table="events"),
+            _TOP_ORACLE.format(label="documents.lang", col="lang", table="documents"),
+            _TOP_ORACLE.format(label="documents.source", col="source", table="documents"),
+        ]
+    ),
+}

@@ -1,0 +1,152 @@
+"""Deterministic sampling and dataset-split operators.
+
+A 100 TB training-data pipeline needs *reproducible* sampling: the same
+row set regardless of cluster size, partitioning, or execution order.
+``df.sample()`` can't give that (seeded per-partition RNG changes with the
+split layout), so every operator here derives membership from a content
+hash — ``md5`` of a stable key compared against a hex threshold. The
+filter is a pure narrow projection (no shuffle, fully pushed into the
+scan stage), and the exact same predicate is expressible in any engine,
+which is what makes these oracle-checkable.
+
+Reference parallel: the reference caps runs with MESSAGE_COUNT
+(data_synthesizer/config/config.go:34) — a prefix sample, which is
+order-dependent. Hash-gating is the scale-correct replacement.
+
+Scale notes (100 TB): hash-sampling is embarrassingly parallel — one md5
+per row, no state, no shuffle; the stratified variant broadcasts the
+per-stratum rate map as a literal CASE; split assignment is a narrow
+column and downstream consumers partition-prune on it when the split
+column is used as a partition key at write time (sinks.write_partitioned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+
+def _hash_hex(key_col, salt: str):
+    """First hex chars of md5(key || '|' || salt) — the sampling gate.
+
+    The decimal rendering of a BIGINT is identical across engines, so the
+    digest (and therefore membership) is too.
+    """
+    return F.md5(F.concat_ws("|", key_col.cast("string"), F.lit(salt)))
+
+
+def hash_sample(df: DataFrame, key: str, salt: str, rate_16ths: int) -> DataFrame:
+    """Keep ~``rate_16ths``/16 of rows, deterministically by key hash."""
+    threshold = format(rate_16ths, "x")
+    return df.where(F.substring(_hash_hex(F.col(key), salt), 1, 1) < F.lit(threshold))
+
+
+def sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A ~1/16 deterministic sample of the events table (salt 'smp')."""
+    ev = load_table(spark, sf_dir, "events")
+    return hash_sample(ev, "event_id", "smp", 1).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# per-stratum sampling rates, in 256ths (two hex chars of the digest)
+STRATA_RATES_256 = {
+    "click": 16,      # ~6.25%
+    "view": 8,        # ~3.1%
+    "purchase": 128,  # ~50%  (rare-but-valuable stratum oversampled)
+    "signup": 64,     # ~25%
+    "error": 32,      # ~12.5%
+}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum hash sampling at different rates; returns the audit
+    aggregate (kept rows / distinct users / exact value bounds per type).
+
+    The rate map compiles to a literal CASE over the stratum column — no
+    join, no shuffle beyond the final audit aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    threshold = F.create_map(
+        *[x for k, v in STRATA_RATES_256.items() for x in (F.lit(k), F.lit(format(v, "02x")))]
+    )
+    kept = ev.where(
+        F.substring(_hash_hex(F.col("event_id"), "strat"), 1, 2)
+        < threshold[F.col("event_type")]
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("kept"),
+        F.countDistinct("user_id").alias("users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def train_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (12/2/2 sixteenths) keyed on
+    user_id — *entity-level* splitting, so no user leaks across splits —
+    plus the per-split audit stats."""
+    ev = load_table(spark, sf_dir, "events")
+    gate = F.substring(_hash_hex(F.col("user_id"), "split"), 1, 1)
+    split = (
+        F.when(gate < F.lit("c"), F.lit("train"))
+        .when(gate < F.lit("e"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ev.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+QUERIES = {
+    "sampling_hash_sample": sample_events,
+    "sampling_stratified": stratified_sample,
+    "sampling_train_split": train_split_stats,
+}
+
+_RATE_CASE = " ".join(
+    f"WHEN '{k}' THEN '{v:02x}'" for k, v in STRATA_RATES_256.items()
+)
+
+ORACLES = {
+    "sampling_hash_sample": """
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE substr(md5(cast(event_id AS VARCHAR) || '|smp'), 1, 1) < '1'
+    """,
+    "sampling_stratified": f"""
+        SELECT event_type,
+               count(*) AS kept,
+               count(DISTINCT user_id) AS users,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        WHERE substr(md5(cast(event_id AS VARCHAR) || '|strat'), 1, 2)
+              < (CASE event_type {_RATE_CASE} END)
+        GROUP BY event_type
+    """,
+    "sampling_train_split": """
+        SELECT CASE
+                 WHEN substr(md5(cast(user_id AS VARCHAR) || '|split'), 1, 1) < 'c'
+                   THEN 'train'
+                 WHEN substr(md5(cast(user_id AS VARCHAR) || '|split'), 1, 1) < 'e'
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events
+        GROUP BY 1
+    """,
+}
