@@ -20,6 +20,7 @@ from ssiintegrateddatapipeline_spark.operators import (
     multimodal,
     profiling,
     sampling,
+    scd,
     similarity,
     text,
     trade_pipeline,
@@ -43,6 +44,7 @@ _MODULES = [
     multimodal,
     sampling,
     profiling,
+    scd,
     transform,
     wire,
     metrics,

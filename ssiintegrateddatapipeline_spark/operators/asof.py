@@ -96,8 +96,88 @@ def last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Range (interval) join — map a value into arbitrary [lo, hi) bands
+# ---------------------------------------------------------------------------
+
+PRICE_BANDS: list[tuple[float, float | None, str]] = [
+    (0.0, 5000.0, "budget"),
+    (5000.0, 20000.0, "low"),
+    (20000.0, 50000.0, "mid"),
+    (50000.0, 80000.0, "high"),
+    (80000.0, None, "premium"),
+]
+
+
+def range_lookup(
+    fact: DataFrame,
+    value_col: str,
+    bands: list[tuple[float, float | None, str]],
+    bucket_width: float = 10_000.0,
+    max_value: float = 1e9,
+    strategy: str = "bucketed",
+) -> DataFrame:
+    """Attach every band whose ``[lo, hi)`` interval contains ``value_col``.
+
+    Spark has no native range join, and the naive formulation (a non-equi
+    join) physically executes as BroadcastNestedLoopJoin — every fact row
+    tested against every band. Fine for 5 bands; fatal for 10^6 ranges
+    (GeoIP tables, genomic intervals). ``strategy="bucketed"`` is the
+    scale path: each band is exploded to the fixed-width buckets it
+    overlaps, the fact side computes its bucket with one `floor`, and the
+    join becomes an *equi-join on bucket* (hash join, shuffle-partitionable,
+    AQE-skew-splittable) followed by the exact interval filter.
+    ``strategy="broadcast_nl"`` keeps the literal non-equi formulation as
+    the semantic baseline; both produce identical rows (tests pin this).
+    """
+    spark = fact.sparkSession
+    rows = [
+        (lo, hi, label, float(lo if hi is None else hi))
+        for lo, hi, label in bands
+    ]
+    if strategy == "broadcast_nl":
+        dim = spark.createDataFrame(
+            [(lo, hi, label) for lo, hi, label, _ in rows],
+            "lo double, hi double, band string",
+        )
+        v = F.col(value_col)
+        return fact.join(
+            F.broadcast(dim),
+            (v >= F.col("lo")) & (F.col("hi").isNull() | (v < F.col("hi"))),
+        )
+    exploded = []
+    for lo, hi, label in bands:
+        hi_eff = max_value if hi is None else hi
+        b0, b1 = int(lo // bucket_width), int((hi_eff - 1e-9) // bucket_width)
+        exploded += [(b, lo, hi, label) for b in range(b0, b1 + 1)]
+    dim = spark.createDataFrame(exploded, "_bucket long, lo double, hi double, band string")
+    v = F.col(value_col)
+    return (
+        fact.withColumn("_bucket", F.floor(v / F.lit(bucket_width)))
+        .join(F.broadcast(dim), "_bucket")  # at 10^6 ranges: drop broadcast, shuffle both on _bucket
+        .where((v >= F.col("lo")) & (F.col("hi").isNull() | (v < F.col("hi"))))
+        .drop("_bucket")
+    )
+
+
+def range_band_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join in action: lineitem prices bucketed into the PRICE_BANDS
+    intervals, with per-band volume stats."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return (
+        range_lookup(li, "l_extendedprice", PRICE_BANDS)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
 QUERIES = {
     "asof_last_touch": last_touch,
+    "range_band_pricing": range_band_pricing,
 }
 
 ORACLES = {
@@ -135,5 +215,19 @@ ORACLES = {
                    AS gap_secs
         FROM carried
         WHERE _side = 1
+    """,
+    "range_band_pricing": """
+        SELECT band,
+               count(*) AS n_items,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price
+        FROM lineitem
+        JOIN (VALUES (0.0, 5000.0, 'budget'),
+                     (5000.0, 20000.0, 'low'),
+                     (20000.0, 50000.0, 'mid'),
+                     (50000.0, 80000.0, 'high'),
+                     (80000.0, CAST(NULL AS DOUBLE), 'premium')) b(lo, hi, band)
+          ON l_extendedprice >= lo AND (hi IS NULL OR l_extendedprice < hi)
+        GROUP BY band
     """,
 }

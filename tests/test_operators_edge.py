@@ -117,3 +117,47 @@ def test_union_find_matches_bfs(pairs):
             parent[max(ra, rb)] = min(ra, rb)
     got = {doc: find(doc) for doc in parent}
     assert got == _bfs_components(pairs)
+
+
+def test_range_lookup_strategies_agree(spark, sf_dir):
+    """The bucketed equi-join formulation must produce exactly the rows of
+    the semantic-baseline broadcast non-equi join, including a value that
+    sits exactly on a band boundary."""
+    from ssiintegrateddatapipeline_spark.operators.asof import PRICE_BANDS, range_lookup
+
+    facts = spark.createDataFrame(
+        [(0.0,), (4999.99,), (5000.0,), (79999.999,), (80000.0,), (104997.88,)],
+        "l_extendedprice double",
+    )
+    a = sorted(
+        map(tuple, range_lookup(facts, "l_extendedprice", PRICE_BANDS).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            range_lookup(
+                facts, "l_extendedprice", PRICE_BANDS, strategy="broadcast_nl"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 6
+
+
+def test_scd2_intervals_cover_and_do_not_overlap(spark, sf_dir):
+    """Per customer: intervals sorted by valid_from must chain exactly
+    (each valid_to == next valid_from), exactly one open (current) row,
+    and consecutive rows never share a tier (true type-2 compression)."""
+    from ssiintegrateddatapipeline_spark.operators.scd import customer_tier_scd2
+
+    rows = customer_tier_scd2(spark, sf_dir).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.custkey, []).append(r)
+    assert by_cust
+    for cust, rs in by_cust.items():
+        rs.sort(key=lambda r: r.valid_from_year)
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].valid_to_year is None and rs[-1].is_current
+        for a_row, b_row in zip(rs, rs[1:]):
+            assert a_row.valid_to_year == b_row.valid_from_year
+            assert a_row.tier != b_row.tier
