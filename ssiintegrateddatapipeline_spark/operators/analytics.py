@@ -448,7 +448,113 @@ def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-granularity time rollup (the "hypertable continuous aggregate"
+# shape): minute/hour/day totals in ONE grouped pass via ROLLUP over the
+# truncation hierarchy — map-side partials cover every grain, no re-scan
+# per granularity. At 100 TB this replaces three separate jobs with one.
+# ---------------------------------------------------------------------------
+
+def multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bucketed = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.date_trunc("minute", "ts").alias("minute"),
+        "value",
+    )
+    grain = (
+        F.when(F.grouping_id() == 0, "minute")
+        .when(F.grouping_id() == 1, "hour")
+        .when(F.grouping_id() == 3, "day")
+        .otherwise("all")
+    )
+    return (
+        bucketed.rollup("day", "hour", "minute")
+        .agg(
+            F.count("*").alias("events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            grain.alias("grain"),
+        )
+        .select(
+            "grain",
+            F.coalesce("minute", "hour", "day").alias("bucket_ts"),
+            "events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot — the reshape pair. Pivot lists its spine values
+# explicitly so Spark skips the extra distinct-collect pass; unpivot is
+# `stack` over a single wide aggregate row (one scan for all measures).
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    wide = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day", *[F.coalesce(t, F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.round(F.sum("l_quantity"), 2).alias("quantity"),
+        F.round(F.sum("l_extendedprice"), 2).alias("extendedprice"),
+        F.round(F.sum("l_discount"), 2).alias("discount"),
+    )
+    return wide.selectExpr(
+        "stack(3, 'quantity', quantity, 'extendedprice', extendedprice, "
+        "'discount', discount) AS (measure, total)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-active-day streak per user.
+# date - row_number() is constant within a run of consecutive days, so one
+# window + one groupBy finds every streak; a second window over the tiny
+# per-streak rows picks each user's best. Both windows partition on
+# user_id — a single shuffle, one sort reused.
+# ---------------------------------------------------------------------------
+
+def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn("anchor", F.date_sub("d", F.row_number().over(w)))
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("streak_len"),
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start").asc()
+    )
+    w_user = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_best))
+        .withColumn("n_active_days", F.sum("streak_len").over(w_user))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_active_days", F.col("streak_len").alias("best_streak"),
+                "streak_start", "streak_end")
+    )
+
+
 QUERIES = {
+    "analytics_multigrain_rollup": multigrain_rollup,
+    "analytics_pivot_daily": pivot_daily_by_type,
+    "analytics_unpivot_measures": unpivot_lineitem_measures,
+    "analytics_user_streaks": user_streaks,
     "analytics_p50_exact": p50_exact,
     "analytics_zscore": zscore_normalize,
     "analytics_user_trend": user_trend,
@@ -540,6 +646,70 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_multigrain_rollup": """
+        SELECT CASE WHEN grouping(minute) = 0 THEN 'minute'
+                    WHEN grouping(hour) = 0 THEN 'hour'
+                    WHEN grouping(day) = 0 THEN 'day'
+                    ELSE 'all' END AS grain,
+               coalesce(minute, hour, day) AS bucket_ts,
+               count(*) AS events,
+               round(sum(value), 4) AS total_value
+        FROM (
+            SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                   date_trunc('hour', ts)::TIMESTAMP AS hour,
+                   date_trunc('minute', ts)::TIMESTAMP AS minute,
+                   value
+            FROM events
+        )
+        GROUP BY ROLLUP (day, hour, minute)
+    """,
+    "analytics_pivot_daily": """
+        SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'error') AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'view') AS view
+        FROM events
+        GROUP BY 1
+    """,
+    "analytics_unpivot_measures": """
+        SELECT 'quantity' AS measure, round(sum(l_quantity), 2) AS total
+        FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', round(sum(l_extendedprice), 2) FROM lineitem
+        UNION ALL
+        SELECT 'discount', round(sum(l_discount), 2) FROM lineitem
+    """,
+    "analytics_user_streaks": """
+        WITH days AS (
+            SELECT DISTINCT user_id, ts::DATE AS d FROM events
+        ),
+        islands AS (
+            SELECT user_id, d,
+                   d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                            AS INTEGER) AS anchor
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, anchor,
+                   count(*) AS streak_len,
+                   min(d) AS streak_start,
+                   max(d) AS streak_end
+            FROM islands GROUP BY user_id, anchor
+        )
+        SELECT user_id, n_active_days, streak_len AS best_streak,
+               streak_start, streak_end
+        FROM (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY streak_len DESC, streak_start ASC)
+                       AS rn,
+                   sum(streak_len) OVER (PARTITION BY user_id) AS n_active_days
+            FROM streaks
+        )
+        WHERE rn = 1
+    """,
     "analytics_p50_exact": """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50,

@@ -244,6 +244,25 @@ def returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_year_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderpriority, order year): all four grouping-set
+    combinations in one grouped pass, with explicit per-column grouping
+    flags (engine-portable, unlike the composite grouping_id bitmask)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority", F.year("o_orderdate").alias("o_year"), "o_totalprice"
+        )
+        .cube("o_orderpriority", "o_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("volume"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping("o_year").alias("g_year"),
+        )
+    )
+
+
 def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filtered aggregation — no join, no shuffle beyond
     the final single-row combine; all three predicates push into the scan."""
@@ -611,6 +630,7 @@ QUERIES = {
     "tpch_small_qty_revenue": small_quantity_revenue,
     "tpch_running_totals": customer_running_totals,
     "tpch_returnflag_rollup": returnflag_rollup,
+    "tpch_priority_year_cube": priority_year_cube,
     "tpch_forecast_revenue": forecast_revenue,
     "tpch_volume_shipping": volume_shipping,
     "tpch_market_share": market_share,
@@ -855,6 +875,16 @@ ORACLES = {
                    AS order_seq
         FROM orders
         WHERE o_custkey < 50
+    """,
+    "tpch_priority_year_cube": """
+        SELECT o_orderpriority, o_year,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS volume,
+               grouping(o_orderpriority) AS g_priority,
+               grouping(o_year) AS g_year
+        FROM (SELECT o_orderpriority, year(o_orderdate) AS o_year, o_totalprice
+              FROM orders)
+        GROUP BY CUBE (o_orderpriority, o_year)
     """,
     "tpch_returnflag_rollup": """
         SELECT l_returnflag, l_linestatus,
