@@ -302,7 +302,45 @@ def cross_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding normalize + int8 quantization — the storage/serving prep step
+# (4x smaller vectors for the ANN index). Pure array expressions: L2 norm
+# as a left-fold in doubles, per-component floor(x*127/norm + 0.5) with
+# clamping — explicit half-up rounding spelled the same way in any engine
+# (never round-half-even builtins on exact .5 ties). Narrow projection,
+# no shuffle; audited here by exact integer checksums per vector.
+# ---------------------------------------------------------------------------
+
+def quantize_int8(emb) -> "F.Column":
+    """int8-quantized components of a float-array column, as array<int>."""
+    d = F.transform(emb, lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(d, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return F.transform(
+        d,
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x * F.lit(127.0) / norm + F.lit(0.5))),
+        ).cast("int"),
+    )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(d, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    q = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda s, x: s + x).alias("q_sum"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda s, x: s + F.abs(x)).alias("q_abs_sum"),
+        F.array_max(q).alias("q_max"),
+        F.array_min(q).alias("q_min"),
+    )
+
+
 QUERIES = {
+    "similarity_embedding_quantize": embedding_quantize,
     "similarity_cross_modal": cross_modal_agreement,
     "similarity_kmeans_refine": kmeans_refine,
     "similarity_brute_topk": brute_force_topk,
@@ -367,6 +405,27 @@ _IVF_PROBES = f"""
 """
 
 ORACLES = {
+    "similarity_embedding_quantize": """
+        WITH q AS (
+            SELECT vec_id,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                       AS norm,
+                   list_transform(embedding, x ->
+                       CAST(greatest(-127.0, least(127.0,
+                           floor(x::DOUBLE * 127.0 /
+                               sqrt(list_sum(list_transform(embedding,
+                                    y -> y::DOUBLE * y::DOUBLE))) + 0.5)))
+                            AS INTEGER)) AS qv
+            FROM embeddings
+        )
+        SELECT vec_id,
+               round(norm, 6) AS l2_norm,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_abs_sum,
+               list_max(qv) AS q_max,
+               list_min(qv) AS q_min
+        FROM q
+    """,
     "similarity_ivf_centroids": f"""
         WITH assigned AS ({_IVF_ASSIGNED})
         SELECT centroid, count(*) AS list_size, min(vec_id) AS min_vec_id

@@ -199,7 +199,56 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII scrub: redact e-mail / phone patterns, count what was removed.
+# Patterns restricted to the regex subset Java and RE2 interpret
+# identically (no backrefs, no lookaround). The scrub is a pure narrow
+# projection — JVM-side regexp_replace, whole-stage-codegen'd, no UDF —
+# so at 100 TB it rides the scan. The testdata corpus is synthetic word
+# soup, so the query plants deterministic PII derived from user_id and
+# then scrubs it — exercising the real operator on every row.
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PHONE_RE = "\\+1-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+def pii_scrub(df: DataFrame, col: str) -> DataFrame:
+    """Redact e-mails then phones in ``col``, appending redaction counts."""
+    emails_gone = F.regexp_replace(F.col(col), EMAIL_RE, "[EMAIL]")
+    return df.withColumn(
+        "n_emails", F.size(F.regexp_extract_all(F.col(col), F.lit(EMAIL_RE), 0))
+    ).withColumn(
+        "n_phones", F.size(F.regexp_extract_all(F.col(col), F.lit(PHONE_RE), 0))
+    ).withColumn(col, F.regexp_replace(emails_gone, PHONE_RE, "[PHONE]"))
+
+
+def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # plant: every 3rd user signs with an e-mail, every 5th leaves a phone
+    contact = F.concat(
+        F.lit("reach me"),
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(F.lit(" at user"), F.col("user_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("user_id") % 5 == 0,
+            F.concat(F.lit(" or +1-555-"), F.lpad((F.col("user_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    planted = ev.select("event_id", "user_id", contact.alias("note"))
+    scrubbed = pii_scrub(planted, "note")
+    return scrubbed.groupBy("user_id").agg(
+        F.count("*").alias("n_notes"),
+        F.sum("n_emails").alias("emails_redacted"),
+        F.sum("n_phones").alias("phones_redacted"),
+        F.max("note").alias("sample_scrubbed"),
+    )
+
+
 QUERIES = {
+    "text_pii_scrub": pii_scrub_events,
     "text_top_terms": top_terms,
     "text_clean_corpus": clean_corpus,
     "text_token_stats": token_stats,
@@ -279,6 +328,37 @@ _CLEAN_CORPUS_ORACLE = f"""
 """
 
 ORACLES = {
+    "text_pii_scrub": r"""
+        WITH planted AS (
+            SELECT event_id, user_id,
+                   'reach me'
+                   || CASE WHEN user_id % 3 = 0
+                           THEN ' at user' || cast(user_id AS VARCHAR) || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN user_id % 5 = 0
+                           THEN ' or +1-555-' || lpad(cast(user_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END AS note
+            FROM events
+        ),
+        scrubbed AS (
+            SELECT user_id,
+                   len(regexp_extract_all(note, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+'))
+                       AS n_emails,
+                   len(regexp_extract_all(note, '\+1-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]'))
+                       AS n_phones,
+                   regexp_replace(
+                       regexp_replace(note, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+',
+                                      '[EMAIL]', 'g'),
+                       '\+1-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '[PHONE]', 'g')
+                       AS note
+            FROM planted
+        )
+        SELECT user_id, count(*) AS n_notes,
+               sum(n_emails) AS emails_redacted,
+               sum(n_phones) AS phones_redacted,
+               max(note) AS sample_scrubbed
+        FROM scrubbed GROUP BY user_id
+    """,
     "text_top_terms": f"""
         SELECT term, doc_freq, total_occurrences FROM (
             SELECT term,
