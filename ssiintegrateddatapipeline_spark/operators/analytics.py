@@ -550,7 +550,53 @@ def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Trailing (rolling) window over event time: per-user 1-hour moving
+# average via a RANGE frame on the epoch — one shuffle on user_id, one
+# sort; the frame is computed incrementally during the sort sweep (no
+# per-row re-scan). Bounded to user_id < 30 to keep the audit output
+# small; the plan is identical unbounded.
+# ---------------------------------------------------------------------------
+
+def rolling_hourly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.sum("value").over(w) / F.count("value").over(w), 4).alias(
+            "trailing_1h_avg"
+        ),
+        F.count("value").over(w).alias("trailing_1h_n"),
+    )
+
+
+def spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) customer segmentation by lifetime spend. The sort key is
+    (cents, custkey) — rounding to exact cent multiples first makes the
+    total order engine-independent (raw double sums can differ in the last
+    ulp and flip near-ties)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    tiles = spend.withColumn("quartile", F.ntile(4).over(w))
+    return tiles.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.min("spend").alias("min_spend"),
+        F.max("spend").alias("max_spend"),
+    )
+
+
 QUERIES = {
+    "analytics_rolling_hourly_avg": rolling_hourly_avg,
+    "analytics_spend_quartiles": spend_quartiles,
     "analytics_multigrain_rollup": multigrain_rollup,
     "analytics_pivot_daily": pivot_daily_by_type,
     "analytics_unpivot_measures": unpivot_lineitem_measures,
@@ -646,6 +692,29 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_rolling_hourly_avg": """
+        SELECT user_id, event_id, ts,
+               round(sum(value) OVER w / count(value) OVER w, 4)
+                   AS trailing_1h_avg,
+               count(value) OVER w AS trailing_1h_n
+        FROM events
+        WHERE user_id < 30
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    "analytics_spend_quartiles": """
+        WITH spend AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+            FROM orders GROUP BY o_custkey
+        ),
+        tiles AS (
+            SELECT *, ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile
+            FROM spend
+        )
+        SELECT quartile, count(*) AS n_customers,
+               min(spend) AS min_spend, max(spend) AS max_spend
+        FROM tiles GROUP BY quartile
+    """,
     "analytics_multigrain_rollup": """
         SELECT CASE WHEN grouping(minute) = 0 THEN 'minute'
                     WHEN grouping(hour) = 0 THEN 'hour'

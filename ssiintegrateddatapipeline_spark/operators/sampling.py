@@ -107,7 +107,31 @@ def train_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REBALANCE_QUOTA = 15  # max documents kept per source
+
+
+def corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source's contribution at REBALANCE_QUOTA documents —
+    the corpus-mix balancing step of a training-data pipeline. Selection
+    within a source is by hash rank (deterministic, content-keyed, no RNG);
+    one shuffle on source, and the rank window sort doubles as the
+    selection order. Returns the per-source audit (kept/total/chars)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(_hash_hex(F.col("doc_id"), "bal"), "doc_id")
+    ranked = d.withColumn("rank", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum((F.col("rank") <= REBALANCE_QUOTA).cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("rank") <= REBALANCE_QUOTA, F.col("n_chars")).otherwise(0)
+        ).alias("kept_chars"),
+    )
+
+
 QUERIES = {
+    "sampling_corpus_rebalance": corpus_rebalance,
     "sampling_hash_sample": sample_events,
     "sampling_stratified": stratified_sample,
     "sampling_train_split": train_split_stats,
@@ -118,6 +142,21 @@ _RATE_CASE = " ".join(
 )
 
 ORACLES = {
+    "sampling_corpus_rebalance": """
+        WITH ranked AS (
+            SELECT source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(cast(doc_id AS VARCHAR) || '|bal'), doc_id
+                   ) AS rank
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_total,
+               sum(CASE WHEN rank <= 15 THEN 1 ELSE 0 END) AS n_kept,
+               sum(CASE WHEN rank <= 15 THEN n_chars ELSE 0 END) AS kept_chars
+        FROM ranked GROUP BY source
+    """,
     "sampling_hash_sample": """
         SELECT event_id, user_id, event_type, value
         FROM events

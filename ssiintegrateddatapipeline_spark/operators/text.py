@@ -12,7 +12,7 @@ Every query has an exact DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.functions.text_funcs import (
@@ -247,7 +247,61 @@ def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF and the inverted index — the retrieval-side pair. Both are
+# explode → aggregate shapes: tokens fan out inside the scan stage and
+# only (term, partial) pairs cross the shuffle. The posting lists are
+# capped (sorted prefix) so output stays bounded however large the corpus.
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (audited on the doc_id % 25 == 0
+    subset). idf = ln((N+1)/(df+1)), computed identically on both engines;
+    the corpus size N joins in as a broadcast scalar, not a collect."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    toks = toks.where(~F.col("term").isin(*EN_STOPWORDS) & (F.col("term") != ""))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("doc_id") % 25 == 0)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists: term → document frequency + the first 50 doc_ids in
+    sorted order (the bounded index-shard shape; full lists would be the
+    same plan minus the slice)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    toks = toks.where(~F.col("term").isin(*EN_STOPWORDS) & (F.col("term") != ""))
+    return toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.slice(F.array_sort(F.collect_set("doc_id")), 1, 50).alias("postings_head"),
+    )
+
+
 QUERIES = {
+    "text_tfidf_top_terms": tfidf_top_terms,
+    "text_inverted_index": inverted_index,
     "text_pii_scrub": pii_scrub_events,
     "text_top_terms": top_terms,
     "text_clean_corpus": clean_corpus,
@@ -328,6 +382,46 @@ _CLEAN_CORPUS_ORACLE = f"""
 """
 
 ORACLES = {
+    "text_tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        filtered AS (
+            SELECT doc_id, term FROM toks
+            WHERE term NOT IN ({_STOPWORDS_SQL}) AND term != ''
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM filtered GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+            WHERE tf.doc_id % 25 = 0
+        )
+        SELECT doc_id, term, tf, df, tfidf, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    "text_inverted_index": f"""
+        WITH toks AS (
+            SELECT DISTINCT unnest({_TOKS}) AS term, doc_id FROM documents
+        ),
+        filtered AS (
+            SELECT term, doc_id FROM toks
+            WHERE term NOT IN ({_STOPWORDS_SQL}) AND term != ''
+        )
+        SELECT term, count(*) AS doc_freq,
+               (list_sort(list(doc_id)))[1:50] AS postings_head
+        FROM filtered GROUP BY term
+    """,
     "text_pii_scrub": r"""
         WITH planted AS (
             SELECT event_id, user_id,

@@ -168,3 +168,47 @@ def test_partition_filter_prunes_partitioned_sink(spark, sf_dir, tmp_path):
     df = spark.read.parquet(path).where(F.col("event_type") == "view")
     plan = _executed_plan(df)
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_hash_sample_filter_pushes_to_scan(spark, sf_dir):
+    """The md5-gate sample is a narrow filter: no shuffle, no join, and the
+    scan must not read columns the projection dropped."""
+    plan = _executed_plan(_QUERIES["sampling_hash_sample"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    fmt = _formatted(_QUERIES["sampling_hash_sample"](spark, sf_dir))
+    read_schema = [l for l in fmt.splitlines() if "ReadSchema" in l]
+    assert read_schema and "props" not in read_schema[0]
+
+
+def test_range_lookup_bucketed_is_hash_join(spark, sf_dir):
+    """The bucketed range join must compile to a broadcast HASH join on the
+    bucket key — never BroadcastNestedLoopJoin (the naive non-equi plan)."""
+    plan = _executed_plan(_QUERIES["range_band_pricing"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    """One profiling pass = one parquet scan of events, however many
+    columns are profiled (multi-distinct compiles to Expand, not re-scans)."""
+    plan = _executed_plan(_QUERIES["profile_columns"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_scd2_single_shuffle_reused_sort(spark, sf_dir):
+    """lag-detect + lead-close both partition on custkey: Catalyst must
+    plan ONE exchange for the aggregation and reuse the sort for both
+    windows (no second shuffle between the window operators)."""
+    plan = _executed_plan(_QUERIES["scd2_customer_tiers"](spark, sf_dir))
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, plan  # agg partial->final + window partitioning
+    assert "Join" not in plan
+
+
+def test_multigrain_rollup_is_one_pass(spark, sf_dir):
+    """ROLLUP over the trunc hierarchy must be a single scan + Expand —
+    not one aggregation per grain."""
+    plan = _executed_plan(_QUERIES["analytics_multigrain_rollup"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
