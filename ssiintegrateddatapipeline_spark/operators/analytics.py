@@ -594,7 +594,98 @@ def spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sequence analytics: per-user event-type transitions (the Markov-chain /
+# path-analysis shape). One window over user_id (single shuffle), then a
+# tiny groupBy on (from, to) pairs — transition cardinality is |types|²
+# regardless of data volume, so the final agg is always small.
+# ---------------------------------------------------------------------------
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    total = Window.partitionBy("from_type")
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("transitions"))
+        .withColumn(
+            "p_transition",
+            F.round(F.col("transitions") / F.sum("transitions").over(total), 6),
+        )
+    )
+
+
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase latency distribution: exact interpolated
+    p50/p90/p99 per cohort-free population, plus counts. Two conditional
+    mins per user (one shuffle) feed a single multi-quantile aggregate —
+    `F.percentile` with an array argument computes all three cut points
+    in one pass (identical semantics to SQL quantile_cont)."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase_ts"
+        ),
+    )
+    lat = firsts.where(
+        F.col("signup_ts").isNotNull()
+        & (F.col("first_purchase_ts") > F.col("signup_ts"))
+    ).select(
+        (
+            (F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts"))
+            / F.lit(1_000_000.0)
+        ).alias("latency_secs")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("latency_secs", F.lit(0.5)), 3).alias("p50_secs"),
+        F.round(F.percentile("latency_secs", F.lit(0.9)), 3).alias("p90_secs"),
+        F.round(F.percentile("latency_secs", F.lit(0.99)), 3).alias("p99_secs"),
+    )
+
+
+def cdc_latest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins compaction (the CDC upsert / log-compaction shape):
+    each user's most recent event, picked with max_by over a total order
+    (ts, then event_id as the deterministic tie-break) — a single
+    aggregation, no window sort over the full table."""
+    ev = _events(spark, sf_dir)
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by(F.col("event_id"), ordkey).alias("last_event_id"),
+        F.max_by(F.col("event_type"), ordkey).alias("last_event_type"),
+        F.max_by(F.col("value"), ordkey).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnosis for a prospective shuffle key: the top-5
+    heaviest user_ids with their share of all rows, plus the heavy-hitter
+    share a salting decision would be based on."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id"))
+    total = Window.partitionBy()
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("share_pct", F.round(F.col("n") * 100.0 / F.sum("n").over(total), 4))
+        .where(F.col("rank") <= 5)
+        .select("rank", "user_id", "n", "share_pct")
+    )
+
+
 QUERIES = {
+    "analytics_event_transitions": event_transitions,
+    "analytics_conversion_latency": conversion_latency,
+    "analytics_cdc_compaction": cdc_latest_compaction,
+    "analytics_key_skew_report": key_skew_report,
     "analytics_rolling_hourly_avg": rolling_hourly_avg,
     "analytics_spend_quartiles": spend_quartiles,
     "analytics_multigrain_rollup": multigrain_rollup,
@@ -692,6 +783,71 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_event_transitions": """
+        WITH pairs AS (
+            SELECT user_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS from_type,
+                   event_type AS to_type
+            FROM events
+        ),
+        counts AS (
+            SELECT from_type, to_type, count(*) AS transitions
+            FROM pairs WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, transitions,
+               round(transitions * 1.0 / sum(transitions)
+                     OVER (PARTITION BY from_type), 6) AS p_transition
+        FROM counts
+    """,
+    "analytics_conversion_latency": """
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS first_purchase_ts
+            FROM events GROUP BY user_id
+        ),
+        lat AS (
+            SELECT (epoch_us(first_purchase_ts) - epoch_us(signup_ts)) / 1000000.0
+                       AS latency_secs
+            FROM firsts
+            WHERE signup_ts IS NOT NULL AND first_purchase_ts > signup_ts
+        )
+        SELECT count(*) AS n_converted,
+               round(quantile_cont(latency_secs, 0.5), 3) AS p50_secs,
+               round(quantile_cont(latency_secs, 0.9), 3) AS p90_secs,
+               round(quantile_cont(latency_secs, 0.99), 3) AS p99_secs
+        FROM lat
+    """,
+    "analytics_cdc_compaction": """
+        SELECT user_id,
+               event_id AS last_event_id,
+               event_type AS last_event_type,
+               value AS last_value,
+               max_ts AS last_ts
+        FROM (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn,
+                   max(ts) OVER (PARTITION BY user_id) AS max_ts
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    "analytics_key_skew_report": """
+        WITH counts AS (
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        )
+        SELECT rank, user_id, n, share_pct FROM (
+            SELECT user_id, n,
+                   row_number() OVER (ORDER BY n DESC, user_id) AS rank,
+                   round(n * 100.0 / sum(n) OVER (), 4) AS share_pct
+            FROM counts
+        )
+        WHERE rank <= 5
+    """,
     "analytics_rolling_hourly_avg": """
         SELECT user_id, event_id, ts,
                round(sum(value) OVER w / count(value) OVER w, 4)

@@ -110,6 +110,39 @@ def payload_hist_plan(stream: DataFrame, buckets: list[float]) -> DataFrame:
     )
 
 
+def sliding_rate_plan(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Q3 sliding form in streaming: 30 s windows sliding every 10 s —
+    each event feeds exactly three overlapping windows. Spark expands the
+    window assignment inside the scan stage (no self-union); state is one
+    count per open window per type, evicted as the watermark passes."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "30 seconds", "10 seconds").alias("w"), "event_type")
+        .agg(F.count("*").alias("events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "events",
+        )
+    )
+
+
+def stream_static_enrich_plan(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each event enriched against the (slowly
+    changing, here static) customer dimension — the canonical
+    fact-stream × broadcast-dim pattern. The static side is re-read per
+    micro-batch, so on a cluster a dimension refresh is picked up without
+    restarting the query; broadcast keeps the join shuffle-free."""
+    d = F.broadcast(
+        dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        stream.join(d, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
 def attribution_plan(stream: DataFrame) -> DataFrame:
     """Stream-stream inner join: attribute each purchase to the user's
     clicks in the preceding 30 minutes.
@@ -326,6 +359,18 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(session_plan(events_stream(spark, sf_dir)))
 
 
+def streaming_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(sliding_rate_plan(events_stream(spark, sf_dir)))
+
+
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        stream_static_enrich_plan(
+            events_stream(spark, sf_dir), load_table(spark, sf_dir, "customer")
+        )
+    )
+
+
 def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         attribution_plan(events_stream(spark, sf_dir)), output_mode="append"
@@ -333,6 +378,8 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "streaming_sliding_rate": streaming_sliding_rate,
+    "streaming_static_enrich": streaming_static_enrich,
     "streaming_dedup": streaming_dedup,
     "streaming_session_windows": streaming_session_windows,
     "streaming_attribution": streaming_attribution,
@@ -343,6 +390,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_sliding_rate": """
+        WITH offsets(o) AS (VALUES (0), (10), (20)),
+        assigned AS (
+            SELECT to_timestamp(floor(epoch(ts) / 10) * 10 - o) AS window_start,
+                   event_type
+            FROM events CROSS JOIN offsets
+        )
+        SELECT window_start, event_type, count(*) AS events
+        FROM assigned GROUP BY 1, 2
+    """,
+    "streaming_static_enrich": """
+        SELECT c.c_mktsegment, e.event_type,
+               count(*) AS events,
+               round(sum(e.value), 4) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
     "streaming_dedup": """
         SELECT event_id, user_id, event_type, value FROM events
     """,
