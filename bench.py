@@ -44,6 +44,14 @@ HEADLINE = [
     "similarity_ivf_topk",
     "multimodal_decode",
     "streaming_throughput_30s",
+    "range_band_pricing",
+    "scd2_customer_tiers",
+    "sampling_train_split",
+    "text_tfidf_top_terms",
+    "analytics_rolling_hourly_avg",
+    "analytics_cdc_compaction",
+    "analytics_multigrain_rollup",
+    "profile_columns",
 ]
 
 
