@@ -681,7 +681,53 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: a dense hourly spine per event_type
+    (generated with `sequence`, no driver loop), hourly counts left-joined
+    onto it, missing hours zero-filled, and the hourly average value
+    forward-filled with `last(..., ignorenulls)` over an ordered window.
+
+    Scale shape: the spine is |types| × hours — tiny next to the fact table —
+    so the join broadcasts the spine side after the one groupBy shuffle; the
+    fill window partitions by event_type, which is exactly the spine layout.
+    """
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    spine = (
+        ev.groupBy("event_type")
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("hour", F.col("mn")),
+                    F.date_trunc("hour", F.col("mx")),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("events"),
+        F.col("n").isNull().alias("is_gap"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_filled"),
+    )
+
+
 QUERIES = {
+    "analytics_gap_fill_hourly": gap_fill_hourly,
     "analytics_event_transitions": event_transitions,
     "analytics_conversion_latency": conversion_latency,
     "analytics_cdc_compaction": cdc_latest_compaction,
@@ -783,6 +829,29 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_gap_fill_hourly": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
+                   count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(date_trunc('hour', min(ts))::TIMESTAMP,
+                                          date_trunc('hour', max(ts))::TIMESTAMP,
+                                          INTERVAL 1 HOUR)) AS hour
+            FROM events GROUP BY event_type
+        )
+        SELECT s.event_type, s.hour,
+               coalesce(h.n, 0) AS events,
+               h.n IS NULL AS is_gap,
+               last_value(h.avg_value IGNORE NULLS)
+                   OVER (PARTITION BY s.event_type ORDER BY s.hour
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS avg_value_filled
+        FROM spine s LEFT JOIN hourly h
+          ON s.event_type = h.event_type AND s.hour = h.hour
+    """,
     "analytics_event_transitions": """
         WITH pairs AS (
             SELECT user_id,

@@ -291,7 +291,102 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed power iterations, damping 0.85) over the undirected
+    MinHash-LSH near-duplicate graph — ranks the "hub" documents whose text
+    is echoed most widely, the signal corpus-level dedup policies weight by.
+
+    The iterative join-agg shape: each iteration is one equi-join of the rank
+    vector against the (cached) edge list plus a sum-aggregate — both shuffle
+    on uniformly-hashed ids and scale linearly with |E|; nothing is collected
+    but the scalar node count. Every node of the undirected graph has
+    degree >= 1, so no dangling-mass correction is needed.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).union(pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src").persist()
+    n = deg.count()
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    jump = 0.15 / n
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.select(
+            "node", (F.lit(jump) + F.lit(PAGERANK_DAMPING) * F.col("s")).alias("rank")
+        )
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup (the web-corpus crawl-frontier shape):
+    scheme/`www.` stripped, `utm_*` tracking parameters removed (other query
+    params kept), trailing slash normalized, then a groupBy on the canonical
+    form counting events and distinct raw variants.
+
+    Deterministic URL variants are planted from event/user ids (the events
+    table has no URL column); every step is a JVM-side regexp/replace chain —
+    per-row, shuffle only on the final canonical-key groupBy, which is
+    uniform (URL-shaped keys hash evenly).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.concat(
+            F.when(F.col("event_id") % 2 == 0, F.lit("https://")).otherwise(
+                F.lit("http://")
+            ),
+            F.when(F.col("event_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("shop"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com/item/"),
+            (F.col("user_id") % 50).cast("string"),
+            F.when(F.col("event_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("event_id") % 4 == 0,
+                F.concat(
+                    F.lit("?utm_source=feed&ref="), (F.col("event_id") % 3).cast("string")
+                ),
+            )
+            .when(
+                F.col("event_id") % 7 == 0,
+                F.concat(F.lit("?ref="), (F.col("event_id") % 3).cast("string")),
+            )
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    u = F.regexp_replace(F.col("url"), r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"utm_[a-z]+=[^&]*&", "")  # utm followed by more params
+    u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&]*$", "")  # trailing utm + separator
+    u = F.replace(u, F.lit("/?"), F.lit("?"))  # slash before query string
+    u = F.regexp_replace(u, r"/$", "")
+    return (
+        raw.select(u.alias("canonical_url"), "url")
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("url").alias("n_raw_variants"),
+        )
+    )
+
+
 QUERIES = {
+    "graph_pagerank_neardup": pagerank_near_dup,
+    "dedup_url_canonical": url_canonical_dedup,
     "dedup_exact_events": exact_dedup_events,
     "dedup_exact_documents": exact_dedup_documents,
     "dedup_minhash_signatures": minhash_signatures,
@@ -353,6 +448,40 @@ _PAIRS_CTE = f"""
 """
 
 ORACLES = {
+    "dedup_url_canonical": r"""
+        WITH raw AS (
+            SELECT event_id,
+                   (CASE WHEN event_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+                   || (CASE WHEN event_id % 3 = 0 THEN 'www.' ELSE '' END)
+                   || 'shop' || cast(user_id % 20 AS VARCHAR)
+                   || '.example.com/item/' || cast(user_id % 50 AS VARCHAR)
+                   || (CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END)
+                   || (CASE WHEN event_id % 4 = 0
+                            THEN '?utm_source=feed&ref=' || cast(event_id % 3 AS VARCHAR)
+                            WHEN event_id % 7 = 0
+                            THEN '?ref=' || cast(event_id % 3 AS VARCHAR)
+                            ELSE '' END) AS url
+            FROM events
+        ),
+        canon AS (
+            SELECT url,
+                   regexp_replace(
+                       replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(
+                                       regexp_replace(url, '^https?://', ''),
+                                       '^www\.', ''),
+                                   'utm_[a-z]+=[^&]*&', '', 'g'),
+                               '[?&]utm_[a-z]+=[^&]*$', ''),
+                           '/?', '?'),
+                       '/$', '') AS canonical_url
+            FROM raw
+        )
+        SELECT canonical_url, count(*) AS n_events,
+               count(DISTINCT url) AS n_raw_variants
+        FROM canon GROUP BY canonical_url
+    """,
     "dedup_exact_events": """
         SELECT user_id, event_type, event_id, ts FROM (
             SELECT user_id, event_type, event_id, ts,
@@ -378,6 +507,34 @@ ORACLES = {
         SELECT doc_id_a, doc_id_b, n_matching_minhashes,
                round(n_matching_minhashes / {float(N_MINHASH)}, 6) AS est_jaccard
         FROM pairs
+    """,
+    "graph_pagerank_neardup": f"""
+        WITH {_SIG_CTE}, {_PAIRS_CTE},
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (SELECT src AS node, 1.0::DOUBLE / nn.n AS rank
+               FROM deg CROSS JOIN nn),
+        """
+    + ",\n".join(
+        f"""r{i + 1} AS (
+            SELECT s.node, 0.15::DOUBLE / nn.n + {PAGERANK_DAMPING} * s.s AS rank
+            FROM (
+                SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+                FROM edges e
+                JOIN r{i} r ON e.src = r.node
+                JOIN deg d ON e.src = d.src
+                GROUP BY e.dst
+            ) s CROSS JOIN nn
+        )"""
+        for i in range(PAGERANK_ITERS)
+    )
+    + f"""
+        SELECT node, round(rank, 6) AS pagerank FROM r{PAGERANK_ITERS}
     """,
     "dedup_near_dup_clusters": f"""
         WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE},

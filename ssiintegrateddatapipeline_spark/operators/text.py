@@ -299,9 +299,103 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# eval split + shingle width for the benchmark-contamination check
+CONTAM_EVAL_MOD = 17
+CONTAM_SHINGLE_K = 5
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark/test-set contamination: which training documents share
+    k-word shingles with the held-out eval split (doc_id % 17 == 0 stands in
+    for the eval set).
+
+    The scale shape: the eval side is always small (an eval set is thousands
+    of docs, not billions), so its distinct shingle set is broadcast and the
+    100 TB training side streams through a map-side semi-join — the only
+    shuffle is the final per-doc aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), CONTAM_SHINGLE_K))
+        ).alias("gram"),
+    )
+    eval_grams = (
+        sh.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select("gram").distinct()
+    )
+    train = sh.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    overlap = train.join(
+        F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "gram", "left"
+    )
+    per_doc = overlap.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlapping"),
+    )
+    return per_doc.where(F.col("n_overlapping") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_overlapping",
+        F.round(F.col("n_overlapping") / F.col("n_shingles"), 6).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-bigram
+    fraction, top-bigram share, top-word share, and the largest fraction of
+    non-space characters attributable to one repeated word.
+
+    Two explode→agg pipelines (unigram, bigram) with map-side partial
+    aggregation, joined on doc_id; ties in "most common word" never matter
+    because only max counts / max char products are reported, not the word.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    uni = (
+        d.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.max("c").alias("top_word_count"),
+            F.max(F.col("c") * F.length("w")).alias("top_word_chars"),
+            F.sum(F.col("c") * F.length("w")).alias("total_word_chars"),
+        )
+    )
+    big = (
+        d.select("doc_id", F.explode(word_shingles(toks, 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count("*").alias("n_distinct_bigrams"),
+            F.max("c").alias("top_bigram_count"),
+        )
+    )
+    return uni.join(big, "doc_id").select(
+        "doc_id",
+        F.round(F.col("top_word_count") / F.col("n_words"), 6).alias("top_word_share"),
+        F.round(F.col("top_word_chars") / F.col("total_word_chars"), 6).alias(
+            "top_word_char_frac"
+        ),
+        F.round(1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_share"
+        ),
+    )
+
+
 QUERIES = {
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_inverted_index": inverted_index,
+    "text_contamination_check": contamination_check,
+    "text_repetition_metrics": repetition_metrics,
     "text_pii_scrub": pii_scrub_events,
     "text_top_terms": top_terms,
     "text_clean_corpus": clean_corpus,
@@ -382,6 +476,59 @@ _CLEAN_CORPUS_ORACLE = f"""
 """
 
 ORACLES = {
+    "text_contamination_check": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        raw AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - {CONTAM_SHINGLE_K - 1}),
+                       i -> array_to_string(t[i:i+{CONTAM_SHINGLE_K - 1}], ' ')
+                   )) AS gram
+            FROM toks
+        ),
+        sh AS (SELECT DISTINCT doc_id, gram FROM raw),
+        ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+        tr AS (SELECT doc_id, gram FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} <> 0),
+        per AS (
+            SELECT tr.doc_id, count(*) AS n_shingles,
+                   sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_overlapping
+            FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+            GROUP BY tr.doc_id
+        )
+        SELECT doc_id, n_shingles, n_overlapping,
+               round(n_overlapping / n_shingles, 6) AS contamination_ratio
+        FROM per WHERE n_overlapping > 0
+    """,
+    "text_repetition_metrics": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        uni AS (
+            SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_count,
+                   max(c * strlen(w)) AS top_word_chars,
+                   sum(c * strlen(w)) AS total_word_chars
+            FROM (SELECT doc_id, w, count(*) AS c
+                  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+                  GROUP BY doc_id, w)
+            GROUP BY doc_id
+        ),
+        big AS (
+            SELECT doc_id, sum(c) AS n_bigrams,
+                   count(*) AS n_distinct_bigrams, max(c) AS top_bigram_count
+            FROM (SELECT doc_id, g, count(*) AS c
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(generate_series(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+1], ' '))) AS g
+                        FROM toks)
+                  GROUP BY doc_id, g)
+            GROUP BY doc_id
+        )
+        SELECT doc_id,
+               round(top_word_count / n_words, 6) AS top_word_share,
+               round(top_word_chars / total_word_chars, 6) AS top_word_char_frac,
+               round(1 - n_distinct_bigrams / n_bigrams, 6) AS dup_bigram_frac,
+               round(top_bigram_count / n_bigrams, 6) AS top_bigram_share
+        FROM uni JOIN big USING (doc_id)
+    """,
     "text_tfidf_top_terms": f"""
         WITH toks AS (
             SELECT doc_id, unnest({_TOKS}) AS term FROM documents
