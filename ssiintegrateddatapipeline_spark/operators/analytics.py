@@ -726,7 +726,128 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 1.4826  # normal-consistency constant
+MAD_THRESHOLD = 3.0
+
+EWMA_WINDOW = 8
+EWMA_DECAY = 0.5  # dyadic: every weight is an exact power of two
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event_type: median absolute deviation
+    (MAD) with the 1.4826 normal-consistency factor, counting values beyond
+    3 robust sigmas — the outlier gate quality pipelines prefer over
+    mean/stddev because a contaminated tail can't drag the threshold.
+
+    Three passes over the fact table, but the intermediate per-type stats are
+    tiny and broadcast back, so each pass is a scan + map-side join + one
+    agg; the exact interpolated `percentile` keeps engine parity (validated
+    by the p50 family).
+    """
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count("*").alias("n_events"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(MAD_THRESHOLD * MAD_K) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average per event_type
+    (decay 0.5, last 8 observations), the standard smoothing pass before
+    trend/anomaly logic.
+
+    EWMA is a sequential recurrence, but truncating to a fixed window makes
+    it a windowed weighted mean — expressible as `collect_list` over a ROWS
+    frame folded with higher-order array functions, all JVM-side, one
+    shuffle (the window partition). The 0.5 decay keeps every weight an
+    exact power of two, so the weighted sum is bit-identical across engines.
+    """
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    lst = F.collect_list("value").over(w)
+    with_l = ev.select("event_id", "event_type", "ts", lst.alias("l"))
+    n = F.size("l")
+    weighted = F.zip_with(
+        F.col("l"),
+        F.sequence(F.lit(1), n),
+        lambda v, i: v * F.pow(F.lit(EWMA_DECAY), (n - i).cast("double")),
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    den = F.lit(2.0) - F.pow(F.lit(EWMA_DECAY), (n - 1).cast("double"))
+    return with_l.select(
+        "event_id",
+        "event_type",
+        F.round(num / den, 6).alias("ewma_value"),
+    )
+
+
+MV_CUTOVER = "2001-01-01"  # the simulated "already materialized up to" date
+
+
+def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a monthly-revenue MV kept
+    as mergeable partials (SUM/COUNT), refreshed by aggregating only the
+    delta partition (orders >= the cutover date) and merging it into the
+    stored state with a second SUM — never rescanning history.
+
+    The contract that matters at 100 TB: the merged result must equal a
+    full recompute exactly, which is what the oracle checks (it recomputes
+    from scratch). Partial-agg merge works because SUM/COUNT are commutative
+    monoids; AVG-style measures are derived at read time from the partials.
+    On a real deployment `state` is the stored MV table and only `delta` is
+    computed per refresh — one partition scan + a tiny merge shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            "o_orderpriority",
+        ).agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+
+    state = partials(orders.where(F.col("o_orderdate") < MV_CUTOVER))
+    delta = partials(orders.where(F.col("o_orderdate") >= MV_CUTOVER))
+    return (
+        state.unionByName(delta)
+        .groupBy("month", "o_orderpriority")
+        .agg(F.sum("rev").alias("rev"), F.sum("n").alias("n_orders"))
+        .select(
+            "month",
+            "o_orderpriority",
+            F.round("rev", 2).alias("revenue"),
+            "n_orders",
+        )
+    )
+
+
 QUERIES = {
+    "analytics_incremental_mv": incremental_mv_refresh,
+    "analytics_mad_outliers": mad_outliers,
+    "analytics_ewma_smoothing": ewma_smoothing,
     "analytics_gap_fill_hourly": gap_fill_hourly,
     "analytics_event_transitions": event_transitions,
     "analytics_conversion_latency": conversion_latency,
@@ -829,6 +950,52 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_incremental_mv": """
+        SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+               o_orderpriority,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    "analytics_mad_outliers": f"""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type, m.med,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type, m.med
+        )
+        SELECT e.event_type,
+               round(min(s.med), 6) AS median_value,
+               round(min(s.mad), 6) AS mad,
+               count(*) AS n_events,
+               sum(CASE WHEN abs(e.value - s.med)
+                             > {MAD_THRESHOLD * MAD_K} * s.mad
+                        THEN 1 ELSE 0 END) AS n_outliers
+        FROM events e JOIN mad s USING (event_type)
+        GROUP BY e.event_type
+    """,
+    "analytics_ewma_smoothing": f"""
+        WITH lists AS (
+            SELECT event_id, event_type,
+                   list(value) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW
+                   ) AS l
+            FROM events
+        )
+        SELECT event_id, event_type,
+               round(
+                   list_sum(list_transform(
+                       l, (v, i) -> v * pow({EWMA_DECAY}, len(l) - i)
+                   )) / (2.0 - pow({EWMA_DECAY}, len(l) - 1)),
+               6) AS ewma_value
+        FROM lists
+    """,
     "analytics_gap_fill_hourly": """
         WITH hourly AS (
             SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,

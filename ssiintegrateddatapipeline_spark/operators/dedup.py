@@ -384,8 +384,70 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_DIST = 3
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage on part names: Levenshtein edit-distance pairs
+    under a blocking key (the head noun — last token), the classic
+    entity-resolution shape (block → compare-within-block → threshold).
+
+    Scale shape: all-pairs Levenshtein is O(n²) and never viable; blocking
+    bounds the comparison set to within-block pairs (uniform hash-partitioned
+    by block key), and the comparator itself is the JVM-side `levenshtein`
+    expression — no Python, no shuffle beyond the one block-key join.
+    """
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("blk", F.element_at(F.split("name", " "), -1))
+    )
+    a = names.select(F.col("name").alias("name_a"), "blk")
+    b = names.select(F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_distance") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "edit_distance")
+    )
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the MinHash-LSH near-duplicate graph —
+    the coherence signal of a dup cluster (a~b, b~c and a~c closing the
+    wedge means the cluster is mutually-similar, not a chain of borderline
+    pairs).
+
+    The standard distributed formulation: edges kept in one orientation
+    (src < dst), one self-join builds wedges, one more semi-join closes
+    them — two shuffles on uniformly-hashed doc ids, never a full
+    materialization of neighborhoods.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+    ).persist()
+    wedges = pairs.alias("p1").join(
+        pairs.alias("p2"), F.col("p1.b") == F.col("p2.a")
+    ).select(F.col("p1.a").alias("a"), F.col("p1.b").alias("b"), F.col("p2.b").alias("c"))
+    tri = wedges.alias("w").join(
+        pairs.alias("p3"),
+        (F.col("w.a") == F.col("p3.a")) & (F.col("w.c") == F.col("p3.b")),
+        "leftsemi",
+    )
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .union(tri.select("b"))
+        .union(tri.select("c"))
+    )
+    return nodes.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+
+
 QUERIES = {
     "graph_pagerank_neardup": pagerank_near_dup,
+    "graph_triangle_count": triangle_count,
+    "dedup_fuzzy_name_pairs": fuzzy_name_pairs,
     "dedup_url_canonical": url_canonical_dedup,
     "dedup_exact_events": exact_dedup_events,
     "dedup_exact_documents": exact_dedup_documents,
@@ -448,6 +510,33 @@ _PAIRS_CTE = f"""
 """
 
 ORACLES = {
+    "dedup_fuzzy_name_pairs": f"""
+        WITH names AS (
+            SELECT DISTINCT p_name AS name,
+                   string_split(p_name, ' ')[-1] AS blk
+            FROM part
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               levenshtein(a.name, b.name) AS edit_distance
+        FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+    """,
+    "graph_triangle_count": f"""
+        WITH {_SIG_CTE}, {_PAIRS_CTE},
+        p AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs),
+        tri AS (
+            SELECT p1.a, p1.b, p2.b AS c
+            FROM p p1
+            JOIN p p2 ON p1.b = p2.a
+            JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b
+        ),
+        nodes AS (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT doc_id, count(*) AS n_triangles FROM nodes GROUP BY doc_id
+    """,
     "dedup_url_canonical": r"""
         WITH raw AS (
             SELECT event_id,

@@ -115,7 +115,51 @@ def profile_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_RSD = 0.01  # HLL++ relative standard deviation knob
+APPROX_BOUND = 0.05  # contract checked by the oracle: |approx/exact - 1| < 5%
+
+
+def profile_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality profiling the way it's actually done at 100 TB: HLL++
+    sketches (`approx_count_distinct`) next to the exact counts, asserting
+    the sketch lands within the 5% contract.
+
+    The exact side needs a full shuffle of distinct values per column; the
+    sketch side is a fixed-size (KB) mergeable state per column carried
+    through map-side partial aggregation — the only option when the distinct
+    set itself doesn't fit anywhere. The oracle pins the exact counts and
+    the within-bound flag (DuckDB can't reproduce Spark's HLL bit-for-bit;
+    the accuracy CONTRACT is the portable statement, and a drifting sketch
+    fails the hash).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "props"]
+    wide = ev.agg(
+        *[F.countDistinct(c).alias(f"exact_{c}") for c in cols],
+        *[
+            F.approx_count_distinct(c, rsd=APPROX_RSD).alias(f"approx_{c}")
+            for c in cols
+        ],
+    )
+    stacked = wide.select(
+        F.expr(
+            "stack({}, {})".format(
+                len(cols),
+                ", ".join(f"'{c}', exact_{c}, approx_{c}" for c in cols),
+            )
+        ).alias("column", "n_exact", "n_approx")
+    )
+    return stacked.select(
+        "column",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") / F.col("n_exact") - 1.0) < F.lit(APPROX_BOUND)
+        ).alias("within_bound"),
+    )
+
+
 QUERIES = {
+    "profile_approx_distinct": profile_approx_distinct,
     "profile_columns": profile_columns,
     "profile_numeric": profile_numeric,
     "profile_top_values": profile_top_values,
@@ -155,6 +199,17 @@ _TOP_ORACLE = """
 """
 
 ORACLES = {
+    "profile_approx_distinct": """
+        SELECT col AS "column", n_exact, true AS within_bound FROM (
+            SELECT 'event_id' AS col, count(DISTINCT event_id) AS n_exact FROM events
+            UNION ALL
+            SELECT 'user_id', count(DISTINCT user_id) FROM events
+            UNION ALL
+            SELECT 'event_type', count(DISTINCT event_type) FROM events
+            UNION ALL
+            SELECT 'props', count(DISTINCT props) FROM events
+        )
+    """,
     "profile_columns": _PROFILE_ORACLE_ROWS,
     "profile_numeric": (
         _NUMERIC_ORACLE.format(label="events.value", col="value", table="events")

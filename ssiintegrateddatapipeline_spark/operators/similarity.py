@@ -339,7 +339,44 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (the SemDeDup shape): embeddings bucketed by
+    (IVF centroid, sign-LSH signature) — a fine semantic cell — and each
+    cell keeps one representative (min vec_id); everything else in the cell
+    is a semantic duplicate slated for drop.
+
+    Scale shape: both keys are plan-time-literal dot products computed per
+    row (no shuffle), so the whole dedup is ONE groupBy on a compound key
+    whose cardinality (K x 2^planes) stays tiny next to the corpus; no
+    pairwise comparison ever happens, unlike cosine-threshold near-dup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(spark, sf_dir)
+    cells = emb.select(
+        "vec_id",
+        _centroid_dots(F.col("embedding"), dim).alias("dots"),
+        _lsh_signature(F.col("embedding"), dim).alias("sig"),
+    ).select(
+        "vec_id",
+        F.array_position(F.col("dots"), F.array_max("dots")).cast("int").alias(
+            "centroid"
+        ),
+        "sig",
+    )
+    return cells.groupBy("centroid", "sig").agg(
+        F.count("*").alias("n_members"),
+        F.min("vec_id").alias("keep_vec_id"),
+    ).select(
+        "centroid",
+        "sig",
+        "n_members",
+        "keep_vec_id",
+        (F.col("n_members") - 1).alias("n_dropped"),
+    )
+
+
 QUERIES = {
+    "similarity_semantic_dedup": semantic_dedup,
     "similarity_embedding_quantize": embedding_quantize,
     "similarity_cross_modal": cross_modal_agreement,
     "similarity_kmeans_refine": kmeans_refine,
@@ -405,6 +442,21 @@ _IVF_PROBES = f"""
 """
 
 ORACLES = {
+    "similarity_semantic_dedup": f"""
+        WITH cells AS (
+            SELECT vec_id,
+                   list_indexof(dots, list_max(dots))::INT AS centroid,
+                   {_lsh_sig_sql("embedding")} AS sig
+            FROM (SELECT vec_id, embedding,
+                         {_centroid_dots_sql("embedding")} AS dots
+                  FROM embeddings)
+        )
+        SELECT centroid, sig,
+               count(*) AS n_members,
+               min(vec_id) AS keep_vec_id,
+               count(*) - 1 AS n_dropped
+        FROM cells GROUP BY centroid, sig
+    """,
     "similarity_embedding_quantize": """
         WITH q AS (
             SELECT vec_id,

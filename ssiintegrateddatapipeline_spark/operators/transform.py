@@ -93,11 +93,79 @@ def normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_BITS = 8  # per-dimension key width (testdata spans ~8 bits per dim)
+ZBUCKET_SHIFT = 10  # bucket = top 6 bits of the 16-bit z-value: an 8x8 grid
+
+
+def zorder_value(x: Column, y: Column) -> Column:
+    """Interleave the low 16 bits of two dimension keys into a 32-bit
+    Morton (z-order) value — pure JVM bit expressions, unrolled at plan
+    time, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = z.bitwiseOR(F.shiftleft(x.bitwiseAND(F.lit(1 << i)), i)).bitwiseOR(
+            F.shiftleft(y.bitwiseAND(F.lit(1 << i)), i + 1)
+        )
+    return z
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data layout: a Morton z-order key over
+    (user_id, hour) and the locality profile of its top-level buckets —
+    each z-bucket's min/max per dimension stays a small rectangle, which is
+    exactly why sorting 100 TB by this key lets parquet row-group min/max
+    stats skip files for BOTH `user_id` range filters and time-range
+    filters (a single-column sort can only serve one of the two).
+
+    On a cluster the write path is `repartitionByRange(zkey).
+    sortWithinPartitions(zkey)`; here the oracle-checked part is the key
+    computation and the bucket-locality contract itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(1 << ZORDER_BITS)).cast("long")
+    y = F.pmod(F.expr("unix_micros(ts) div 3600000000"), F.lit(1 << ZORDER_BITS)).cast(
+        "long"
+    )
+    keyed = ev.select(x.alias("x"), y.alias("y")).withColumn(
+        "z", zorder_value(F.col("x"), F.col("y"))
+    )
+    return (
+        keyed.groupBy(F.shiftright(F.col("z"), ZBUCKET_SHIFT).alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
 QUERIES = {
     "transform_normalize_roundtrip": normalize_roundtrip,
+    "transform_zorder_layout": zorder_layout,
 }
 
+_Z_SQL = " | ".join(
+    f"((x & {1 << i}) << {i}) | ((y & {1 << i}) << {i + 1})"
+    for i in range(ZORDER_BITS)
+)
+
 ORACLES = {
+    "transform_zorder_layout": f"""
+        WITH keyed AS (
+            SELECT x, y, {_Z_SQL} AS z FROM (
+                SELECT (user_id % {1 << ZORDER_BITS})::BIGINT AS x,
+                       ((epoch_us(ts) // 3600000000) % {1 << ZORDER_BITS})::BIGINT AS y
+                FROM events
+            )
+        )
+        SELECT z >> {ZBUCKET_SHIFT} AS zbucket,
+               count(*) AS n_rows,
+               min(x) AS x_min, max(x) AS x_max,
+               min(y) AS y_min, max(y) AS y_max
+        FROM keyed GROUP BY 1
+    """,
     "transform_normalize_roundtrip": """
         SELECT doc_id,
                'https://example.org/ctx/' || lang AS lang_ctx,
