@@ -52,6 +52,14 @@ HEADLINE = [
     "analytics_cdc_compaction",
     "analytics_multigrain_rollup",
     "profile_columns",
+    "graph_pagerank_neardup",
+    "similarity_semantic_dedup",
+    "analytics_mad_outliers",
+    "analytics_ewma_smoothing",
+    "analytics_incremental_mv",
+    "transform_zorder_layout",
+    "text_boilerplate_scrub",
+    "dedup_fuzzy_name_pairs",
 ]
 
 

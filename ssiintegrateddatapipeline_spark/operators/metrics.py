@@ -95,13 +95,82 @@ def metrics_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESET_EVERY = 500  # simulated process restart: counter wraps at this count
+
+
+def counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `increase()` with counter-reset detection — the semantic the
+    reference's rate() dashboards depend on (a consumer restart zeroes its
+    counters; naive last-minus-first goes negative and undercounts).
+
+    A scraped counter series is derived from events (per-minute cumulative
+    count, wrapped at RESET_EVERY to plant deterministic resets), then the
+    Prometheus rule is applied per sample: delta = v_t - v_{t-1} when
+    monotone, else v_t (the restart means everything since the reset
+    counts). One groupBy + one window + one final agg — the window
+    partitioning (by series) is exactly how a 100 TB metrics store shards.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("minute")
+    cum = F.sum("n").over(w)
+    sampled = per_min.select(
+        "event_type", "minute", (cum % RESET_EVERY).alias("sample")
+    )
+    prev = F.lag("sample").over(Window.partitionBy("event_type").orderBy("minute"))
+    deltas = sampled.select(
+        "event_type",
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col("sample") >= prev, F.col("sample") - prev)
+        .otherwise(F.col("sample"))
+        .alias("delta"),
+        F.when(F.col("sample") < prev, 1).otherwise(0).alias("reset"),
+    )
+    return deltas.groupBy("event_type").agg(
+        F.sum("delta").alias("increase"),
+        F.sum("reset").alias("n_resets"),
+        F.count("*").alias("n_samples"),
+    )
+
+
 QUERIES = {
     "metrics_scrape_table": metrics_table,
+    "metrics_counter_increase": counter_increase,
 }
 
 _BUCKETS_SQL = "(VALUES (1.0),(2.0),(5.0),(10.0),(25.0),(50.0),(100.0),(150.0),(200.0),(300.0))"
 
 ORACLES = {
+    "metrics_counter_increase": f"""
+        WITH per_min AS (
+            SELECT event_type, date_trunc('minute', ts)::TIMESTAMP AS minute,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        sampled AS (
+            SELECT event_type, minute,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY minute)
+                       % {RESET_EVERY} AS sample
+            FROM per_min
+        ),
+        deltas AS (
+            SELECT event_type, sample,
+                   lag(sample) OVER (PARTITION BY event_type ORDER BY minute)
+                       AS prev
+            FROM sampled
+        )
+        SELECT event_type,
+               sum(CASE WHEN prev IS NULL THEN 0
+                        WHEN sample >= prev THEN sample - prev
+                        ELSE sample END) AS increase,
+               sum(CASE WHEN sample < prev THEN 1 ELSE 0 END) AS n_resets,
+               count(*) AS n_samples
+        FROM deltas GROUP BY event_type
+    """,
     "metrics_scrape_table": f"""
         SELECT 'events_processed_total' AS metric, event_type AS label,
                NULL::DOUBLE AS le, count(*)::DOUBLE AS value

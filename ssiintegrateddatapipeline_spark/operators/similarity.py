@@ -375,7 +375,37 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the IVF probe search against the
+    exact brute-force ground truth, per query — the metric that decides
+    whether an index's probe count is sufficient before it's trusted at
+    corpus scale (the recall/latency trade-off IS the tuning loop).
+
+    Both sides are already tiny (k rows per query), so the comparison is a
+    broadcast-scale join on (query_id, neighbor_id).
+    """
+    truth = brute_force_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_found",
+            F.round(F.col("n_found") / F.col("k"), 6).alias("recall_at_k"),
+        )
+    )
+
+
 QUERIES = {
+    "similarity_ivf_recall": ivf_recall,
     "similarity_semantic_dedup": semantic_dedup,
     "similarity_embedding_quantize": embedding_quantize,
     "similarity_cross_modal": cross_modal_agreement,
@@ -575,3 +605,16 @@ ORACLES = {
         FROM sigs GROUP BY lsh_sig
     """,
 }
+
+# recall oracle composes the two already-validated top-k oracles as CTEs
+ORACLES["similarity_ivf_recall"] = f"""
+    WITH truth AS ({ORACLES["similarity_brute_topk"]}),
+         approx AS ({ORACLES["similarity_ivf_topk"]})
+    SELECT t.query_id, count(*) AS k,
+           sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_found,
+           round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS recall_at_k
+    FROM truth t LEFT JOIN approx a
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+    GROUP BY t.query_id
+"""

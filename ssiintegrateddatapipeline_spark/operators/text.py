@@ -391,7 +391,61 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEG_WORDS = 10  # fixed-width segment for boilerplate detection
+BOILER_MIN_DOCS = 2  # a segment seen in >= this many distinct docs is boilerplate
+
+
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/C4 line-dedup shape,
+    with fixed 10-word segments standing in for lines): segment every
+    document, count each segment's document frequency across the corpus,
+    drop segments that recur in >= 2 distinct documents (headers, footers,
+    templates), and reassemble the surviving text in order.
+
+    Scale shape: segmentation is a per-row higher-order expression; the df
+    count is one explode→groupBy with map-side partial aggregation; the
+    boilerplate set (recurring segments only — a sliver of the corpus) is
+    broadcast back as an anti-join, so the cleanup pass never shuffles the
+    corpus itself; reassembly sorts each doc's surviving segments in-row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_segs = F.ceil(F.size(toks) / F.lit(SEG_WORDS)).cast("int")
+    segs_col = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * SEG_WORDS + 1, SEG_WORDS), " "
+        ),
+    )
+    seg_rows = d.select(
+        "doc_id", F.posexplode(segs_col).alias("pos", "seg")
+    )
+    boiler = (
+        seg_rows.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= BOILER_MIN_DOCS)
+        .select("seg")
+    )
+    kept = seg_rows.join(F.broadcast(boiler), "seg", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept_segments"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "seg"))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
 QUERIES = {
+    "text_boilerplate_scrub": boilerplate_scrub,
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_inverted_index": inverted_index,
     "text_contamination_check": contamination_check,
@@ -476,6 +530,32 @@ _CLEAN_CORPUS_ORACLE = f"""
 """
 
 ORACLES = {
+    "text_boilerplate_scrub": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        seg_rows AS (
+            SELECT doc_id, s.pos, s.seg FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, (len(t) + {SEG_WORDS - 1}) // {SEG_WORDS} - 1),
+                           i -> {{pos: i, seg: array_to_string(
+                                     t[(i * {SEG_WORDS} + 1):(i * {SEG_WORDS} + {SEG_WORDS})],
+                                     ' ')}})) AS s
+                FROM toks
+            )
+        ),
+        boiler AS (
+            SELECT seg FROM seg_rows
+            GROUP BY seg HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+        ),
+        kept AS (
+            SELECT * FROM seg_rows WHERE seg NOT IN (SELECT seg FROM boiler)
+        )
+        SELECT doc_id, count(*) AS n_kept_segments,
+               string_agg(seg, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    """,
     "text_contamination_check": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
         raw AS (

@@ -107,3 +107,36 @@ def credential_store_merge(existing: DataFrame, updates: DataFrame, key: str = "
         .where(F.col("_rn") == 1)
         .drop("_src", "_rn")
     )
+
+
+def compact_files(
+    spark, path: str, target_rows_per_file: int, order_by: tuple[str, ...] = ()
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(rows / target_rows_per_file) files, optionally range-sorted.
+
+    The 100 TB operational reality: streaming sinks and fine partitioning
+    leave millions of KB-scale files; every downstream scan then pays one
+    open+footer-parse per file and the driver pays listing. Compaction =
+    read → repartition to the row budget (repartitionByRange when a sort
+    key is given, so row-group min/max stats stay selective) → atomic
+    swap-in. Returns the new file count.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    if order_by:
+        compacted = df.repartitionByRange(n_files, *order_by).sortWithinPartitions(
+            *order_by
+        )
+    else:
+        compacted = df.repartition(n_files)
+    tmp = tempfile.mkdtemp(prefix="compact_") + "/out"
+    compacted.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files

@@ -355,6 +355,26 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_watermark_plan(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermark-bounded streaming dedup (`dropDuplicatesWithinWatermark`):
+    each event_id's state is EVICTED once the watermark passes it, so state
+    stays proportional to the duplication horizon, not the full key history —
+    the only exact-dedup formulation that survives an unbounded 100 TB/day
+    stream. Semantics: duplicates arriving within the watermark window are
+    dropped; the replayed bounded stream has all duplicates in-window, so
+    the result equals the batch distinct."""
+    doubled = stream.unionByName(stream)
+    return doubled.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        dedup_watermark_plan(events_stream(spark, sf_dir)), output_mode="append"
+    )
+
+
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(session_plan(events_stream(spark, sf_dir)))
 
@@ -381,6 +401,7 @@ QUERIES = {
     "streaming_sliding_rate": streaming_sliding_rate,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_dedup": streaming_dedup,
+    "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_session_windows": streaming_session_windows,
     "streaming_attribution": streaming_attribution,
     "streaming_throughput_30s": streaming_throughput_30s,
@@ -408,6 +429,9 @@ ORACLES = {
         GROUP BY 1, 2
     """,
     "streaming_dedup": """
+        SELECT event_id, user_id, event_type, value FROM events
+    """,
+    "streaming_dedup_watermark": """
         SELECT event_id, user_id, event_type, value FROM events
     """,
     "streaming_session_windows": """

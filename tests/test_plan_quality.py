@@ -212,3 +212,56 @@ def test_multigrain_rollup_is_one_pass(spark, sf_dir):
     plan = _executed_plan(_QUERIES["analytics_multigrain_rollup"](spark, sf_dir))
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" in plan
+
+
+def test_mad_outliers_broadcasts_stats(spark, sf_dir):
+    """The per-type median/MAD stats are tiny and must broadcast back onto
+    the fact scans — a sort-merge join here would shuffle the corpus twice."""
+    plan = _executed_plan(_QUERIES["analytics_mad_outliers"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_fuzzy_pairs_not_cartesian(spark, sf_dir):
+    """Blocking must turn the all-pairs comparison into an equi-join on the
+    block key; a Cartesian/BNL product means blocking regressed."""
+    plan = _executed_plan(_QUERIES["dedup_fuzzy_name_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_key_stays_in_codegen(spark, sf_dir):
+    """The unrolled Morton interleave is pure JVM bit math — any Python
+    eval node means the key computation fell off the codegen path."""
+    plan = _executed_plan(_QUERIES["transform_zorder_layout"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "shiftleft" in plan  # the unrolled interleave reached the JVM plan
+
+
+def test_boilerplate_scrub_broadcast_anti_join(spark, sf_dir):
+    """The recurring-segment set is a sliver of the corpus: the cleanup pass
+    must be a broadcast anti-join, never a shuffled one."""
+    plan = _executed_plan(_QUERIES["text_boilerplate_scrub"](spark, sf_dir))
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "SortMergeJoin" not in plan
+    ), plan
+
+
+def test_contamination_eval_side_broadcasts(spark, sf_dir):
+    """The eval-set shingles must broadcast; the training corpus streams
+    through a map-side join."""
+    plan = _executed_plan(_QUERIES["text_contamination_check"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_mv_two_scans_only(spark, sf_dir):
+    """State + delta = exactly two scans of the orders table; the merge agg
+    runs on pre-aggregated partials, not raw rows."""
+    plan = _formatted(_QUERIES["analytics_incremental_mv"](spark, sf_dir))
+    scans = [
+        line
+        for line in plan.splitlines()
+        if line.lstrip().startswith("(") and "Scan parquet" in line
+    ]
+    assert len(scans) == 2, scans

@@ -99,3 +99,74 @@ def test_renames_derived_from_schema_catalog(spark):
     out = df.withColumn("c", X.rename_struct_fields(F.col("c"), renames))
     fields = [f.name for f in out.schema["c"].dataType.fields]
     assert fields == ["other", "context"]
+
+
+def test_format_roundtrips_csv_json_orc(spark, sf_dir, tmp_path):
+    """Interchange formats: the engine must read back its own CSV/JSON/ORC
+    writes losslessly (CSV needs explicit schema + timestamp format; JSON
+    and ORC carry types themselves). Parquet is the primary format and is
+    exercised everywhere else."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    expected = sorted(map(tuple, ev.collect()))
+
+    orc_path = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(orc_path)
+    assert sorted(map(tuple, spark.read.orc(orc_path).collect())) == expected
+
+    json_path = str(tmp_path / "events_json")
+    ev.write.mode("overwrite").option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).json(json_path)
+    back_json = (
+        spark.read.schema(ev.schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .json(json_path)
+    )
+    assert sorted(map(tuple, back_json.collect())) == expected
+
+    csv_path = str(tmp_path / "events_csv")
+    ev.write.mode("overwrite").option("header", True).option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).csv(csv_path)
+    back_csv = (
+        spark.read.schema(ev.schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(csv_path)
+    )
+    assert sorted(map(tuple, back_csv.collect())) == expected
+
+
+def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
+    """64 tiny files -> the row-budget file count, same rows, and the
+    range-sort leaves each output file a disjoint user_id range (the
+    min/max-stats property that makes post-compaction scans skippable)."""
+    import pyarrow.parquet as pq
+    import os
+
+    path = str(tmp_path / "shredded")
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    ev.repartition(64).write.parquet(path)
+    assert len([f for f in os.listdir(path) if f.endswith(".parquet")]) == 64
+
+    n_files = sinks.compact_files(spark, path, target_rows_per_file=(n + 3) // 4,
+                                  order_by=("user_id",))
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == n_files == 4
+    back = spark.read.parquet(path)
+    assert back.count() == n
+
+    # disjoint user_id ranges across files (row-group stats are selective)
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(os.path.join(path, f))
+        cols = {md.schema.column(j).name: j for j in range(md.num_columns)}
+        uid = cols["user_id"]
+        stats = [md.row_group(i).column(uid).statistics for i in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
