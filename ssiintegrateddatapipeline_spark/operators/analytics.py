@@ -844,7 +844,59 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_DECILES = 10
+
+
+def revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period comparison: monthly order revenue with previous
+    month, absolute delta, and percent growth — the lag-window warehouse
+    staple. Growth is computed from the ALREADY-ROUNDED monthly sums (both
+    engines see identical cents), so the derived ratio is deterministic.
+    One aggregation shuffle; the lag window rides the same partitioning.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("growth_pct"),
+    )
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of event values per type: exact
+    interpolated decile boundaries from one `percentile(array)` pass —
+    the complement of the fixed-bucket (equi-width) Prometheus histograms,
+    and the statistic that drives range-partitioning choices at scale
+    (equal-row splits, not equal-width splits).
+    """
+    ev = _events(spark, sf_dir)
+    cuts = [i / N_DECILES for i in range(1, N_DECILES)]
+    per_type = ev.groupBy("event_type").agg(
+        F.percentile("value", F.array(*[F.lit(c) for c in cuts])).alias("bounds"),
+        F.count("*").alias("n_events"),
+    )
+    return per_type.select(
+        "event_type",
+        "n_events",
+        F.posexplode("bounds"),
+    ).select(
+        "event_type",
+        "n_events",
+        (F.col("pos") + 1).cast("long").alias("decile"),
+        F.round("col", 6).alias("upper_bound"),
+    )
+
+
 QUERIES = {
+    "analytics_revenue_growth": revenue_growth,
+    "analytics_equidepth_histogram": equidepth_histogram,
     "analytics_incremental_mv": incremental_mv_refresh,
     "analytics_mad_outliers": mad_outliers,
     "analytics_ewma_smoothing": ewma_smoothing,
@@ -950,6 +1002,35 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_revenue_growth": """
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue,
+               lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+               round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta,
+               round((revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month) * 100, 4) AS growth_pct
+        FROM monthly
+    """,
+    "analytics_equidepth_histogram": f"""
+        WITH per_type AS (
+            SELECT event_type,
+                   quantile_cont(value,
+                       [{", ".join(str(i / N_DECILES) for i in range(1, N_DECILES))}])
+                       AS bounds,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n_events, d.decile, d.upper_bound FROM (
+            SELECT event_type, n_events,
+                   unnest(list_transform(generate_series(1, {N_DECILES - 1}),
+                          i -> {{decile: i, upper_bound: round(bounds[i], 6)}})) AS d
+            FROM per_type
+        )
+    """,
     "analytics_incremental_mv": """
         SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
                o_orderpriority,

@@ -404,7 +404,38 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over the FULL corpus, IVF-bucketed: the
+    self-join runs within centroid cells only, so the pair space is
+    sum(|cell|²) instead of n² — the centroid assignment is the blocking
+    key, same pattern as LSH bands but driven by the learned quantizer.
+    (The brute `cosine_near_dup_pairs` is the bounded-subset baseline; this
+    is its scale path. Recall is bounded by cell co-membership — near-dups
+    straddling a cell boundary need a probe>1 variant, the standard
+    trade-off.)
+    """
+    assigned = ivf_assignments(spark, sf_dir).select("vec_id", "embedding", "centroid")
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "centroid"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "centroid"
+    )
+    return (
+        a.join(b, "centroid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "centroid",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= NEAR_DUP_THRESHOLD)
+    )
+
+
 QUERIES = {
+    "similarity_ivf_near_dup": ivf_near_dup_pairs,
     "similarity_ivf_recall": ivf_recall,
     "similarity_semantic_dedup": semantic_dedup,
     "similarity_embedding_quantize": embedding_quantize,
@@ -617,4 +648,14 @@ ORACLES["similarity_ivf_recall"] = f"""
     FROM truth t LEFT JOIN approx a
       ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
     GROUP BY t.query_id
+"""
+
+ORACLES["similarity_ivf_near_dup"] = f"""
+    WITH assigned AS ({_IVF_ASSIGNED})
+    SELECT a.centroid, a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS.format(a="a.embedding", b="b.embedding")}, 6) AS cosine_sim
+    FROM assigned a JOIN assigned b
+      ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+    WHERE round({_COS.format(a="a.embedding", b="b.embedding")}, 6)
+          >= {NEAR_DUP_THRESHOLD}
 """
