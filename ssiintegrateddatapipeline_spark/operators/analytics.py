@@ -123,6 +123,22 @@ def _histogram_quantile(
         .groupBy(label_col, "le")
         .agg(F.count("*").alias("cum"))
     )
+    return quantile_from_bucket_counts(cum, totals, label_col, buckets, q)
+
+
+def quantile_from_bucket_counts(
+    cum: DataFrame,
+    totals: DataFrame,
+    label_col: str,
+    buckets: list[float],
+    q: float,
+) -> DataFrame:
+    """PromQL histogram_quantile interpolation over pre-aggregated cumulative
+    bucket counts (label, le, cum) — the query-time half of the Prometheus
+    split: counters are maintained (possibly by a streaming job), the
+    quantile is derived at read time from |labels| x |buckets| rows."""
+    spark = cum.sparkSession
+    bucket_df = spark.createDataFrame([(b,) for b in buckets], "le double")
     # densify: every (label, le) pair, missing -> 0. Both sides are
     # post-aggregation (|labels| x |buckets| and |labels x le|) — broadcast
     # the probe side so no shuffle survives the aggregation.
@@ -894,7 +910,58 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_BASKET_SUPPORT = 2  # pairs must co-occur in >= 2 orders
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-occurrence (market-basket) pairs: parts ordered together,
+    with lift against independence. The scale shape: distinct the basket
+    first (one shuffle on l_orderkey), self-join WITHIN the order key — the
+    shuffle is on the basket id, so pair blow-up is bounded by
+    sum(|basket|²) not n²; per-part totals and the basket count are
+    post-aggregation scalars/dims, broadcast back so scoring never
+    reshuffles the pair table. All-integer arithmetic until one final
+    division keeps lift bit-identical across engines.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pair_counts = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= MIN_BASKET_SUPPORT)
+    )
+    per_part = li.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    total = li.agg(F.countDistinct("l_orderkey").alias("n_total"))
+    pa = per_part.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    pb = per_part.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    return (
+        pair_counts.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            F.round(
+                (F.col("n_orders") * F.col("n_total")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
 QUERIES = {
+    "analytics_market_basket": market_basket_pairs,
     "analytics_revenue_growth": revenue_growth,
     "analytics_equidepth_histogram": equidepth_histogram,
     "analytics_incremental_mv": incremental_mv_refresh,
@@ -1002,6 +1069,23 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_market_basket": f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pc AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_orders
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= {MIN_BASKET_SUPPORT}
+        ),
+        pp AS (SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1),
+        t AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM li)
+        SELECT pc.part_a, pc.part_b, pc.n_orders,
+               round((pc.n_orders * t.n_total) / (pa.n_part * pb.n_part), 6) AS lift
+        FROM pc, t
+        JOIN pp pa ON pa.l_partkey = pc.part_a
+        JOIN pp pb ON pb.l_partkey = pc.part_b
+    """,
     "analytics_revenue_growth": """
         WITH monthly AS (
             SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,

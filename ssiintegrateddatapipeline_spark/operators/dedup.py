@@ -291,6 +291,101 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_MIN = 0.5  # report pairs where >= half of the smaller doc recurs
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplication: shingle CONTAINMENT
+    |A ∩ B| / min(|A|, |B|) — catches a document embedded inside a larger
+    one, which symmetric Jaccard dilutes below threshold (the RefinedWeb /
+    quote-inclusion case). Candidates come from the same LSH pair graph as
+    the Jaccard verifier; this is the exact-verification stage over the
+    bounded candidate set, one shingle equi-join + two broadcast size
+    lookups.
+    """
+    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text"))))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .join(cand, ["doc_id_a", "doc_id_b"], "leftsemi")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least("n_a", "n_b"), 6),
+        )
+        .where(F.col("containment") >= CONTAINMENT_MIN)
+        .select("doc_id_a", "doc_id_b", "n_common", "containment")
+    )
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: a NEW batch of documents is checked
+    against the EXISTING corpus — the shape every refreshed training set
+    needs (CommonCrawl snapshot N+1 vs the already-kept corpus). Never
+    re-deduplicates the old corpus: exact hits are a semi-join of the new
+    batch against the old content-hash set, near-dup hits reuse the same
+    LSH band join (band keys partition uniformly, so old-corpus size scales
+    the join, not the candidate explosion). Here old/new is simulated by
+    doc_id parity; in production the two sides are separate snapshots.
+
+    Output: every new doc with its fate — 'exact_dup' (byte-identical to an
+    old doc), 'near_dup' (LSH-verified against an old doc), or 'kept'.
+    Exact wins over near when both hold.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    old_hashes = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    near_new = (
+        pairs.where((F.col("doc_id_a") % 2) != (F.col("doc_id_b") % 2))
+        .select(
+            F.when(F.col("doc_id_a") % 2 == 1, F.col("doc_id_a"))
+            .otherwise(F.col("doc_id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    new_docs = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    # both lookup sides are post-aggregation and tiny relative to the new
+    # batch — broadcast them so the fate assignment never shuffles new_docs
+    return (
+        new_docs.join(F.broadcast(old_hashes), "content_hash", "left")
+        .join(F.broadcast(near_new), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), F.lit("exact_dup"))
+            .when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
 PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
 
@@ -448,6 +543,8 @@ QUERIES = {
     "graph_pagerank_neardup": pagerank_near_dup,
     "graph_triangle_count": triangle_count,
     "dedup_fuzzy_name_pairs": fuzzy_name_pairs,
+    "dedup_containment_pairs": containment_pairs,
+    "dedup_incremental": incremental_dedup,
     "dedup_url_canonical": url_canonical_dedup,
     "dedup_exact_events": exact_dedup_events,
     "dedup_exact_documents": exact_dedup_documents,
@@ -520,6 +617,43 @@ ORACLES = {
                levenshtein(a.name, b.name) AS edit_distance
         FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
         WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+    """,
+    "dedup_incremental": f"""
+        WITH {_SIG_CTE}, {_PAIRS_CTE},
+        old_h AS (
+            SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+        ),
+        near_new AS (
+            SELECT DISTINCT CASE WHEN doc_id_a % 2 = 1 THEN doc_id_a
+                                 ELSE doc_id_b END AS doc_id
+            FROM pairs WHERE (doc_id_a % 2) != (doc_id_b % 2)
+        )
+        SELECT n.doc_id,
+               CASE WHEN md5(n.text) IN (SELECT h FROM old_h) THEN 'exact_dup'
+                    WHEN n.doc_id IN (SELECT doc_id FROM near_new) THEN 'near_dup'
+                    ELSE 'kept' END AS status
+        FROM documents n WHERE n.doc_id % 2 = 1
+    """,
+    "dedup_containment_pairs": f"""
+        WITH {_SIG_CTE}, {_PAIRS_CTE},
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM shing
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+                   count(*) AS n_common
+            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_id_a, i.doc_id_b, i.n_common,
+               round(i.n_common / least(a.n_sh, b.n_sh), 6) AS containment
+        FROM inter i
+        JOIN sizes a ON a.doc_id = i.doc_id_a
+        JOIN sizes b ON b.doc_id = i.doc_id_b
+        WHERE round(i.n_common / least(a.n_sh, b.n_sh), 6) >= {CONTAINMENT_MIN}
+          AND EXISTS (SELECT 1 FROM pairs p
+                      WHERE p.doc_id_a = i.doc_id_a AND p.doc_id_b = i.doc_id_b)
     """,
     "graph_triangle_count": f"""
         WITH {_SIG_CTE}, {_PAIRS_CTE},

@@ -158,7 +158,50 @@ def profile_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed plan-time centers (approximate column means) — shifting by a LITERAL
+# keeps corr invariant while shrinking the magnitudes entering the
+# sum-of-products, so the cross-engine float parity of the explicit-SUM
+# formula survives the cancellation-prone (n*Sxy - Sx*Sy) numerator
+_CORR_COLS = [("l_quantity", 25.0), ("l_extendedprice", 38000.0), ("l_discount", 0.05)]
+
+
+def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem measures in ONE pass:
+    all the S_x, S_xx, S_xy partials are computed in a single aggregation
+    (map-side combine, one shuffle of a single wide row), the 3x3 matrix is
+    assembled from the partials with `stack` — never one pass per pair.
+    Built-in `corr` kernels differ ~1e-6 across engines; the explicit-SUM
+    spelling is portable bit-for-bit (same ops, same order).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    centered = li.select(
+        *[(F.col(c) - F.lit(shift)).alias(c) for c, shift in cols]
+    )
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c, _ in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, (cx, _) in enumerate(cols):
+        for cy, _ in cols[i + 1 :]:
+            aggs.append(F.sum(F.col(cx) * F.col(cy)).alias(f"sp_{cx}_{cy}"))
+    wide = centered.agg(*aggs)
+    pair_exprs = ", ".join(
+        f"'{cx}', '{cy}', "
+        f"round((n * sp_{cx}_{cy} - s_{cx} * s_{cy}) / "
+        f"(sqrt(n * ss_{cx} - s_{cx} * s_{cx}) * sqrt(n * ss_{cy} - s_{cy} * s_{cy})), 6)"
+        for i, (cx, _) in enumerate(cols)
+        for cy, _ in [p for p in cols[i + 1 :]]
+    )
+    n_pairs = len(cols) * (len(cols) - 1) // 2
+    return wide.select(
+        F.expr(f"stack({n_pairs}, {pair_exprs})").alias("col_x", "col_y", "pearson_r"),
+        F.col("n").cast("long").alias("n_rows"),
+    )
+
+
 QUERIES = {
+    "profile_correlations": profile_correlations,
     "profile_approx_distinct": profile_approx_distinct,
     "profile_columns": profile_columns,
     "profile_numeric": profile_numeric,
@@ -198,7 +241,34 @@ _TOP_ORACLE = """
     ) WHERE rank <= 3
 """
 
+def _corr_oracle() -> str:
+    cols = _CORR_COLS
+    sums = ["count(*)::DOUBLE AS n"]
+    for c, shift in cols:
+        sums.append(f"sum({c} - {shift}) AS s_{c}")
+        sums.append(f"sum(({c} - {shift}) * ({c} - {shift})) AS ss_{c}")
+    for i, (cx, sx) in enumerate(cols):
+        for cy, sy in cols[i + 1 :]:
+            sums.append(f"sum(({cx} - {sx}) * ({cy} - {sy})) AS sp_{cx}_{cy}")
+    selects = []
+    for i, (cx, _) in enumerate(cols):
+        for cy, _ in cols[i + 1 :]:
+            selects.append(
+                f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, "
+                f"round((n * sp_{cx}_{cy} - s_{cx} * s_{cy}) / "
+                f"(sqrt(n * ss_{cx} - s_{cx} * s_{cx})"
+                f" * sqrt(n * ss_{cy} - s_{cy} * s_{cy})), 6) AS pearson_r, "
+                f"n::BIGINT AS n_rows FROM wide"
+            )
+    body = " UNION ALL ".join(selects)
+    return f"WITH wide AS (SELECT {', '.join(sums)} FROM lineitem) {body}"
+
+
+_CORR_ORACLE = _corr_oracle()
+
+
 ORACLES = {
+    "profile_correlations": _CORR_ORACLE,
     "profile_approx_distinct": """
         SELECT col AS "column", n_exact, true AS within_bound FROM (
             SELECT 'event_id' AS col, count(DISTINCT event_id) AS n_exact FROM events

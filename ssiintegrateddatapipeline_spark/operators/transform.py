@@ -141,9 +141,78 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSEUDO_SALT = "ssi-pipeline-v1"  # rotate per dataset release
+
+
+def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving pseudonymization: user_id replaced by a salted
+    SHA-256 surrogate — deterministic (referential integrity survives across
+    tables and pipeline runs with the same salt) yet not reversible without
+    the salt. Per-row JVM hash, zero shuffle; the groupBy proves the
+    surrogate key aggregates exactly like the raw key did.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    token = F.sha2(F.concat(F.lit(PSEUDO_SALT), F.col("user_id").cast("string")), 256)
+    return (
+        ev.select(token.alias("user_token"), "value")
+        .groupBy("user_token")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+PACK_CAPACITY = 512  # tokens per packed training sequence
+PACK_GROUPS = 8  # parallel packing streams (cluster: ~numPartitions)
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to fixed
+    token-budget bins (context windows) with a greedy first-fit-in-order
+    pass, so short documents share a sequence instead of wasting pad
+    tokens. Packing is inherently sequential, so the corpus is split into
+    PACK_GROUPS deterministic hash groups (doc_id mod G) and each group
+    packs independently inside one `applyInPandas` call — groups are the
+    parallelism unit, the per-group loop is a tight pandas pass over
+    integers. At 100 TB, G is set to ~the cluster's core count and each
+    group streams one Arrow batch; bin identity is (group_id, bin_id).
+
+    A doc longer than the capacity gets its own (overflowing) bin —
+    truncation is the tokenizer's job downstream, losing the doc is worse.
+    """
+    import pandas as pd
+
+    from ssiintegrateddatapipeline_spark.operators.text import BPE_ISH_PATTERN
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        (F.col("doc_id") % PACK_GROUPS).alias("group_id"),
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))).alias(
+            "n_tokens"
+        ),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins: list[int] = []
+        cur_bin, cur_fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if cur_fill > 0 and cur_fill + n > PACK_CAPACITY:
+                cur_bin, cur_fill = cur_bin + 1, 0
+            bins.append(cur_bin)
+            cur_fill += n
+        pdf["bin_id"] = bins
+        return pdf[["group_id", "doc_id", "n_tokens", "bin_id"]]
+
+    return base.groupBy("group_id").applyInPandas(
+        pack, "group_id long, doc_id long, n_tokens int, bin_id int"
+    )
+
+
 QUERIES = {
     "transform_normalize_roundtrip": normalize_roundtrip,
     "transform_zorder_layout": zorder_layout,
+    "transform_pseudonymize": pseudonymize_users,
+    "transform_sequence_pack": sequence_pack,
 }
 
 _Z_SQL = " | ".join(
@@ -151,7 +220,40 @@ _Z_SQL = " | ".join(
     for i in range(ZORDER_BITS)
 )
 
+# DuckDB spelling of text.BPE_ISH_PATTERN token counting
+_BPE_N_SQL = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+
 ORACLES = {
+    "transform_sequence_pack": f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id % {PACK_GROUPS} AS group_id, doc_id,
+                   {_BPE_N_SQL} AS n_tokens,
+                   row_number() OVER (
+                       PARTITION BY doc_id % {PACK_GROUPS} ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        ),
+        pack AS (
+            SELECT group_id, doc_id, n_tokens, rn,
+                   0 AS bin_id, n_tokens AS fill
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.group_id, b.doc_id, b.n_tokens, b.rn,
+                   CASE WHEN p.fill > 0 AND p.fill + b.n_tokens > {PACK_CAPACITY}
+                        THEN p.bin_id + 1 ELSE p.bin_id END,
+                   CASE WHEN p.fill > 0 AND p.fill + b.n_tokens > {PACK_CAPACITY}
+                        THEN b.n_tokens ELSE p.fill + b.n_tokens END
+            FROM base b JOIN pack p
+              ON b.group_id = p.group_id AND b.rn = p.rn + 1
+        )
+        SELECT group_id, doc_id, n_tokens, bin_id FROM pack
+    """,
+    "transform_pseudonymize": f"""
+        SELECT sha256('{PSEUDO_SALT}' || user_id::VARCHAR) AS user_token,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1
+    """,
     "transform_zorder_layout": f"""
         WITH keyed AS (
             SELECT x, y, {_Z_SQL} AS z FROM (

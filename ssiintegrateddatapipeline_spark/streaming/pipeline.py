@@ -38,6 +38,9 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
+from ssiintegrateddatapipeline_spark.operators.analytics import (
+    _P95_ORACLE as _BATCH_P95_ORACLE,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -107,6 +110,70 @@ def payload_hist_plan(stream: DataFrame, buckets: list[float]) -> DataFrame:
         .join(F.broadcast(bucket_df), F.col("payload_bytes") <= F.col("le"))
         .groupBy("le")
         .agg(F.count("*").alias("cum_count"))
+    )
+
+
+def value_hist_plan(stream: DataFrame, buckets: list[float]) -> DataFrame:
+    """Labeled cumulative bucket counts over the stream — the state the
+    streaming job maintains is |labels| x |buckets| counters, NEVER raw
+    observations; quantiles are derived at query time (the Prometheus
+    architecture, and the only p95 formulation with O(1) streaming state)."""
+    spark = stream.sparkSession
+    bucket_df = spark.createDataFrame([(b,) for b in buckets], "le double")
+    return (
+        stream.join(F.broadcast(bucket_df), F.col("value") <= F.col("le"))
+        .groupBy("event_type", "le")
+        .agg(F.count("*").alias("cum"))
+    )
+
+
+def streaming_p95_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/Q2 end-to-end the way the reference actually runs it: a streaming
+    job maintains histogram counters; `histogram_quantile` interpolates at
+    read time. The oracle is the batch p95 — the two-phase split must be
+    lossless."""
+    from ssiintegrateddatapipeline_spark.operators.analytics import (
+        quantile_from_bucket_counts,
+    )
+
+    buckets = [1.0, 2.0, 5.0, 10.0, 25.0, 50.0, 100.0, 150.0, 200.0, 300.0]
+    # the +Inf bucket is the Prometheus _count: totals come from it, so
+    # observations above the last finite bound still weigh into the target
+    hist = run_available_now(
+        value_hist_plan(events_stream(spark, sf_dir), buckets + [float("inf")])
+    )
+    totals = (
+        hist.where(F.col("le") == float("inf"))
+        .select("event_type", F.col("cum").alias("total"))
+    )
+    return quantile_from_bucket_counts(
+        hist.where(F.col("le") != float("inf")), totals, "event_type", buckets, 0.95
+    )
+
+
+TOPK_USERS = 10
+
+
+def streaming_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: the stream maintains one counter row per
+    user (complete-mode groupBy state, same O(|keys|) footprint as the
+    metrics counters); the top-k ranking happens at READ time over the
+    materialized counter table — ranking inside the stream would force a
+    global sort per micro-batch. The oracle is the batch top-k: streaming
+    counters must lose nothing.
+    """
+    from pyspark.sql import Window
+
+    counts = run_available_now(
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.orderBy(F.desc("n_events"), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_USERS)
+        .select("user_id", "n_events", "rank")
     )
 
 
@@ -402,6 +469,8 @@ QUERIES = {
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_dedup": streaming_dedup,
     "streaming_dedup_watermark": streaming_dedup_watermark,
+    "streaming_p95_value": streaming_p95_value,
+    "streaming_top_users": streaming_top_users,
     "streaming_session_windows": streaming_session_windows,
     "streaming_attribution": streaming_attribution,
     "streaming_throughput_30s": streaming_throughput_30s,
@@ -411,6 +480,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    # identical final answer to the batch histogram p95: the streaming
+    # counter/interpolation split must be lossless
+    "streaming_p95_value": _BATCH_P95_ORACLE,
+
+    "streaming_top_users": f"""
+        SELECT user_id, n_events, rank FROM (
+            SELECT user_id, count(*) AS n_events,
+                   row_number() OVER (ORDER BY count(*) DESC, user_id) AS rank
+            FROM events GROUP BY user_id
+        ) WHERE rank <= {TOPK_USERS}
+    """,
     "streaming_sliding_rate": """
         WITH offsets(o) AS (VALUES (0), (10), (20)),
         assigned AS (
