@@ -444,7 +444,114 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 128  # tokens per retrieval/training chunk
+CHUNK_STRIDE = 96  # 25% overlap between consecutive chunks
+
+
+def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunking: every document becomes a set of fixed-size
+    token windows with stride < size (the RAG-indexing / long-doc-training
+    split). Pure expression work — token count per row, `sequence` for the
+    window starts, one explode — no UDF, no shuffle; at 100 TB this stays
+    entirely inside whole-stage codegen and scales row-local.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(CHUNK_STRIDE))
+            ).alias("start_token"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"start_token div {CHUNK_STRIDE}").alias("chunk_idx"),
+            "start_token",
+            (
+                F.least(F.col("start_token") + CHUNK_SIZE, F.col("n_tokens"))
+                - F.col("start_token")
+            ).alias("n_chunk_tokens"),
+        )
+    )
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal: Shannon entropy (bits/char) of each
+    document's character distribution — near-zero entropy flags degenerate
+    repeated-character spam, unusually high entropy flags binary/garbled
+    payloads masquerading as text; both are standard pre-training filters.
+    Two hash aggregations ((doc, char) then doc), map-side combined; the
+    entropy is assembled as log2(n) - Σ c·log2(c)/n so both engines compute
+    the identical expression tree.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log2("c")).alias("slc"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars"),
+            F.round(F.log2("n") - F.col("slc") / F.col("n"), 6).alias("entropy_bits"),
+        )
+    )
+
+
+LM_TOP_BIGRAMS = 0  # placeholder: full corpus LM, no truncation
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency scoring (the KenLM-filter shape): train an add-one
+    bigram model on the corpus itself, then score every document's mean
+    -log2 P(w_i | w_{i-1}) — wildly improbable token sequences (gibberish,
+    boilerplate soup) score high and get filtered. One explode builds the
+    bigram stream; model "training" is two hash aggregations; scoring joins
+    each doc's bigrams against the model on the bigram key (uniform hash
+    keys, even shuffle) with the unigram table and vocab size broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bigram_c = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    unigram_c = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = bi.select(F.countDistinct("w2").alias("v"))
+    scored = (
+        bi.join(bigram_c, ["w1", "w2"])
+        .join(F.broadcast(unigram_c), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log2((F.col("c12") + 1) / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.sum("lp") / F.count("*"), 6).alias("bits_per_bigram"),
+    )
+
+
 QUERIES = {
+    "text_chunk_windows": chunk_windows,
+    "text_char_entropy": char_entropy,
+    "text_bigram_lm_score": bigram_lm_score,
     "text_boilerplate_scrub": boilerplate_scrub,
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_inverted_index": inverted_index,
@@ -530,6 +637,55 @@ _CLEAN_CORPUS_ORACLE = f"""
 """
 
 ORACLES = {
+    "text_chunk_windows": f"""
+        WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+        st AS (
+            SELECT doc_id, n,
+                   unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS s
+            FROM t
+        )
+        SELECT doc_id, s // {CHUNK_STRIDE} AS chunk_idx, s AS start_token,
+               least(s + {CHUNK_SIZE}, n) - s AS n_chunk_tokens
+        FROM st
+    """,
+    "text_char_entropy": """
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        ),
+        c AS (
+            SELECT doc_id, ch, count(*) AS c FROM ch
+            WHERE ch != '' GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS slc
+            FROM c GROUP BY 1
+        )
+        SELECT doc_id, n::BIGINT AS n_chars,
+               round(log2(n) - slc / n, 6) AS entropy_bits
+        FROM e
+    """,
+    "text_bigram_lm_score": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t
+        ),
+        bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        uc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        v AS (SELECT count(DISTINCT w2) AS v FROM bi),
+        scored AS (
+            SELECT bi.doc_id, log2((bc.c12 + 1) / (uc.c1 + v.v)) AS lp
+            FROM bi
+            JOIN bc USING (w1, w2)
+            JOIN uc USING (w1)
+            CROSS JOIN v
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(-sum(lp) / count(*), 6) AS bits_per_bigram
+        FROM scored GROUP BY doc_id
+    """,
     "text_boilerplate_scrub": f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
