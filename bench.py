@@ -60,6 +60,13 @@ HEADLINE = [
     "transform_zorder_layout",
     "text_boilerplate_scrub",
     "dedup_fuzzy_name_pairs",
+    "analytics_market_basket",
+    "transform_sequence_pack",
+    "text_chunk_windows",
+    "text_char_entropy",
+    "text_bigram_lm_score",
+    "dedup_incremental",
+    "profile_correlations",
 ]
 
 

@@ -303,8 +303,20 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded candidate set, one shingle equi-join + two broadcast size
     lookups.
     """
-    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b").persist()
+    # the exact-verify stage only ever touches docs that appear in some
+    # candidate pair — semi-join the CORPUS down to those BEFORE sharding
+    # shingles, so the expensive shingle self-join runs over the candidate
+    # sliver, not the whole corpus (at 100 TB this is the difference
+    # between a bounded verify and re-joining the dataset)
+    cand_docs = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    d = load_table(spark, sf_dir, "documents").join(
+        F.broadcast(cand_docs), "doc_id", "leftsemi"
+    )
     sh = d.select(
         "doc_id",
         F.explode(
@@ -320,13 +332,13 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b")
         )
         .agg(F.count("*").alias("n_common"))
-        .join(cand, ["doc_id_a", "doc_id_b"], "leftsemi")
+        .join(F.broadcast(cand), ["doc_id_a", "doc_id_b"], "leftsemi")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
+        inter.join(F.broadcast(sa), "doc_id_a")
+        .join(F.broadcast(sb), "doc_id_b")
         .withColumn(
             "containment",
             F.round(F.col("n_common") / F.least("n_a", "n_b"), 6),
