@@ -67,6 +67,8 @@ HEADLINE = [
     "text_bigram_lm_score",
     "dedup_incremental",
     "profile_correlations",
+    "analytics_ks_drift",
+    "similarity_embedding_drift",
 ]
 
 

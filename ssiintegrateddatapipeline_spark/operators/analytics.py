@@ -910,6 +910,49 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KS_TYPE_A, KS_TYPE_B = "click", "purchase"
+
+
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the `value`
+    distributions of two event types — the standard distribution-drift
+    test a data pipeline runs between snapshots or between a reference
+    and a live feed. Exact, not sketched: counts per distinct value (one
+    hash agg), cumulative sums over the ordered distinct-value table, max
+    gap between the two empirical CDFs. The ordered window runs over the
+    DISTINCT values only — bounded for any discretized metric — so the
+    single-partition sort is a read-time footnote, not a data-scale sort;
+    every ratio is exact-integer / exact-integer, bit-identical anywhere.
+    """
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)).select(
+        "value",
+        (F.col("event_type") == KS_TYPE_A).cast("long").alias("ia"),
+        (F.col("event_type") == KS_TYPE_B).cast("long").alias("ib"),
+    )
+    per_val = v.groupBy("value").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
+    )
+    tot = v.agg(F.sum("ia").alias("na"), F.sum("ib").alias("nb"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(F.col("cuma") / F.col("na") - F.col("cumb") / F.col("nb"))
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+        .select(
+            F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "ks_stat"
+        )
+    )
+
+
 MIN_BASKET_SUPPORT = 2  # pairs must co-occur in >= 2 orders
 
 
@@ -961,6 +1004,7 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "analytics_ks_drift": ks_drift,
     "analytics_market_basket": market_basket_pairs,
     "analytics_revenue_growth": revenue_growth,
     "analytics_equidepth_histogram": equidepth_histogram,
@@ -1069,6 +1113,26 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_ks_drift": f"""
+        WITH v AS (
+            SELECT value,
+                   CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END AS ia,
+                   CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END AS ib
+            FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+        ),
+        pv AS (SELECT value, sum(ia) AS ca, sum(ib) AS cb FROM v GROUP BY 1),
+        c AS (
+            SELECT sum(ca) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+                   sum(cb) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+            FROM pv
+        ),
+        t AS (SELECT sum(ia) AS na, sum(ib) AS nb FROM v)
+        SELECT t.na::BIGINT AS n_a, t.nb::BIGINT AS n_b,
+               round(max(abs(c.cuma / t.na - c.cumb / t.nb)), 6) AS ks_stat
+        FROM c, t GROUP BY t.na, t.nb
+    """,
     "analytics_market_basket": f"""
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         pc AS (

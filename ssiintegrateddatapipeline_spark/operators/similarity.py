@@ -434,7 +434,48 @@ def ivf_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two snapshot halves (vec_id
+    parity stands in for snapshot N vs N+1): per-dimension means of each
+    half, then the cosine and L2 distance between the two mean vectors —
+    the cheap first-line monitor for 'did the embedding model or the
+    corpus shift under us'. One posexplode + one (half, dim) hash agg
+    (64·2 output rows regardless of corpus size), so at 100 TB the whole
+    comparison reduces map-side; means are rounded before the distance so
+    both engines assemble identical doubles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    means = dims.groupBy("half", "pos").agg(
+        F.round(F.sum(F.col("v").cast("double")) / F.count("*"), 6).alias("m")
+    )
+    m0 = means.where(F.col("half") == 0).select("pos", F.col("m").alias("m0"))
+    m1 = means.where(F.col("half") == 1).select("pos", F.col("m").alias("m1"))
+    return (
+        m0.join(m1, "pos")
+        .agg(
+            F.count("*").alias("n_dims"),
+            F.round(
+                F.sum(F.col("m0") * F.col("m1"))
+                / (
+                    F.sqrt(F.sum(F.col("m0") * F.col("m0")))
+                    * F.sqrt(F.sum(F.col("m1") * F.col("m1")))
+                ),
+                6,
+            ).alias("mean_cosine"),
+            F.round(
+                F.sqrt(F.sum((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1")))),
+                6,
+            ).alias("mean_l2"),
+        )
+    )
+
+
 QUERIES = {
+    "similarity_embedding_drift": embedding_drift,
     "similarity_ivf_near_dup": ivf_near_dup_pairs,
     "similarity_ivf_recall": ivf_recall,
     "similarity_semantic_dedup": semantic_dedup,
@@ -503,6 +544,28 @@ _IVF_PROBES = f"""
 """
 
 ORACLES = {
+    "similarity_embedding_drift": """
+        WITH idx AS (
+            SELECT vec_id % 2 AS half, embedding,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings
+        ),
+        dims AS (SELECT half, pos, embedding[pos]::DOUBLE AS v FROM idx),
+        means AS (
+            SELECT half, pos, round(sum(v) / count(*), 6) AS m
+            FROM dims GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT a.m AS m0, b.m AS m1
+            FROM means a JOIN means b ON a.pos = b.pos
+            WHERE a.half = 0 AND b.half = 1
+        )
+        SELECT count(*) AS n_dims,
+               round(sum(m0 * m1) /
+                     (sqrt(sum(m0 * m0)) * sqrt(sum(m1 * m1))), 6) AS mean_cosine,
+               round(sqrt(sum((m0 - m1) * (m0 - m1))), 6) AS mean_l2
+        FROM j
+    """,
     "similarity_semantic_dedup": f"""
         WITH cells AS (
             SELECT vec_id,

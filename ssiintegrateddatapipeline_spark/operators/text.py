@@ -505,9 +505,6 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LM_TOP_BIGRAMS = 0  # placeholder: full corpus LM, no truncation
-
-
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM fluency scoring (the KenLM-filter shape): train an add-one
     bigram model on the corpus itself, then score every document's mean

@@ -265,3 +265,41 @@ def test_incremental_mv_two_scans_only(spark, sf_dir):
         if line.lstrip().startswith("(") and "Scan parquet" in line
     ]
     assert len(scans) == 2, scans
+
+
+def test_market_basket_broadcasts_lookup_sides(spark, sf_dir):
+    """Pair scoring must broadcast the per-part totals and the basket-count
+    scalar — only the within-order self-join may shuffle."""
+    plan = _executed_plan(_QUERIES["analytics_market_basket"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the single-row total
+
+
+def test_chunk_windows_stays_jvm_side(spark, sf_dir):
+    """Chunking is sequence+explode — any Python eval node means the
+    splitter fell off the codegen path."""
+    plan = _executed_plan(_QUERIES["text_chunk_windows"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan
+
+
+def test_sequence_pack_uses_grouped_arrow_batches(spark, sf_dir):
+    """Greedy packing must run as grouped-map Arrow batches (one pandas
+    call per group), not a row-at-a-time Python UDF."""
+    plan = _executed_plan(_QUERIES["transform_sequence_pack"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_incremental_dedup_broadcasts_fate_lookups(spark, sf_dir):
+    """Old-corpus hash set and near-dup id set are post-aggregation slivers:
+    the fate assignment must broadcast both, never shuffle the new batch."""
+    plan = _executed_plan(_QUERIES["dedup_incremental"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_containment_cuts_corpus_before_shingle_join(spark, sf_dir):
+    """The exact-verify stage must semi-join the corpus down to candidate
+    docs via broadcast before the shingle self-join."""
+    plan = _executed_plan(_QUERIES["dedup_containment_pairs"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
