@@ -69,6 +69,7 @@ HEADLINE = [
     "profile_correlations",
     "analytics_ks_drift",
     "similarity_embedding_drift",
+    "profile_quality_checks",
 ]
 
 

@@ -971,21 +971,39 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    # one shuffle assembles each basket as a sorted in-row array; the i<j
+    # pair combinations are generated by pure expressions (transform over
+    # the tail slice per element, flattened) — no self-join, no second
+    # shuffle of the fact table, and the blow-up is bounded in-row by
+    # |basket|² instead of materializing a join
+    # persist: every downstream aggregate (pairs, per-part totals, basket
+    # count) derives from this one table, so the fact is shuffled ONCE
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .persist()
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pair_counts = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        baskets.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count("*").alias("n_orders"))
         .where(F.col("n_orders") >= MIN_BASKET_SUPPORT)
     )
-    per_part = li.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
-    total = li.agg(F.countDistinct("l_orderkey").alias("n_total"))
+    per_part = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_part"))
+    )
+    total = baskets.agg(F.count("*").alias("n_total"))
     pa = per_part.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
     pb = per_part.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
     return (

@@ -200,7 +200,68 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the dbt-test / Deequ shape): a fixed
+    suite of constraints — referential integrity, value ranges, key
+    uniqueness, non-emptiness — each evaluated corpus-wide and reported as
+    one row (check, rows scanned, violations, pass). Every check is an
+    independent aggregation (map-side combined, one wide row each); the FK
+    check is the only join and shuffles on the key. The union is of five
+    single-row frames — plan cost is the scans, nothing else.
+    """
+
+    def scan_check(df: DataFrame, name: str, viol) -> DataFrame:
+        return (
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.sum(viol.cast("long")).alias("n_violations"),
+            )
+            .select(
+                F.lit(name).alias("check_name"),
+                "n_rows",
+                "n_violations",
+                (F.col("n_violations") == 0).alias("passed"),
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    fk = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("_hit")),
+        "o_custkey",
+        "left",
+    )
+    checks = [
+        scan_check(fk, "orders_custkey_fk", F.col("_hit").isNull()),
+        scan_check(
+            li,
+            "lineitem_qty_range",
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        scan_check(ev, "events_value_nonneg", F.col("value") < 0),
+        scan_check(docs, "documents_nonempty", F.length("text") == 0),
+        cust.agg(
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.countDistinct("c_custkey")).alias("n_violations"),
+        ).select(
+            F.lit("customer_pk_unique").alias("check_name"),
+            "n_rows",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 QUERIES = {
+    "profile_quality_checks": profile_quality_checks,
     "profile_correlations": profile_correlations,
     "profile_approx_distinct": profile_approx_distinct,
     "profile_columns": profile_columns,
@@ -268,6 +329,38 @@ _CORR_ORACLE = _corr_oracle()
 
 
 ORACLES = {
+    "profile_quality_checks": """
+        SELECT 'orders_custkey_fk' AS check_name,
+               (SELECT count(*) FROM orders) AS n_rows,
+               (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                    (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)) AS n_violations,
+               (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                    (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)) = 0 AS passed
+        UNION ALL
+        SELECT 'lineitem_qty_range', count(*),
+               sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END),
+               sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'events_value_nonneg', count(*),
+               sum(CASE WHEN value < 0 THEN 1 ELSE 0 END),
+               sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'documents_nonempty', count(*),
+               sum(CASE WHEN len(text) = 0 THEN 1 ELSE 0 END),
+               sum(CASE WHEN len(text) = 0 THEN 1 ELSE 0 END) = 0
+        FROM documents
+        UNION ALL
+        SELECT 'customer_pk_unique', count(*),
+               count(*) - count(DISTINCT c_custkey),
+               count(*) - count(DISTINCT c_custkey) = 0
+        FROM customer
+    """,
     "profile_correlations": _CORR_ORACLE,
     "profile_approx_distinct": """
         SELECT col AS "column", n_exact, true AS within_bound FROM (
