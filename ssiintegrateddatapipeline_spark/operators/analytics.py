@@ -383,13 +383,24 @@ def salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate fast path for Q1/Q2-style quantiles:
     ``approx_percentile`` (Greenwald-Khanna sketch, JVM-side, single pass,
-    mergeable partials). Kept alongside the exact bucket-interpolation
-    operator; approximate by construction, so the driver records the
-    rows-only check (no SQL oracle)."""
+    mergeable partials). The sketch value itself is engine-specific, so the
+    oracle pins the CONTRACT instead: the sketch p95 must land between the
+    exact p94 and p96 (far looser than GK's 1e-4 rank guarantee) — the
+    oracle asserts `within_bound` true, so a sketch regression becomes a
+    hash mismatch."""
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.95).alias("p95_approx"),
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.95).alias("sketch"),
+        F.percentile("value", F.lit(0.94)).alias("lo"),
+        F.percentile("value", F.lit(0.96)).alias("hi"),
         F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        ((F.col("sketch") >= F.col("lo")) & (F.col("sketch") <= F.col("hi"))).alias(
+            "within_bound"
+        ),
     )
 
 
@@ -953,6 +964,71 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_BIN_W = 25.0  # equi-width value bins for the stability index
+PSI_MAX_BIN = 12  # values above 300 collapse into the top bin
+_PSI_NBINS = PSI_MAX_BIN + 1
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the same two event-type value
+    distributions the KS test compares — the binned, magnitude-weighted
+    drift score model-monitoring pipelines page on (PSI > 0.2 = retrain).
+    Fixed equi-width bins (floor(value/25), capped) with Laplace 0.5
+    smoothing so empty bins stay defined; one hash agg over (bin) with
+    both types' counts as conditional sums — same single-pass shape as the
+    KS CDF, but no ordered window at all, so it scales as a pure
+    map-side-combined aggregation.
+    """
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)).select(
+        F.least(F.floor(F.col("value") / PSI_BIN_W), F.lit(PSI_MAX_BIN)).alias("bin"),
+        (F.col("event_type") == KS_TYPE_A).cast("long").alias("ia"),
+        (F.col("event_type") == KS_TYPE_B).cast("long").alias("ib"),
+    )
+    per_bin = v.groupBy("bin").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    tot = v.agg(F.sum("ia").alias("na"), F.sum("ib").alias("nb"))
+    pa = (F.col("ca") + 0.5) / (F.col("na") + 0.5 * _PSI_NBINS)
+    pb = (F.col("cb") + 0.5) / (F.col("nb") + 0.5 * _PSI_NBINS)
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+        )
+        .select(
+            F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "n_bins", "psi"
+        )
+    )
+
+
+SPIKE_HI, SPIKE_LO = 1.5, 0.5  # hour flagged when count strays 50% off baseline
+
+
+def hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly flags: per (event_type, hour-of-day) event
+    counts vs the type's flat 24-hour baseline; hours running >50% hot or
+    cold are flagged. The ratio is count·24/total — all-integer until one
+    exact division — so the flags are bit-deterministic; one hash agg plus
+    a broadcast of the per-type totals (|types| rows).
+    """
+    ev = _events(spark, sf_dir)
+    hod = ev.select("event_type", F.hour("ts").alias("hod"))
+    per_hour = hod.groupBy("event_type", "hod").agg(F.count("*").alias("n"))
+    totals = hod.groupBy("event_type").agg(F.count("*").alias("total"))
+    ratio = (F.col("n") * 24) / F.col("total")
+    return (
+        per_hour.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            F.round(ratio, 6).alias("vs_baseline"),
+            ((ratio > SPIKE_HI) | (ratio < SPIKE_LO)).alias("is_anomalous"),
+        )
+    )
+
+
 MIN_BASKET_SUPPORT = 2  # pairs must co-occur in >= 2 orders
 
 
@@ -1023,6 +1099,8 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "analytics_ks_drift": ks_drift,
+    "analytics_psi_drift": psi_drift,
+    "analytics_hourly_anomaly": hourly_anomaly,
     "analytics_market_basket": market_basket_pairs,
     "analytics_revenue_growth": revenue_growth,
     "analytics_equidepth_histogram": equidepth_histogram,
@@ -1131,6 +1209,40 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_p95_approx": """
+        SELECT event_type, count(*) AS n_events, true AS within_bound
+        FROM events GROUP BY 1
+    """,
+    "analytics_psi_drift": f"""
+        WITH v AS (
+            SELECT least(floor(value / {PSI_BIN_W}), {PSI_MAX_BIN}) AS bin,
+                   CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END AS ia,
+                   CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END AS ib
+            FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+        ),
+        pb AS (SELECT bin, sum(ia) AS ca, sum(ib) AS cb FROM v GROUP BY 1),
+        t AS (SELECT sum(ia) AS na, sum(ib) AS nb FROM v)
+        SELECT t.na::BIGINT AS n_a, t.nb::BIGINT AS n_b,
+               count(*) AS n_bins,
+               round(sum(((pb.ca + 0.5) / (t.na + 0.5 * {_PSI_NBINS})
+                          - (pb.cb + 0.5) / (t.nb + 0.5 * {_PSI_NBINS}))
+                         * ln(((pb.ca + 0.5) / (t.na + 0.5 * {_PSI_NBINS}))
+                              / ((pb.cb + 0.5) / (t.nb + 0.5 * {_PSI_NBINS})))),
+                     6) AS psi
+        FROM pb, t GROUP BY t.na, t.nb
+    """,
+    "analytics_hourly_anomaly": f"""
+        WITH h AS (
+            SELECT event_type, extract(hour FROM ts) AS hod FROM events
+        ),
+        ph AS (SELECT event_type, hod, count(*) AS n FROM h GROUP BY 1, 2),
+        t AS (SELECT event_type, count(*) AS total FROM h GROUP BY 1)
+        SELECT ph.event_type, ph.hod::INT AS hod, ph.n,
+               round((ph.n * 24) / t.total, 6) AS vs_baseline,
+               ((ph.n * 24) / t.total > {SPIKE_HI}
+                OR (ph.n * 24) / t.total < {SPIKE_LO}) AS is_anomalous
+        FROM ph JOIN t ON t.event_type = ph.event_type
+    """,
     "analytics_ks_drift": f"""
         WITH v AS (
             SELECT value,

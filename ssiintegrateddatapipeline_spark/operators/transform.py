@@ -178,8 +178,6 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     A doc longer than the capacity gets its own (overflowing) bin —
     truncation is the tokenizer's job downstream, losing the doc is worse.
     """
-    import pandas as pd
-
     from ssiintegrateddatapipeline_spark.operators.text import BPE_ISH_PATTERN
 
     d = load_table(spark, sf_dir, "documents")
@@ -190,13 +188,20 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
+    return pack_into_bins(base, PACK_CAPACITY)
+
+
+def pack_into_bins(base: DataFrame, capacity: int) -> DataFrame:
+    """Greedy first-fit-in-order packing of (group_id, doc_id, n_tokens)
+    rows into token-budget bins, one sequential pandas pass per group."""
+    import pandas as pd
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins: list[int] = []
         cur_bin, cur_fill = 0, 0
         for n in pdf["n_tokens"]:
-            if cur_fill > 0 and cur_fill + n > PACK_CAPACITY:
+            if cur_fill > 0 and cur_fill + n > capacity:
                 cur_bin, cur_fill = cur_bin + 1, 0
             bins.append(cur_bin)
             cur_fill += n

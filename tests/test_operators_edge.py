@@ -161,3 +161,24 @@ def test_scd2_intervals_cover_and_do_not_overlap(spark, sf_dir):
         for a_row, b_row in zip(rs, rs[1:]):
             assert a_row.valid_to_year == b_row.valid_from_year
             assert a_row.tier != b_row.tier
+
+
+def test_sequence_pack_edge_semantics(spark):
+    """Greedy packing invariants: an oversized doc keeps its own
+    (overflowing) bin without stranding followers; bins never exceed
+    capacity unless a single doc does; order within a group is by doc_id."""
+    from ssiintegrateddatapipeline_spark.operators.transform import pack_into_bins
+
+    rows = [
+        # group 0: 300+200 fit (cap 512), 600 oversized alone, 100 starts next
+        (0, 1, 300), (0, 2, 200), (0, 3, 600), (0, 4, 100),
+        # group 1: exact-capacity doc, then another
+        (1, 5, 512), (1, 6, 1),
+    ]
+    base = spark.createDataFrame(rows, "group_id long, doc_id long, n_tokens int")
+    out = {
+        (r.group_id, r.doc_id): r.bin_id
+        for r in pack_into_bins(base, 512).collect()
+    }
+    assert out == {(0, 1): 0, (0, 2): 0, (0, 3): 1, (0, 4): 2,
+                   (1, 5): 0, (1, 6): 1}

@@ -170,3 +170,25 @@ def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """A lake accretes columns over time: files written before a column
+    existed must still read alongside new files, with nulls backfilled —
+    `mergeSchema` is the read-side contract for schema evolution."""
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(50)
+    path = str(tmp_path / "evolved")
+    ev.select("event_id", "user_id").write.parquet(f"{path}/batch=1")
+    ev.select("event_id", "user_id", "value").write.parquet(f"{path}/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"event_id", "user_id", "value", "batch"}
+    old_rows = merged.where(F.col("batch") == 1)
+    assert old_rows.count() == 50
+    # the column born later is null for pre-existing files, never dropped
+    assert old_rows.where(F.col("value").isNull()).count() == 50
+    assert merged.where(F.col("batch") == 2).where(
+        F.col("value").isNotNull()
+    ).count() == 50
