@@ -70,6 +70,9 @@ HEADLINE = [
     "analytics_ks_drift",
     "similarity_embedding_drift",
     "profile_quality_checks",
+    "transform_snapshot_diff",
+    "analytics_rolling_distinct_users",
+    "sampling_weighted",
 ]
 
 

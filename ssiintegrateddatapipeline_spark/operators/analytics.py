@@ -1097,8 +1097,36 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Rolling distinct users (DAU / trailing-7-day WAU): the canonical active-user
+# metric. COUNT(DISTINCT) doesn't slide incrementally, so the scale-correct
+# plan is: (1) dedup events to one row per (day, user) — one shuffle whose
+# output is bounded by |users|×|days| regardless of event volume; (2) join
+# the tiny day spine (broadcast, |days| rows) against the dedup'd table with
+# a 7-day range predicate — a 7× fan-out of an already-small table; (3) count
+# distinct users per spine day. At 100 TB of events, step 1 does all the
+# heavy lifting and partial-aggregates map-side before shuffling.
+# ---------------------------------------------------------------------------
+
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day_users = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    spine = day_users.select("d").distinct()
+    joined = F.broadcast(spine.withColumnRenamed("d", "day")).join(
+        day_users,
+        (F.col("d") <= F.col("day")) & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+    )
+    return joined.groupBy("day").agg(
+        F.countDistinct(F.when(F.col("d") == F.col("day"), F.col("user_id"))).alias(
+            "dau"
+        ),
+        F.countDistinct("user_id").alias("wau_trailing_7d"),
+    )
+
+
 QUERIES = {
     "analytics_ks_drift": ks_drift,
+    "analytics_rolling_distinct_users": rolling_distinct_users,
     "analytics_psi_drift": psi_drift,
     "analytics_hourly_anomaly": hourly_anomaly,
     "analytics_market_basket": market_basket_pairs,
@@ -1209,6 +1237,19 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_rolling_distinct_users": """
+        WITH day_users AS (
+            SELECT DISTINCT ts::DATE AS d, user_id FROM events
+        ),
+        spine AS (SELECT DISTINCT d AS day FROM day_users)
+        SELECT s.day,
+               count(DISTINCT CASE WHEN du.d = s.day THEN du.user_id END) AS dau,
+               count(DISTINCT du.user_id) AS wau_trailing_7d
+        FROM spine s
+        JOIN day_users du
+          ON du.d <= s.day AND du.d >= s.day - 6
+        GROUP BY s.day
+    """,
     "analytics_p95_approx": """
         SELECT event_type, count(*) AS n_events, true AS within_bound
         FROM events GROUP BY 1

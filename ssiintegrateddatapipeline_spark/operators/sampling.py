@@ -107,6 +107,37 @@ def train_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# weighted sampling: weight = min(value, W_CAP)/W_CAP, gated on a 16-bit
+# slice of the content hash. 65536/W_CAP precomputed so both engines build
+# the identical double-multiply expression.
+W_CAP = 200.0
+W_SCALE = 65536.0 / W_CAP
+
+
+def weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional (Bernoulli) sampling: each event is
+    kept with probability min(value, cap)/cap, decided by comparing a
+    16-bit hash slice against the weight mapped to a 4-hex-digit threshold.
+    Same properties as hash_sample — order/partitioning-independent, no RNG,
+    pure narrow filter — but importance-weighted, the shape used to bias a
+    training mix toward high-value records. Returns the per-type audit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gate = F.floor(F.col("value") * F.lit(W_SCALE)).cast("long")
+    kept = ev.where(
+        (F.col("value") >= F.lit(W_CAP))
+        | (
+            F.substring(_hash_hex(F.col("event_id"), "wsmp"), 1, 4)
+            < F.format_string("%04x", gate)
+        )
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("kept"),
+        F.countDistinct("user_id").alias("users"),
+        F.round(F.sum("value"), 2).alias("kept_value"),
+    )
+
+
 REBALANCE_QUOTA = 15  # max documents kept per source
 
 
@@ -135,6 +166,7 @@ QUERIES = {
     "sampling_hash_sample": sample_events,
     "sampling_stratified": stratified_sample,
     "sampling_train_split": train_split_stats,
+    "sampling_weighted": weighted_sample_stats,
 }
 
 _RATE_CASE = " ".join(
@@ -171,6 +203,17 @@ ORACLES = {
         FROM events
         WHERE substr(md5(cast(event_id AS VARCHAR) || '|strat'), 1, 2)
               < (CASE event_type {_RATE_CASE} END)
+        GROUP BY event_type
+    """,
+    "sampling_weighted": f"""
+        SELECT event_type,
+               count(*) AS kept,
+               count(DISTINCT user_id) AS users,
+               round(sum(value), 2) AS kept_value
+        FROM events
+        WHERE value >= {W_CAP}
+           OR substr(md5(cast(event_id AS VARCHAR) || '|wsmp'), 1, 4)
+              < printf('%04x', cast(floor(value * {W_SCALE!r}) AS BIGINT))
         GROUP BY event_type
     """,
     "sampling_train_split": """

@@ -213,8 +213,92 @@ def pack_into_bins(base: DataFrame, capacity: int) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff (table-diff / audit shape): classify rows as added / removed /
+# changed / unchanged between two snapshots of a table. The two snapshots are
+# derived deterministically from `orders` by hash gates (~1/16 of keys absent
+# from the old snapshot = "added", ~1/16 absent from the new = "removed",
+# ~1/4 with a price bump = "changed"), so the diff itself — one full-outer
+# join on the key plus a classification projection — is what's exercised.
+# Scale: a single co-partitioned shuffle join on the snapshot key; at 100 TB
+# both sides bucket by key and the join is zipper-local; the output audit
+# aggregate is 4 rows.
+# ---------------------------------------------------------------------------
+
+def _snapshot_gate(key, salt: str):
+    return F.substring(
+        F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt))), 1, 1
+    )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    old = orders.where(_snapshot_gate(key, "snapadd") != "0").select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = orders.where(_snapshot_gate(key, "snapdel") != "0").select(
+        "o_orderkey",
+        F.when(
+            _snapshot_gate(key, "snapmod") < "4",
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    joined = old.join(new, "o_orderkey", "full_outer")
+    diff_class = (
+        F.when(F.col("old_price").isNull(), "added")
+        .when(F.col("new_price").isNull(), "removed")
+        .when(F.col("old_price") != F.col("new_price"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.withColumn("diff_class", diff_class)
+        .groupBy("diff_class")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(F.coalesce("new_price", "old_price")), 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Provenance / lineage tagging: a per-record hash chain (ingest hash → stage
+# hash) so any row in a 100 TB training set can be traced to its source
+# record and transform version. Pure sha256 column expressions — narrow, no
+# shuffle, whole-stage codegen; the chain extends one sha2 per stage.
+# ---------------------------------------------------------------------------
+
+PROVENANCE_STAGE = "envelope-v1"
+
+
+def provenance_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 25)
+    ingest = F.sha2(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.unix_micros("ts").cast("string"),
+            F.col("user_id").cast("string"),
+        ),
+        256,
+    )
+    stage = F.sha2(F.concat_ws("|", ingest, F.lit(PROVENANCE_STAGE)), 256)
+    return ev.select(
+        "event_id",
+        "user_id",
+        ingest.alias("ingest_hash"),
+        stage.alias("stage_hash"),
+    )
+
+
 QUERIES = {
     "transform_normalize_roundtrip": normalize_roundtrip,
+    "transform_snapshot_diff": snapshot_diff,
+    "transform_provenance": provenance_tags,
     "transform_zorder_layout": zorder_layout,
     "transform_pseudonymize": pseudonymize_users,
     "transform_sequence_pack": sequence_pack,
@@ -229,6 +313,39 @@ _Z_SQL = " | ".join(
 _BPE_N_SQL = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
 
 ORACLES = {
+    "transform_snapshot_diff": """
+        WITH old AS (
+            SELECT o_orderkey, o_totalprice AS old_price
+            FROM orders
+            WHERE substr(md5(o_orderkey::VARCHAR || '|snapadd'), 1, 1) <> '0'
+        ),
+        new AS (
+            SELECT o_orderkey,
+                   CASE WHEN substr(md5(o_orderkey::VARCHAR || '|snapmod'), 1, 1) < '4'
+                        THEN round(o_totalprice * 1.1, 2)
+                        ELSE o_totalprice END AS new_price
+            FROM orders
+            WHERE substr(md5(o_orderkey::VARCHAR || '|snapdel'), 1, 1) <> '0'
+        )
+        SELECT CASE WHEN old_price IS NULL THEN 'added'
+                    WHEN new_price IS NULL THEN 'removed'
+                    WHEN old_price <> new_price THEN 'changed'
+                    ELSE 'unchanged' END AS diff_class,
+               count(*) AS n_rows,
+               round(sum(coalesce(new_price, old_price)), 2) AS total_price
+        FROM old FULL OUTER JOIN new USING (o_orderkey)
+        GROUP BY 1
+    """,
+    "transform_provenance": f"""
+        SELECT event_id, user_id,
+               sha256(event_id::VARCHAR || '|' || epoch_us(ts)::VARCHAR
+                      || '|' || user_id::VARCHAR) AS ingest_hash,
+               sha256(sha256(event_id::VARCHAR || '|' || epoch_us(ts)::VARCHAR
+                             || '|' || user_id::VARCHAR)
+                      || '|{PROVENANCE_STAGE}') AS stage_hash
+        FROM events
+        WHERE user_id < 25
+    """,
     "transform_sequence_pack": f"""
         WITH RECURSIVE base AS (
             SELECT doc_id % {PACK_GROUPS} AS group_id, doc_id,

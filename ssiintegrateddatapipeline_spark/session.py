@@ -50,6 +50,10 @@ def get_spark(
         # the driver's testdata parquet carries INT64 TIMESTAMP(NANOS) which
         # Spark has no native type for: read as long, converted in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # read tz-less parquet TIMESTAMP(MICROS) as TimestampType (UTC
+        # instant), not TIMESTAMP_NTZ — keeps window/unix_* functions and
+        # the DuckDB-oracle comparison on one timestamp type everywhere
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # whole-stage codegen emits one class per stage shape; the JVM
         # default 240m code cache fills after a few dozen heavy stages and

@@ -29,10 +29,13 @@ TABLES = (
 # Dimension tables small enough to always broadcast in joins.
 SMALL_DIMS = {"region", "nation", "supplier"}
 
-# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong they surface as long nanoseconds.
-# Convert to TimestampType (microsecond truncation — matches DuckDB, whose
-# native TIMESTAMP is microseconds).
+# Testdata timestamps have shipped in two physical layouts: INT64
+# TIMESTAMP(NANOS) (surfacing as long nanoseconds under
+# spark.sql.legacy.parquet.nanosAsLong) and plain TIMESTAMP(MICROS) without
+# a timezone (surfacing as TIMESTAMP_NTZ when Spark's NTZ inference is on).
+# Normalize both to session-timezone TimestampType — the engine runs UTC
+# everywhere (session.py), so the instant semantics match DuckDB's naive
+# microsecond TIMESTAMP either way.
 TIMESTAMP_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -43,10 +46,14 @@ TIMESTAMP_COLS = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in TIMESTAMP_COLS.get(name, ()):
-        if isinstance(df.schema[col].dataType, T.LongType):
+        dt = df.schema[col].dataType
+        if isinstance(dt, T.LongType):
             # integer division: float division would lose precision on
             # 19-digit nanosecond values (> 2^53)
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # naive micros reinterpreted as a UTC instant (session tz is UTC)
+            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
     return df
 
 

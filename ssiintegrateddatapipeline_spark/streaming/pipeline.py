@@ -69,6 +69,8 @@ def events_stream(
     ts_type = batch.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return stream
 
 

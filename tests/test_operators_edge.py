@@ -182,3 +182,83 @@ def test_sequence_pack_edge_semantics(spark):
     }
     assert out == {(0, 1): 0, (0, 2): 0, (0, 3): 1, (0, 4): 2,
                    (1, 5): 0, (1, 6): 1}
+
+
+def test_snapshot_diff_classes_partition_key_space(spark, sf_dir):
+    """Diff classes must partition the union of snapshot keys, and every
+    class the gates can produce must be present."""
+    from ssiintegrateddatapipeline_spark.operators.transform import snapshot_diff
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    rows = {r.diff_class: r.n_rows for r in snapshot_diff(spark, sf_dir).collect()}
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    # union of old/new keys = all orders minus keys dropped from both sides
+    assert n_orders * 0.99 <= sum(rows.values()) <= n_orders
+    # ~1/16 gates; allow generous band
+    assert 0.02 < rows["added"] / n_orders < 0.11
+    assert 0.02 < rows["removed"] / n_orders < 0.11
+
+
+def test_weighted_sample_biases_toward_high_value(spark, sf_dir):
+    """Importance sampling must lift the mean value of the kept set above
+    the population mean (keep probability is proportional to value)."""
+    from pyspark.sql import functions as F
+
+    from ssiintegrateddatapipeline_spark.operators.sampling import (
+        weighted_sample_stats,
+    )
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    stats = weighted_sample_stats(spark, sf_dir).collect()
+    kept = sum(r.kept for r in stats)
+    kept_value = sum(r.kept_value for r in stats)
+    ev = load_table(spark, sf_dir, "events")
+    pop = ev.agg(F.count("*").alias("n"), F.avg("value").alias("avg")).first()
+    assert 0 < kept < pop.n
+    assert kept_value / kept > pop.avg
+
+
+def test_provenance_chain_recomputable(spark, sf_dir):
+    """stage_hash must be sha256(ingest_hash || '|' || stage tag) — the
+    chain is verifiable from the previous link alone."""
+    import hashlib
+
+    from ssiintegrateddatapipeline_spark.operators.transform import (
+        PROVENANCE_STAGE,
+        provenance_tags,
+    )
+
+    for r in provenance_tags(spark, sf_dir).limit(20).collect():
+        want = hashlib.sha256(
+            f"{r.ingest_hash}|{PROVENANCE_STAGE}".encode()
+        ).hexdigest()
+        assert r.stage_hash == want
+
+
+def test_rolling_distinct_users_window_bounds(spark, sf_dir):
+    """WAU is bounded below by DAU and above by the 7-day DAU sum, and
+    per-day DAU equals a direct distinct count."""
+    from pyspark.sql import functions as F
+
+    from ssiintegrateddatapipeline_spark.operators.analytics import (
+        rolling_distinct_users,
+    )
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    got = {r.day: r for r in rolling_distinct_users(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        r.day: r.dau
+        for r in ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+    assert set(got) == set(direct)
+    days = sorted(got)
+    for i, d in enumerate(days):
+        assert got[d].dau == direct[d]
+        assert got[d].wau_trailing_7d >= got[d].dau
+        window_days = [x for x in days[max(0, i - 6) : i + 1]]
+        assert got[d].wau_trailing_7d <= sum(direct[x] for x in window_days)

@@ -34,9 +34,10 @@ def test_streaming_multi_batch_stateful_accumulation(spark, sf_dir):
         )
         .select("user_id", "events", F.round("total_value", 4).alias("tv"), "max_ts")
     )
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
     want = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
             F.count("*").alias("events"),
