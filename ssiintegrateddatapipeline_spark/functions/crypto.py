@@ -97,3 +97,197 @@ def jwt_verify(token: str, pub: Ed25519PublicKey) -> bool:
 
 def jwt_claims(token: str) -> dict:
     return json.loads(b64url_decode(token.split(".")[1]))
+
+
+# ---------------------------------------------------------------------------
+# ES256K (secp256k1) + did:ethr + did:web — the other two providers of the
+# reference's config matrix (README.md:96-145; resolver factory
+# veramo-verifier/src/server.ts:424-477, veramo-agent/src/veramo/
+# veramo_resolver_manager.ts:22-64). All from public specs: RFC 8812
+# (ES256K JWS), RFC 6979 (deterministic ECDSA), the Keccak/FIPS-202
+# permutation, EIP-55 checksum addresses, and the W3C did:web method.
+# ---------------------------------------------------------------------------
+
+from cryptography.hazmat.primitives import hashes as _hashes  # noqa: E402
+from cryptography.hazmat.primitives.asymmetric import ec as _ec  # noqa: E402
+from cryptography.hazmat.primitives.asymmetric.utils import (  # noqa: E402
+    decode_dss_signature,
+    encode_dss_signature,
+)
+
+# secp256k1 group order (public curve parameter)
+SECP256K1_N = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
+
+_KECCAK_RC = (
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+)
+# rotation offsets r[x][y] of the rho step
+_KECCAK_ROT = (
+    (0, 36, 3, 41, 18),
+    (1, 44, 10, 45, 2),
+    (62, 6, 43, 15, 61),
+    (28, 55, 25, 21, 56),
+    (27, 20, 39, 8, 14),
+)
+_M64 = (1 << 64) - 1
+
+
+def _keccak_f(lanes: list[int]) -> list[int]:
+    """Keccak-f[1600] permutation over 25 little-endian 64-bit lanes,
+    indexed lane[x + 5*y]."""
+
+    def rol(v: int, s: int) -> int:
+        return ((v << s) | (v >> (64 - s))) & _M64
+
+    a = lanes
+    for rc in _KECCAK_RC:
+        # theta
+        c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20] for x in range(5)]
+        d = [c[(x - 1) % 5] ^ rol(c[(x + 1) % 5], 1) for x in range(5)]
+        a = [a[i] ^ d[i % 5] for i in range(25)]
+        # rho + pi
+        b = [0] * 25
+        for x in range(5):
+            for y in range(5):
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = rol(
+                    a[x + 5 * y], _KECCAK_ROT[x][y]
+                )
+        # chi
+        a = [
+            b[i] ^ ((~b[(i + 1) % 5 + 5 * (i // 5)]) & b[(i + 2) % 5 + 5 * (i // 5)])
+            for i in range(25)
+        ]
+        # iota
+        a[0] ^= rc
+    return a
+
+
+def keccak256(data: bytes) -> bytes:
+    """Original Keccak-256 (Ethereum's hash) — NOT hashlib.sha3_256, whose
+    NIST padding (0x06) differs from Keccak's multi-rate 0x01 padding."""
+    rate = 136
+    pad_len = rate - (len(data) % rate)
+    if pad_len == 1:
+        padded = data + b"\x81"
+    else:
+        padded = data + b"\x01" + b"\x00" * (pad_len - 2) + b"\x80"
+    lanes = [0] * 25
+    for off in range(0, len(padded), rate):
+        block = padded[off : off + rate]
+        for i in range(rate // 8):
+            lanes[i] ^= int.from_bytes(block[8 * i : 8 * i + 8], "little")
+        lanes = _keccak_f(lanes)
+    return b"".join(lanes[i].to_bytes(8, "little") for i in range(4))
+
+
+def es256k_keypair_for(
+    name: str,
+) -> tuple[_ec.EllipticCurvePrivateKey, _ec.EllipticCurvePublicKey]:
+    """Deterministic secp256k1 keypair from the same seed derivation as the
+    Ed25519 path (seed_for), reduced into [1, n-1]."""
+    scalar = int.from_bytes(seed_for(name, "ssi-identity-es256k"), "big")
+    scalar = scalar % (SECP256K1_N - 1) + 1
+    priv = _ec.derive_private_key(scalar, _ec.SECP256K1())
+    return priv, priv.public_key()
+
+
+def es256k_public_bytes(
+    pub: _ec.EllipticCurvePublicKey, compressed: bool = True
+) -> bytes:
+    from cryptography.hazmat.primitives.serialization import (
+        Encoding,
+        PublicFormat,
+    )
+
+    fmt = (
+        PublicFormat.CompressedPoint if compressed else PublicFormat.UncompressedPoint
+    )
+    return pub.public_bytes(Encoding.X962, fmt)
+
+
+def eth_address_for(pub: _ec.EllipticCurvePublicKey) -> str:
+    """EIP-55 checksummed Ethereum address: keccak256 of the uncompressed
+    point (minus the 0x04 prefix), last 20 bytes, mixed-case checksum."""
+    raw = keccak256(es256k_public_bytes(pub, compressed=False)[1:])[-20:]
+    hex_addr = raw.hex()
+    digest = keccak256(hex_addr.encode("ascii")).hex()
+    out = []
+    for ch, d in zip(hex_addr, digest):
+        out.append(ch.upper() if ch.isalpha() and int(d, 16) >= 8 else ch)
+    return "0x" + "".join(out)
+
+
+def did_ethr_for(pub: _ec.EllipticCurvePublicKey, network: str = "sepolia") -> str:
+    """did:ethr identifier (checksummed address form), network-qualified as
+    in the reference's did:ethr:sepolia configuration."""
+    addr = eth_address_for(pub)
+    return f"did:ethr:{network}:{addr}" if network else f"did:ethr:{addr}"
+
+
+def did_web_for(host: str, *path_segments: str) -> str:
+    """did:web identifier: host (port-encoded %3A per spec) plus optional
+    path segments joined with ':'."""
+    did = "did:web:" + host.replace(":", "%3A")
+    for seg in path_segments:
+        did += ":" + seg
+    return did
+
+
+def did_web_document_url(did: str) -> str:
+    """W3C did:web resolution: the DID transforms to an HTTPS URL —
+    bare host -> /.well-known/did.json, path form -> /<path>/did.json.
+    (Pure URL derivation; the fetch itself is I/O the caller owns, matching
+    the reference's hosted-doc resolver.)"""
+    if not did.startswith("did:web:"):
+        raise ValueError(f"not a did:web DID: {did}")
+    parts = did[len("did:web:") :].split(":")
+    host = parts[0].replace("%3A", ":")
+    if len(parts) == 1:
+        return f"https://{host}/.well-known/did.json"
+    return f"https://{host}/" + "/".join(parts[1:]) + "/did.json"
+
+
+def _low_s(s: int) -> int:
+    return SECP256K1_N - s if s > SECP256K1_N // 2 else s
+
+
+def jwt_sign_es256k(claims: dict, priv: _ec.EllipticCurvePrivateKey) -> str:
+    """Compact JWS, alg=ES256K (RFC 8812): signature is raw R||S (64 bytes),
+    low-S normalized. RFC 6979 deterministic nonces make the token a pure
+    function of (claims, key)."""
+    header = {"alg": "ES256K", "typ": "JWT"}
+
+    def enc(obj: dict) -> str:
+        return b64url(json.dumps(obj, sort_keys=True, separators=(",", ":")).encode())
+
+    signing_input = f"{enc(header)}.{enc(claims)}"
+    der = priv.sign(
+        signing_input.encode("ascii"),
+        _ec.ECDSA(_hashes.SHA256(), deterministic_signing=True),
+    )
+    r, s = decode_dss_signature(der)
+    s = _low_s(s)
+    sig = r.to_bytes(32, "big") + s.to_bytes(32, "big")
+    return f"{signing_input}.{b64url(sig)}"
+
+
+def jwt_verify_es256k(token: str, pub: _ec.EllipticCurvePublicKey) -> bool:
+    try:
+        signing_input, sig_b64 = token.rsplit(".", 1)
+        sig = b64url_decode(sig_b64)
+        if len(sig) != 64:
+            return False
+        r = int.from_bytes(sig[:32], "big")
+        s = int.from_bytes(sig[32:], "big")
+        der = encode_dss_signature(r, s)
+        pub.verify(der, signing_input.encode("ascii"), _ec.ECDSA(_hashes.SHA256()))
+        return True
+    except (InvalidSignature, ValueError):
+        return False

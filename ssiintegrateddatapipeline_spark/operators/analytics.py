@@ -1229,7 +1229,7 @@ hit AS (
   WHERE l.cum >= 0.95 * t.total
   GROUP BY l.lbl
 )
-SELECT to_timestamp(string_split(t.lbl, '|')[1]::BIGINT) AS window_start,
+SELECT to_timestamp(string_split(t.lbl, '|')[1]::BIGINT)::TIMESTAMP AS window_start,
        string_split(t.lbl, '|')[2] AS event_type,
        round(coalesce(b.prev_le + (b.le - b.prev_le) * (b.target - b.prev_cum)
                       / (b.cum - b.prev_cum), 300.0), 6) AS p95
@@ -1375,7 +1375,7 @@ ORACLES = {
                count(*) AS n_events,
                sum(CASE WHEN abs(e.value - s.med)
                              > {MAD_THRESHOLD * MAD_K} * s.mad
-                        THEN 1 ELSE 0 END) AS n_outliers
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers
         FROM events e JOIN mad s USING (event_type)
         GROUP BY e.event_type
     """,
@@ -1566,7 +1566,8 @@ ORACLES = {
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY streak_len DESC, streak_start ASC)
                        AS rn,
-                   sum(streak_len) OVER (PARTITION BY user_id) AS n_active_days
+                   sum(streak_len) OVER (PARTITION BY user_id)::BIGINT
+                       AS n_active_days
             FROM streaks
         )
         WHERE rn = 1
@@ -1633,10 +1634,13 @@ ORACLES = {
             GROUP BY user_id
         )
         SELECT count(*) AS n_users,
-               sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
-               sum(CASE WHEN first_click > first_view THEN 1 ELSE 0 END) AS stage_click,
+               sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS stage_view,
+               sum(CASE WHEN first_click > first_view THEN 1 ELSE 0 END)::BIGINT
+                   AS stage_click,
                sum(CASE WHEN first_click > first_view
-                         AND first_purchase > first_click THEN 1 ELSE 0 END) AS stage_purchase
+                         AND first_purchase > first_click THEN 1 ELSE 0 END)::BIGINT
+                   AS stage_purchase
         FROM firsts
     """,
     "analytics_weekly_retention": """
@@ -1685,7 +1689,7 @@ ORACLES = {
             SELECT user_id, ts,
                    sum(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
                        AS session_seq
             FROM marked
         )
@@ -1699,7 +1703,7 @@ ORACLES = {
         GROUP BY user_id, session_seq
     """,
     "analytics_throughput_30s": """
-        SELECT to_timestamp(floor(epoch(ts) / 30) * 30) AS window_start,
+        SELECT to_timestamp(floor(epoch(ts) / 30) * 30)::TIMESTAMP AS window_start,
                event_type,
                count(*) AS events,
                round(count(*) / 30.0, 6) AS rate_per_sec
@@ -1707,7 +1711,7 @@ ORACLES = {
         GROUP BY 1, 2
     """,
     "analytics_sliding_rate": """
-        SELECT to_timestamp(floor(epoch(ts) / 5) * 5 - i * 5) AS window_start,
+        SELECT to_timestamp(floor(epoch(ts) / 5) * 5 - i * 5)::TIMESTAMP AS window_start,
                count(*) AS events,
                round(count(*) / 30.0, 6) AS rate_per_sec
         FROM events CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i)

@@ -166,8 +166,8 @@ ORACLES = {
         SELECT event_type,
                sum(CASE WHEN prev IS NULL THEN 0
                         WHEN sample >= prev THEN sample - prev
-                        ELSE sample END) AS increase,
-               sum(CASE WHEN sample < prev THEN 1 ELSE 0 END) AS n_resets,
+                        ELSE sample END)::BIGINT AS increase,
+               sum(CASE WHEN sample < prev THEN 1 ELSE 0 END)::BIGINT AS n_resets,
                count(*) AS n_samples
         FROM deltas GROUP BY event_type
     """,

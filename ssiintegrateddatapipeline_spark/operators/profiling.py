@@ -341,18 +341,18 @@ ORACLES = {
         UNION ALL
         SELECT 'lineitem_qty_range', count(*),
                sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
-                        THEN 1 ELSE 0 END),
+                        THEN 1 ELSE 0 END)::BIGINT,
                sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
                         THEN 1 ELSE 0 END) = 0
         FROM lineitem
         UNION ALL
         SELECT 'events_value_nonneg', count(*),
-               sum(CASE WHEN value < 0 THEN 1 ELSE 0 END),
+               sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT,
                sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
         FROM events
         UNION ALL
         SELECT 'documents_nonempty', count(*),
-               sum(CASE WHEN len(text) = 0 THEN 1 ELSE 0 END),
+               sum(CASE WHEN len(text) = 0 THEN 1 ELSE 0 END)::BIGINT,
                sum(CASE WHEN len(text) = 0 THEN 1 ELSE 0 END) = 0
         FROM documents
         UNION ALL

@@ -185,8 +185,9 @@ ORACLES = {
         )
         SELECT source,
                count(*) AS n_total,
-               sum(CASE WHEN rank <= 15 THEN 1 ELSE 0 END) AS n_kept,
-               sum(CASE WHEN rank <= 15 THEN n_chars ELSE 0 END) AS kept_chars
+               sum(CASE WHEN rank <= 15 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               sum(CASE WHEN rank <= 15 THEN n_chars ELSE 0 END)::BIGINT
+                   AS kept_chars
         FROM ranked GROUP BY source
     """,
     "sampling_hash_sample": """

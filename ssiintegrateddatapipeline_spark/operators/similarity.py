@@ -705,7 +705,8 @@ ORACLES["similarity_ivf_recall"] = f"""
     WITH truth AS ({ORACLES["similarity_brute_topk"]}),
          approx AS ({ORACLES["similarity_ivf_topk"]})
     SELECT t.query_id, count(*) AS k,
-           sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_found,
+           sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_found,
            round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
                  / count(*), 6) AS recall_at_k
     FROM truth t LEFT JOIN approx a

@@ -724,7 +724,7 @@ ORACLES = {
         tr AS (SELECT doc_id, gram FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} <> 0),
         per AS (
             SELECT tr.doc_id, count(*) AS n_shingles,
-                   sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)
+                   sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
                        AS n_overlapping
             FROM tr LEFT JOIN ev ON tr.gram = ev.gram
             GROUP BY tr.doc_id
@@ -828,8 +828,8 @@ ORACLES = {
             FROM planted
         )
         SELECT user_id, count(*) AS n_notes,
-               sum(n_emails) AS emails_redacted,
-               sum(n_phones) AS phones_redacted,
+               sum(n_emails)::BIGINT AS emails_redacted,
+               sum(n_phones)::BIGINT AS phones_redacted,
                max(note) AS sample_scrubbed
         FROM scrubbed GROUP BY user_id
     """,

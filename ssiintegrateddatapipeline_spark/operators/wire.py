@@ -22,6 +22,8 @@ Design:
 
 from __future__ import annotations
 
+import copy
+import json
 from collections.abc import Iterator
 
 import pandas as pd
@@ -63,11 +65,65 @@ _DECODED_SPARK_SCHEMA = (
 )
 
 
-def avro_serialize(df: DataFrame) -> DataFrame:
+# Deserialization schema with logicalType annotations stripped: the Avro
+# *binary* is identical (logical types only annotate the long), but
+# spark-avro's ``from_avro`` would otherwise surface timestamp-micros longs
+# as Catalyst TimestampType, changing the decoded schema vs the Python
+# codec path. Plain longs keep both paths schema-identical.
+def _strip_logical(schema: dict) -> dict:
+    out = copy.deepcopy(schema)
+    for f in out["fields"]:
+        t = f["type"]
+        if isinstance(t, dict) and "logicalType" in t:
+            f["type"] = t["type"]
+    return out
+
+
+TRADE_WIRE_SCHEMA_PLAIN = _strip_logical(TRADE_WIRE_SCHEMA)
+
+# JVM avro availability, probed once per SparkSession application. The
+# reference serializes through a registry-backed AvroSerializer
+# (kafka_producer/app/handlers/kafka_producer.py:46-62); on a real cluster
+# with the spark-avro package loaded we use the JVM ``to_avro``/``from_avro``
+# (whole-stage, no Python boundary); offline — where the jar is absent —
+# we fall back to the pure-Python codec inside mapInPandas.
+_JVM_AVRO_CACHE: dict[str, bool] = {}
+
+
+def jvm_avro_available(spark: SparkSession) -> bool:
+    """True iff the spark-avro data source is loaded in this session."""
+    key = spark.sparkContext.applicationId
+    if key not in _JVM_AVRO_CACHE:
+        ok = False
+        try:
+            from pyspark.sql.avro.functions import to_avro
+
+            probe = spark.range(1).select(F.lit("x").alias("s"))
+            probe.select(to_avro(probe.s)).collect()
+            ok = True
+        except Exception:
+            ok = False
+        _JVM_AVRO_CACHE[key] = ok
+    return _JVM_AVRO_CACHE[key]
+
+
+def avro_serialize(df: DataFrame, use_jvm: bool | None = None) -> DataFrame:
     """P10: rows -> (key, value) with value = Avro binary per TRADE_WIRE_SCHEMA.
 
-    The codec is schema-compiled once per Python worker (module import),
-    so the per-record path is straight-line byte appends."""
+    ``use_jvm=None`` probes the session once: JVM ``to_avro`` when the
+    spark-avro package is loaded (zero Python boundary, stays in codegen),
+    else the own-codec mapInPandas path (schema-compiled once per worker)."""
+    if use_jvm is None:
+        use_jvm = jvm_avro_available(df.sparkSession)
+    if use_jvm:
+        from pyspark.sql.avro.functions import to_avro
+
+        return df.select(
+            F.col("symbol").alias("key"),
+            to_avro(
+                F.struct(*_FIELDS), json.dumps(TRADE_WIRE_SCHEMA_PLAIN)
+            ).alias("value"),
+        )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dumps = avro_codec.compile_dumps(TRADE_WIRE_SCHEMA)
@@ -79,8 +135,20 @@ def avro_serialize(df: DataFrame) -> DataFrame:
     return df.mapInPandas(enc, "key string, value binary")
 
 
-def avro_deserialize(df: DataFrame) -> DataFrame:
-    """S3: (key, value) -> decoded columns."""
+def avro_deserialize(df: DataFrame, use_jvm: bool | None = None) -> DataFrame:
+    """S3: (key, value) -> decoded columns. Same JVM/Python selection as
+    :func:`avro_serialize`; both sides of a round trip resolve to the same
+    path within a session, and the wire bytes are codec-compatible either
+    way (Avro binary carries no schema)."""
+    if use_jvm is None:
+        use_jvm = jvm_avro_available(df.sparkSession)
+    if use_jvm:
+        from pyspark.sql.avro.functions import from_avro
+
+        rec = from_avro(F.col("value"), json.dumps(TRADE_WIRE_SCHEMA_PLAIN))
+        return df.select(rec.alias("r")).select(
+            *[F.col(f"r.{name}").alias(name) for name in _FIELDS]
+        )
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         loads = avro_codec.compile_loads(TRADE_WIRE_SCHEMA)

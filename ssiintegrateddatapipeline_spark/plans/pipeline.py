@@ -147,7 +147,7 @@ ORACLES = {
                    (epoch_us(max(start_timestamp)) - epoch_us(min(start_timestamp)))
                        / 1000000.0 AS span_secs,
                    sum(CASE WHEN substr(trade_event_id, 1, 2) != '00'
-                            THEN 1 ELSE 0 END) AS n_ok
+                            THEN 1 ELSE 0 END)::BIGINT AS n_ok
             FROM env
         )
         SELECT 'did:key' AS did_provider, true AS ssi_validation,
@@ -158,7 +158,7 @@ ORACLES = {
         FROM span
         UNION ALL
         SELECT 'did:key', false, true, 'async',
-               n, 0, round(span_secs, 3), round(n / span_secs, 6)
+               n, 0::BIGINT, round(span_secs, 3), round(n / span_secs, 6)
         FROM span
     """,
 }

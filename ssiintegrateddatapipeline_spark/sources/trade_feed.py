@@ -227,8 +227,10 @@ def feed_ingest_streaming(spark, sf_dir: str):
             time.sleep(0.3)
         q.stop()
         q.awaitTermination()
+        # Materialize the memory-sink snapshot via Arrow (toPandas), not
+        # row-at-a-time Py4J collect — same shape as streaming/pipeline.py.
         out = spark.table(name)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return spark.createDataFrame(out.toPandas(), out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 

@@ -496,7 +496,8 @@ ORACLES = {
     "streaming_sliding_rate": """
         WITH offsets(o) AS (VALUES (0), (10), (20)),
         assigned AS (
-            SELECT to_timestamp(floor(epoch(ts) / 10) * 10 - o) AS window_start,
+            SELECT to_timestamp(floor(epoch(ts) / 10) * 10 - o)::TIMESTAMP
+                       AS window_start,
                    event_type
             FROM events CROSS JOIN offsets
         )
@@ -561,7 +562,7 @@ ORACLES = {
           AND c.ts >= p.ts - INTERVAL 30 MINUTE
     """,
     "streaming_throughput_30s": """
-        SELECT to_timestamp(floor(epoch(ts) / 30) * 30) AS window_start,
+        SELECT to_timestamp(floor(epoch(ts) / 30) * 30)::TIMESTAMP AS window_start,
                event_type,
                count(*) AS events,
                round(count(*) / 30.0, 6) AS rate_per_sec
