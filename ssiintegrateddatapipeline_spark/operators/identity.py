@@ -53,24 +53,88 @@ IDENTITY_SCHEMA = (
     "authorization_jwt string"
 )
 
+# The reference's DID provider matrix (README.md:96-145): did:key creates
+# Ed25519 keys (EdDSA JWTs), while did:web and did:ethr:sepolia use
+# Secp256k1 (ES256K JWTs) — Veramo's WebDIDProvider/EthrDIDProvider default
+# key type (veramo-agent/src/veramo/veramo_resolver_manager.ts:22-64).
+DID_PROVIDERS = ("did:key", "did:web", "did:ethr:sepolia")
 
-def _executor_keys(symbol: str):
+# did:web hosting coordinates (host_did_web/src/main.go serves the docs;
+# data_synthesizer/service/veramo/create_web_url.go builds the alias)
+WEB_DID_HOST = "ssi-pipeline.localhost"
+WEB_DID_PROJECT = "trades"
+
+import re as _re
+
+
+def _sanitize_segment(s: str) -> str:
+    """Alias segment sanitizer mirroring create_web_url.go:15-26: replace
+    non [a-zA-Z0-9._-] runs with '-', collapse dashes, trim."""
+    s = _re.sub(r"[^a-zA-Z0-9._-]+", "-", s.strip())
+    s = _re.sub(r"-+", "-", s)
+    return s.strip("-")
+
+
+def did_web_alias(symbol: str) -> str:
+    """did:web alias for a symbol (create_web_url.go:29-60): host, project
+    path, entity — each sanitized, joined with ':'."""
+    segments = [
+        _sanitize_segment(WEB_DID_HOST.lower()),
+        _sanitize_segment(WEB_DID_PROJECT),
+        _sanitize_segment(symbol.lower()),
+    ]
+    return "did:web:" + ":".join(s for s in segments if s)
+
+
+def _executor_keys(symbol: str, provider: str = "did:key"):
     """Executor-local key cache (J2 slot) — LRU 100 + 10 min TTL, the
     reference's DID-cache parameters (veramo-verifier/src/server.ts:249-252);
-    built on demand in each worker, never serialized."""
+    built on demand in each worker, never serialized.
+
+    Returns (priv, pub, did, alg) where alg is the JWS algorithm the
+    provider's key type mandates (EdDSA for did:key, ES256K otherwise)."""
     from ssiintegrateddatapipeline_spark.functions import crypto
     from ssiintegrateddatapipeline_spark.functions.ttl_cache import executor_cache
 
     def load():
-        priv, pub = crypto.keypair_for(symbol)
-        return (priv, pub, crypto.did_key_for(pub))
+        if provider == "did:key":
+            priv, pub = crypto.keypair_for(symbol)
+            return (priv, pub, crypto.did_key_for(pub), "EdDSA")
+        priv, pub = crypto.es256k_keypair_for(symbol)
+        if provider.startswith("did:ethr"):
+            network = provider.split(":")[2] if provider.count(":") >= 2 else ""
+            did = crypto.did_ethr_for(pub, network=network)
+        else:
+            did = did_web_alias(symbol)
+        return (priv, pub, did, "ES256K")
 
     return executor_cache("symbol_keys", max_size=100, ttl_secs=600.0).get_or_load(
-        symbol, load
+        f"{provider}|{symbol}", load
     )
 
 
-def build_identity_dim(spark: SparkSession, symbols=SYMBOLS) -> DataFrame:
+def _sign_for(symbol: str, provider: str, claims: dict) -> str:
+    from ssiintegrateddatapipeline_spark.functions import crypto
+
+    priv, _, did, alg = _executor_keys(symbol, provider)
+    claims = {"iss": did, **claims}
+    if alg == "EdDSA":
+        return crypto.jwt_sign(claims, priv)
+    return crypto.jwt_sign_es256k(claims, priv)
+
+
+def _verify_for(symbol: str, provider: str, token: str) -> bool:
+    from ssiintegrateddatapipeline_spark.functions import crypto
+
+    _, pub, _, alg = _executor_keys(symbol, provider)
+    if alg == "EdDSA":
+        return crypto.jwt_verify(token, pub)
+    return crypto.jwt_verify_es256k(token, pub)
+
+
+def build_identity_dim(
+    spark: SparkSession, symbols=SYMBOLS, did_provider: str = "did:key"
+) -> DataFrame:
     """U3 as a batch job: per-symbol DID + authorization-credential JWT.
 
     Distributed (one partition slice per symbol via mapInPandas); in
@@ -85,22 +149,27 @@ def build_identity_dim(spark: SparkSession, symbols=SYMBOLS) -> DataFrame:
         for pdf in batches:
             rows = []
             for symbol in pdf["symbol"]:
-                priv, pub, did = _executor_keys(symbol)
-                authz = crypto.jwt_sign(
+                _, pub, did, alg = _executor_keys(symbol, did_provider)
+                authz = _sign_for(
+                    symbol,
+                    did_provider,
                     {
-                        "iss": did,
                         "sub": did,
                         "scope": f"{did}/*",
                         "permissions": list(PROTECTED_METHODS[:6]),
                     },
-                    priv,
+                )
+                key_hex = (
+                    crypto.public_bytes(pub).hex()
+                    if alg == "EdDSA"
+                    else crypto.es256k_public_bytes(pub).hex()
                 )
                 rows.append(
                     {
                         "symbol": symbol,
                         "did": did,
-                        "provider": "did:key",
-                        "public_key_hex": crypto.public_bytes(pub).hex(),
+                        "provider": did_provider,
+                        "public_key_hex": key_hex,
                         "authorization_jwt": authz,
                     }
                 )
@@ -109,8 +178,16 @@ def build_identity_dim(spark: SparkSession, symbols=SYMBOLS) -> DataFrame:
     return sym_df.mapInPandas(gen, IDENTITY_SCHEMA)
 
 
-def sign_column(df: DataFrame, symbol_col: str, payload_col: str) -> DataFrame:
-    """U1: add a 'jwt' column signing payload_col with symbol_col's key.
+def sign_column(
+    df: DataFrame,
+    symbol_col: str,
+    payload_col: str,
+    did_provider: str = "did:key",
+) -> DataFrame:
+    """U1: add a 'jwt' column signing payload_col with symbol_col's key
+    under the given DID provider (EdDSA for did:key, ES256K for
+    did:web / did:ethr — both RFC 6979-deterministic, so the token is a
+    pure function of the row).
 
     Arrow-batched Pandas UDF; key lookup is executor-local.
     """
@@ -118,31 +195,35 @@ def sign_column(df: DataFrame, symbol_col: str, payload_col: str) -> DataFrame:
 
     @F.pandas_udf("string")
     def _sign(symbols: pd.Series, payloads: pd.Series) -> pd.Series:
-        from ssiintegrateddatapipeline_spark.functions import crypto
-
-        out = []
-        for sym, payload in zip(symbols, payloads):
-            priv, _, did = _executor_keys(sym)
-            out.append(crypto.jwt_sign({"iss": did, "claims": payload}, priv))
-        return pd.Series(out)
+        return pd.Series(
+            [
+                _sign_for(sym, did_provider, {"claims": payload})
+                for sym, payload in zip(symbols, payloads)
+            ]
+        )
 
     return df.withColumn("jwt", _sign(F.col(symbol_col), F.col(payload_col)))
 
 
-def verify_column(df: DataFrame, symbol_col: str, jwt_col: str) -> DataFrame:
+def verify_column(
+    df: DataFrame,
+    symbol_col: str,
+    jwt_col: str,
+    did_provider: str = "did:key",
+) -> DataFrame:
     """U2: add a boolean 'verified' column checking the JWT signature against
-    the symbol's public key (executor-local TTL-free cache — keys are static
-    here; the reference's LRU+TTL DID cache J2 maps to this slot)."""
+    the symbol's public key for the given provider (executor-local TTL
+    cache — keys are static here; the reference's LRU+TTL DID cache J2 maps
+    to this slot)."""
     import pandas as pd  # noqa: F811
 
     @F.pandas_udf("boolean")
     def _verify(symbols: pd.Series, jwts: pd.Series) -> pd.Series:
-        from ssiintegrateddatapipeline_spark.functions import crypto
-
-        out = []
-        for sym, token in zip(symbols, jwts):
-            _, pub, _ = _executor_keys(sym)
-            out.append(crypto.jwt_verify(token, pub))
-        return pd.Series(out)
+        return pd.Series(
+            [
+                _verify_for(sym, did_provider, token)
+                for sym, token in zip(symbols, jwts)
+            ]
+        )
 
     return df.withColumn("verified", _verify(F.col(symbol_col), F.col(jwt_col)))

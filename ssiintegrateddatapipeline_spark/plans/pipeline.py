@@ -49,14 +49,16 @@ class PipelineConfig:
         return f"{self.did_provider}|{v}|{c}|{self.processing_mode}"
 
 
-# the reference's 6 documented option sets (README.md:96-145)
+# the reference's 6 documented option sets (README.md:96-145):
+# 1 did:web/async/uncached, 2 did:web/sync/cached, 3 did:key/sync/uncached,
+# 4 did:key/sync/cached, 5 validation off, 6 did:ethr:sepolia/sync/cached
 OPTION_SETS = (
-    PipelineConfig("did:web", True, True, "async"),
     PipelineConfig("did:web", True, False, "async"),
-    PipelineConfig("did:key", True, True, "async"),
+    PipelineConfig("did:web", True, True, "sync"),
+    PipelineConfig("did:key", True, False, "sync"),
     PipelineConfig("did:key", True, True, "sync"),
-    PipelineConfig("did:ethr", True, True, "async"),
     PipelineConfig("did:key", False, True, "async"),
+    PipelineConfig("did:ethr:sepolia", True, True, "sync"),
 )
 
 
@@ -77,7 +79,7 @@ def build_pipeline(
             "start_timestamp",
             F.to_json(F.struct("price", "volume")).alias("payload"),
         )
-        signed = sign_column(ev, "symbol", "payload")
+        signed = sign_column(ev, "symbol", "payload", config.did_provider)
         tampered = signed.withColumn(
             "jwt",
             F.when(
@@ -85,7 +87,7 @@ def build_pipeline(
                 F.concat(F.col("jwt"), F.lit("x")),
             ).otherwise(F.col("jwt")),
         )
-        out = verify_column(tampered, "symbol", "jwt").select(
+        out = verify_column(tampered, "symbol", "jwt", config.did_provider).select(
             "trade_event_id", "symbol", "start_timestamp", "verified"
         )
     else:
@@ -128,8 +130,26 @@ def summary_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_summary(on).unionByName(run_summary(off))
 
 
+def provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run summaries across the three DID providers of the reference's
+    config matrix (README.md:96-145), SSI on: did:key signs EdDSA, did:web
+    and did:ethr:sepolia sign ES256K — each a distinct key type and JWS
+    algorithm, same tamper/verify contract."""
+    parts = [
+        run_summary(
+            build_pipeline(spark, sf_dir, PipelineConfig(p, True, True, "sync"))
+        )
+        for p in ("did:key", "did:web", "did:ethr:sepolia")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
     "pipeline_summary_matrix": summary_matrix,
+    "pipeline_provider_matrix": provider_matrix,
 }
 
 # verified iff md5(trade_event_id) does NOT start '00' (the tamper rule);
@@ -160,5 +180,30 @@ ORACLES = {
         SELECT 'did:key', false, true, 'async',
                n, 0::BIGINT, round(span_secs, 3), round(n / span_secs, 6)
         FROM span
+    """,
+    "pipeline_provider_matrix": """
+        WITH env AS (
+            SELECT md5(event_id::VARCHAR) AS trade_event_id,
+                   make_timestamp(epoch_us(ts) + (event_id % 5) * 1000000)
+                       AS start_timestamp
+            FROM events
+        ),
+        span AS (
+            SELECT count(*) AS n,
+                   (epoch_us(max(start_timestamp)) - epoch_us(min(start_timestamp)))
+                       / 1000000.0 AS span_secs,
+                   sum(CASE WHEN substr(trade_event_id, 1, 2) != '00'
+                            THEN 1 ELSE 0 END)::BIGINT AS n_ok
+            FROM env
+        ),
+        providers(did_provider) AS (
+            VALUES ('did:key'), ('did:web'), ('did:ethr:sepolia')
+        )
+        SELECT p.did_provider, true AS ssi_validation, true AS cache_did,
+               'sync' AS processing_mode,
+               n AS n_messages, n_ok AS n_verified,
+               round(span_secs, 3) AS span_secs,
+               round(n / span_secs, 6) AS msgs_per_sec
+        FROM providers p CROSS JOIN span
     """,
 }

@@ -7,6 +7,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from ssiintegrateddatapipeline_spark.functions import crypto
+from ssiintegrateddatapipeline_spark.functions import crypto as C
 
 
 def test_sign_verify_roundtrip():
@@ -56,3 +57,107 @@ def test_roundtrip_any_claims(claims):
 def test_b58_known_vector():
     # public test vector: leading zeros preserved, standard alphabet
     assert crypto.b58encode(b"\x00\x00hello") == "11Cn8eVZg"
+
+
+# --- ES256K / keccak / did:ethr / did:web ----------------------------------
+
+
+def test_keccak256_known_vectors():
+    # Ethereum's empty-code hash constant and the classic 'abc' vector
+    assert (
+        C.keccak256(b"").hex()
+        == "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+    assert (
+        C.keccak256(b"abc").hex()
+        == "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+    )
+    # multi-block input (> 136-byte rate) and the pad_len==1 edge (135 mod 136)
+    assert len(C.keccak256(b"x" * 1000)) == 32
+    assert len(C.keccak256(b"y" * 135)) == 32
+
+
+def test_eth_address_known_vector():
+    # private key 1 -> well-known EIP-55 checksummed address
+    from cryptography.hazmat.primitives.asymmetric import ec
+
+    pub = ec.derive_private_key(1, ec.SECP256K1()).public_key()
+    assert C.eth_address_for(pub) == "0x7E5F4552091A69125d5DfCb7b8C2659029395Bdf"
+
+
+def test_es256k_sign_verify_roundtrip_deterministic():
+    priv, pub = C.es256k_keypair_for("BINANCE:BTCUSDT")
+    t1 = C.jwt_sign_es256k({"iss": "a", "n": 1}, priv)
+    t2 = C.jwt_sign_es256k({"iss": "a", "n": 1}, priv)
+    assert t1 == t2  # RFC 6979 deterministic nonce
+    assert C.jwt_verify_es256k(t1, pub)
+    assert C.jwt_claims(t1) == {"iss": "a", "n": 1}
+    header, _, _ = t1.split(".")
+    import json
+
+    assert json.loads(C.b64url_decode(header))["alg"] == "ES256K"
+
+
+def test_es256k_tamper_and_wrong_key_fail():
+    priv, pub = C.es256k_keypair_for("BINANCE:ETHUSDT")
+    _, other_pub = C.es256k_keypair_for("BINANCE:SOLUSDT")
+    t = C.jwt_sign_es256k({"iss": "a"}, priv)
+    head, payload, sig = t.split(".")
+    bad_payload = C.b64url(b'{"iss":"b"}')
+    assert not C.jwt_verify_es256k(f"{head}.{bad_payload}.{sig}", pub)
+    assert not C.jwt_verify_es256k(t, other_pub)
+    assert not C.jwt_verify_es256k(t + "x", pub)
+
+
+def test_es256k_signature_is_low_s_raw_64_bytes():
+    priv, _ = C.es256k_keypair_for("BINANCE:ADAUSDT")
+    t = C.jwt_sign_es256k({"x": 1}, priv)
+    sig = C.b64url_decode(t.rsplit(".", 1)[1])
+    assert len(sig) == 64
+    s = int.from_bytes(sig[32:], "big")
+    assert 1 <= s <= C.SECP256K1_N // 2
+
+
+def test_did_ethr_format():
+    _, pub = C.es256k_keypair_for("BINANCE:BTCUSDT")
+    did = C.did_ethr_for(pub)
+    assert did.startswith("did:ethr:sepolia:0x")
+    assert len(did.split(":")[-1]) == 42
+    assert C.did_ethr_for(pub, network="") == "did:ethr:" + did.split(":", 3)[3]
+
+
+def test_did_web_alias_and_resolution_url():
+    from ssiintegrateddatapipeline_spark.operators.identity import did_web_alias
+
+    did = did_web_alias("BINANCE:BTCUSDT")
+    assert did == "did:web:ssi-pipeline.localhost:trades:binance-btcusdt"
+    assert (
+        C.did_web_document_url(did)
+        == "https://ssi-pipeline.localhost/trades/binance-btcusdt/did.json"
+    )
+    assert (
+        C.did_web_document_url("did:web:example.com")
+        == "https://example.com/.well-known/did.json"
+    )
+
+
+def test_identity_dim_per_provider(spark):
+    from ssiintegrateddatapipeline_spark.operators.identity import (
+        DID_PROVIDERS,
+        build_identity_dim,
+    )
+
+    for provider in DID_PROVIDERS:
+        rows = build_identity_dim(spark, did_provider=provider).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r.provider == provider
+            if provider == "did:key":
+                assert r.did.startswith("did:key:z6Mk")
+                assert len(bytes.fromhex(r.public_key_hex)) == 32
+            elif provider == "did:web":
+                assert r.did.startswith("did:web:ssi-pipeline.localhost:trades:")
+                assert len(bytes.fromhex(r.public_key_hex)) == 33  # compressed
+            else:
+                assert r.did.startswith("did:ethr:sepolia:0x")
+                assert len(bytes.fromhex(r.public_key_hex)) == 33

@@ -18,10 +18,23 @@ from ssiintegrateddatapipeline_spark.sources.batch import load_table
 def test_option_sets_match_reference_matrix():
     assert len(OPTION_SETS) == 6
     providers = {c.did_provider for c in OPTION_SETS}
-    assert providers == {"did:web", "did:key", "did:ethr"}
+    assert providers == {"did:web", "did:key", "did:ethr:sepolia"}
     assert any(not c.ssi_validation for c in OPTION_SETS)
     assert any(not c.cache_did for c in OPTION_SETS)
     assert {c.processing_mode for c in OPTION_SETS} == {"sync", "async"}
+
+
+def test_provider_pipelines_verify_untampered_rows(spark, sf_dir):
+    """ES256K providers (did:web, did:ethr:sepolia) run the same tamper/
+    verify contract as did:key — every row verifies iff not tampered."""
+    for provider in ("did:web", "did:ethr:sepolia"):
+        out = build_pipeline(
+            spark, sf_dir, PipelineConfig(provider, True, True, "sync")
+        )
+        rows = out.select("trade_event_id", "verified").collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r.verified == (not r.trade_event_id.startswith("00"))
 
 
 def test_ssi_off_skips_verification_stage(spark, sf_dir):
