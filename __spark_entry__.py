@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ssiintegrateddatapipeline_spark.operators import (
     analytics,
     asof,
+    credstore,
     dedup,
     metrics,
     multimodal,
@@ -48,6 +49,7 @@ _MODULES = [
     transform,
     wire,
     metrics,
+    credstore,
     trade_feed,
     streaming_pipeline,
 ]

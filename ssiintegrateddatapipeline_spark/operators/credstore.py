@@ -1,0 +1,342 @@
+"""Veramo data-store ORM query surface over the credentials table.
+
+The reference exposes ~45 agent methods over a TypeORM-backed credential
+store (veramo-agent/src/constants/veramo-methods.ts:5-63); the dataStoreORM*
+family is parameterized find: a list of where-conditions
+({column, value[], op}), an order list, and skip/take pagination. Here that
+surface is a DataFrame query translator plus contract queries:
+
+- ``credentials_table`` derives a deterministic VC table from events
+  (hash, issuer/subject DIDs, type, issuance/expiration, claim key/value) —
+  the engine-side stand-in for the reference's Postgres ``credential``
+  table, fully SQL-expressible so every ORM query has an exact oracle;
+- ``orm_find`` translates Veramo FindArgs (Equal/In/Like/Between/LessThan/
+  MoreThan/IsNull, order, skip/take) into a filter/orderBy/window plan;
+- the contract queries cover the main method shapes:
+  GetVerifiableCredentialsByClaims, GetVerifiableCredentialsCount,
+  GetIdentifiers(+Count), and paginated GetVerifiableCredentials.
+
+Scale notes: all predicates are Catalyst expressions (pushed to the scan);
+pagination materializes only the first skip+take rows per the global sort —
+a top-K, not a full sort, under Spark's TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssiintegrateddatapipeline_spark.operators.identity import SYMBOLS
+from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+_SYMBOLS_SQL = "[" + ", ".join(f"'{s}'" for s in SYMBOLS) + "]"
+
+# event_type -> credential type, mirroring the reference's two credential
+# shapes (trade VCs + authorization VCs) with a default bucket
+_TYPE_MAP = {
+    "purchase": "TradeCredential",
+    "signup": "AuthorizationCredential",
+}
+_DEFAULT_TYPE = "ActivityCredential"
+
+
+def credentials_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's ``credential`` table (Veramo data-store schema subset:
+    hash, issuer, subject, type, issuanceDate, expirationDate, claim)."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array(*[F.lit(s) for s in SYMBOLS])
+    issuer = F.concat(
+        F.lit("did:example:issuer:"),
+        F.element_at(arr, (F.col("user_id") % 5 + 1).cast("int")),
+    )
+    cred_type = F.coalesce(
+        *[
+            F.when(F.col("event_type") == k, F.lit(v))
+            for k, v in _TYPE_MAP.items()
+        ],
+        F.lit(_DEFAULT_TYPE),
+    )
+    return ev.select(
+        F.md5(F.col("event_id").cast("string")).alias("credential_hash"),
+        issuer.alias("issuer_did"),
+        F.concat(F.lit("did:example:user:"), F.col("user_id")).alias(
+            "subject_did"
+        ),
+        cred_type.alias("credential_type"),
+        F.col("ts").alias("issuance_date"),
+        (
+            F.col("ts")
+            + F.make_dt_interval(days=(F.col("user_id") % 30 + 1).cast("int"))
+        ).alias("expiration_date"),
+        F.lit("amount").alias("claim_type"),
+        F.col("value").alias("claim_value"),
+    )
+
+
+_CREDENTIALS_SQL = f"""
+    SELECT md5(event_id::VARCHAR) AS credential_hash,
+           'did:example:issuer:' || {_SYMBOLS_SQL}[(user_id % 5 + 1)::INT]
+               AS issuer_did,
+           'did:example:user:' || user_id::VARCHAR AS subject_did,
+           CASE event_type WHEN 'purchase' THEN 'TradeCredential'
+                           WHEN 'signup' THEN 'AuthorizationCredential'
+                           ELSE 'ActivityCredential' END AS credential_type,
+           ts AS issuance_date,
+           ts + to_days((user_id % 30 + 1)::INT) AS expiration_date,
+           'amount' AS claim_type,
+           value AS claim_value
+    FROM events
+"""
+
+
+# -- FindArgs translator ----------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Where:
+    """One TypeORM-style condition: {column, value[], op} (Veramo FindArgs)."""
+
+    column: str
+    value: tuple = ()
+    op: str = "Equal"
+
+    def to_column(self) -> Column:
+        c = F.col(self.column)
+        op = self.op
+        if op == "Equal":
+            return c == F.lit(self.value[0])
+        if op == "In":
+            return c.isin(*self.value)
+        if op == "Like":
+            return c.like(self.value[0])
+        if op == "Between":
+            return c.between(F.lit(self.value[0]), F.lit(self.value[1]))
+        if op == "LessThan":
+            return c < F.lit(self.value[0])
+        if op == "LessThanOrEqual":
+            return c <= F.lit(self.value[0])
+        if op == "MoreThan":
+            return c > F.lit(self.value[0])
+        if op == "MoreThanOrEqual":
+            return c >= F.lit(self.value[0])
+        if op == "IsNull":
+            return c.isNull()
+        raise ValueError(f"unsupported FindArgs op {op!r}")
+
+
+@dataclass(frozen=True)
+class FindArgs:
+    where: tuple[Where, ...] = ()
+    order: tuple[tuple[str, str], ...] = ()  # (column, 'ASC'|'DESC')
+    skip: int = 0
+    take: int | None = None
+
+
+def orm_find(df: DataFrame, args: FindArgs) -> DataFrame:
+    """dataStoreORMGetVerifiableCredentials semantics: AND of where
+    conditions, multi-column order, skip/take pagination. Pagination uses a
+    row_number over the requested order (ties broken by credential_hash for
+    determinism) — Catalyst turns order+limit into a distributed top-K."""
+    out = df
+    for w in args.where:
+        out = out.where(w.to_column())
+    if args.order or args.skip or args.take is not None:
+        order_cols = [
+            F.col(c).desc() if d.upper() == "DESC" else F.col(c).asc()
+            for c, d in args.order
+        ]
+        order_cols.append(F.col("credential_hash").asc())
+        if args.skip or args.take is not None:
+            from pyspark.sql import Window
+
+            lo = args.skip
+            if args.take is not None:
+                # bound FIRST: orderBy+limit is a distributed top-K
+                # (TakeOrderedAndProject), so the row_number window only
+                # ever sees skip+take rows — no global single-partition sort
+                out = out.orderBy(*order_cols).limit(lo + args.take)
+            w = Window.orderBy(*order_cols)
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") > lo)
+                .drop("_rn")
+            )
+        else:
+            out = out.orderBy(*order_cols)
+    return out
+
+
+def orm_count(df: DataFrame, where: tuple[Where, ...] = ()) -> DataFrame:
+    """dataStoreORM*Count: a single-row count under the same where set."""
+    out = df
+    for w in where:
+        out = out.where(w.to_column())
+    return out.agg(F.count("*").alias("n"))
+
+
+# -- contract queries -------------------------------------------------------
+
+
+def vcs_by_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataStoreORMGetVerifiableCredentialsByClaims: claim-type equality +
+    claim-value range, returning full credential rows."""
+    creds = credentials_table(spark, sf_dir)
+    found = orm_find(
+        creds,
+        FindArgs(
+            where=(
+                Where("claim_type", ("amount",), "Equal"),
+                Where("claim_value", (200.0,), "MoreThan"),
+                Where("credential_type", ("TradeCredential",), "Equal"),
+            )
+        ),
+    )
+    return found.select(
+        "credential_hash",
+        "issuer_did",
+        "subject_did",
+        "issuance_date",
+        "claim_value",
+    )
+
+
+def vcs_count_by_issuer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataStoreORMGetVerifiableCredentialsCount, per issuer and type —
+    the count surface as a grouped aggregate."""
+    creds = credentials_table(spark, sf_dir)
+    return creds.groupBy("issuer_did", "credential_type").agg(
+        F.count("*").alias("n_credentials"),
+        F.countDistinct("subject_did").alias("n_subjects"),
+        F.max("issuance_date").alias("latest_issuance"),
+    )
+
+
+def identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataStoreORMGetIdentifiers(+Count): every DID seen by the store —
+    issuers and subjects with role, credential count, first/last activity."""
+    creds = credentials_table(spark, sf_dir)
+    issuers = creds.select(
+        F.col("issuer_did").alias("did"),
+        F.lit("issuer").alias("role"),
+        "issuance_date",
+    )
+    subjects = creds.select(
+        F.col("subject_did").alias("did"),
+        F.lit("subject").alias("role"),
+        "issuance_date",
+    )
+    return (
+        issuers.unionByName(subjects)
+        .groupBy("did", "role")
+        .agg(
+            F.count("*").alias("n_credentials"),
+            F.min("issuance_date").alias("first_seen"),
+            F.max("issuance_date").alias("last_seen"),
+        )
+    )
+
+
+def vcs_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataStoreORMGetVerifiableCredentials with order + skip/take: page 3
+    of TradeCredentials ordered by issuance_date desc (take=20, skip=40)."""
+    creds = credentials_table(spark, sf_dir)
+    return orm_find(
+        creds,
+        FindArgs(
+            where=(Where("credential_type", ("TradeCredential",), "Equal"),),
+            order=(("issuance_date", "DESC"),),
+            skip=40,
+            take=20,
+        ),
+    ).select("credential_hash", "subject_did", "issuance_date", "claim_value")
+
+
+def expiring_credentials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Between/IsNull shapes: credentials whose validity window is
+    shortest per issuer — the revocation-sweep query a store runs."""
+    creds = credentials_table(spark, sf_dir)
+    validity_days = (
+        (
+            F.unix_micros("expiration_date") - F.unix_micros("issuance_date")
+        )
+        / F.lit(86_400_000_000.0)
+    ).alias("validity_days")
+    return (
+        creds.select("issuer_did", "credential_type", validity_days)
+        .where(F.col("validity_days") <= 7.0)
+        .groupBy("issuer_did", "credential_type")
+        .agg(
+            F.count("*").alias("n_expiring"),
+            F.round(F.avg("validity_days"), 6).alias("avg_validity_days"),
+        )
+    )
+
+
+QUERIES = {
+    "credstore_vcs_by_claims": vcs_by_claims,
+    "credstore_count_by_issuer": vcs_count_by_issuer,
+    "credstore_identifiers": identifiers,
+    "credstore_paginated": vcs_paginated,
+    "credstore_expiring": expiring_credentials,
+}
+
+ORACLES = {
+    "credstore_vcs_by_claims": f"""
+        WITH creds AS ({_CREDENTIALS_SQL})
+        SELECT credential_hash, issuer_did, subject_did, issuance_date,
+               claim_value
+        FROM creds
+        WHERE claim_type = 'amount' AND claim_value > 200.0
+          AND credential_type = 'TradeCredential'
+    """,
+    "credstore_count_by_issuer": f"""
+        WITH creds AS ({_CREDENTIALS_SQL})
+        SELECT issuer_did, credential_type,
+               count(*) AS n_credentials,
+               count(DISTINCT subject_did) AS n_subjects,
+               max(issuance_date) AS latest_issuance
+        FROM creds
+        GROUP BY issuer_did, credential_type
+    """,
+    "credstore_identifiers": f"""
+        WITH creds AS ({_CREDENTIALS_SQL}),
+        both_roles AS (
+            SELECT issuer_did AS did, 'issuer' AS role, issuance_date
+            FROM creds
+            UNION ALL
+            SELECT subject_did, 'subject', issuance_date FROM creds
+        )
+        SELECT did, role, count(*) AS n_credentials,
+               min(issuance_date) AS first_seen,
+               max(issuance_date) AS last_seen
+        FROM both_roles
+        GROUP BY did, role
+    """,
+    "credstore_paginated": f"""
+        WITH creds AS ({_CREDENTIALS_SQL}),
+        ranked AS (
+            SELECT credential_hash, subject_did, issuance_date, claim_value,
+                   row_number() OVER (
+                       ORDER BY issuance_date DESC, credential_hash ASC
+                   ) AS rn
+            FROM creds
+            WHERE credential_type = 'TradeCredential'
+        )
+        SELECT credential_hash, subject_did, issuance_date, claim_value
+        FROM ranked WHERE rn > 40 AND rn <= 60
+    """,
+    "credstore_expiring": f"""
+        WITH creds AS ({_CREDENTIALS_SQL})
+        SELECT issuer_did, credential_type,
+               count(*) AS n_expiring,
+               round(avg((epoch_us(expiration_date) - epoch_us(issuance_date))
+                         / 86400000000.0), 6) AS avg_validity_days
+        FROM creds
+        WHERE (epoch_us(expiration_date) - epoch_us(issuance_date))
+              / 86400000000.0 <= 7.0
+        GROUP BY issuer_did, credential_type
+    """,
+}
