@@ -1109,6 +1109,11 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic caveat: the day spine is built from days that HAVE events,
+    so a calendar day with zero events emits no row at all — even though
+    its trailing-7d WAU would be nonzero. The oracle matches by
+    construction. For gap-free calendars swap the spine for
+    sequence(min(d), max(d)) in both engines."""
     ev = _events(spark, sf_dir)
     day_users = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
     spine = day_users.select("d").distinct()

@@ -64,13 +64,73 @@ def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Decode kernels (stubbed): real codec behind NotImplementedError, fake
-# decode is a pure deterministic function of the bytes
+# Decode kernels behind a capability probe (same contract shape as the
+# JVM-avro fallback in operators/wire.py): the real path runs when the
+# payload actually parses — Pillow when importable, else a pure PNG
+# IHDR-header parse (no library needed) for image dims, and
+# soundfile-or-stdlib-wave for audio. Payloads that are not real media
+# (the synthetic corpus is text bytes) take the deterministic fake path,
+# which is what the SQL oracles replicate.
 # ---------------------------------------------------------------------------
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (PNG spec, IHDR)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def image_codec_available() -> bool:
+    """True iff Pillow is importable (full pixel decode); the IHDR header
+    parse below works regardless for PNG metadata."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def audio_codec_available() -> bool:
+    """True iff a real audio decoder exists: soundfile (any format) or the
+    stdlib wave module (PCM WAV) — the latter is always present."""
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        try:
+            import wave  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+
 def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
-    """Real path would be Pillow: Image.open(BytesIO(payload)).size etc."""
-    raise NotImplementedError("image codec not available in this container")
+    """Real image decode. PNG: dims + channels straight from the IHDR
+    header (first chunk after the 8-byte magic — pure parsing, no
+    library). Anything else: Pillow when importable. Raises
+    NotImplementedError when no real path applies, which routes the
+    payload to the deterministic fake."""
+    import struct as _struct
+
+    if payload[:8] == _PNG_MAGIC and len(payload) >= 26:
+        width, height = _struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        channels = _PNG_CHANNELS.get(color_type)
+        if channels is None:
+            raise NotImplementedError(f"unknown PNG color type {color_type}")
+        return int(width), int(height), channels
+    if image_codec_available():
+        import io
+
+        import PIL.Image
+
+        try:
+            with PIL.Image.open(io.BytesIO(payload)) as img:
+                return img.width, img.height, len(img.getbands())
+        except Exception as e:  # not an image Pillow can read
+            raise NotImplementedError(str(e)) from e
+    raise NotImplementedError("no image codec applies to this payload")
 
 
 def _decode_image_fake(payload: bytes) -> tuple[int, int, int]:
@@ -84,14 +144,20 @@ def _decode_image_fake(payload: bytes) -> tuple[int, int, int]:
     return width, height, channels
 
 
+def _decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Per-payload dispatch: real decode when the payload parses as media,
+    deterministic fake otherwise."""
+    try:
+        return _decode_image_real(bytes(payload))
+    except NotImplementedError:
+        return _decode_image_fake(payload)
+
+
 def decode_image_meta(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: Arrow batches in, decoded metadata out."""
     for pdf in batch_iter:
         payloads = pdf["payload"]
-        try:
-            dims = [_decode_image_real(p) for p in payloads]
-        except NotImplementedError:
-            dims = [_decode_image_fake(p) for p in payloads]
+        dims = [_decode_image(p) for p in payloads]
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -168,8 +234,42 @@ _AUDIO_SCHEMA = T.StructType(
 
 
 def _audio_features_real(chunk: bytes) -> list[float]:
-    """Real path would be librosa MFCC / torchaudio spectrogram."""
-    raise NotImplementedError("audio codec not available in this container")
+    """Real audio decode for payloads that actually parse: soundfile when
+    importable (any format), else stdlib wave for PCM WAV (RIFF magic).
+    Features are [mean, min, max] over the decoded 16-bit samples —
+    the same 3-slot shape as the fake path. Non-media payloads raise
+    NotImplementedError and fall through to the fake."""
+    chunk = bytes(chunk)
+    if chunk[:4] != b"RIFF":
+        raise NotImplementedError("not a RIFF/WAV payload")
+    import io
+
+    try:
+        import soundfile
+
+        data, _rate = soundfile.read(io.BytesIO(chunk), dtype="int16")
+        samples = [int(x) for x in data.reshape(-1)]
+    except ImportError:
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(chunk), "rb") as w:
+                raw = w.readframes(w.getnframes())
+                width = w.getsampwidth()
+        except Exception as e:
+            raise NotImplementedError(str(e)) from e
+        if width != 2:
+            raise NotImplementedError(f"unsupported sample width {width}")
+        import struct as _struct
+
+        samples = list(_struct.unpack(f"<{len(raw) // 2}h", raw))
+    if not samples:
+        raise NotImplementedError("empty audio stream")
+    return [
+        sum(samples) / len(samples),
+        float(min(samples)),
+        float(max(samples)),
+    ]
 
 
 def _audio_features_fake(chunk: bytes) -> list[float]:

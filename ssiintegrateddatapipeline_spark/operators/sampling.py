@@ -123,7 +123,14 @@ def weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     training mix toward high-value records. Returns the per-type audit.
     """
     ev = load_table(spark, sf_dir, "events")
-    gate = F.floor(F.col("value") * F.lit(W_SCALE)).cast("long")
+    # clamp at 0: a negative value would format as a 16-char two's-
+    # complement hex string that compares greater than any 4-char prefix,
+    # silently keeping every negative-weight row — the opposite of
+    # weight-proportional. Clamped, weight<=0 keeps nothing.
+    gate = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor(F.col("value") * F.lit(W_SCALE)).cast("long"),
+    )
     kept = ev.where(
         (F.col("value") >= F.lit(W_CAP))
         | (
@@ -214,7 +221,8 @@ ORACLES = {
         FROM events
         WHERE value >= {W_CAP}
            OR substr(md5(cast(event_id AS VARCHAR) || '|wsmp'), 1, 4)
-              < printf('%04x', cast(floor(value * {W_SCALE!r}) AS BIGINT))
+              < printf('%04x', greatest(0::BIGINT,
+                    cast(floor(value * {W_SCALE!r}) AS BIGINT)))
         GROUP BY event_type
     """,
     "sampling_train_split": """

@@ -63,3 +63,63 @@ def test_metadata_predicate_prunes_payload_column(spark, sf_dir):
     plan = docs_meta._jdf.queryExecution().executedPlan().toString()
     # media_type derives from doc_id only; text must be pruned from the scan
     assert "text" not in plan.split("ReadSchema")[-1]
+
+
+# --- capability-probed real codecs ------------------------------------------
+
+
+def test_codec_probes_offline():
+    from ssiintegrateddatapipeline_spark.operators import multimodal as M
+
+    # Pillow is absent in this container; stdlib wave makes audio real
+    assert M.image_codec_available() is False
+    assert M.audio_codec_available() is True
+
+
+def test_png_header_real_decode():
+    import struct
+
+    from ssiintegrateddatapipeline_spark.operators import multimodal as M
+
+    png = (
+        M._PNG_MAGIC
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + bytes([8, 6, 0, 0, 0])  # bit depth 8, color type 6 (RGBA)
+    )
+    assert M._decode_image(png) == (640, 480, 4)
+    # grayscale color type
+    png_gray = png[:25] + bytes([0]) + png[26:]
+    assert M._decode_image(png_gray) == (640, 480, 1)
+    # non-media payload falls back to the deterministic fake
+    assert M._decode_image(b"just text") == M._decode_image_fake(b"just text")
+
+
+def test_wav_real_decode(tmp_path):
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from ssiintegrateddatapipeline_spark.operators import multimodal as M
+
+    if not M.audio_codec_available():
+        pytest.skip("no audio codec available")
+
+    samples = [0, 1000, -1000, 32767, -32768, 500]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    payload = buf.getvalue()
+
+    mean, lo, hi = M._audio_features_real(payload)
+    assert lo == -32768.0 and hi == 32767.0
+    assert abs(mean - sum(samples) / len(samples)) < 1e-9
+    # a text payload routes to the fake path
+    with pytest.raises(NotImplementedError):
+        M._audio_features_real(b"definitely not audio")
