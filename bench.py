@@ -73,6 +73,11 @@ HEADLINE = [
     "transform_snapshot_diff",
     "analytics_rolling_distinct_users",
     "sampling_weighted",
+    "pipeline_provider_matrix",
+    "credstore_vcs_by_claims",
+    "credstore_paginated",
+    "credstore_identifiers",
+    "similarity_ivf_recall",
 ]
 
 

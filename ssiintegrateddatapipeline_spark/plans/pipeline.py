@@ -63,14 +63,24 @@ OPTION_SETS = (
 
 
 def build_pipeline(
-    spark: SparkSession, sf_dir: str, config: PipelineConfig
+    spark: SparkSession,
+    sf_dir: str,
+    config: PipelineConfig,
+    sample_hex_lt: str | None = None,
 ) -> DataFrame:
     """The full dataflow for one configuration. With SSI on, each event is
     signed and verified (tampered subset fails, as in trade_sign_verify);
     with SSI off the credential stage is skipped entirely — two plan
     variants, not a per-row branch, matching the reference's startup-time
-    routing."""
+    routing.
+
+    ``sample_hex_lt``: optional deterministic hash-sample applied BEFORE
+    the crypto stage — keep rows whose trade_event_id (an md5 hex) starts
+    below the given hex digit ('2' keeps 2/16 = 12.5%). Used by the
+    provider matrix so per-row ECDSA doesn't dominate a benchmark sweep."""
     env = trade_envelope(spark, sf_dir)
+    if sample_hex_lt is not None:
+        env = env.where(F.substring("trade_event_id", 1, 1) < F.lit(sample_hex_lt))
     if config.ssi_validation:
         ev = env.select(
             F.md5(F.col("trade_event_id")).alias("row_key"),
@@ -137,7 +147,12 @@ def provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm, same tamper/verify contract."""
     parts = [
         run_summary(
-            build_pipeline(spark, sf_dir, PipelineConfig(p, True, True, "sync"))
+            build_pipeline(
+                spark,
+                sf_dir,
+                PipelineConfig(p, True, True, "sync"),
+                sample_hex_lt="2",
+            )
         )
         for p in ("did:key", "did:web", "did:ethr:sepolia")
     ]
@@ -187,6 +202,7 @@ ORACLES = {
                    make_timestamp(epoch_us(ts) + (event_id % 5) * 1000000)
                        AS start_timestamp
             FROM events
+            WHERE substr(md5(event_id::VARCHAR), 1, 1) < '2'
         ),
         span AS (
             SELECT count(*) AS n,
