@@ -236,6 +236,62 @@ def identity_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_identity_dim(spark)
 
 
+def did_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: resolve the identity dimension's DIDs across all three provider
+    methods (resolver map parity: veramo_resolver_manager.ts:22-64).
+    did:key recovers and cross-checks the public key; did:ethr validates
+    the EIP-55 checksum against the key-derived address; did:web yields
+    the hosted document URL. Arrow-batched; rows-only driver check
+    (base58/keccak are not SQL-expressible)."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd  # noqa: F811
+
+    from ssiintegrateddatapipeline_spark.operators.identity import (
+        DID_PROVIDERS,
+        build_identity_dim,
+    )
+
+    dim = build_identity_dim(spark, did_provider=DID_PROVIDERS[0])
+    for p in DID_PROVIDERS[1:]:
+        dim = dim.unionByName(build_identity_dim(spark, did_provider=p))
+
+    def res(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        from ssiintegrateddatapipeline_spark.functions import crypto
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                doc = crypto.resolve_did(r.did)
+                vms = doc.get("verificationMethod", [])
+                if r.provider == "did:key":
+                    key_ok = vms[0]["publicKeyHex"] == r.public_key_hex
+                elif r.provider.startswith("did:ethr"):
+                    # address inside the DID must match the registered key
+                    priv, pub = crypto.es256k_keypair_for(r.symbol)
+                    key_ok = r.did.endswith(crypto.eth_address_for(pub))
+                else:
+                    key_ok = "documentUrl" in doc
+                rows.append(
+                    {
+                        "symbol": r.symbol,
+                        "provider": r.provider,
+                        "did": r.did,
+                        "n_verification_methods": len(vms),
+                        "document_url": doc.get("documentUrl"),
+                        "key_consistent": bool(key_ok),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return dim.mapInPandas(
+        res,
+        "symbol string, provider string, did string, "
+        "n_verification_methods int, document_url string, "
+        "key_consistent boolean",
+    )
+
+
 QUERIES = {
     "trade_envelope": trade_envelope,
     "trade_did_web_alias": did_web_alias,
@@ -243,6 +299,7 @@ QUERIES = {
     "trade_authz_check": authz_check,
     "trade_sign_verify": sign_verify,
     "trade_identity_dim": identity_dim,
+    "trade_did_resolution": did_resolution,
     "trade_json_parse_route": json_parse_route,
 }
 

@@ -161,3 +161,50 @@ def test_identity_dim_per_provider(spark):
             else:
                 assert r.did.startswith("did:ethr:sepolia:0x")
                 assert len(bytes.fromhex(r.public_key_hex)) == 33
+
+
+def test_resolve_did_roundtrips():
+    priv, pub = C.keypair_for("BINANCE:BTCUSDT")
+    did = C.did_key_for(pub)
+    doc = C.resolve_did(did)
+    assert doc["verificationMethod"][0]["publicKeyHex"] == C.public_bytes(pub).hex()
+    assert C.b58decode(C.b58encode(b"\x00\x01hello")) == b"\x00\x01hello"
+
+    _, epub = C.es256k_keypair_for("BINANCE:ETHUSDT")
+    edoc = C.resolve_did(C.did_ethr_for(epub))
+    assert edoc["network"] == "sepolia"
+    assert edoc["verificationMethod"][0]["blockchainAccountId"].startswith(
+        "eip155:11155111:0x"
+    )
+
+    wdoc = C.resolve_did("did:web:example.com:a:b")
+    assert wdoc["documentUrl"] == "https://example.com/a/b/did.json"
+
+
+def test_resolve_did_rejects_malformed():
+    import pytest
+
+    _, epub = C.es256k_keypair_for("BINANCE:SOLUSDT")
+    good = C.did_ethr_for(epub)
+    bad = good[:-1] + ("a" if good[-1] != "a" else "b")
+    with pytest.raises(ValueError, match="EIP-55"):
+        C.resolve_did(bad)
+    with pytest.raises(ValueError, match="ed25519"):
+        C.resolve_did("did:key:z3" + "1" * 30)
+    with pytest.raises(ValueError, match="unsupported DID method"):
+        C.resolve_did("did:sov:xyz")
+    # all-lowercase addresses carry no checksum -> accepted
+    C.resolve_did("did:ethr:sepolia:" + good.split(":")[-1].lower())
+
+
+def test_did_resolution_query(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators.trade_pipeline import did_resolution
+
+    rows = did_resolution(spark, sf_dir).collect()
+    assert len(rows) == 15  # 5 symbols x 3 providers
+    assert all(r.key_consistent for r in rows)
+    by_provider = {r.provider for r in rows}
+    assert by_provider == {"did:key", "did:web", "did:ethr:sepolia"}
+    for r in rows:
+        if r.provider == "did:web":
+            assert r.document_url.endswith("/did.json")
