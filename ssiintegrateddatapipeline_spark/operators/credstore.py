@@ -275,12 +275,32 @@ def expiring_credentials(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def presentations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataStoreORMGetVerifiablePresentations(+Count): a presentation is a
+    holder-day bundle of credentials (the holder presents that day's VCs).
+    Returns one row per presentation with the credential set profile."""
+    creds = credentials_table(spark, sf_dir)
+    return (
+        creds.groupBy(
+            F.col("subject_did").alias("holder_did"),
+            F.to_date("issuance_date").alias("presentation_date"),
+        )
+        .agg(
+            F.count("*").alias("n_credentials"),
+            F.array_sort(F.collect_set("credential_type")).alias("types"),
+            F.round(F.sum("claim_value"), 4).alias("total_claim_value"),
+        )
+        .where(F.col("n_credentials") >= 2)
+    )
+
+
 QUERIES = {
     "credstore_vcs_by_claims": vcs_by_claims,
     "credstore_count_by_issuer": vcs_count_by_issuer,
     "credstore_identifiers": identifiers,
     "credstore_paginated": vcs_paginated,
     "credstore_expiring": expiring_credentials,
+    "credstore_presentations": presentations,
 }
 
 ORACLES = {
@@ -327,6 +347,17 @@ ORACLES = {
         )
         SELECT credential_hash, subject_did, issuance_date, claim_value
         FROM ranked WHERE rn > 40 AND rn <= 60
+    """,
+    "credstore_presentations": f"""
+        WITH creds AS ({_CREDENTIALS_SQL})
+        SELECT subject_did AS holder_did,
+               issuance_date::DATE AS presentation_date,
+               count(*) AS n_credentials,
+               list_sort(list_distinct(list(credential_type))) AS types,
+               round(sum(claim_value), 4) AS total_claim_value
+        FROM creds
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
     """,
     "credstore_expiring": f"""
         WITH creds AS ({_CREDENTIALS_SQL})

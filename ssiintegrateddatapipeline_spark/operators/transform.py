@@ -232,25 +232,36 @@ def _snapshot_gate(key, salt: str):
 
 
 def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The whole diff runs in exact integer CENTS: prices carry exactly 2
+    # decimals, so round(p*100) is an exact int64, the simulated 10% price
+    # bump is pure integer math ((c*11+5) div 10 — explicit half-up), and
+    # the class totals are order-independent exact sums. Float forms of
+    # any of these diverge between engines: round(p*1.1, 2) differs on
+    # decimal half-ties (Spark rounds the shortest decimal string HALF_UP,
+    # DuckDB rounds the binary double), and a raw double sum of ~1e8
+    # wobbles at the 2nd decimal with addition order.
     orders = load_table(spark, sf_dir, "orders")
     key = F.col("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     old = orders.where(_snapshot_gate(key, "snapadd") != "0").select(
-        "o_orderkey", F.col("o_totalprice").alias("old_price")
+        "o_orderkey", cents.alias("old_cents")
     )
     new = orders.where(_snapshot_gate(key, "snapdel") != "0").select(
         "o_orderkey",
         F.when(
             _snapshot_gate(key, "snapmod") < "4",
-            F.round(F.col("o_totalprice") * 1.1, 2),
+            F.expr(
+                "CAST((CAST(round(o_totalprice * 100) AS BIGINT) * 11 + 5) div 10 AS BIGINT)"
+            ),
         )
-        .otherwise(F.col("o_totalprice"))
-        .alias("new_price"),
+        .otherwise(cents)
+        .alias("new_cents"),
     )
     joined = old.join(new, "o_orderkey", "full_outer")
     diff_class = (
-        F.when(F.col("old_price").isNull(), "added")
-        .when(F.col("new_price").isNull(), "removed")
-        .when(F.col("old_price") != F.col("new_price"), "changed")
+        F.when(F.col("old_cents").isNull(), "added")
+        .when(F.col("new_cents").isNull(), "removed")
+        .when(F.col("old_cents") != F.col("new_cents"), "changed")
         .otherwise("unchanged")
     )
     return (
@@ -258,9 +269,9 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("diff_class")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum(F.coalesce("new_price", "old_price")), 2).alias(
-                "total_price"
-            ),
+            F.round(
+                F.sum(F.coalesce("new_cents", "old_cents")) / 100.0, 2
+            ).alias("total_price"),
         )
     )
 
@@ -315,24 +326,27 @@ _BPE_N_SQL = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
 ORACLES = {
     "transform_snapshot_diff": """
         WITH old AS (
-            SELECT o_orderkey, o_totalprice AS old_price
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS old_cents
             FROM orders
             WHERE substr(md5(o_orderkey::VARCHAR || '|snapadd'), 1, 1) <> '0'
         ),
         new AS (
             SELECT o_orderkey,
                    CASE WHEN substr(md5(o_orderkey::VARCHAR || '|snapmod'), 1, 1) < '4'
-                        THEN round(o_totalprice * 1.1, 2)
-                        ELSE o_totalprice END AS new_price
+                        THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 11 + 5) // 10
+                        ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                   END AS new_cents
             FROM orders
             WHERE substr(md5(o_orderkey::VARCHAR || '|snapdel'), 1, 1) <> '0'
         )
-        SELECT CASE WHEN old_price IS NULL THEN 'added'
-                    WHEN new_price IS NULL THEN 'removed'
-                    WHEN old_price <> new_price THEN 'changed'
+        SELECT CASE WHEN old_cents IS NULL THEN 'added'
+                    WHEN new_cents IS NULL THEN 'removed'
+                    WHEN old_cents <> new_cents THEN 'changed'
                     ELSE 'unchanged' END AS diff_class,
                count(*) AS n_rows,
-               round(sum(coalesce(new_price, old_price)), 2) AS total_price
+               round(sum(coalesce(new_cents, old_cents)) / 100.0, 2)
+                   AS total_price
         FROM old FULL OUTER JOIN new USING (o_orderkey)
         GROUP BY 1
     """,

@@ -140,3 +140,63 @@ def compact_files(
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return n_files
+
+
+# ---------------------------------------------------------------------------
+# did:web document hosting (U6): the reference fetches each did:web DID's
+# document from the agent and commits `<path>/did.json` files into a
+# static-hosting repo (host_did_web/src/main.go:398-485 — parseDID,
+# determineTargetFile, saveDIDDocument; the git push is infra). Here the
+# documents are BUILT from the identity dimension's key material and
+# written in the same `<segments>/did.json` layout, so the URL that
+# crypto.did_web_document_url derives for a DID maps 1:1 onto the files.
+# ---------------------------------------------------------------------------
+
+
+def did_web_document(did: str, public_key_hex: str) -> dict:
+    """W3C DID document for a did:web identity with a secp256k1 key (the
+    provider's Veramo default key type)."""
+    vm_id = f"{did}#owner"
+    return {
+        "@context": [
+            "https://www.w3.org/ns/did/v1",
+            "https://w3id.org/security/v2",
+        ],
+        "id": did,
+        "verificationMethod": [
+            {
+                "id": vm_id,
+                "type": "EcdsaSecp256k1VerificationKey2019",
+                "controller": did,
+                "publicKeyHex": public_key_hex,
+            }
+        ],
+        "authentication": [vm_id],
+        "assertionMethod": [vm_id],
+    }
+
+
+def host_did_web_documents(spark, root_dir: str) -> DataFrame:
+    """Build + write every did:web identity's document under root_dir using
+    the reference's path layout (segments after the host, then did.json).
+    Returns the manifest (did, path) DataFrame. The dim is tiny (one row
+    per symbol) — the driver-side write IS the hosting step, exactly like
+    the reference's single git workspace."""
+    import json as _json
+    from pathlib import Path
+
+    from ssiintegrateddatapipeline_spark.operators.identity import (
+        build_identity_dim,
+    )
+
+    dim = build_identity_dim(spark, did_provider="did:web").toPandas()
+    manifest = []
+    for r in dim.itertuples():
+        segments = r.did.split(":")[3:]  # after did:web:<host>
+        target = Path(root_dir).joinpath(*segments) / "did.json"
+        target.parent.mkdir(parents=True, exist_ok=True)
+        target.write_text(
+            _json.dumps(did_web_document(r.did, r.public_key_hex), indent=2)
+        )
+        manifest.append((r.did, str(target)))
+    return spark.createDataFrame(manifest, "did string, path string")

@@ -303,3 +303,42 @@ def test_containment_cuts_corpus_before_shingle_join(spark, sf_dir):
     docs via broadcast before the shingle self-join."""
     plan = _executed_plan(_QUERIES["dedup_containment_pairs"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_credstore_claims_filter_pushes_to_scan(spark, sf_dir):
+    """The ORM where-conditions are Catalyst predicates on underlying
+    columns — they must reach the parquet scan, not sit above a project."""
+    plan = _formatted(_QUERIES["credstore_vcs_by_claims"](spark, sf_dir))
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert pushed and any("value" in line for line in pushed), pushed
+
+
+def test_ivf_trained_codebook_is_plan_time_literal(spark, sf_dir):
+    """Training happens once per session driver-side; the per-row query
+    plan must contain only literal centroid arrays (whole-stage codegen,
+    no Python, no extra scan of embeddings for the codebook)."""
+    plan = _formatted(_QUERIES["similarity_ivf_topk"](spark, sf_dir))
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+    # exactly 2 embedding scans: corpus side + query side (formatted
+    # output lists each node once in the tree and once in the detail
+    # section — count the numbered detail entries)
+    scans = [l for l in plan.splitlines() if l.startswith("(") and "Scan parquet" in l]
+    assert len(scans) == 2, scans
+
+
+def test_identity_dim_broadcasts_in_pipeline(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators.identity import (
+        build_identity_dim,
+    )
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id")
+    )
+    dim = build_identity_dim(spark)
+    joined = ev.join(
+        F.broadcast(dim), ev.user_id % 5 == F.crc32(dim.symbol) % 5, "left"
+    )
+    assert "BroadcastHashJoin" in _formatted(joined) or "BroadcastNestedLoopJoin" in _formatted(joined)

@@ -192,3 +192,23 @@ def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
     assert merged.where(F.col("batch") == 2).where(
         F.col("value").isNotNull()
     ).count() == 50
+
+
+def test_host_did_web_documents_layout(spark, tmp_path):
+    import json
+
+    from ssiintegrateddatapipeline_spark.functions import crypto
+    from ssiintegrateddatapipeline_spark.sources.sinks import host_did_web_documents
+
+    manifest = {r.did: r.path for r in host_did_web_documents(spark, str(tmp_path)).collect()}
+    assert len(manifest) == 5
+    for did, path in manifest.items():
+        doc = json.loads(open(path).read())
+        assert doc["id"] == did
+        vm = doc["verificationMethod"][0]
+        assert vm["type"] == "EcdsaSecp256k1VerificationKey2019"
+        # on-disk layout mirrors the resolution URL path exactly
+        url = crypto.did_web_document_url(did)
+        rel_url = url.split("/", 3)[3]          # path after host
+        rel_fs = path[len(str(tmp_path)) + 1:]  # path after root
+        assert rel_url == rel_fs
