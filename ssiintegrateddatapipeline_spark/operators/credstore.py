@@ -216,20 +216,30 @@ def vcs_count_by_issuer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dataStoreORMGetIdentifiers(+Count): every DID seen by the store —
-    issuers and subjects with role, credential count, first/last activity."""
+    issuers and subjects with role, credential count, first/last activity.
+
+    One scan, not a union of two: each credential row explodes into its
+    (issuer, 'issuer') and (subject, 'subject') pairs in-row, halving the
+    table IO vs the textbook UNION ALL shape (the oracle keeps UNION ALL —
+    same multiset)."""
     creds = credentials_table(spark, sf_dir)
-    issuers = creds.select(
-        F.col("issuer_did").alias("did"),
-        F.lit("issuer").alias("role"),
-        "issuance_date",
-    )
-    subjects = creds.select(
-        F.col("subject_did").alias("did"),
-        F.lit("subject").alias("role"),
+    both = creds.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("issuer_did").alias("did"),
+                    F.lit("issuer").alias("role"),
+                ),
+                F.struct(
+                    F.col("subject_did").alias("did"),
+                    F.lit("subject").alias("role"),
+                ),
+            )
+        ).alias("e"),
         "issuance_date",
     )
     return (
-        issuers.unionByName(subjects)
+        both.select("e.did", "e.role", "issuance_date")
         .groupBy("did", "role")
         .agg(
             F.count("*").alias("n_credentials"),

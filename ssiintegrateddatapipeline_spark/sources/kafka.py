@@ -130,3 +130,19 @@ def decoded_stream(spark: SparkSession, config: KafkaSourceConfig) -> "object":
         return wire.avro_deserialize(framed.select("key", "value"))
 
     return reader, decode
+
+
+def registry_value_contract(registry, schema: dict, subject_name: str | None = None):
+    """The producer's registry contract (kafka_producer.py:53-62):
+    ``auto.register.schemas=False`` + ``use.latest.version=True`` — the
+    serializer must NOT create the subject; it looks up the latest
+    registered version and pins it. Returns that RegisteredSchema.
+
+    Raises KeyError when the subject was never registered (the exact
+    failure mode the reference surfaces on an uninitialized cluster —
+    kafka_initialiser owns registration, producers only consume it)."""
+    from ssiintegrateddatapipeline_spark.schemas.registry import subject_for
+
+    subject = subject_for(schema, subject_name)
+    latest = registry.get_latest_version(subject)  # KeyError if absent
+    return latest

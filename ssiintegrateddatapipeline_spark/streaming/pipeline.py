@@ -359,6 +359,46 @@ def streaming_throughput_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(throughput_plan(events_stream(spark, sf_dir)))
 
 
+def streaming_sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's consumer->verifier hop AS a streaming stage: every
+    micro-batch is signed (Arrow-batched EdDSA), a deterministic subset
+    tampered, verified, and the per-symbol verification tally aggregated —
+    kafka_consumer.py:82-161's per-message verify loop expressed as one
+    declarative plan. State is one row per symbol (complete mode); the
+    crypto runs inside the micro-batch pipeline, not a side service."""
+    from ssiintegrateddatapipeline_spark.operators.identity import (
+        SYMBOLS,
+        sign_column,
+        verify_column,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    arr = F.array(*[F.lit(s) for s in SYMBOLS])
+    ev = stream.select(
+        "event_id",
+        F.element_at(arr, (F.col("user_id") % 5 + 1).cast("int")).alias("symbol"),
+        F.col("props").alias("payload"),
+    )
+    signed = sign_column(ev, "symbol", "payload")
+    tampered = signed.withColumn(
+        "jwt",
+        F.when(
+            F.col("event_id") % 50 == 0, F.concat(F.col("jwt"), F.lit("x"))
+        ).otherwise(F.col("jwt")),
+    )
+    verified = verify_column(tampered, "symbol", "jwt")
+    tally = verified.groupBy("symbol").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("verified"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_verified"),
+        F.sum(F.when(~F.col("verified"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rejected"),
+    )
+    return run_available_now(tally, output_mode="complete")
+
+
 def streaming_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(last_seen_plan(events_stream(spark, sf_dir)))
 
@@ -476,6 +516,7 @@ QUERIES = {
     "streaming_session_windows": streaming_session_windows,
     "streaming_attribution": streaming_attribution,
     "streaming_throughput_30s": streaming_throughput_30s,
+    "streaming_sign_verify": streaming_sign_verify,
     "streaming_last_seen": streaming_last_seen,
     "streaming_payload_hist": streaming_payload_hist,
     "streaming_user_stats": streaming_user_stats,
@@ -560,6 +601,18 @@ ORACLES = {
           AND c.event_type = 'click'
           AND c.ts <= p.ts
           AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    "streaming_sign_verify": """
+        SELECT ['BINANCE:BTCUSDT', 'BINANCE:ETHUSDT', 'BINANCE:SOLUSDT',
+                'BINANCE:ADAUSDT', 'BINANCE:XRPUSDT'][(user_id % 5 + 1)::INT]
+                   AS symbol,
+               count(*) AS n_events,
+               sum(CASE WHEN event_id % 50 != 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_verified,
+               sum(CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_rejected
+        FROM events
+        GROUP BY 1
     """,
     "streaming_throughput_30s": """
         SELECT to_timestamp(floor(epoch(ts) / 30) * 30)::TIMESTAMP AS window_start,

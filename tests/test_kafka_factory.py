@@ -107,3 +107,30 @@ def test_decoded_stream_composes_wire_codec(spark):
     assert got["price"] == 1.5
     assert got["trade_condition"] == ["1"]
     assert got["event_ts_us"] == rec["event_ts_us"]
+
+
+def test_registry_value_contract_use_latest_no_autoregister():
+    import pytest
+
+    from ssiintegrateddatapipeline_spark.operators.wire import TRADE_WIRE_SCHEMA
+    from ssiintegrateddatapipeline_spark.schemas.registry import SchemaRegistry
+    from ssiintegrateddatapipeline_spark.sources.kafka import registry_value_contract
+
+    reg = SchemaRegistry()
+    # auto.register.schemas=False: an unregistered subject is an error,
+    # the producer never creates it
+    with pytest.raises(KeyError):
+        registry_value_contract(reg, TRADE_WIRE_SCHEMA)
+
+    v1 = reg.register_schema(TRADE_WIRE_SCHEMA)
+    evolved = dict(TRADE_WIRE_SCHEMA)
+    evolved["fields"] = TRADE_WIRE_SCHEMA["fields"] + [
+        {"name": "venue", "type": "string", "default": ""}
+    ]
+    v2 = reg.register_schema(evolved)
+    assert v2.version == 2
+
+    # use.latest.version=True: the contract pins v2 even when handed v1's
+    # schema dict
+    latest = registry_value_contract(reg, TRADE_WIRE_SCHEMA)
+    assert (latest.version, latest.schema_id) == (v2.version, v2.schema_id)
