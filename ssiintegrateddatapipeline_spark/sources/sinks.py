@@ -200,3 +200,41 @@ def host_did_web_documents(spark, root_dir: str) -> DataFrame:
         )
         manifest.append((r.did, str(target)))
     return spark.createDataFrame(manifest, "did string, path string")
+
+
+def foreach_batch_broadcast_sink(spool_dir: str, max_batches: int = 100):
+    """K1: the WebSocket broadcast sink's engine-side stand-in. The
+    reference fans every message out to all connected WS clients
+    (data_synthesizer/service/websocket/server.go:13-56 — a Broadcast
+    channel drained into per-client writes). The engine's equivalent
+    contract is at-most-once fan-out of each micro-batch to subscribers:
+    here each batch is spooled as one JSON-lines frame file
+    (``frame_<batch_id>.jsonl``) that any number of tailing consumers can
+    read, with a bounded spool (oldest frames dropped past
+    ``max_batches`` — exactly the semantics of a WS broadcast: absent
+    subscribers miss frames, nothing is retained forever).
+
+    The real network hop (socket upgrade, client registry) is transport
+    infra a Spark job delegates to whatever serves the spool."""
+    import json as _json
+    import os
+    from pathlib import Path
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spool = Path(spool_dir)
+        spool.mkdir(parents=True, exist_ok=True)
+        rows = [
+            {k: (v.isoformat() if hasattr(v, "isoformat") else v) for k, v in r.asDict().items()}
+            for r in batch_df.toLocalIterator()
+        ]
+        frame = spool / f"frame_{batch_id:012d}.jsonl"
+        tmp = frame.with_suffix(".tmp")
+        with open(tmp, "w") as f:
+            for row in rows:
+                f.write(_json.dumps(row, sort_keys=True) + "\n")
+        os.replace(tmp, frame)  # atomic publish — readers never see partials
+        frames = sorted(spool.glob("frame_*.jsonl"))
+        for old in frames[: max(0, len(frames) - max_batches)]:
+            old.unlink(missing_ok=True)
+
+    return sink

@@ -97,3 +97,34 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     # every event id appears exactly twice (once per input file)
     dup = out.groupBy("event_id").count().where(F.col("count") != 2).count()
     assert dup == 0
+
+
+def test_broadcast_sink_spools_bounded_frames(spark, sf_dir, tmp_path):
+    """K1 stand-in: every micro-batch becomes one atomically-published
+    JSONL frame; the spool is bounded like a broadcast (old frames drop)."""
+    import json
+
+    from ssiintegrateddatapipeline_spark.sources.sinks import (
+        foreach_batch_broadcast_sink,
+    )
+    from ssiintegrateddatapipeline_spark.streaming.pipeline import (
+        events_stream,
+        throughput_plan,
+    )
+
+    spool = tmp_path / "ws_spool"
+    sink = foreach_batch_broadcast_sink(str(spool), max_batches=2)
+    plan = throughput_plan(events_stream(spark, sf_dir))
+    q = (
+        plan.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    frames = sorted(spool.glob("frame_*.jsonl"))
+    assert 1 <= len(frames) <= 2  # bounded spool
+    rows = [json.loads(l) for l in open(frames[-1])]
+    assert rows and {"window_start", "event_type", "events", "rate_per_sec"} <= set(rows[0])
+    assert not list(spool.glob("*.tmp"))  # atomic publish, no partials
