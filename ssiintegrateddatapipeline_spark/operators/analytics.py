@@ -39,6 +39,33 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def _round_half_up_ratio(numer, denom, scale: int):
+    """round(numer/denom, scale) with EXPLICIT half-up tie-breaking in pure
+    integer arithmetic: floor((numer·2·10^s + denom) / (2·denom)) / 10^s.
+
+    Why not round(avg(...), s): averages of exact-decimal inputs land on
+    exact decimal half-ties whenever the count has only 2/5 factors (e.g.
+    cents/32 → x.xxxxxx5), and there Spark (shortest-decimal-string
+    HALF_UP) and DuckDB (binary-double rounding) systematically disagree.
+    The integer form is engine-independent: `a - a % b` keeps everything
+    in int64, the final division is exact. Oracle twin:
+    ``((numer*2*10^s + denom) // (2*denom)) / 10^s.0``. Inputs must be
+    non-negative integer columns (cents, counts, micros)."""
+    p = 10**scale
+    big = numer * F.lit(2 * p) + denom
+    d2 = denom * F.lit(2)
+    # (big - big % d2) is exactly divisible; the double division's error is
+    # far below 0.5 for any realistic quotient, so round() snaps it back to
+    # the exact integer before the final scale-down
+    q = F.round((big - big % d2) / d2).cast("long")
+    return q / F.lit(float(p))
+
+
+def _cents(col) -> "F.Column":
+    """Exact int64 cents of a 2-decimal double column."""
+    return F.round(col * 100).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # Q3: throughput — tumbling-window event rate per label
 # reference: sum(rate(kafka_consumer_kafka_messages_consumed_total[30s]))
@@ -351,7 +378,9 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _round_half_up_ratio(
+                F.sum(_cents(F.col("value"))), F.count("*") * 100, 4
+            ).alias("avg_value"),
         )
     )
 
@@ -375,7 +404,9 @@ def salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return enriched.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.avg("user_total"), 6).alias("avg_user_total"),
+        _round_half_up_ratio(
+            F.sum("user_total"), F.count("*"), 6
+        ).alias("avg_user_total"),
         F.max("user_total").alias("max_user_total"),
     )
 
@@ -596,9 +627,11 @@ def rolling_hourly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.round(F.sum("value").over(w) / F.count("value").over(w), 4).alias(
-            "trailing_1h_avg"
-        ),
+        _round_half_up_ratio(
+            F.sum(_cents(F.col("value"))).over(w),
+            F.count("value").over(w) * 100,
+            4,
+        ).alias("trailing_1h_avg"),
         F.count("value").over(w).alias("trailing_1h_n"),
     )
 
@@ -723,7 +756,9 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        _round_half_up_ratio(
+            F.sum(_cents(F.col("value"))), F.count("*") * 100, 6
+        ).alias("avg_value"),
     )
     spine = (
         ev.groupBy("event_type")
@@ -1404,7 +1439,10 @@ ORACLES = {
     "analytics_gap_fill_hourly": """
         WITH hourly AS (
             SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
-                   count(*) AS n, round(avg(value), 6) AS avg_value
+                   count(*) AS n,
+                   ((sum(CAST(round(value * 100) AS BIGINT)) * 2000000
+                     + count(*) * 100)
+                    // (count(*) * 200)) / 1000000.0 AS avg_value
             FROM events GROUP BY 1, 2
         ),
         spine AS (
@@ -1491,7 +1529,9 @@ ORACLES = {
     """,
     "analytics_rolling_hourly_avg": """
         SELECT user_id, event_id, ts,
-               round(sum(value) OVER w / count(value) OVER w, 4)
+               ((sum(CAST(round(value * 100) AS BIGINT)) OVER w * 20000
+                 + count(value) OVER w * 100)
+                // (count(value) OVER w * 200)) / 10000.0
                    AS trailing_1h_avg,
                count(value) OVER w AS trailing_1h_n
         FROM events
@@ -1623,7 +1663,8 @@ ORACLES = {
         )
         SELECT event_type,
                count(*) AS n_events,
-               round(avg(user_total), 6) AS avg_user_total,
+               ((sum(user_total) * 2000000 + count(*))
+                // (count(*) * 2)) / 1000000.0 AS avg_user_total,
                max(user_total) AS max_user_total
         FROM events e JOIN user_dim d ON e.user_id = d.u_key
         GROUP BY event_type
@@ -1664,7 +1705,8 @@ ORACLES = {
         SELECT (floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) * 10)::INT
                    AS k_bucket,
                count(*) AS n_events,
-               round(avg(value), 4) AS avg_value
+               ((sum(CAST(round(value * 100) AS BIGINT)) * 20000
+                 + count(*) * 100) // (count(*) * 200)) / 10000.0 AS avg_value
         FROM events
         GROUP BY 1
     """,
