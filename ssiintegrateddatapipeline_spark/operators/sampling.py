@@ -114,6 +114,23 @@ W_CAP = 200.0
 W_SCALE = 65536.0 / W_CAP
 
 
+def weighted_keep_predicate(value_col, id_col):
+    """The weight-proportional keep decision as a reusable boolean column.
+
+    Clamps the gate at 0: a negative value would format as a 16-char two's-
+    complement hex string that compares greater than any 4-char prefix,
+    silently keeping every negative-weight row — the opposite of
+    weight-proportional. Clamped, weight<=0 keeps nothing."""
+    gate = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor(value_col * F.lit(W_SCALE)).cast("long"),
+    )
+    return (value_col >= F.lit(W_CAP)) | (
+        F.substring(_hash_hex(id_col, "wsmp"), 1, 4)
+        < F.format_string("%04x", gate)
+    )
+
+
 def weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weight-proportional (Bernoulli) sampling: each event is
     kept with probability min(value, cap)/cap, decided by comparing a
@@ -123,21 +140,7 @@ def weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     training mix toward high-value records. Returns the per-type audit.
     """
     ev = load_table(spark, sf_dir, "events")
-    # clamp at 0: a negative value would format as a 16-char two's-
-    # complement hex string that compares greater than any 4-char prefix,
-    # silently keeping every negative-weight row — the opposite of
-    # weight-proportional. Clamped, weight<=0 keeps nothing.
-    gate = F.greatest(
-        F.lit(0).cast("long"),
-        F.floor(F.col("value") * F.lit(W_SCALE)).cast("long"),
-    )
-    kept = ev.where(
-        (F.col("value") >= F.lit(W_CAP))
-        | (
-            F.substring(_hash_hex(F.col("event_id"), "wsmp"), 1, 4)
-            < F.format_string("%04x", gate)
-        )
-    )
+    kept = ev.where(weighted_keep_predicate(F.col("value"), F.col("event_id")))
     return kept.groupBy("event_type").agg(
         F.count("*").alias("kept"),
         F.countDistinct("user_id").alias("users"),

@@ -262,3 +262,26 @@ def test_rolling_distinct_users_window_bounds(spark, sf_dir):
         assert got[d].wau_trailing_7d >= got[d].dau
         window_days = [x for x in days[max(0, i - 6) : i + 1]]
         assert got[d].wau_trailing_7d <= sum(direct[x] for x in window_days)
+
+
+def test_weighted_gate_drops_negative_and_zero_weights(spark):
+    """Regression: a negative value used to format as 16-char two's-
+    complement hex ('ffff…') that compares greater than any 4-char hash
+    prefix — keeping EVERY negative row. The clamped gate keeps none."""
+    from pyspark.sql import functions as F
+
+    from ssiintegrateddatapipeline_spark.operators.sampling import (
+        W_CAP,
+        weighted_keep_predicate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([-500.0, -0.01, 0.0, W_CAP, W_CAP * 2])],
+        "event_id long, value double",
+    )
+    kept = df.where(
+        weighted_keep_predicate(F.col("value"), F.col("event_id"))
+    ).collect()
+    kept_vals = sorted(r.value for r in kept)
+    assert all(v >= W_CAP for v in kept_vals)  # negatives and zero dropped
+    assert kept_vals == [W_CAP, W_CAP * 2]  # at-cap rows always kept
