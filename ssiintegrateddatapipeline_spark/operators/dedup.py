@@ -566,6 +566,44 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
 
 
+def quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: after near-dup clustering, keep
+    the BEST document per cluster (highest quality score, doc_id
+    tie-break) instead of the arbitrary min-id — the selection policy a
+    training-data pipeline actually wants (drop the low-quality variants,
+    not a random one). Composes the cluster graph with the text quality
+    scorer; the cluster side is tiny relative to the corpus, so the join
+    broadcasts it."""
+    from ssiintegrateddatapipeline_spark.operators.text import quality_score
+
+    clusters = near_dup_clusters(spark, sf_dir)
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    joined = F.broadcast(clusters).join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "canonical_doc_id"
+            ),
+            F.min(F.when(F.col("rn") == 1, F.col("quality_score"))).alias(
+                "canonical_quality"
+            ),
+        )
+        .select(
+            "cluster_id",
+            "canonical_doc_id",
+            "canonical_quality",
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+    )
+
+
 QUERIES = {
     "graph_pagerank_neardup": pagerank_near_dup,
     "graph_triangle_count": triangle_count,
@@ -581,6 +619,7 @@ QUERIES = {
     "dedup_simhash_signatures": simhash_signatures,
     "dedup_simhash_pairs": simhash_near_dup_pairs,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_quality_canonical": quality_canonical,
 }
 
 _TOKS = "string_split(text, ' ')"
@@ -802,6 +841,47 @@ ORACLES = {
         SELECT doc_id, min(root) AS cluster_id
         FROM reach
         GROUP BY doc_id
+    """,
+    "dedup_quality_canonical": f"""
+        WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE},
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        reach(doc_id, root) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.root
+            FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        clusters AS (
+            SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        quality AS (
+            SELECT doc_id,
+                   round(0.4 * (len(list_distinct({_TOKS})) / len({_TOKS}))
+                         + 0.3 * (1.0 - len(list_filter({_TOKS},
+                               t -> t IN ('the', 'a', 'and', 'of', 'to',
+                                          'in', 'is', 'on'))) / len({_TOKS}))
+                         + 0.3 * least(1.0, len({_TOKS}) / 50.0), 6)
+                       AS quality_score
+            FROM documents
+        ),
+        ranked AS (
+            SELECT c.cluster_id, c.doc_id, q.quality_score,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                       ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+            FROM clusters c JOIN quality q USING (doc_id)
+        )
+        SELECT cluster_id,
+               min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+               min(CASE WHEN rn = 1 THEN quality_score END)
+                   AS canonical_quality,
+               count(*) AS n_members,
+               count(*) - 1 AS n_dropped
+        FROM ranked
+        GROUP BY cluster_id
     """,
     "dedup_simhash_signatures": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
