@@ -78,6 +78,8 @@ HEADLINE = [
     "credstore_paginated",
     "credstore_identifiers",
     "similarity_ivf_recall",
+    "dedup_quality_canonical",
+    "dedup_decontaminated_split",
 ]
 
 

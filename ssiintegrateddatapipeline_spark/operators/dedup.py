@@ -604,6 +604,59 @@ def quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/eval split: docs hash-split ~12.5% eval, then
+    every TRAIN doc sharing a near-dup cluster with ANY eval doc is
+    removed — the leakage-safe split an LLM training pipeline needs (an
+    exact-hash split still leaks near-duplicate eval variants into train).
+
+    Scale shape: the cluster graph and the eval-cluster set are tiny next
+    to the corpus, so both anti-join lookups broadcast; per-source tallies
+    are one hash agg over a narrow projection."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit("split"))),
+                1,
+                1,
+            )
+            < F.lit("2")
+        ).alias("is_eval"),
+    )
+    clusters = near_dup_clusters(spark, sf_dir)
+    labeled = docs.join(F.broadcast(clusters), "doc_id", "left")
+    eval_clusters = (
+        labeled.where(F.col("is_eval") & F.col("cluster_id").isNotNull())
+        .select("cluster_id")
+        .distinct()
+    )
+    leaked = (
+        F.col("cluster_id").isNotNull()
+        & ~F.col("is_eval")
+        & F.col("in_eval_cluster")
+    )
+    tagged = labeled.join(
+        F.broadcast(eval_clusters.withColumn("in_eval_cluster", F.lit(True))),
+        "cluster_id",
+        "left",
+    ).withColumn("in_eval_cluster", F.coalesce("in_eval_cluster", F.lit(False)))
+    return tagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("is_eval"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval"),
+        F.sum(F.when(~F.col("is_eval"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(leaked, 1).otherwise(0)).cast("long").alias("n_leaked"),
+        F.sum(F.when(~F.col("is_eval") & ~leaked, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_clean"),
+    )
+
+
 QUERIES = {
     "graph_pagerank_neardup": pagerank_near_dup,
     "graph_triangle_count": triangle_count,
@@ -620,6 +673,7 @@ QUERIES = {
     "dedup_simhash_pairs": simhash_near_dup_pairs,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_quality_canonical": quality_canonical,
+    "dedup_decontaminated_split": decontaminated_split,
 }
 
 _TOKS = "string_split(text, ' ')"
@@ -882,6 +936,51 @@ ORACLES = {
                count(*) - 1 AS n_dropped
         FROM ranked
         GROUP BY cluster_id
+    """,
+    "dedup_decontaminated_split": f"""
+        WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE},
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        reach(doc_id, root) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.root
+            FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        clusters AS (
+            SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        labeled AS (
+            SELECT d.doc_id, d.source,
+                   substr(md5(d.doc_id::VARCHAR || '|split'), 1, 1) < '2'
+                       AS is_eval,
+                   c.cluster_id
+            FROM documents d LEFT JOIN clusters c USING (doc_id)
+        ),
+        eval_clusters AS (
+            SELECT DISTINCT cluster_id FROM labeled
+            WHERE is_eval AND cluster_id IS NOT NULL
+        ),
+        tagged AS (
+            SELECT l.*,
+                   l.cluster_id IS NOT NULL
+                       AND l.cluster_id IN (SELECT cluster_id FROM eval_clusters)
+                       AS in_eval_cluster
+            FROM labeled l
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               sum(CASE WHEN is_eval THEN 1 ELSE 0 END)::BIGINT AS n_eval,
+               sum(CASE WHEN NOT is_eval THEN 1 ELSE 0 END)::BIGINT AS n_train,
+               sum(CASE WHEN NOT is_eval AND in_eval_cluster
+                        THEN 1 ELSE 0 END)::BIGINT AS n_leaked,
+               sum(CASE WHEN NOT is_eval AND NOT in_eval_cluster
+                        THEN 1 ELSE 0 END)::BIGINT AS n_train_clean
+        FROM tagged
+        GROUP BY source
     """,
     "dedup_simhash_signatures": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
