@@ -219,9 +219,117 @@ def avro_payload_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The reference's SECOND topic schema: HealthSensorRecord (nested record +
+# signature fields, kafka_initialiser/app/resources/avro/health_sensor.avsc)
+# — exercises the codec's nested-record path on the driver contract, not
+# just in property tests.
+HEALTH_WIRE_SCHEMA = {
+    "type": "record",
+    "name": "HealthSensorRecord",
+    "namespace": "com.example.health",
+    "fields": [
+        {
+            "name": "data",
+            "type": {
+                "type": "record",
+                "name": "SensorData",
+                "fields": [
+                    {"name": "id", "type": "string"},
+                    {"name": "patient_id", "type": "string"},
+                    {"name": "sensor_id", "type": "string"},
+                    {"name": "sensor_type", "type": "string"},
+                    {"name": "temperature", "type": "double"},
+                    {"name": "systolic_bp", "type": "int"},
+                    {"name": "diastolic_bp", "type": "int"},
+                    {"name": "heart_rate", "type": "int"},
+                ],
+            },
+        },
+        {"name": "vc_store_signature", "type": "string"},
+        {"name": "start_ts_us", "type": "long"},
+        {"name": "did", "type": "string"},
+    ],
+}
+
+_HEALTH_FLAT = (
+    "id string, patient_id string, sensor_id string, sensor_type string, "
+    "temperature double, systolic_bp int, diastolic_bp int, heart_rate int, "
+    "vc_store_signature string, start_ts_us long, did string"
+)
+
+
+def health_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-record wire round trip on the health topic: synthesize
+    HealthSensorRecord rows from events deterministically, encode to Avro
+    binary (nested record branch of the codec), decode, flatten. The
+    oracle recomputes the synthesis — equality proves the nested
+    encode/decode is lossless on the engine surface."""
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.md5(F.col("event_id").cast("string")).alias("id"),
+            F.concat(F.lit("patient-"), F.col("user_id")).alias("patient_id"),
+            F.concat(F.lit("sensor-"), F.col("event_id") % 10).alias("sensor_id"),
+            F.col("event_type").alias("sensor_type"),
+            F.col("value").alias("temperature"),
+            (F.lit(90) + F.col("event_id") % 50).cast("int").alias("systolic_bp"),
+            (F.lit(60) + F.col("user_id") % 30).cast("int").alias("diastolic_bp"),
+            (F.lit(55) + (F.col("event_id") * 7) % 60)
+            .cast("int")
+            .alias("heart_rate"),
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit("|sig"))).alias(
+                "vc_store_signature"
+            ),
+            F.unix_micros("ts").alias("start_ts_us"),
+            F.concat(
+                F.lit("did:key:z"),
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            ).alias("did"),
+        )
+    )
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dumps = avro_codec.compile_dumps(HEALTH_WIRE_SCHEMA)
+        loads = avro_codec.compile_loads(HEALTH_WIRE_SCHEMA)
+        data_cols = [
+            "id",
+            "patient_id",
+            "sensor_id",
+            "sensor_type",
+            "temperature",
+            "systolic_bp",
+            "diastolic_bp",
+            "heart_rate",
+        ]
+        for pdf in batches:
+            out_rows = []
+            for r in pdf.to_dict("records"):
+                rec = {
+                    "data": {c: r[c] for c in data_cols},
+                    "vc_store_signature": r["vc_store_signature"],
+                    "start_ts_us": r["start_ts_us"],
+                    "did": r["did"],
+                }
+                back = loads(dumps(rec))
+                flat = dict(back["data"])
+                flat.update(
+                    vc_store_signature=back["vc_store_signature"],
+                    start_ts_us=back["start_ts_us"],
+                    did=back["did"],
+                )
+                out_rows.append(flat)
+            yield pd.DataFrame(out_rows)
+
+    return ev.mapInPandas(rt, _HEALTH_FLAT)
+
+
 QUERIES = {
     "wire_avro_roundtrip": avro_roundtrip,
     "wire_avro_payload_sizes": avro_payload_sizes,
+    "wire_health_roundtrip": health_roundtrip,
 }
 
 # the roundtrip restores the envelope exactly -> reuse its oracle SQL
@@ -234,4 +342,18 @@ ORACLES = {
     # wire_avro_payload_sizes: byte lengths depend on the Avro varint
     # encoding itself — not SQL-expressible; driver records rows-only check,
     # exact byte-accounting is covered by tests/test_wire.py.
+    "wire_health_roundtrip": """
+        SELECT md5(event_id::VARCHAR) AS id,
+               'patient-' || user_id::VARCHAR AS patient_id,
+               'sensor-' || (event_id % 10)::VARCHAR AS sensor_id,
+               event_type AS sensor_type,
+               value AS temperature,
+               (90 + event_id % 50)::INT AS systolic_bp,
+               (60 + user_id % 30)::INT AS diastolic_bp,
+               (55 + (event_id * 7) % 60)::INT AS heart_rate,
+               md5(event_id::VARCHAR || '|sig') AS vc_store_signature,
+               epoch_us(ts) AS start_ts_us,
+               'did:key:z' || substr(md5(user_id::VARCHAR), 1, 8) AS did
+        FROM events
+    """,
 }
