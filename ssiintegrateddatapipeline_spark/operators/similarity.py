@@ -537,7 +537,44 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) eval contamination: for each eval vector
+    (vec_id % 10 == 0), count train vectors in the SAME trained-IVF cell
+    with cosine above the near-dup threshold — the embedding twin of the
+    n-gram contamination check (text.contamination) and the pair-discovery
+    stage behind a semantic decontamination sweep. IVF cells block the
+    join, so the pair space is per-cell, never eval x corpus."""
+    assigned = ivf_assignments(spark, sf_dir)
+    ev = assigned.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("eval_emb"),
+        "centroid",
+    )
+    tr = assigned.where(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("train_emb"),
+        "centroid",
+    )
+    scored = (
+        tr.join(F.broadcast(ev), "centroid")
+        .select(
+            "eval_id",
+            "train_id",
+            F.round(
+                cosine(F.col("eval_emb"), F.col("train_emb")), 6
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= NEAR_DUP_THRESHOLD)
+    )
+    return scored.groupBy("eval_id").agg(
+        F.count("*").alias("n_contaminating"),
+        F.round(F.max("cos"), 6).alias("max_cosine"),
+        F.min("train_id").alias("min_matching_train_id"),
+    )
+
+
 QUERIES = {
+    "similarity_semantic_contamination": semantic_contamination,
     "similarity_embedding_drift": embedding_drift,
     "similarity_ivf_near_dup": ivf_near_dup_pairs,
     "similarity_ivf_recall": ivf_recall,
@@ -844,6 +881,24 @@ ORACLES["similarity_ivf_recall"] = f"""
     FROM truth t LEFT JOIN approx a
       ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
     GROUP BY t.query_id
+"""
+
+ORACLES["similarity_semantic_contamination"] = f"""
+    WITH assigned AS ({_IVF_ASSIGNED}),
+    scored AS (
+        SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
+               round({_COS.format(a="e.embedding", b="t.embedding")}, 6) AS cos
+        FROM assigned e JOIN assigned t
+          ON e.centroid = t.centroid
+         AND e.vec_id % 10 = 0 AND t.vec_id % 10 != 0
+    )
+    SELECT eval_id,
+           count(*) AS n_contaminating,
+           round(max(cos), 6) AS max_cosine,
+           min(train_id) AS min_matching_train_id
+    FROM scored
+    WHERE cos >= {NEAR_DUP_THRESHOLD}
+    GROUP BY eval_id
 """
 
 ORACLES["similarity_ivf_near_dup"] = f"""
