@@ -342,3 +342,20 @@ def test_identity_dim_broadcasts_in_pipeline(spark, sf_dir):
         F.broadcast(dim), ev.user_id % 5 == F.crc32(dim.symbol) % 5, "left"
     )
     assert "BroadcastHashJoin" in _formatted(joined) or "BroadcastNestedLoopJoin" in _formatted(joined)
+
+
+def test_decontaminated_split_broadcasts_lookups(spark, sf_dir):
+    """Cluster graph and eval-cluster set are tiny next to the corpus —
+    both joins must broadcast, never shuffle the documents scan."""
+    plan = _formatted(_QUERIES["dedup_decontaminated_split"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere in this plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_contamination_blocked_by_cells(spark, sf_dir):
+    """The eval side broadcasts into the per-cell join; the train side is
+    never shuffled on the pair key (cell blocking keeps it an equi-join)."""
+    plan = _formatted(_QUERIES["similarity_semantic_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
