@@ -1,6 +1,7 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line (large queries dict first,
+small headline fields last so they survive the driver's tail capture):
+{"queries": {...}, "metric": ..., "unit": "sec", "sf": ..., "value": total_sec}
 
 Each query is forced with a full materialization to the driver via the
 Arrow path (toPandas) — every value crosses to the driver, but through
@@ -129,17 +130,23 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({rows} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
+    # Field order matters: the driver captures only the last ~2.2 KB of
+    # stdout, so the large per-query dict goes FIRST and the small headline
+    # fields (metric/unit/sf/value) go LAST so they always land in the tail
+    # even as the query set grows. (Round 2's line led with metric/value and
+    # the 63-entry dict pushed them out of the capture -> "parsed": null.)
+    line = json.dumps(
+        {
+            "queries": per_query,
+            "metric": "headline_queries_total_wall",
+            "unit": "sec",
+            "sf": sf,
+            "value": round(total, 3),
+        },
+        separators=(",", ":"),
     )
+    print(line)
+    print(f"# bench line bytes: {len(line)}", file=sys.stderr)
 
 
 if __name__ == "__main__":
