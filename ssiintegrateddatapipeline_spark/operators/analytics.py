@@ -1144,17 +1144,25 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic caveat: the day spine is built from days that HAVE events,
-    so a calendar day with zero events emits no row at all — even though
-    its trailing-7d WAU would be nonzero. The oracle matches by
-    construction. For gap-free calendars swap the spine for
-    sequence(min(d), max(d)) in both engines."""
+    """Gap-free calendar spine: sequence(min(d), max(d)) covers every
+    calendar day in the observed range, so a zero-event day still emits a
+    row (dau=0, and its trailing-7d WAU from the left join). The oracle
+    builds the same spine with generate_series."""
     ev = _events(spark, sf_dir)
     day_users = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    spine = day_users.select("d").distinct()
-    joined = F.broadcast(spine.withColumnRenamed("d", "day")).join(
+    return _rolling_distinct_from(day_users)
+
+
+def _rolling_distinct_from(day_users: DataFrame) -> DataFrame:
+    """DAU/WAU over a deduplicated (d: date, user_id) table, calendar spine."""
+    spine = (
+        day_users.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    joined = F.broadcast(spine).join(
         day_users,
         (F.col("d") <= F.col("day")) & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+        "left",
     )
     return joined.groupBy("day").agg(
         F.countDistinct(F.when(F.col("d") == F.col("day"), F.col("user_id"))).alias(
@@ -1281,12 +1289,15 @@ ORACLES = {
         WITH day_users AS (
             SELECT DISTINCT ts::DATE AS d, user_id FROM events
         ),
-        spine AS (SELECT DISTINCT d AS day FROM day_users)
+        spine AS (
+            SELECT unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS day
+            FROM day_users
+        )
         SELECT s.day,
                count(DISTINCT CASE WHEN du.d = s.day THEN du.user_id END) AS dau,
                count(DISTINCT du.user_id) AS wau_trailing_7d
         FROM spine s
-        JOIN day_users du
+        LEFT JOIN day_users du
           ON du.d <= s.day AND du.d >= s.day - 6
         GROUP BY s.day
     """,

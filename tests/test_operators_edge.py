@@ -255,13 +255,40 @@ def test_rolling_distinct_users_window_bounds(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("dau"))
         .collect()
     }
-    assert set(got) == set(direct)
+    import datetime as dt
+
+    lo, hi = min(direct), max(direct)
+    calendar = {lo + dt.timedelta(days=i) for i in range((hi - lo).days + 1)}
+    assert set(got) == calendar  # gap-free spine over the observed range
     days = sorted(got)
     for i, d in enumerate(days):
-        assert got[d].dau == direct[d]
+        assert got[d].dau == direct.get(d, 0)
         assert got[d].wau_trailing_7d >= got[d].dau
         window_days = [x for x in days[max(0, i - 6) : i + 1]]
-        assert got[d].wau_trailing_7d <= sum(direct[x] for x in window_days)
+        assert got[d].wau_trailing_7d <= sum(direct.get(x, 0) for x in window_days)
+
+
+def test_rolling_distinct_users_gap_day(spark):
+    """A calendar day with zero events must still emit a row: dau=0 and
+    the trailing-7d WAU carried from neighbouring days."""
+    import datetime as dt
+
+    from ssiintegrateddatapipeline_spark.operators.analytics import (
+        _rolling_distinct_from,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    day_users = spark.createDataFrame(
+        [(d0, "u1"), (d0, "u2"), (d0 + dt.timedelta(days=2), "u2")],
+        "d date, user_id string",
+    )
+    got = {r.day: r for r in _rolling_distinct_from(day_users).collect()}
+    gap = d0 + dt.timedelta(days=1)
+    assert set(got) == {d0, gap, d0 + dt.timedelta(days=2)}
+    assert got[gap].dau == 0
+    assert got[gap].wau_trailing_7d == 2  # u1+u2 from day 0
+    assert got[d0 + dt.timedelta(days=2)].dau == 1
+    assert got[d0 + dt.timedelta(days=2)].wau_trailing_7d == 2
 
 
 def test_weighted_gate_drops_negative_and_zero_weights(spark):
