@@ -76,7 +76,7 @@ def build_pipeline(
 
     ``sample_hex_lt``: optional deterministic hash-sample applied BEFORE
     the crypto stage — keep rows whose trade_event_id (an md5 hex) starts
-    below the given hex digit ('2' keeps 2/16 = 12.5%). Used by the
+    below the given hex digit ('1' keeps 1/16 = 6.25%). Used by the
     provider matrix so per-row ECDSA doesn't dominate a benchmark sweep."""
     env = trade_envelope(spark, sf_dir)
     if sample_hex_lt is not None:
@@ -151,7 +151,7 @@ def provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark,
                 sf_dir,
                 PipelineConfig(p, True, True, "sync"),
-                sample_hex_lt="2",
+                sample_hex_lt="1",
             )
         )
         for p in ("did:key", "did:web", "did:ethr:sepolia")
@@ -202,7 +202,7 @@ ORACLES = {
                    make_timestamp(epoch_us(ts) + (event_id % 5) * 1000000)
                        AS start_timestamp
             FROM events
-            WHERE substr(md5(event_id::VARCHAR), 1, 1) < '2'
+            WHERE substr(md5(event_id::VARCHAR), 1, 1) < '1'
         ),
         span AS (
             SELECT count(*) AS n,
