@@ -23,6 +23,7 @@ a top-K, not a full sort, under Spark's TakeOrderedAndProject.
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -137,9 +138,13 @@ class FindArgs:
 
 def orm_find(df: DataFrame, args: FindArgs) -> DataFrame:
     """dataStoreORMGetVerifiableCredentials semantics: AND of where
-    conditions, multi-column order, skip/take pagination. Pagination uses a
-    row_number over the requested order (ties broken by credential_hash for
-    determinism) — Catalyst turns order+limit into a distributed top-K."""
+    conditions, multi-column order, skip/take pagination (ties broken by
+    credential_hash for determinism). skip+take plans as ONE
+    TakeOrderedAndProject(limit=skip+take, offset=skip) — a distributed
+    top-K, no global sort and no single-partition row_number window.
+    skip without take is inherently unbounded ("everything past row N"):
+    it plans as a distributed range-partitioned sort + offset, the best
+    available shape — prefer passing take for true pagination."""
     out = df
     for w in args.where:
         out = out.where(w.to_column())
@@ -149,23 +154,11 @@ def orm_find(df: DataFrame, args: FindArgs) -> DataFrame:
             for c, d in args.order
         ]
         order_cols.append(F.col("credential_hash").asc())
-        if args.skip or args.take is not None:
-            from pyspark.sql import Window
-
-            lo = args.skip
-            if args.take is not None:
-                # bound FIRST: orderBy+limit is a distributed top-K
-                # (TakeOrderedAndProject), so the row_number window only
-                # ever sees skip+take rows — no global single-partition sort
-                out = out.orderBy(*order_cols).limit(lo + args.take)
-            w = Window.orderBy(*order_cols)
-            out = (
-                out.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") > lo)
-                .drop("_rn")
-            )
-        else:
-            out = out.orderBy(*order_cols)
+        out = out.orderBy(*order_cols)
+        if args.skip:
+            out = out.offset(args.skip)
+        if args.take is not None:
+            out = out.limit(args.take)
     return out
 
 
@@ -264,6 +257,26 @@ def vcs_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("credential_hash", "subject_did", "issuance_date", "claim_value")
 
 
+# dataStoreGetVerifiableCredential({hash: jwt}) — the dual-auth gate's
+# point lookup (veramo-agent/src/app/veramo_middleware_manager.ts:189-208):
+# the middleware hashes the presented JWT and fetches the stored credential
+# by that hash. credential_hash here is md5(event_id), so the hash of
+# event 0 is a stable literal at every scale factor.
+_LOOKUP_HASH = hashlib.md5(b"0").hexdigest()
+
+
+def vc_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: dataStoreGetVerifiableCredential — equality point lookup on the
+    credential hash, returning the full stored credential row. The literal
+    predicate reaches the parquet scan (PushedFilters), so at 100 TB this
+    is a pruned scan + filter, not a table pass."""
+    creds = credentials_table(spark, sf_dir)
+    return orm_find(
+        creds,
+        FindArgs(where=(Where("credential_hash", (_LOOKUP_HASH,), "Equal"),)),
+    )
+
+
 def expiring_credentials(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Between/IsNull shapes: credentials whose validity window is
     shortest per issuer — the revocation-sweep query a store runs."""
@@ -309,6 +322,7 @@ QUERIES = {
     "credstore_count_by_issuer": vcs_count_by_issuer,
     "credstore_identifiers": identifiers,
     "credstore_paginated": vcs_paginated,
+    "credstore_vc_by_hash": vc_by_hash,
     "credstore_expiring": expiring_credentials,
     "credstore_presentations": presentations,
 }
@@ -344,6 +358,10 @@ ORACLES = {
                max(issuance_date) AS last_seen
         FROM both_roles
         GROUP BY did, role
+    """,
+    "credstore_vc_by_hash": f"""
+        WITH creds AS ({_CREDENTIALS_SQL})
+        SELECT * FROM creds WHERE credential_hash = '{_LOOKUP_HASH}'
     """,
     "credstore_paginated": f"""
         WITH creds AS ({_CREDENTIALS_SQL}),
