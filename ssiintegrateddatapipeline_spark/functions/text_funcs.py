@@ -153,3 +153,30 @@ SQL_SHINGLES3 = (
     "list_transform(generate_series(1, len({t}) - 2), "
     "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
 )
+
+# --- Quality heuristic: ONE source of truth for engine + oracles ----------
+# score = 0.4*type_token_ratio + 0.3*(1-stopword_ratio) + 0.3*min(1, n/50).
+# operators.text.quality_score builds the Spark expression from
+# EN_STOPWORDS; every oracle that re-derives a quality score (text.py's
+# quality/clean-corpus oracles, dedup.py's quality-canonical oracle) builds
+# its SQL from these fragments, so an edit to the formula or the stopword
+# set cannot silently desynchronize one of them.
+
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+TOKS_SQL = "string_split(text, ' ')"
+STOPWORDS_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+def quality_terms_sql(toks: str = TOKS_SQL) -> str:
+    """The n/nd/ns select-list terms the quality formula consumes."""
+    return (
+        f"len({toks}) AS n, len(list_distinct({toks})) AS nd, "
+        f"len(list_filter({toks}, t -> t IN ({STOPWORDS_SQL}))) AS ns"
+    )
+
+
+# over the quality_terms_sql columns (n, nd, ns)
+QUALITY_FORMULA_SQL = (
+    "round(0.4 * (nd / n) + 0.3 * (1.0 - ns / n) "
+    "+ 0.3 * least(1.0, n / 50.0), 6)"
+)

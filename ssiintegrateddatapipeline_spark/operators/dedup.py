@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.functions.text_funcs import (
+    QUALITY_FORMULA_SQL as _QUALITY_FORMULA_SQL,
+    TOKS_SQL,
+    quality_terms_sql as _quality_terms_sql,
     tokens,
     with_minhash_signature,
     with_simhash32,
@@ -676,7 +679,7 @@ QUERIES = {
     "dedup_decontaminated_split": decontaminated_split,
 }
 
-_TOKS = "string_split(text, ' ')"
+_TOKS = TOKS_SQL
 _SHINGLES = (
     "list_transform(generate_series(1, len(toks) - 2), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
@@ -913,14 +916,8 @@ ORACLES = {
             SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
         ),
         quality AS (
-            SELECT doc_id,
-                   round(0.4 * (len(list_distinct({_TOKS})) / len({_TOKS}))
-                         + 0.3 * (1.0 - len(list_filter({_TOKS},
-                               t -> t IN ('the', 'a', 'and', 'of', 'to',
-                                          'in', 'is', 'on'))) / len({_TOKS}))
-                         + 0.3 * least(1.0, len({_TOKS}) / 50.0), 6)
-                       AS quality_score
-            FROM documents
+            SELECT doc_id, {_QUALITY_FORMULA_SQL} AS quality_score
+            FROM (SELECT doc_id, {_quality_terms_sql()} FROM documents)
         ),
         ranked AS (
             SELECT c.cluster_id, c.doc_id, q.quality_score,

@@ -190,14 +190,21 @@ def _centroid_dots(emb_col, dim: int) -> "F.Column":
 
 # Trained codebook: the seed centroids are only the k-means initialization;
 # TRAIN_STEPS Lloyd iterations fit them to the corpus (assign -> per-cell
-# rounded means, empty cells keep their previous value). Determinism comes
-# from the fixed seed + fixed iteration count + round(mean, 6) at every
-# step — both engines compute bit-identical codebooks, so the oracles
-# replay the same training as SQL CTEs. Cached per (application, sf_dir):
-# one fit per session, the IVF queries then use plan-time literals as
-# before (at 100 TB the fit runs on a seeded sample; here the corpus is
-# the sample).
+# exact means, empty cells keep their previous value). Determinism comes
+# from the fixed seed + fixed iteration count + EXACT per-cell means:
+# each component is quantized to floor(val·2^20) — float→double is exact
+# and power-of-two scaling never rounds, so the BIGINT is engine-
+# independent — summed in integer space (order-independent, unlike a
+# double avg()), and divided ONCE as a double. Both engines therefore
+# compute bit-identical codebooks with no round(avg(double)) tie hazard
+# (an avg within an ULP of a .xxxxxx5 tie would otherwise flip a
+# component and compound over the iterations). The oracles replay the
+# same training as SQL CTEs. Cached per (application, sf_dir): one fit
+# per session, the IVF queries then use plan-time literals as before (at
+# 100 TB the fit runs on a seeded sample; here the corpus is the sample).
 TRAIN_STEPS = 4
+# 2^20 quantization: |sum| <= rows·2^20·max|v|, far under 2^53 exactness
+QUANT = 1 << 20
 _TRAINED_CACHE: dict[tuple[str, str], tuple[tuple[float, ...], ...]] = {}
 
 
@@ -226,12 +233,17 @@ def _trained_centroids(
                 "centroid", F.posexplode(F.col("embedding")).alias("pos", "val")
             )
             .groupBy("centroid", "pos")
-            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("val").cast("double") * F.lit(float(QUANT)))
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )
         nxt = [list(c) for c in cents]
         for r in means:
-            nxt[r.centroid - 1][r.pos] = r.m
+            nxt[r.centroid - 1][r.pos] = r.s / (r.n * float(QUANT))
         cents = tuple(tuple(c) for c in nxt)
     _TRAINED_CACHE[key] = cents
     return cents
@@ -315,14 +327,18 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the explode produces |corpus| x dim rows but they reduce
     immediately through map-side partial aggregation on (centroid, pos) —
     the shuffle carries K x dim partials per map task, not the exploded
-    data. Means are rounded to 6 decimals in plan and oracle alike so the
-    float summation order can't flip the value hash."""
+    data. Means use the exact quantized-integer-sum form (see the trained-
+    codebook note above QUANT) so the float summation order can't flip the
+    value hash — sums of integers are order-independent."""
     assigned = ivf_assignments(spark, sf_dir)
     exploded = assigned.select(
         "centroid", F.posexplode(F.col("embedding")).alias("pos", "val")
     )
     means = exploded.groupBy("centroid", "pos").agg(
-        F.round(F.avg(F.col("val").cast("double")), 6).alias("m")
+        (
+            F.sum(F.floor(F.col("val").cast("double") * F.lit(float(QUANT))))
+            / (F.count("*") * F.lit(float(QUANT)))
+        ).alias("m")
     )
     new_c = (
         means.groupBy("centroid")
@@ -659,7 +675,8 @@ def _trained_ctes(steps: int = TRAIN_STEPS) -> str:
             )""",
             f"""m{t} AS (
                 SELECT centroid, pos,
-                       round(avg(embedding[pos]::DOUBLE), 6) AS m
+                       sum(floor(embedding[pos]::DOUBLE * {QUANT}.0)::BIGINT)
+                           / (count(*) * {QUANT}.0) AS m
                 FROM a{t} CROSS JOIN (
                     SELECT unnest(generate_series(1, {_DIM_SQL})) AS pos) g
                 GROUP BY centroid, pos
@@ -787,7 +804,9 @@ ORACLES = {
             FROM assigned CROSS JOIN dims
         ),
         means AS (
-            SELECT centroid, pos, round(avg(val), 6) AS m
+            SELECT centroid, pos,
+                   sum(floor(val * {QUANT}.0)::BIGINT) / (count(*) * {QUANT}.0)
+                       AS m
             FROM exploded GROUP BY centroid, pos
         ),
         newc AS (

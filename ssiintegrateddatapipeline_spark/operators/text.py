@@ -30,7 +30,14 @@ LANG_MARKERS = {
     "es": ("el", "la", "los", "y"),
     "fr": ("le", "les", "des", "et"),
 }
-EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+# single source of truth shared with the oracle SQL fragments
+from ssiintegrateddatapipeline_spark.functions.text_funcs import (  # noqa: E402
+    EN_STOPWORDS,
+    QUALITY_FORMULA_SQL,
+    STOPWORDS_SQL as _STOPWORDS_SQL_SHARED,
+    TOKS_SQL,
+    quality_terms_sql,
+)
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,7 +571,7 @@ QUERIES = {
     "text_fingerprint": fingerprint,
 }
 
-_TOKS = "string_split(text, ' ')"
+_TOKS = TOKS_SQL
 
 
 def _markers_sql(lang: str) -> str:
@@ -572,7 +579,7 @@ def _markers_sql(lang: str) -> str:
     return f"len(list_filter({_TOKS}, t -> t IN ({words})))"
 
 
-_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_STOPWORDS_SQL = _STOPWORDS_SQL_SHARED
 
 # cluster CTEs shared with the dedup module (same signature/pair pipeline)
 from ssiintegrateddatapipeline_spark.operators.dedup import (  # noqa: E402
@@ -608,18 +615,9 @@ _CLEAN_CORPUS_ORACLE = f"""
           AND en_markers >= fr_markers
     ),
     qual AS (
-        SELECT doc_id,
-               round(0.4 * (nd / n) + 0.3 * (1.0 - ns / n)
-                     + 0.3 * least(1.0, n / 50.0), 6) AS quality_score
-        FROM (
-            SELECT doc_id,
-                   len({_TOKS}) AS n,
-                   len(list_distinct({_TOKS})) AS nd,
-                   len(list_filter({_TOKS}, t -> t IN ({_STOPWORDS_SQL}))) AS ns
-            FROM documents
-        )
-        WHERE round(0.4 * (nd / n) + 0.3 * (1.0 - ns / n)
-                    + 0.3 * least(1.0, n / 50.0), 6) >= {{min_quality}}
+        SELECT doc_id, {QUALITY_FORMULA_SQL} AS quality_score
+        FROM (SELECT doc_id, {quality_terms_sql()} FROM documents)
+        WHERE {QUALITY_FORMULA_SQL} >= {{min_quality}}
     ),
     keepers AS (
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
@@ -876,17 +874,12 @@ ORACLES = {
     """,
     "text_quality_score": f"""
         WITH t AS (
-            SELECT doc_id,
-                   len({_TOKS}) AS n,
-                   len(list_distinct({_TOKS})) AS nd,
-                   len(list_filter({_TOKS}, t -> t IN ({_STOPWORDS_SQL}))) AS ns
-            FROM documents
+            SELECT doc_id, {quality_terms_sql()} FROM documents
         )
         SELECT doc_id,
                round(nd / n, 6) AS type_token_ratio,
                round(ns / n, 6) AS stopword_ratio,
-               round(0.4 * (nd / n) + 0.3 * (1.0 - ns / n)
-                     + 0.3 * least(1.0, n / 50.0), 6) AS quality_score
+               {QUALITY_FORMULA_SQL} AS quality_score
         FROM t
     """,
     "text_language_id": f"""

@@ -70,16 +70,41 @@ _DECODED_SPARK_SCHEMA = (
 # spark-avro's ``from_avro`` would otherwise surface timestamp-micros longs
 # as Catalyst TimestampType, changing the decoded schema vs the Python
 # codec path. Plain longs keep both paths schema-identical.
-def _strip_logical(schema: dict) -> dict:
-    out = copy.deepcopy(schema)
-    for f in out["fields"]:
-        t = f["type"]
-        if isinstance(t, dict) and "logicalType" in t:
-            f["type"] = t["type"]
-    return out
+def _strip_logical(node):
+    """Remove every logicalType annotation, however deeply nested — union
+    branches (["null", {"type":"long","logicalType":...}]), array items,
+    map values, and nested record fields all recurse, so the JVM from_avro
+    path surfaces the same plain types as the Python codec."""
+    if isinstance(node, list):
+        return [_strip_logical(b) for b in node]
+    if isinstance(node, dict):
+        out = {k: v for k, v in node.items() if k != "logicalType"}
+        for key in ("type", "items", "values"):
+            if key in out and not isinstance(out[key], str):
+                out[key] = _strip_logical(out[key])
+        if isinstance(out.get("fields"), list):
+            out["fields"] = [_strip_logical(f) for f in out["fields"]]
+        # {"type": "long"} with nothing else collapses back to the bare name
+        if set(out) == {"type"} and isinstance(out["type"], str):
+            return out["type"]
+        return out
+    return node
 
 
-TRADE_WIRE_SCHEMA_PLAIN = _strip_logical(TRADE_WIRE_SCHEMA)
+TRADE_WIRE_SCHEMA_PLAIN = _strip_logical(copy.deepcopy(TRADE_WIRE_SCHEMA))
+
+
+def _assert_no_logical(node) -> None:
+    if isinstance(node, list):
+        for b in node:
+            _assert_no_logical(b)
+    elif isinstance(node, dict):
+        assert "logicalType" not in node, f"logicalType survived: {node}"
+        for v in node.values():
+            _assert_no_logical(v)
+
+
+_assert_no_logical(TRADE_WIRE_SCHEMA_PLAIN)
 
 # JVM avro availability, probed once per SparkSession application. The
 # reference serializes through a registry-backed AvroSerializer

@@ -229,3 +229,36 @@ def test_avro_serialize_explicit_python_path_matches_default(spark, sf_dir):
         for r in wire.avro_serialize(env, use_jvm=False).collect()
     )
     assert a == b and len(a) == 50
+
+
+def test_strip_logical_recurses_into_unions_and_nesting():
+    """logicalType nested inside a union branch, array items, or a nested
+    record must be stripped too — otherwise the JVM from_avro path would
+    surface TimestampType where the Python codec surfaces long."""
+    from ssiintegrateddatapipeline_spark.operators.wire import _strip_logical
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "top", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "u", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]},
+            {"name": "arr", "type": {"type": "array", "items": {"type": "int", "logicalType": "date"}}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "Inner",
+                    "fields": [
+                        {"name": "t", "type": {"type": "long", "logicalType": "time-micros"}}
+                    ],
+                },
+            },
+        ],
+    }
+    plain = _strip_logical(schema)
+    assert plain["fields"][0]["type"] == "long"
+    assert plain["fields"][1]["type"] == ["null", "long"]
+    assert plain["fields"][2]["type"]["items"] == "int"
+    assert plain["fields"][3]["type"]["fields"][0]["type"] == "long"
+    assert "logicalType" not in repr(plain)
