@@ -58,8 +58,16 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs on a bounded subset
-    (vec_id % 10 == 0): all pairs with cosine >= threshold."""
+    """Embedding-cosine near-duplicate pairs — BOUNDED-SUBSET BASELINE.
+
+    This is the brute-force ground-truth oracle on a deterministic 10%
+    slice (vec_id % 10 == 0): an all-pairs crossJoin whose cost is
+    (|corpus|/10)^2. It exists to validate the scale path, not to BE the
+    scale path — never point it at a full corpus. The production-scale
+    equivalent is ``ivf_near_dup_pairs`` (candidate pairs only within an
+    IVF cell) or ``lsh_bucket`` blocking; a plan test
+    (tests/test_plan_quality.py::test_near_dup_scale_paths_not_cartesian)
+    pins every other *near_dup* query to non-cartesian plans."""
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))

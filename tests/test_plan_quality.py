@@ -359,3 +359,53 @@ def test_semantic_contamination_blocked_by_cells(spark, sf_dir):
     plan = _formatted(_QUERIES["similarity_semantic_contamination"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dup_scale_paths_not_cartesian(spark, sf_dir):
+    """Every *near_dup* query except the documented bounded-subset
+    baseline must avoid cartesian/nested-loop pair generation — the scale
+    paths block candidates by LSH band or IVF cell before joining."""
+    baseline = {"similarity_cosine_near_dup"}
+    names = [n for n in _QUERIES if "near_dup" in n and n not in baseline]
+    assert names  # the scale paths exist
+    for n in names:
+        plan = _executed_plan(_QUERIES[n](spark, sf_dir))
+        assert "CartesianProduct" not in plan, n
+        assert "BroadcastNestedLoopJoin" not in plan, n
+
+
+def test_cosine_baseline_bounds_before_crossjoin(spark, sf_dir):
+    """The brute-force baseline IS a crossJoin — but only after the
+    deterministic 10% subset filter, which must reach both scan sides so
+    the pair space is (n/10)^2, never n^2."""
+    plan = _executed_plan(_QUERIES["similarity_cosine_near_dup"](spark, sf_dir))
+    import re
+
+    assert len(re.findall(r"% 10\)? = 0", plan)) >= 2, plan
+
+
+def test_paginated_is_single_take_ordered_with_offset(spark, sf_dir):
+    """skip+take pagination must plan as ONE distributed top-K with
+    offset — no global sort, no single-partition row_number window."""
+    plan = _executed_plan(_QUERIES["credstore_paginated"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "offset=40" in plan
+    assert "Window" not in plan
+
+
+def test_wire_roundtrip_jvm_path_has_no_python_stage(spark, sf_dir):
+    """When the spark-avro jar is present, the wire round-trip must run
+    entirely JVM-side: no Python/Arrow eval stage in the plan. Offline
+    (jar absent) the probe routes to the Python codec and this pin is
+    skipped — see README 'Avro wire path'."""
+    import pytest
+
+    from ssiintegrateddatapipeline_spark.operators.wire import (
+        jvm_avro_available,
+    )
+
+    if not jvm_avro_available(spark):
+        pytest.skip("spark-avro jar absent; Python-codec fallback in use")
+    plan = _executed_plan(_QUERIES["wire_avro_roundtrip"](spark, sf_dir))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
