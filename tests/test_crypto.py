@@ -201,10 +201,58 @@ def test_did_resolution_query(spark, sf_dir):
     from ssiintegrateddatapipeline_spark.operators.trade_pipeline import did_resolution
 
     rows = did_resolution(spark, sf_dir).collect()
-    assert len(rows) == 15  # 5 symbols x 3 providers
+    assert len(rows) == 20  # 5 symbols x (3 providers + derived did:jwk)
     assert all(r.key_consistent for r in rows)
     by_provider = {r.provider for r in rows}
-    assert by_provider == {"did:key", "did:web", "did:ethr:sepolia"}
+    assert by_provider == {"did:key", "did:web", "did:ethr:sepolia", "did:jwk"}
     for r in rows:
         if r.provider == "did:web":
             assert r.document_url.endswith("/did.json")
+        if r.provider == "did:jwk":
+            assert r.did.startswith("did:jwk:ey")  # base64url('{"crv"...')
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(st.characters(min_codepoint=48, max_codepoint=122), min_size=1, max_size=20))
+def test_did_jwk_roundtrips_any_symbol(name):
+    """did:jwk is a pure function of the key: generate -> resolve recovers
+    the exact JWK for both key types, and the RFC 7638 kid is stable."""
+    _, pub = C.keypair_for(name)
+    did = C.did_jwk_for(pub)
+    doc = C.resolve_did(did)
+    vm = doc["verificationMethod"][0]
+    assert vm["id"] == did + "#0" and vm["type"] == "JsonWebKey2020"
+    assert vm["publicKeyJwk"] == C.jwk_for_public_key(pub)
+    assert vm["kid"] == C.jwk_thumbprint(C.jwk_for_public_key(pub))
+
+    _, epub = C.es256k_keypair_for(name)
+    edid = C.did_jwk_for(epub)
+    evm = C.resolve_did(edid)["verificationMethod"][0]
+    assert evm["publicKeyJwk"]["kty"] == "EC"
+    assert evm["publicKeyJwk"]["crv"] == "secp256k1"
+    # same key -> same DID; different alg -> different DID
+    assert C.did_jwk_for(pub) == did and edid != did
+
+
+def test_did_jwk_thumbprint_rfc7638_vector():
+    """The RSA-free analogue of the RFC 7638 flow: a fixed OKP JWK must
+    hash only (crv, kty, x) in lexicographic order, no whitespace."""
+    import hashlib as H
+
+    jwk = {"kty": "OKP", "crv": "Ed25519", "x": "abc", "kid": "ignored"}
+    canon = '{"crv":"Ed25519","kty":"OKP","x":"abc"}'
+    want = C.b64url(H.sha256(canon.encode()).digest())
+    assert C.jwk_thumbprint(jwk) == want
+
+
+def test_did_jwk_rejects_malformed():
+    import pytest
+
+    with pytest.raises(ValueError, match="malformed did:jwk"):
+        C.resolve_did("did:jwk:!!!not-base64url!!!")
+    with pytest.raises(ValueError, match="not a JWK object"):
+        C.resolve_did("did:jwk:" + C.b64url(b'["list"]'))
+    with pytest.raises(ValueError, match="unsupported JWK kty"):
+        C.resolve_did("did:jwk:" + C.b64url(b'{"kty":"RSA","n":"x","e":"AQAB"}'))
+    with pytest.raises(ValueError, match="missing required members"):
+        C.resolve_did("did:jwk:" + C.b64url(b'{"kty":"OKP","crv":"Ed25519","x":""}'))
