@@ -81,6 +81,9 @@ HEADLINE = [
     "similarity_ivf_recall",
     "dedup_quality_canonical",
     "dedup_decontaminated_split",
+    "sampling_token_budget_mix",
+    "dedup_cross_source_matrix",
+    "text_dup_ngrams",
 ]
 
 

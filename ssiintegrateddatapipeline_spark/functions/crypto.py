@@ -351,6 +351,16 @@ def jwk_thumbprint(jwk: dict) -> str:
     return b64url(hashlib.sha256(canon.encode("ascii")).digest())
 
 
+def did_peer_for(pub: Ed25519PublicKey) -> str:
+    """did:peer numalgo 0: '0' + the did:key multibase of the same key."""
+    return "did:peer:0" + did_key_for(pub)[len("did:key:") :]
+
+
+def did_pkh_for(pub: _ec.EllipticCurvePublicKey, network: str = "sepolia") -> str:
+    """did:pkh (CAIP-10 account DID) for a secp256k1 key on an eip155 chain."""
+    return f"did:pkh:eip155:{_ETH_CHAIN_IDS.get(network, 0)}:{eth_address_for(pub)}"
+
+
 def did_jwk_for(pub) -> str:
     """did:jwk method identifier: base64url of the canonical JWK JSON —
     a pure function of the key, as in the reference's resolver factory
@@ -369,10 +379,15 @@ def resolve_did(did: str) -> dict:
     - did:web: derives the hosted document URL per the W3C method spec;
     - did:ethr: parses network + EIP-55 address and validates the checksum;
     - did:jwk: decodes the embedded JWK and validates its required members
-      (verificationMethod ``#0``, JsonWebKey2020, RFC 7638 kid).
+      (verificationMethod ``#0``, JsonWebKey2020, RFC 7638 kid);
+    - did:peer: numalgo 0 (inception key) — the did:key encoding, peer-id'd;
+    - did:pkh: CAIP-10 account DIDs, with EIP-55 validation for eip155.
 
-    Raises ValueError for malformed DIDs — the resolver-level error the
-    reference surfaces as a resolution failure."""
+    Covers the reference resolver factory's method list
+    (key/web/ethr/jwk/peer/pkh, veramo-verifier/src/server.ts:424-477);
+    its universal-resolver HTTP fallback is deliberately out of scope
+    offline. Raises ValueError for malformed DIDs — the resolver-level
+    error the reference surfaces as a resolution failure."""
     if did.startswith("did:key:"):
         mb = did[len("did:key:") :]
         if not mb.startswith("z"):
@@ -427,6 +442,38 @@ def resolve_did(did: str) -> dict:
                     "type": "EcdsaSecp256k1RecoveryMethod2020",
                     "controller": did,
                     "blockchainAccountId": f"eip155:{_ETH_CHAIN_IDS.get(network, 0)}:{addr}",
+                }
+            ],
+        }
+    if did.startswith("did:peer:"):
+        # method 0 (inception key without doc): did:peer:0z<multibase> —
+        # the numalgo-0 form is the did:key encoding with a '0' prefix
+        rest = did[len("did:peer:") :]
+        if not rest.startswith("0z"):
+            raise ValueError("only did:peer numalgo 0 (inception key) supported")
+        key_doc = resolve_did("did:key:" + rest[1:])
+        vm = dict(key_doc["verificationMethod"][0])
+        vm["id"] = f"{did}#key-1"
+        vm["controller"] = did
+        return {"id": did, "verificationMethod": [vm]}
+    if did.startswith("did:pkh:"):
+        # did:pkh:<caip2-namespace>:<chain-ref>:<account> — for eip155 the
+        # account is an Ethereum address (EIP-55 checksum when mixed-case)
+        parts = did[len("did:pkh:") :].split(":")
+        if len(parts) != 3 or not all(parts):
+            raise ValueError(f"malformed did:pkh (want namespace:chain:account): {did}")
+        namespace, chain, account = parts
+        if namespace == "eip155":
+            # reuse the did:ethr address validation (incl. EIP-55)
+            resolve_did(f"did:ethr:{account}")
+        return {
+            "id": did,
+            "verificationMethod": [
+                {
+                    "id": f"{did}#blockchainAccountId",
+                    "type": "EcdsaSecp256k1RecoveryMethod2020",
+                    "controller": did,
+                    "blockchainAccountId": f"{namespace}:{chain}:{account}",
                 }
             ],
         }

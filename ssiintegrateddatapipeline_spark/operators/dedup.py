@@ -660,7 +660,41 @@ def decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication audit: near-dup pair counts bucketed by the
+    (unordered) source pair — the matrix that tells a corpus curator WHERE
+    the duplication lives (scraped mirror vs original, two crawls of the
+    same site) before deciding which side to drop.
+
+    Scale shape: the LSH pair graph is tiny relative to the corpus, so it
+    broadcasts into two joins against the (doc_id, source) projection of
+    the documents scan; the matrix agg is a hash agg on a handful of
+    source pairs. Reuses the session-cached pair graph."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = (
+        F.broadcast(pairs.select("doc_id_a", "doc_id_b", "est_jaccard"))
+        .join(docs.withColumnRenamed("source", "source_of_a"), F.col("doc_id_a") == F.col("doc_id"))
+        .drop("doc_id")
+        .join(docs.withColumnRenamed("source", "source_of_b"), F.col("doc_id_b") == F.col("doc_id"))
+        .drop("doc_id")
+    )
+    return (
+        joined.select(
+            F.least("source_of_a", "source_of_b").alias("source_a"),
+            F.greatest("source_of_a", "source_of_b").alias("source_b"),
+            "est_jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("est_jaccard"), 6).alias("sum_est_jaccard"),
+        )
+    )
+
+
 QUERIES = {
+    "dedup_cross_source_matrix": cross_source_matrix,
     "graph_pagerank_neardup": pagerank_near_dup,
     "graph_triangle_count": triangle_count,
     "dedup_fuzzy_name_pairs": fuzzy_name_pairs,
@@ -847,6 +881,23 @@ ORACLES = {
         WITH {_SIG_CTE}
         SELECT doc_id, {", ".join(f"sig[{i + 1}] AS mh{i}" for i in range(N_MINHASH))}
         FROM sigs
+    """,
+    "dedup_cross_source_matrix": f"""
+        WITH {_SIG_CTE}, {_PAIRS_CTE},
+        scored_pairs AS (
+            SELECT doc_id_a, doc_id_b,
+                   round(n_matching_minhashes / {float(N_MINHASH)}, 6)
+                       AS est_jaccard
+            FROM pairs
+        )
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs,
+               round(sum(est_jaccard), 6) AS sum_est_jaccard
+        FROM scored_pairs p
+        JOIN documents da ON da.doc_id = p.doc_id_a
+        JOIN documents db ON db.doc_id = p.doc_id_b
+        GROUP BY 1, 2
     """,
     "dedup_minhash_lsh_pairs": f"""
         WITH {_SIG_CTE}, {_PAIRS_CTE}

@@ -171,7 +171,56 @@ def corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted mixture rebalancing: the per-SOURCE token ledger a
+    training-mix planner needs — documents are not the unit that matters,
+    tokens are. Per source: doc/token counts, the source's share of the
+    corpus token budget, and the deterministic keep-rate that would level
+    every source to a uniform token target (min(1, target/source_tokens)).
+
+    Scale shape: one scan -> one hash agg on source (map-side partials),
+    then a broadcast of the one-row total; ratios computed with the exact
+    half-up integer form shared with the oracle (no double-rounding tie
+    hazard). Apply the keep_rate downstream with the same hash-gate
+    pattern as hash_sample."""
+    from ssiintegrateddatapipeline_spark.operators.analytics import (
+        _round_half_up_ratio,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    from ssiintegrateddatapipeline_spark.functions.text_funcs import tokens
+
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            _round_half_up_ratio(
+                F.col("n_tokens"), F.col("total_tokens"), 6
+            ).alias("token_share"),
+            F.least(
+                F.lit(1.0),
+                _round_half_up_ratio(
+                    F.col("total_tokens"),
+                    F.col("n_sources") * F.col("n_tokens"),
+                    6,
+                ),
+            ).alias("keep_rate"),
+        )
+    )
+
+
 QUERIES = {
+    "sampling_token_budget_mix": token_budget_mix,
     "sampling_corpus_rebalance": corpus_rebalance,
     "sampling_hash_sample": sample_events,
     "sampling_stratified": stratified_sample,
@@ -184,6 +233,25 @@ _RATE_CASE = " ".join(
 )
 
 ORACLES = {
+    "sampling_token_budget_mix": """
+        WITH per_source AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        totals AS (
+            SELECT sum(n_tokens)::BIGINT AS total_tokens,
+                   count(*) AS n_sources
+            FROM per_source
+        )
+        SELECT source, n_docs, n_tokens,
+               ((n_tokens * 2000000 + total_tokens) // (2 * total_tokens))
+                   / 1000000.0 AS token_share,
+               least(1.0::DOUBLE,
+                     ((total_tokens * 2000000 + n_sources * n_tokens)
+                      // (2 * n_sources * n_tokens)) / 1000000.0) AS keep_rate
+        FROM per_source CROSS JOIN totals
+    """,
     "sampling_corpus_rebalance": """
         WITH ranked AS (
             SELECT source, n_chars,

@@ -552,7 +552,46 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_NGRAM_N = 8  # the classic memorization-audit window
+DUP_NGRAM_TOP_K = 50
+
+
+def dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated n-grams: the top repeated 8-gram spans with
+    occurrence and document counts — the memorization-risk audit run before
+    training (exact repeated spans are what models regurgitate).
+
+    Scale shape: explode is linear in corpus tokens and reduces through a
+    map-side partial agg on the n-gram hash; the HAVING n_docs>=2 filter
+    drops the long unique tail before the final top-K
+    (TakeOrderedAndProject), so only duplicated spans survive the shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_spans = F.size(toks) - F.lit(DUP_NGRAM_N - 1)
+    grams = F.when(
+        n_spans >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_spans),
+            lambda i: F.array_join(F.slice(toks, i, DUP_NGRAM_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = d.select("doc_id", F.explode(grams).alias("ngram"))
+    agg = (
+        exploded.groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    return agg.orderBy(
+        F.col("n_docs").desc(), F.col("n_occurrences").desc(), "ngram"
+    ).limit(DUP_NGRAM_TOP_K)
+
+
 QUERIES = {
+    "text_dup_ngrams": dup_ngrams,
     "text_chunk_windows": chunk_windows,
     "text_char_entropy": char_entropy,
     "text_bigram_lm_score": bigram_lm_score,
@@ -632,6 +671,25 @@ _CLEAN_CORPUS_ORACLE = f"""
 """
 
 ORACLES = {
+    "text_dup_ngrams": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - {DUP_NGRAM_N - 1}),
+                       i -> array_to_string(
+                           list_slice(t, i, i + {DUP_NGRAM_N - 1}), ' ')))
+                       AS ngram
+            FROM toks
+        )
+        SELECT ngram, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM grams
+        GROUP BY ngram
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, n_occurrences DESC, ngram ASC
+        LIMIT {DUP_NGRAM_TOP_K}
+    """,
     "text_chunk_windows": f"""
         WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
         st AS (

@@ -256,3 +256,32 @@ def test_did_jwk_rejects_malformed():
         C.resolve_did("did:jwk:" + C.b64url(b'{"kty":"RSA","n":"x","e":"AQAB"}'))
     with pytest.raises(ValueError, match="missing required members"):
         C.resolve_did("did:jwk:" + C.b64url(b'{"kty":"OKP","crv":"Ed25519","x":""}'))
+
+
+def test_did_peer_and_pkh_resolution():
+    """Resolver-factory parity: did:peer numalgo 0 resolves to the same
+    key material as did:key; did:pkh eip155 validates the address."""
+    import pytest
+
+    _, pub = C.keypair_for("BINANCE:BTCUSDT")
+    pdid = C.did_peer_for(pub)
+    assert pdid.startswith("did:peer:0z")
+    vm = C.resolve_did(pdid)["verificationMethod"][0]
+    assert vm["publicKeyHex"] == C.public_bytes(pub).hex()
+    assert vm["id"] == pdid + "#key-1" and vm["controller"] == pdid
+
+    _, epub = C.es256k_keypair_for("BINANCE:ETHUSDT")
+    kdid = C.did_pkh_for(epub)
+    assert kdid.startswith("did:pkh:eip155:11155111:0x")
+    doc = C.resolve_did(kdid)
+    assert doc["verificationMethod"][0]["blockchainAccountId"] == kdid[len("did:pkh:") :]
+
+    with pytest.raises(ValueError, match="numalgo 0"):
+        C.resolve_did("did:peer:2.Ez6abc")
+    with pytest.raises(ValueError, match="malformed did:pkh"):
+        C.resolve_did("did:pkh:eip155:0xabc")
+    bad_addr = kdid.rsplit(":", 1)[0] + ":0x" + "a" * 39  # wrong length
+    with pytest.raises(ValueError, match="malformed ethereum address"):
+        C.resolve_did(bad_addr)
+    # non-eip155 namespaces carry opaque account ids -> accepted verbatim
+    C.resolve_did("did:pkh:solana:mainnet:4Nd1mYvn")
