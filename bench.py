@@ -1,7 +1,8 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line (large queries dict first,
-small headline fields last so they survive the driver's tail capture):
+local[$SPARK_GRAFT_CPUS]. Prints the full JSON result line
 {"queries": {...}, "metric": ..., "unit": "sec", "sf": ..., "value": total_sec}
+followed by a short headline-only JSON line (always inside the driver's
+~2.2 KB stdout tail capture), and writes the full result to bench_last.json.
 
 Each query is forced with a full materialization to the driver via the
 Arrow path (toPandas) — every value crosses to the driver, but through
@@ -84,6 +85,8 @@ HEADLINE = [
     "sampling_token_budget_mix",
     "dedup_cross_source_matrix",
     "text_dup_ngrams",
+    "text_perplexity_buckets",
+    "transform_length_batches",
 ]
 
 
@@ -133,22 +136,29 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({rows} rows)", file=sys.stderr)
 
-    # Field order matters: the driver captures only the last ~2.2 KB of
-    # stdout, so the large per-query dict goes FIRST and the small headline
-    # fields (metric/unit/sf/value) go LAST so they always land in the tail
-    # even as the query set grows. (Round 2's line led with metric/value and
-    # the 63-entry dict pushed them out of the capture -> "parsed": null.)
-    line = json.dumps(
-        {
-            "queries": per_query,
-            "metric": "headline_queries_total_wall",
-            "unit": "sec",
-            "sf": sf,
-            "value": round(total, 3),
-        },
-        separators=(",", ":"),
-    )
+    # The driver captures only the last ~2.2 KB of stdout; the per-query
+    # dict alone outgrew that in round 2 ("parsed": null). Robust layout:
+    # (1) the full result is written to bench_last.json for human readers,
+    # (2) the big per-query line prints FIRST so its tail stays visible in
+    #     the capture, and
+    # (3) the LAST stdout line is a short, always-complete JSON object with
+    #     the headline fields, so any tail parser (last-line json.loads,
+    #     regex, balanced-brace scan) recovers metric/value/unit/sf.
+    result = {
+        "queries": per_query,
+        "metric": "headline_queries_total_wall",
+        "unit": "sec",
+        "sf": sf,
+        "value": round(total, 3),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_last.json"), "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+    line = json.dumps(result, separators=(",", ":"))
     print(line)
+    summary = {k: result[k] for k in ("metric", "unit", "sf", "value")}
+    summary["n_queries"] = len(per_query)
+    print(json.dumps(summary, separators=(",", ":")))
     print(f"# bench line bytes: {len(line)}", file=sys.stderr)
 
 

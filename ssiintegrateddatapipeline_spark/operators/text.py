@@ -552,6 +552,42 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPL_BUCKETS = 3  # CCNet-style head / middle / tail split
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus bigram LM (see :func:`bigram_lm_score`) and split the corpus
+    into PPL_BUCKETS quantile buckets (1 = most fluent "head", 3 = noisy
+    "tail"), reporting per-bucket volumes. The reference pipeline has no
+    LM layer; this is the training-data-curation operator the engine adds
+    (CCNet, Wenzek et al. 2020) on the same corpus tables.
+
+    Scale shape: scoring is the bigram join (uniform hash keys); the only
+    global step is the ntile ranking. At 100 TB the split would come from
+    approx quantiles of the score distribution instead of a global sort;
+    here ntile over (score, doc_id) keeps the assignment exact so the
+    oracle can replay it bit-for-bit. Per-bucket outputs are exact
+    (counts + order statistics), no cross-engine float-sum hazard.
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_lm_score(spark, sf_dir)
+    w = Window.orderBy(F.col("bits_per_bigram").asc(), F.col("doc_id").asc())
+    bucketed = scored.select(
+        "doc_id",
+        "n_bigrams",
+        "bits_per_bigram",
+        F.ntile(PPL_BUCKETS).over(w).alias("ppl_bucket"),
+    )
+    return bucketed.groupBy("ppl_bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bigrams").alias("total_bigrams"),
+        F.min("bits_per_bigram").alias("min_bits"),
+        F.max("bits_per_bigram").alias("max_bits"),
+    )
+
+
 DUP_NGRAM_N = 8  # the classic memorization-audit window
 DUP_NGRAM_TOP_K = 50
 
@@ -595,6 +631,7 @@ QUERIES = {
     "text_chunk_windows": chunk_windows,
     "text_char_entropy": char_entropy,
     "text_bigram_lm_score": bigram_lm_score,
+    "text_perplexity_buckets": perplexity_buckets,
     "text_boilerplate_scrub": boilerplate_scrub,
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_inverted_index": inverted_index,
@@ -670,6 +707,32 @@ _CLEAN_CORPUS_ORACLE = f"""
     WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
 """
 
+# Shared bigram-LM CTE chain: ends in perdoc(doc_id, n_bigrams,
+# bits_per_bigram) — one source of truth for the LM-score and
+# perplexity-bucket oracles (they must never desynchronize).
+_BIGRAM_CTES = f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t
+        ),
+        bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        uc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        v AS (SELECT count(DISTINCT w2) AS v FROM bi),
+        scored AS (
+            SELECT bi.doc_id, log2((bc.c12 + 1) / (uc.c1 + v.v)) AS lp
+            FROM bi
+            JOIN bc USING (w1, w2)
+            JOIN uc USING (w1)
+            CROSS JOIN v
+        ),
+        perdoc AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(-sum(lp) / count(*), 6) AS bits_per_bigram
+            FROM scored GROUP BY doc_id
+        )"""
+
 ORACLES = {
     "text_dup_ngrams": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -718,26 +781,22 @@ ORACLES = {
         FROM e
     """,
     "text_bigram_lm_score": f"""
-        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        idx AS (
-            SELECT doc_id, toks,
-                   unnest(generate_series(1, len(toks) - 1)) AS i
-            FROM t
-        ),
-        bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
-        bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-        uc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
-        v AS (SELECT count(DISTINCT w2) AS v FROM bi),
-        scored AS (
-            SELECT bi.doc_id, log2((bc.c12 + 1) / (uc.c1 + v.v)) AS lp
-            FROM bi
-            JOIN bc USING (w1, w2)
-            JOIN uc USING (w1)
-            CROSS JOIN v
+        WITH {_BIGRAM_CTES}
+        SELECT doc_id, n_bigrams, bits_per_bigram FROM perdoc
+    """,
+    "text_perplexity_buckets": f"""
+        WITH {_BIGRAM_CTES},
+        bucketed AS (
+            SELECT n_bigrams, bits_per_bigram,
+                   ntile({PPL_BUCKETS}) OVER (
+                       ORDER BY bits_per_bigram ASC, doc_id ASC) AS ppl_bucket
+            FROM perdoc
         )
-        SELECT doc_id, count(*) AS n_bigrams,
-               round(-sum(lp) / count(*), 6) AS bits_per_bigram
-        FROM scored GROUP BY doc_id
+        SELECT ppl_bucket, count(*) AS n_docs,
+               sum(n_bigrams)::BIGINT AS total_bigrams,
+               min(bits_per_bigram) AS min_bits,
+               max(bits_per_bigram) AS max_bits
+        FROM bucketed GROUP BY ppl_bucket
     """,
     "text_boilerplate_scrub": f"""
         WITH toks AS (

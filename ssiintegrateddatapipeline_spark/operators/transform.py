@@ -191,6 +191,57 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_into_bins(base, PACK_CAPACITY)
 
 
+BATCH_TOKEN_BUDGET = 2048  # target tokens per training micro-batch
+
+
+def length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch assignment (the dynamic-batching / bucketed
+    minibatch shape): within each source, sort documents by token length
+    and cut the sorted run into contiguous batches of ~BATCH_TOKEN_BUDGET
+    tokens, then report each batch's padding economics — a batch is padded
+    to its longest member, so grouping similar lengths minimizes
+    `max_len * n_docs - sum_len` waste. Complements sequence_pack (which
+    concatenates docs into one window; this keeps one doc per row and
+    batches rows).
+
+    Scale shape: the sort is per-source (window partition key), not
+    global — at 100 TB the sources shard the sort and each partition
+    sorts locally after one hash shuffle. All outputs are integer-exact.
+    """
+    from ssiintegrateddatapipeline_spark.operators.text import BPE_ISH_PATTERN
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_tokens", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = base.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(BATCH_TOKEN_BUDGET)
+        ).alias("batch_id"),
+    )
+    return assigned.groupBy("source", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("batch_tokens"),
+        F.max("n_tokens").alias("max_len"),
+        (F.max("n_tokens") * F.count("*") - F.sum("n_tokens")).alias(
+            "pad_waste"
+        ),
+    )
+
+
 def pack_into_bins(base: DataFrame, capacity: int) -> DataFrame:
     """Greedy first-fit-in-order packing of (group_id, doc_id, n_tokens)
     rows into token-budget bins, one sequential pandas pass per group."""
@@ -313,6 +364,7 @@ QUERIES = {
     "transform_zorder_layout": zorder_layout,
     "transform_pseudonymize": pseudonymize_users,
     "transform_sequence_pack": sequence_pack,
+    "transform_length_batches": length_batches,
 }
 
 _Z_SQL = " | ".join(
@@ -324,6 +376,24 @@ _Z_SQL = " | ".join(
 _BPE_N_SQL = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
 
 ORACLES = {
+    "transform_length_batches": f"""
+        WITH base AS (
+            SELECT source, doc_id, {_BPE_N_SQL} AS n_tokens FROM documents
+        ),
+        assigned AS (
+            SELECT source, n_tokens,
+                   ((sum(n_tokens) OVER (PARTITION BY source
+                         ORDER BY n_tokens, doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                       // {BATCH_TOKEN_BUDGET})::BIGINT AS batch_id
+            FROM base
+        )
+        SELECT source, batch_id, count(*) AS n_docs,
+               sum(n_tokens)::BIGINT AS batch_tokens,
+               max(n_tokens) AS max_len,
+               (max(n_tokens) * count(*) - sum(n_tokens))::BIGINT AS pad_waste
+        FROM assigned GROUP BY 1, 2
+    """,
     "transform_snapshot_diff": """
         WITH old AS (
             SELECT o_orderkey,
