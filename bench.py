@@ -87,6 +87,7 @@ HEADLINE = [
     "text_dup_ngrams",
     "text_perplexity_buckets",
     "transform_length_batches",
+    "similarity_pq_topk",
 ]
 
 

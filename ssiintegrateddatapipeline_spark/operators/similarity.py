@@ -597,7 +597,146 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + ADC search — the memory-compression ANN tier
+# (Jégou et al., "Product Quantization for Nearest Neighbor Search", 2011).
+# The embedding is split into PQ_M subspaces; each subspace gets its own
+# PQ_K-codeword codebook (trained with the same deterministic integer-exact
+# Lloyd protocol as the IVF coarse quantizer, seeded from md5 components so
+# the oracle replays the fit as SQL CTEs). A corpus vector is stored as
+# PQ_M small codes (here 4 bytes vs 256 bytes of floats — the reason PQ is
+# THE 100 TB ANN memory plan); a query builds one PQ_K-entry dot-product
+# lookup table per subspace and scores candidates with table lookups only
+# (ADC: asymmetric distance computation), never touching raw vectors.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (codes per vector)
+PQ_K = 16  # codewords per sub-codebook
+PQ_STEPS = 2  # Lloyd steps per sub-codebook fit
+_PQ_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+@lru_cache(maxsize=None)
+def _pq_seed_literals(m: int, sub: int) -> tuple[tuple[float, ...], ...]:
+    return tuple(
+        tuple(_pseudo_component(f"q{m}c{k}", j) for j in range(sub))
+        for k in range(PQ_K)
+    )
+
+
+def _pq_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> tuple[tuple[tuple[tuple[float, ...], ...], ...], int]:
+    """(books, sub): PQ_M trained sub-codebooks of PQ_K centroids each.
+
+    Same determinism contract as _trained_centroids (seeded init, fixed
+    steps, integer-quantized exact means, first-max tie-break), replayed
+    by the oracle's CTEs. All PQ_M subspaces train in ONE Spark job per
+    Lloyd step: the per-subspace (slice, assignment) pairs are built as an
+    array of structs and exploded, so a step is one scan + one hash agg on
+    (subspace, centroid, pos) regardless of PQ_M. Cached per session; at
+    100 TB the fit runs on a seeded sample."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
+    dim = _embedding_dim(spark, sf_dir)
+    sub = dim // PQ_M
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    books = [_pq_seed_literals(m, sub) for m in range(PQ_M)]
+    for _ in range(PQ_STEPS):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.array_position(
+                        (d := _dots_for(sl, books[m])), F.array_max(d)
+                    )
+                    .cast("int")
+                    .alias("centroid"),
+                    sl.alias("s"),
+                )
+                for m in range(PQ_M)
+                for sl in [F.slice("embedding", m * sub + 1, sub)]
+            ]
+        )
+        rows = (
+            emb.select(F.explode(entries).alias("e"))
+            .select("e.m", "e.centroid", "e.s")
+            .select("m", "centroid", F.posexplode("s").alias("pos", "val"))
+            .groupBy("m", "centroid", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val").cast("double") * F.lit(float(QUANT)))
+                ).alias("qsum"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        nxt = [[list(c) for c in book] for book in books]
+        for r in rows:
+            nxt[r.m][r.centroid - 1][r.pos] = r.qsum / (r.n * float(QUANT))
+        books = [tuple(tuple(c) for c in book) for book in nxt]
+    out = (tuple(books), sub)
+    _PQ_CACHE[key] = out
+    return out
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k: encode the corpus as PQ_M codes, score
+    each (query, candidate) as the sum of per-subspace lookup-table dot
+    products, rank per query. The scan touches only the code columns plus
+    a broadcast PQ_M x PQ_K table per query — at 100 TB this reads the
+    ~4-byte/vector code table instead of raw embeddings (64x smaller I/O),
+    which is the entire point of the operator."""
+    books, sub = _pq_codebooks(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        F.array(
+            *[
+                F.array_position(
+                    (d := _dots_for(F.slice("embedding", m * sub + 1, sub), books[m])),
+                    F.array_max(d),
+                ).cast("int")
+                for m in range(PQ_M)
+            ]
+        ).alias("codes"),
+    )
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.array(
+            *[
+                _dots_for(F.slice("embedding", m * sub + 1, sub), books[m])
+                for m in range(PQ_M)
+            ]
+        ).alias("luts"),
+    )
+    approx = F.element_at(F.element_at("luts", 1), F.element_at("codes", 1))
+    for m in range(1, PQ_M):
+        approx = approx + F.element_at(
+            F.element_at("luts", m + 1), F.element_at("codes", m + 1)
+        )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(approx, 6).alias("approx_dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_dot", "rank")
+    )
+
+
 QUERIES = {
+    "similarity_pq_topk": pq_topk,
     "similarity_semantic_contamination": semantic_contamination,
     "similarity_embedding_drift": embedding_drift,
     "similarity_ivf_near_dup": ivf_near_dup_pairs,
@@ -736,7 +875,125 @@ _IVF_PROBES = f"""
     )
 """
 
+_SUB_LEN = f"({_DIM_SQL} // {PQ_M})"
+
+
+def _pq_ctes() -> str:
+    """CTE chain replaying the PQ sub-codebook training (_pq_codebooks):
+    per subspace m, seed md5 components -> PQ_STEPS Lloyd steps (fold-order
+    dots, first-max tie-break, integer-quantized exact means) -> book{m}
+    (one row, PQ_K lists). Mirrors _trained_ctes per subspace."""
+    parts = []
+    for m in range(PQ_M):
+        parts += [
+            f"""qc{m}_0 AS (
+                SELECT k AS centroid, i AS pos,
+                       ((('0x' || substr(md5('q{m}c' || (k - 1)::VARCHAR || '|' ||
+                            (i - 1)::VARCHAR), 1, 8))::UBIGINT::BIGINT
+                         / 2147483648.0) - 1.0) AS comp
+                FROM (SELECT unnest(generate_series(1, {PQ_K})) AS k) t1
+                CROSS JOIN (SELECT unnest(generate_series(1, {_SUB_LEN})) AS i) t2
+            )""",
+            f"ql{m}_0 AS (SELECT centroid, list(comp ORDER BY pos) AS comps "
+            f"FROM qc{m}_0 GROUP BY centroid)",
+            f"""sub{m} AS (
+                SELECT vec_id,
+                       embedding[({m} * (len(embedding) // {PQ_M}) + 1):
+                                 (({m} + 1) * (len(embedding) // {PQ_M}))] AS s
+                FROM embeddings
+            )""",
+        ]
+        for t in range(PQ_STEPS):
+            parts += [
+                f"""qd{m}_{t} AS (
+                    SELECT e.vec_id, e.s, c.centroid,
+                           list_sum(list_transform(generate_series(1, len(e.s)),
+                               i -> e.s[i]::DOUBLE * c.comps[i])) AS dot
+                    FROM sub{m} e CROSS JOIN ql{m}_{t} c
+                )""",
+                f"""qa{m}_{t} AS (
+                    SELECT vec_id, s, centroid FROM (
+                        SELECT vec_id, s, centroid,
+                               row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dot DESC, centroid ASC) AS rn
+                        FROM qd{m}_{t}) WHERE rn = 1
+                )""",
+                f"""qm{m}_{t} AS (
+                    SELECT centroid, pos,
+                           sum(floor(s[pos]::DOUBLE * {QUANT}.0)::BIGINT)
+                               / (count(*) * {QUANT}.0) AS mm
+                    FROM qa{m}_{t} CROSS JOIN (
+                        SELECT unnest(generate_series(1, {_SUB_LEN})) AS pos) g
+                    GROUP BY centroid, pos
+                )""",
+                f"""qc{m}_{t + 1} AS (
+                    SELECT c.centroid, c.pos, coalesce(m.mm, c.comp) AS comp
+                    FROM qc{m}_{t} c LEFT JOIN qm{m}_{t} m USING (centroid, pos)
+                )""",
+                f"ql{m}_{t + 1} AS (SELECT centroid, list(comp ORDER BY pos) "
+                f"AS comps FROM qc{m}_{t + 1} GROUP BY centroid)",
+            ]
+        parts.append(
+            f"book{m} AS (SELECT list(comps ORDER BY centroid) AS b "
+            f"FROM ql{m}_{PQ_STEPS})"
+        )
+    return ",\n".join(parts)
+
+
+def _pq_dots_sql(m: int) -> str:
+    return (
+        f"list_transform(generate_series(1, {PQ_K}), "
+        f"k -> list_sum(list_transform(generate_series(1, len(s)), "
+        f"i -> s[i]::DOUBLE * b.b[k][i])))"
+    )
+
+
+_PQ_TOPK_ORACLE = None  # built lazily below (string assembly at import)
+
+
+def _build_pq_topk_oracle() -> str:
+    code_ctes = []
+    for m in range(PQ_M):
+        code_ctes.append(
+            f"""code{m} AS (
+                SELECT vec_id, list_indexof(dots, list_max(dots)) AS code
+                FROM (SELECT vec_id, {_pq_dots_sql(m)} AS dots
+                      FROM sub{m} CROSS JOIN book{m} b)
+            )"""
+        )
+        code_ctes.append(
+            f"""lut{m} AS (
+                SELECT vec_id AS query_id, {_pq_dots_sql(m)} AS lut
+                FROM sub{m} CROSS JOIN book{m} b
+                WHERE vec_id < {N_QUERY_VECS}
+            )"""
+        )
+    cc_joins = " ".join(f"JOIN code{m} c{m} USING (vec_id)" for m in range(1, PQ_M))
+    qq_joins = " ".join(f"JOIN lut{m} q{m} USING (query_id)" for m in range(1, PQ_M))
+    cc_cols = ", ".join(f"c{m}.code AS k{m}" for m in range(PQ_M))
+    qq_cols = ", ".join(f"q{m}.lut AS l{m}" for m in range(PQ_M))
+    adc_sum = " + ".join(f"l{m}[k{m}]" for m in range(PQ_M))
+    return f"""
+        WITH {_pq_ctes()},
+        {",".join(code_ctes)},
+        cc AS (SELECT c0.vec_id, {cc_cols} FROM code0 c0 {cc_joins}),
+        qq AS (SELECT q0.query_id, {qq_cols} FROM lut0 q0 {qq_joins}),
+        adc AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   round({adc_sum}, 6) AS approx_dot
+            FROM cc CROSS JOIN qq
+            WHERE vec_id <> query_id
+        )
+        SELECT query_id, neighbor_id, approx_dot, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_dot DESC, neighbor_id ASC) AS rank
+            FROM adc
+        ) WHERE rank <= {TOP_K}
+    """
+
+
 ORACLES = {
+    "similarity_pq_topk": _build_pq_topk_oracle(),
     "similarity_embedding_drift": """
         WITH idx AS (
             SELECT vec_id % 2 AS half, embedding,
