@@ -409,3 +409,35 @@ def test_wire_roundtrip_jvm_path_has_no_python_stage(spark, sf_dir):
     plan = _executed_plan(_QUERIES["wire_avro_roundtrip"](spark, sf_dir))
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
+
+
+def test_pq_codebooks_are_plan_time_literals(spark, sf_dir):
+    """PQ sub-codebooks train once per session driver-side; the search
+    plan must be literal lookup tables + a broadcast of the tiny query
+    side over the code scan — no Python stage, no extra embedding scans
+    for the codebooks (2 scans: corpus codes + query side)."""
+    plan = _formatted(_QUERIES["similarity_pq_topk"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "pythonUDF" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 5-row query side broadcast
+    scans = [l for l in plan.splitlines() if l.startswith("(") and "Scan parquet" in l]
+    assert len(scans) == 2, scans
+
+
+def test_length_batches_window_is_keyed_not_global(spark, sf_dir):
+    """The length-sort window partitions by source (sharded sort), never
+    a global single-partition sort, and stays JVM-side."""
+    plan = _formatted(_QUERIES["transform_length_batches"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_perplexity_buckets_rank_input_is_reduced(spark, sf_dir):
+    """The only global (single-partition) step in the perplexity split is
+    the ntile over per-document aggregates — the raw bigram stream must
+    reduce through hash aggregation first, and nothing runs in Python."""
+    plan = _formatted(_QUERIES["text_perplexity_buckets"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    # the single-partition exchange exists (documented: ntile over ~|docs|
+    # rows), and hash aggregation appears upstream of it
+    assert "SinglePartition" in plan and "HashAggregate" in plan
