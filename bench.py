@@ -88,6 +88,7 @@ HEADLINE = [
     "text_perplexity_buckets",
     "transform_length_batches",
     "similarity_pq_topk",
+    "similarity_pq_recall",
 ]
 
 

