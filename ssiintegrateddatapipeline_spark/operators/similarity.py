@@ -119,24 +119,20 @@ def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
 
 def _lsh_signature(emb_col, dim: int) -> "F.Column":
     """Sign-LSH signature: bit p = 1 iff dot(v, h_p) > 0. Hyperplane
-    components are plan-time literal arrays (see _pseudo_component), so the
-    per-row work is N_PLANES fused zip_with dot products — pure codegen."""
-    bits = []
-    for p, plane in enumerate(_plane_literals(dim)):
-        dot = F.aggregate(
-            F.zip_with(
-                emb_col,
-                F.array(*[F.lit(c) for c in plane]),
-                lambda x, c: x.cast("double") * c,
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
+    components are ONE plan-time 2-D literal (a single py4j call — building
+    them as per-component F.lit trees made plan construction dominate the
+    query wall), so the per-row work is N_PLANES fused zip_with dot
+    products — pure codegen. Bit weights sum through an integer zip_with
+    fold, value-identical to the previous per-bit chain."""
+    dots = _dots_for(emb_col, _plane_literals(dim))
+    weights = F.lit([1 << p for p in range(N_PLANES)])
+    return F.aggregate(
+        F.zip_with(
+            dots, weights, lambda d, w: F.when(d > 0, w).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda s, x: s + x,
+    )
 
 
 def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,22 +168,37 @@ N_CENTROIDS = 8
 N_PROBES = 4
 
 
+# Session-scoped memo for heavy literal-bearing Column expressions: a
+# Column is an immutable unresolved expression tree, so the same object can
+# be re-attached to any number of plans; rebuilding the tree per query call
+# costs hundreds of py4j round trips (measured: seconds of per-query wall
+# for the PQ/IVF expression sets). Keyed by applicationId so a restarted
+# session never sees stale JVM references.
+_COL_MEMO: dict[tuple, object] = {}
+
+
+def _memo_col(spark: SparkSession, key: tuple, builder):
+    full = (spark.sparkContext.applicationId,) + key
+    if full not in _COL_MEMO:
+        _COL_MEMO[full] = builder()
+    return _COL_MEMO[full]
+
+
 def _dots_for(emb_col, centroids) -> "F.Column":
     """array of dot(v, c_k) for each centroid (doubles, index order).
-    Components are plan-time literals — K fused dot products per row."""
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    emb_col,
-                    F.array(*[F.lit(c) for c in centroid]),
-                    lambda x, c: x.cast("double") * c,
-                ),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-            for centroid in centroids
-        ]
+    The codebook is ONE plan-time 2-D array literal and the K dots come
+    from a transform over it — a handful of py4j calls regardless of K*dim
+    (per-component F.lit trees made plan construction cost seconds), while
+    the executed per-dot fold is unchanged: zip_with multiply in doubles,
+    sequential left fold."""
+    cents_2d = F.lit([list(c) for c in centroids])
+    return F.transform(
+        cents_2d,
+        lambda cent: F.aggregate(
+            F.zip_with(emb_col, cent, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
     )
 
 
@@ -261,10 +272,14 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-side IVF assignment: vec_id -> centroid (1-based argmax dot)
     against the TRAINED codebook (see _trained_centroids)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _trained_centroids(spark, sf_dir)
-    step = emb.select(
-        "vec_id", "embedding", _dots_for(F.col("embedding"), cents).alias("dots")
+    dots = _memo_col(
+        spark,
+        (sf_dir, "ivf_dots"),
+        lambda: _dots_for(
+            F.col("embedding"), _trained_centroids(spark, sf_dir)
+        ),
     )
+    step = emb.select("vec_id", "embedding", dots.alias("dots"))
     return step.select(
         "vec_id",
         "embedding",
@@ -282,8 +297,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            _dots_for(
-                F.col("embedding"), _trained_centroids(spark, sf_dir)
+            _memo_col(
+                spark,
+                (sf_dir, "ivf_dots"),
+                lambda: _dots_for(
+                    F.col("embedding"), _trained_centroids(spark, sf_dir)
+                ),
             ).alias("dots"),
         )
     )
@@ -697,25 +716,28 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm columns plus a broadcast PQ_M x PQ_K table per query — at 100 TB
     this reads ~8 bytes/vector instead of raw embeddings (~32x smaller
     I/O); raw vectors are fetched for |Q| x PQ_SHORTLIST rows only."""
-    books, sub = _pq_codebooks(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    # exact L2 norm stored next to the codes (1 float per vector): the
-    # ground truth ranks by cosine, so ADC divides the table-sum dot by
-    # the stored norms — without this, dot-ranking vs cosine-ranking
-    # disagree wherever vector norms vary (the standard PQ-for-cosine fix)
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(
-                F.transform("embedding", lambda x: x.cast("double")),
-                lambda x: x * x,
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
+
+    def _build_norm():
+        # exact L2 norm stored next to the codes (1 float per vector): the
+        # ground truth ranks by cosine, so ADC divides the table-sum dot
+        # by the stored norms — without this, dot-ranking vs cosine-
+        # ranking disagree wherever vector norms vary (the standard
+        # PQ-for-cosine fix)
+        return F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    lambda x: x * x,
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
         )
-    )
-    codes = emb.select(
-        "vec_id",
-        F.array(
+
+    def _build_codes():
+        books, sub = _pq_codebooks(spark, sf_dir)
+        return F.array(
             *[
                 F.array_position(
                     (d := _dots_for(F.slice("embedding", m * sub + 1, sub), books[m])),
@@ -723,17 +745,26 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("int")
                 for m in range(PQ_M)
             ]
-        ).alias("codes"),
-        norm.alias("norm_v"),
-    )
-    q = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"),
-        F.array(
+        )
+
+    def _build_luts():
+        books, sub = _pq_codebooks(spark, sf_dir)
+        return F.array(
             *[
                 _dots_for(F.slice("embedding", m * sub + 1, sub), books[m])
                 for m in range(PQ_M)
             ]
-        ).alias("luts"),
+        )
+
+    norm = _memo_col(spark, (sf_dir, "pq_norm"), _build_norm)
+    codes = emb.select(
+        "vec_id",
+        _memo_col(spark, (sf_dir, "pq_codes"), _build_codes).alias("codes"),
+        norm.alias("norm_v"),
+    )
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        _memo_col(spark, (sf_dir, "pq_luts"), _build_luts).alias("luts"),
         norm.alias("norm_q"),
     )
     approx = F.element_at(F.element_at("luts", 1), F.element_at("codes", 1))
