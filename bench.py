@@ -89,6 +89,7 @@ HEADLINE = [
     "transform_length_batches",
     "similarity_pq_topk",
     "similarity_pq_recall",
+    "text_bm25_search",
 ]
 
 

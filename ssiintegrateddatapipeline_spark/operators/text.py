@@ -626,8 +626,90 @@ def dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(DUP_NGRAM_TOP_K)
 
 
+# BM25 retrieval parameters (Robertson/Sparck-Jones defaults) and the
+# fixed query workload (literal terms, so the small query side is a
+# compile-time broadcast in BOTH engines)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+BM25_QUERIES: dict[str, tuple[str, ...]] = {
+    "q_joins": ("join", "merge", "hash"),
+    "q_windows": ("window", "stream", "batch"),
+    "q_scan_perf": ("scan", "filter", "fast"),
+}
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query workload over the corpus —
+    the lexical-retrieval primitive of a training-data pipeline (quality
+    retrieval, hard-negative mining, eval-set construction).
+
+    Scale shape: term frequencies are computed ONLY for the union of query
+    terms (the `isin` filter runs before the tf shuffle, so the 100 TB
+    corpus reduces to |query_vocab| × docs-containing-them rows); df and
+    the corpus stats (N, avgdl) are broadcast scalars; the final top-k is a
+    per-query window over the already-tiny scored set. Per-term partial
+    scores are summed in integer micro-units (round(x*1e6)::long) so the
+    cross-engine sum is order-independent — the same exact-integer device
+    as analytics' half-up ratios.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    qterms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id string, term string",
+    )
+    dl = d.select("doc_id", F.size(tokens(F.col("text"))).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = (
+        toks.where(F.col("term").isin(*qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # identical expression text in the oracle — keep the parenthesization
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(tf, "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tf_norm * 1_000_000, 0).cast("long").alias("micro"),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("micro").alias("micro"), F.count("*").alias("n_terms_matched")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("micro").desc(), "doc_id")
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("micro") / 1_000_000, 6).alias("bm25"),
+            "n_terms_matched",
+            "rank",
+        )
+    )
+
+
 QUERIES = {
     "text_dup_ngrams": dup_ngrams,
+    "text_bm25_search": bm25_search,
     "text_chunk_windows": chunk_windows,
     "text_char_entropy": char_entropy,
     "text_bigram_lm_score": bigram_lm_score,
@@ -734,6 +816,48 @@ _BIGRAM_CTES = f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         )"""
 
 ORACLES = {
+    # query VALUES + k1/b literals derive from the module constants — one
+    # source of truth with bm25_search (same device as the quality CTEs)
+    "text_bm25_search": f"""
+        WITH q(query_id, term) AS (VALUES {", ".join(
+            f"('{qid}', '{t}')"
+            for qid, ts in sorted(BM25_QUERIES.items()) for t in ts)}),
+        dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks
+            WHERE term IN (SELECT DISTINCT term FROM q)
+            GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(round(
+                       ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * ((tf.tf * {BM25_K1 + 1}) /
+                          (tf.tf + {BM25_K1} * ({1 - BM25_B} +
+                               ({BM25_B} * dl.dl) / s.avgdl)))
+                       * 1000000) AS BIGINT) AS micro
+            FROM q
+            JOIN tf USING (term)
+            JOIN df USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats s
+        ),
+        per_doc AS (
+            SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS micro,
+                   count(*) AS n_terms_matched
+            FROM scored GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, round(micro / 1000000, 6) AS bm25,
+               n_terms_matched, rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY micro DESC, doc_id) AS rank
+            FROM per_doc
+        ) WHERE rank <= {BM25_TOP_K}
+    """,
     "text_dup_ngrams": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
         grams AS (

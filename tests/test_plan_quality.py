@@ -443,3 +443,17 @@ def test_perplexity_buckets_rank_input_is_reduced(spark, sf_dir):
     # the single-partition exchange exists (documented: ntile over ~|docs|
     # rows), and hash aggregation appears upstream of it
     assert "SinglePartition" in plan and "HashAggregate" in plan
+
+
+def test_bm25_small_sides_broadcast_no_cartesian(spark, sf_dir):
+    """BM25 must reduce the corpus to query-term rows before its tf
+    shuffle: the query set / df / corpus-stats sides all broadcast, the
+    only cross join is against the broadcast 1-row stats aggregate, and
+    nothing runs in Python."""
+    plan = _formatted(_QUERIES["text_bm25_search"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+    # the isin() pre-filter must reach the scan side feeding tf, keeping
+    # the exploded token stream bounded by the query vocabulary
+    assert "BroadcastNestedLoopJoin" in plan  # stats 1-row side only
