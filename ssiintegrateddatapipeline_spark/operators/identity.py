@@ -92,7 +92,11 @@ def _executor_keys(symbol: str, provider: str = "did:key"):
     built on demand in each worker, never serialized.
 
     Returns (priv, pub, did, alg) where alg is the JWS algorithm the
-    provider's key type mandates (EdDSA for did:key, ES256K otherwise)."""
+    provider's key type mandates. The reference's agent creates Ed25519
+    keys for managed DIDs (keyManagerCreate type "Ed25519",
+    veramo-agent/src/veramo/veramo_create_protected_did.ts:332-337), so
+    did:key AND did:web sign EdDSA; only did:ethr is secp256k1-bound (the
+    DID is derived from the Ethereum account) and signs ES256K."""
     from ssiintegrateddatapipeline_spark.functions import crypto
     from ssiintegrateddatapipeline_spark.functions.ttl_cache import executor_cache
 
@@ -100,13 +104,12 @@ def _executor_keys(symbol: str, provider: str = "did:key"):
         if provider == "did:key":
             priv, pub = crypto.keypair_for(symbol)
             return (priv, pub, crypto.did_key_for(pub), "EdDSA")
-        priv, pub = crypto.es256k_keypair_for(symbol)
         if provider.startswith("did:ethr"):
+            priv, pub = crypto.es256k_keypair_for(symbol)
             network = provider.split(":")[2] if provider.count(":") >= 2 else ""
-            did = crypto.did_ethr_for(pub, network=network)
-        else:
-            did = did_web_alias(symbol)
-        return (priv, pub, did, "ES256K")
+            return (priv, pub, crypto.did_ethr_for(pub, network=network), "ES256K")
+        priv, pub = crypto.keypair_for(symbol)
+        return (priv, pub, did_web_alias(symbol), "EdDSA")
 
     return executor_cache("symbol_keys", max_size=100, ttl_secs=600.0).get_or_load(
         f"{provider}|{symbol}", load

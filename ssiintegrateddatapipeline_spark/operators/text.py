@@ -21,7 +21,7 @@ from ssiintegrateddatapipeline_spark.functions.text_funcs import (
     tokens,
     word_shingles,
 )
-from ssiintegrateddatapipeline_spark.sources.batch import load_table
+from ssiintegrateddatapipeline_spark.sources.batch import load_table, spread
 
 # tiny stopword marker lists for the n-gram language heuristic
 LANG_MARKERS = {
@@ -602,7 +602,9 @@ def dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops the long unique tail before the final top-K
     (TakeOrderedAndProject), so only duplicated spans survive the shuffle.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # the per-row 8-gram materialization (transform + array_join) is the
+    # CPU wall here — fan the single-split scan across cores before it
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     n_spans = F.size(toks) - F.lit(DUP_NGRAM_N - 1)
     grams = F.when(

@@ -33,6 +33,7 @@ from ssiintegrateddatapipeline_spark.operators.identity import (
     verify_column,
 )
 from ssiintegrateddatapipeline_spark.operators.trade_pipeline import trade_envelope
+from ssiintegrateddatapipeline_spark.sources.batch import spread
 
 
 @dataclass(frozen=True)
@@ -82,6 +83,9 @@ def build_pipeline(
     if sample_hex_lt is not None:
         env = env.where(F.substring("trade_event_id", 1, 1) < F.lit(sample_hex_lt))
     if config.ssi_validation:
+        # fan the narrow projection across all cores before the crypto UDF
+        # stage — the local scan is a single parquet split (see spread())
+        env = spread(env)
         ev = env.select(
             F.md5(F.col("trade_event_id")).alias("row_key"),
             "trade_event_id",
@@ -142,9 +146,10 @@ def summary_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run summaries across the three DID providers of the reference's
-    config matrix (README.md:96-145), SSI on: did:key signs EdDSA, did:web
-    and did:ethr:sepolia sign ES256K — each a distinct key type and JWS
-    algorithm, same tamper/verify contract."""
+    config matrix (README.md:96-145), SSI on: did:key and did:web sign
+    EdDSA (the agent's managed keys are Ed25519,
+    veramo_create_protected_did.ts:332-337), did:ethr:sepolia signs ES256K
+    (secp256k1-bound) — same tamper/verify contract across methods."""
     parts = [
         run_summary(
             build_pipeline(

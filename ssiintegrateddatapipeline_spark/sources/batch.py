@@ -57,6 +57,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism, for
+    placing a CPU-heavy stage (crypto/codec UDF, large explode) right
+    after a narrow scan.
+
+    The local testdata files are single-row-group parquet — one split —
+    so without this the heavy stage inherits ONE partition and runs on one
+    core. On production data the scan is already wide, and the repartition
+    moves only the narrow projection feeding the heavy stage."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view so plans can also be spark.sql()."""
     for name in tables:

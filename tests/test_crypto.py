@@ -157,7 +157,9 @@ def test_identity_dim_per_provider(spark):
                 assert len(bytes.fromhex(r.public_key_hex)) == 32
             elif provider == "did:web":
                 assert r.did.startswith("did:web:ssi-pipeline.localhost:trades:")
-                assert len(bytes.fromhex(r.public_key_hex)) == 33  # compressed
+                # the agent creates Ed25519 keys for managed (did:web) DIDs
+                # (veramo_create_protected_did.ts:332-337)
+                assert len(bytes.fromhex(r.public_key_hex)) == 32
             else:
                 assert r.did.startswith("did:ethr:sepolia:0x")
                 assert len(bytes.fromhex(r.public_key_hex)) == 33

@@ -25,8 +25,10 @@ def test_option_sets_match_reference_matrix():
 
 
 def test_provider_pipelines_verify_untampered_rows(spark, sf_dir):
-    """ES256K providers (did:web, did:ethr:sepolia) run the same tamper/
-    verify contract as did:key — every row verifies iff not tampered."""
+    """The non-default providers (did:web signs EdDSA like did:key — the
+    agent's managed keys are Ed25519; did:ethr:sepolia signs ES256K) run
+    the same tamper/verify contract — every row verifies iff not
+    tampered."""
     for provider in ("did:web", "did:ethr:sepolia"):
         out = build_pipeline(
             spark, sf_dir, PipelineConfig(provider, True, True, "sync")
