@@ -90,6 +90,7 @@ HEADLINE = [
     "similarity_pq_topk",
     "similarity_pq_recall",
     "text_bm25_search",
+    "profile_cms_heavy_hitters",
 ]
 
 

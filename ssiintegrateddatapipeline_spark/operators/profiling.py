@@ -16,7 +16,7 @@ audits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
@@ -260,7 +260,62 @@ def profile_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Count-min sketch parameters: d independent hash rows x w counters.
+# eps ~ e/w, delta ~ e^-d -> w=512, d=4 bounds the overestimate to
+# ~0.5% of stream length with ~98% confidence per query.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOP_K = 15
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection through a count-min sketch over
+    ``events.user_id``, audited against exact counts.
+
+    The sketch is the distributed-streaming summary the reference's
+    counter metrics (A1) would need at cardinalities where exact per-key
+    counters stop fitting: a d×w integer grid, built here with ONE
+    hash aggregation over a d-fold explode (map-side combine reduces each
+    partition's contribution to ≤ d×w cells before the shuffle — the grid
+    is mergeable by summation, which is exactly how executors combine).
+    The 2 KiB grid is broadcast back, and each candidate's estimate is the
+    min over its d cells. CMS error is one-sided (estimate ≥ exact);
+    the ``overestimate`` column exposes it, and the oracle replays hash
+    rows, grid, and min identically in SQL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(F.col("user_id").cast("string").alias("key"))
+
+    def col_j(row_i: Column, key: Column) -> Column:
+        h = F.md5(F.concat(row_i.cast("string"), F.lit(":"), key))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH
+
+    rows_seq = F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+    hashed = keys.select("key", F.explode(rows_seq).alias("row_i")).select(
+        "row_i", col_j(F.col("row_i"), F.col("key")).alias("col_j")
+    )
+    grid = hashed.groupBy("row_i", "col_j").agg(F.count("*").alias("cell"))
+
+    exact = keys.groupBy("key").agg(F.count("*").alias("exact_count"))
+    top = exact.orderBy(F.col("exact_count").desc(), "key").limit(CMS_TOP_K)
+    cand = top.select(
+        "key", "exact_count", F.explode(rows_seq).alias("row_i")
+    ).withColumn("col_j", col_j(F.col("row_i"), F.col("key")))
+    est = (
+        cand.join(F.broadcast(grid), ["row_i", "col_j"])
+        .groupBy("key", "exact_count")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    return est.select(
+        "key",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
 QUERIES = {
+    "profile_cms_heavy_hitters": cms_heavy_hitters,
     "profile_quality_checks": profile_quality_checks,
     "profile_correlations": profile_correlations,
     "profile_approx_distinct": profile_approx_distinct,
@@ -328,7 +383,45 @@ def _corr_oracle() -> str:
 _CORR_ORACLE = _corr_oracle()
 
 
+# hash-row CTE shared by the sketch build and the candidate probe — the
+# same md5 device as the Spark side, one source of truth via f-string
+_CMS_COL_J = (
+    "(('0x' || substr(md5(row_i::VARCHAR || ':' || key), 1, 8))"
+    f"::UBIGINT::BIGINT % {CMS_WIDTH})"
+)
+
 ORACLES = {
+    "profile_cms_heavy_hitters": f"""
+        WITH keys AS (SELECT user_id::VARCHAR AS key FROM events),
+        rows_d AS (
+            SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS row_i
+        ),
+        hashed AS (
+            SELECT row_i, {_CMS_COL_J} AS col_j
+            FROM keys CROSS JOIN rows_d
+        ),
+        grid AS (
+            SELECT row_i, col_j, count(*) AS cell
+            FROM hashed GROUP BY row_i, col_j
+        ),
+        exact AS (SELECT key, count(*) AS exact_count FROM keys GROUP BY key),
+        top AS (
+            SELECT key, exact_count FROM exact
+            ORDER BY exact_count DESC, key LIMIT {CMS_TOP_K}
+        ),
+        cand AS (
+            SELECT key, exact_count, row_i, {_CMS_COL_J} AS col_j
+            FROM top CROSS JOIN rows_d
+        ),
+        est AS (
+            SELECT c.key, c.exact_count, min(g.cell) AS cms_estimate
+            FROM cand c JOIN grid g USING (row_i, col_j)
+            GROUP BY c.key, c.exact_count
+        )
+        SELECT key, exact_count, cms_estimate,
+               cms_estimate - exact_count AS overestimate
+        FROM est
+    """,
     "profile_quality_checks": """
         SELECT 'orders_custkey_fk' AS check_name,
                (SELECT count(*) FROM orders) AS n_rows,

@@ -457,3 +457,13 @@ def test_bm25_small_sides_broadcast_no_cartesian(spark, sf_dir):
     # the isin() pre-filter must reach the scan side feeding tf, keeping
     # the exploded token stream bounded by the query vocabulary
     assert "BroadcastNestedLoopJoin" in plan  # stats 1-row side only
+
+
+def test_cms_grid_broadcasts_to_candidate_probe(spark, sf_dir):
+    """The count-min grid (d*w cells) must come back as a broadcast to the
+    candidate probe join — never a shuffle join against the tiny top-K
+    side — and the whole sketch stays JVM-side."""
+    plan = _formatted(_QUERIES["profile_cms_heavy_hitters"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
