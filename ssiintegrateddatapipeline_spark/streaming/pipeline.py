@@ -311,6 +311,164 @@ def user_stats_plan(stream: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Spark 4 arbitrary state: per-user profile via transformWithStateInPandas
+# (typed ValueState + MapState, the successor API to applyInPandasWithState)
+# with a capability probe — the API's Python side needs the protobuf
+# package; when absent (this sandbox) an applyInPandasWithState fallback
+# produces the identical output, so the contract query is green either way.
+# ---------------------------------------------------------------------------
+
+_USER_PROFILE_SCHEMA = (
+    "user_id BIGINT, events BIGINT, total_value DOUBLE, n_types BIGINT, "
+    "min_ts TIMESTAMP, max_ts TIMESTAMP"
+)
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf in the Python
+    workers (pyspark/sql/streaming/proto); probe instead of assuming."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_user_profile_processor():
+    """Build the StatefulProcessor lazily (class body touches the
+    stateful-processor module, which imports fine without protobuf —
+    construction is deferred so the probe stays the single gate)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserProfileProcessor(StatefulProcessor):
+        """Running per-user profile: event count, value sum, event-time
+        span, distinct event types — the reference's per-topic mutable
+        dicts (kafka_consumer.py:41,108) as TYPED composite state: a
+        ValueState row for the scalars, a MapState for per-type counts
+        (state the size of |types|, not |events|)."""
+
+        def init(self, handle):
+            self._stats = handle.getValueState(
+                "stats", "events BIGINT, total DOUBLE, min_us BIGINT, max_us BIGINT"
+            )
+            self._types = handle.getMapState("type_counts", "t STRING", "c BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            events, total, min_us, max_us = (
+                self._stats.get() if self._stats.exists() else (0, 0.0, None, None)
+            )
+            for pdf in rows:
+                events += len(pdf)
+                total += float(pdf["value"].sum())
+                bmin, bmax = pdf["ts"].min(), pdf["ts"].max()
+                if pd.notna(bmin):
+                    us = int(bmin.value // 1000)
+                    min_us = us if min_us is None else min(min_us, us)
+                if pd.notna(bmax):
+                    us = int(bmax.value // 1000)
+                    max_us = us if max_us is None else max(max_us, us)
+                for t, c in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self._types.getValue((t,))[0]
+                        if self._types.containsKey((t,))
+                        else 0
+                    )
+                    self._types.updateValue((t,), (prev + int(c),))
+            self._stats.update((events, total, min_us, max_us))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "events": [events],
+                    "total_value": [total],
+                    "n_types": [n_types],
+                    "min_ts": [pd.Timestamp(min_us, unit="us")],
+                    "max_ts": [pd.Timestamp(max_us, unit="us")],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return UserProfileProcessor()
+
+
+_PROFILE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("events", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("min_us", T.LongType()),
+        T.StructField("max_us", T.LongType()),
+        # MapState stand-in: sorted "type\tcount" lines (bounded by |types|)
+        T.StructField("types_tsv", T.StringType()),
+    ]
+)
+
+
+def _update_user_profile(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    if state.exists:
+        events, total, min_us, max_us, types_tsv = state.get
+    else:
+        events, total, min_us, max_us, types_tsv = 0, 0.0, None, None, ""
+    counts = dict(
+        (line.split("\t")[0], int(line.split("\t")[1]))
+        for line in types_tsv.split("\n")
+        if line
+    )
+    for pdf in pdf_iter:
+        events += len(pdf)
+        total += float(pdf["value"].sum())
+        bmin, bmax = pdf["ts"].min(), pdf["ts"].max()
+        if pd.notna(bmin):
+            us = int(bmin.value // 1000)
+            min_us = us if min_us is None else min(min_us, us)
+        if pd.notna(bmax):
+            us = int(bmax.value // 1000)
+            max_us = us if max_us is None else max(max_us, us)
+        for t, c in pdf["event_type"].value_counts().items():
+            counts[t] = counts.get(t, 0) + int(c)
+    tsv = "\n".join(f"{t}\t{c}" for t, c in sorted(counts.items()))
+    state.update((events, total, min_us, max_us, tsv))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "events": [events],
+            "total_value": [total],
+            "n_types": [len(counts)],
+            "min_ts": [pd.Timestamp(min_us, unit="us")],
+            "max_ts": [pd.Timestamp(max_us, unit="us")],
+        }
+    )
+
+
+def user_profile_plan(stream: DataFrame, use_tws: bool | None = None) -> DataFrame:
+    """Per-user running profile on the arbitrary-state API: Spark 4's
+    transformWithStateInPandas when its Python protobuf dependency is
+    present, else the applyInPandasWithState equivalent (same output rows,
+    same per-key state partitioning)."""
+    if use_tws is None:
+        use_tws = tws_available()
+    if use_tws:
+        return stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_make_user_profile_processor(),
+            outputStructType=_USER_PROFILE_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_profile,
+        outputStructType=_USER_PROFILE_SCHEMA,
+        stateStructType=_PROFILE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Runner: drain a bounded replay through the streaming engine
 # ---------------------------------------------------------------------------
 
@@ -435,6 +593,33 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for the arbitrary-state profile operator; on a
+    protobuf-equipped cluster this exercises transformWithStateInPandas
+    over the RocksDB state store (the API requires it), offline the
+    applyInPandasWithState fallback."""
+    use_tws = tws_available()
+    if use_tws:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    out = run_available_now(
+        user_profile_plan(events_stream(spark, sf_dir), use_tws),
+        output_mode="update",
+        dedup_keys=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        "events",
+        F.round("total_value", 4).alias("total_value"),
+        "n_types",
+        "min_ts",
+        "max_ts",
+    )
+
+
 def session_plan(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native streaming sessionization: ``F.session_window`` merges events
     into per-user sessions separated by `gap` of inactivity — the streaming
@@ -533,6 +718,7 @@ QUERIES = {
     "streaming_last_seen": streaming_last_seen,
     "streaming_payload_hist": streaming_payload_hist,
     "streaming_user_stats": streaming_user_stats,
+    "streaming_user_profile": streaming_user_profile,
 }
 
 ORACLES = {
@@ -650,6 +836,16 @@ ORACLES = {
         SELECT user_id,
                count(*) AS events,
                round(sum(value), 4) AS total_value,
+               max(ts) AS max_ts
+        FROM events
+        GROUP BY user_id
+    """,
+    "streaming_user_profile": """
+        SELECT user_id,
+               count(*) AS events,
+               round(sum(value), 4) AS total_value,
+               count(DISTINCT event_type) AS n_types,
+               min(ts) AS min_ts,
                max(ts) AS max_ts
         FROM events
         GROUP BY user_id
