@@ -359,14 +359,51 @@ QUERIES = {
 
 # the roundtrip restores the envelope exactly -> reuse its oracle SQL
 from ssiintegrateddatapipeline_spark.operators.trade_pipeline import (  # noqa: E402
+    _SYMBOLS_SQL,
     ORACLES as _TRADE_ORACLES,
+)
+
+
+def _varint_len_sql(col: str) -> str:
+    """Byte length of the zigzag varint of non-negative ``col`` — exact
+    integer CASE thresholds (2v < 2^(7k)), no float log hazards."""
+    conds = " ".join(
+        f"WHEN 2 * {col} < {1 << (7 * k)} THEN {k}" for k in range(1, 10)
+    )
+    return f"(CASE {conds} ELSE 10 END)"
+
+
+# Analytic Avro wire-size accounting for TRADE_WIRE_SCHEMA, field by field
+# (Avro 1.12 binary spec, mirrored by functions/avro_codec.py):
+#   trade_event_id  md5 hex, always 32 chars -> 1 len byte + 32
+#   symbol          1 len byte + strlen      (ASCII)
+#   price/volume/e2e_latency_secs            3 x 8 fixed doubles
+#   trade_condition union idx (1 byte) + array:
+#       non-empty: count varint (1) + [1 len byte + strlen(item)] + 0-term
+#       empty:     just the 0 terminator (1 byte)
+#   event_ts_us / start_ts_us                zigzag varint lengths
+_WIRE_SIZE_SQL = (
+    "33 + (1 + strlen(symbol)) + 24 + 1 "
+    "+ CASE WHEN event_type != 'view' THEN 3 + strlen(event_type) "
+    "       ELSE 1 END "
+    f"+ {_varint_len_sql('event_ts_us')} + {_varint_len_sql('start_ts_us')}"
 )
 
 ORACLES = {
     "wire_avro_roundtrip": _TRADE_ORACLES["trade_envelope"],
-    # wire_avro_payload_sizes: byte lengths depend on the Avro varint
-    # encoding itself — not SQL-expressible; driver records rows-only check,
-    # exact byte-accounting is covered by tests/test_wire.py.
+    "wire_avro_payload_sizes": f"""
+        WITH env AS (
+            SELECT {_SYMBOLS_SQL}[(user_id % 5 + 1)::INT] AS symbol,
+                   event_type,
+                   epoch_us(ts) AS event_ts_us,
+                   epoch_us(ts) + (event_id % 5) * 1000000 AS start_ts_us
+            FROM events
+        ),
+        sized AS (SELECT symbol, {_WIRE_SIZE_SQL} AS n_bytes FROM env)
+        SELECT symbol, count(*) AS n_messages,
+               min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
+        FROM sized GROUP BY symbol
+    """,
     "wire_health_roundtrip": """
         SELECT md5(event_id::VARCHAR) AS id,
                'patient-' || user_id::VARCHAR AS patient_id,
