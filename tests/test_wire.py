@@ -262,3 +262,59 @@ def test_strip_logical_recurses_into_unions_and_nesting():
     assert plain["fields"][2]["type"]["items"] == "int"
     assert plain["fields"][3]["type"]["fields"][0]["type"] == "long"
     assert "logicalType" not in repr(plain)
+
+
+@given(
+    symbol=st.sampled_from(
+        ["BINANCE:BTCUSDT", "BINANCE:ETHUSDT", "X", "A" * 100]
+    ),
+    event_type=st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+    ts_us=st.integers(min_value=0, max_value=2**52),
+    delay=st.integers(min_value=0, max_value=4),
+    price=st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_analytic_wire_size_matches_codec(symbol, event_type, ts_us, delay, price):
+    """The oracle's field-by-field Avro size accounting
+    (operators/wire._WIRE_SIZE_SQL) must equal the real codec's output
+    length for arbitrary envelope values — evaluated here in Python with
+    the same integer thresholds the SQL CASE uses."""
+    from ssiintegrateddatapipeline_spark.operators.wire import TRADE_WIRE_SCHEMA
+
+    record = {
+        "trade_event_id": "d" * 32,  # md5 hex is always 32 chars
+        "symbol": symbol,
+        "price": price,
+        "volume": 1.0,
+        "trade_condition": [] if event_type == "view" else [event_type],
+        "event_ts_us": ts_us,
+        "start_ts_us": ts_us + delay * 1_000_000,
+        "e2e_latency_secs": float(delay),
+    }
+    encoded = C.compile_dumps(TRADE_WIRE_SCHEMA)(record)
+
+    def vlen(v: int) -> int:
+        for k in range(1, 10):
+            if 2 * v < 1 << (7 * k):
+                return k
+        return 10
+
+    def strbytes(s: str) -> int:
+        return vlen(len(s.encode())) + len(s.encode())
+
+    # general form; the SQL oracle specializes the length varints to one
+    # byte because md5 ids (32), symbols (<64) and event types are short
+    predicted = (
+        strbytes(record["trade_event_id"])
+        + strbytes(symbol)
+        + 24
+        + 1
+        + (
+            1 + strbytes(event_type) + 1
+            if event_type != "view"
+            else 1
+        )
+        + vlen(record["event_ts_us"])
+        + vlen(record["start_ts_us"])
+    )
+    assert len(encoded) == predicted
