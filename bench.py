@@ -91,6 +91,7 @@ HEADLINE = [
     "similarity_pq_recall",
     "text_bm25_search",
     "profile_cms_heavy_hitters",
+    "similarity_ivfpq_topk",
 ]
 
 

@@ -819,6 +819,137 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (the Faiss IVFPQ+refine composition): coarse-quantize
+    the corpus into IVF cells, probe each query's top-P cells, ADC-score
+    ONLY the probed cells' members from PQ codes + stored norms, then
+    exact-rerank the shortlist.
+
+    The two scale savings compose multiplicatively: the probe reads
+    ~nprobe/K of the corpus (IVF) and what it reads is ~8-byte code rows
+    instead of raw vectors (PQ); raw embeddings are fetched only for the
+    |Q| x shortlist rerank. All memo columns (cell dots, codes, LUTs,
+    norms) are shared with ivf_topk / pq_topk via the session cache, so
+    the three indexes price one fit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build_norm():
+        return F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    lambda x: x * x,
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+
+    def _build_codes():
+        books, sub = _pq_codebooks(spark, sf_dir)
+        return F.array(
+            *[
+                F.array_position(
+                    (d := _dots_for(F.slice("embedding", m * sub + 1, sub), books[m])),
+                    F.array_max(d),
+                ).cast("int")
+                for m in range(PQ_M)
+            ]
+        )
+
+    def _build_luts():
+        books, sub = _pq_codebooks(spark, sf_dir)
+        return F.array(
+            *[
+                _dots_for(F.slice("embedding", m * sub + 1, sub), books[m])
+                for m in range(PQ_M)
+            ]
+        )
+
+    norm = _memo_col(spark, (sf_dir, "pq_norm"), _build_norm)
+    # corpus row: cell id + codes + norm (ivf_assignments keeps the raw
+    # embedding around, so codes compute in the same projection — no join)
+    codes = ivf_assignments(spark, sf_dir).select(
+        "vec_id",
+        "centroid",
+        _memo_col(spark, (sf_dir, "pq_codes"), _build_codes).alias("codes"),
+        norm.alias("norm_v"),
+    )
+
+    # query side: probe list (top-P cells) + ADC lookup tables + norm
+    dots = _memo_col(
+        spark,
+        (sf_dir, "ivf_dots"),
+        lambda: _dots_for(F.col("embedding"), _trained_centroids(spark, sf_dir)),
+    )
+    q_step = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        _memo_col(spark, (sf_dir, "pq_luts"), _build_luts).alias("luts"),
+        norm.alias("norm_q"),
+        dots.alias("dots"),
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.lit(N_CENTROIDS)),
+        lambda k: F.struct(F.element_at(F.col("dots"), k).alias("d"), k.alias("k")),
+    )
+    probes = F.slice(
+        F.transform(F.sort_array(pairs, asc=False), lambda s: s["k"]), 1, N_PROBES
+    )
+    q = q_step.select(
+        "query_id", "luts", "norm_q", F.explode(probes).alias("probe_raw")
+    ).select(
+        "query_id", "luts", "norm_q", F.col("probe_raw").cast("int").alias("probe")
+    )
+
+    approx = F.element_at(F.element_at("luts", 1), F.element_at("codes", 1))
+    for m in range(1, PQ_M):
+        approx = approx + F.element_at(
+            F.element_at("luts", m + 1), F.element_at("codes", m + 1)
+        )
+    scored = (
+        codes.join(F.broadcast(q), on=F.col("centroid") == F.col("probe"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(approx / (F.col("norm_q") * F.col("norm_v")), 6).alias(
+                "approx_cos"
+            ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rank_a", F.row_number().over(wa))
+        .where(F.col("rank_a") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qraw = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    rer = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qraw), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of PQ-ADC search vs exact brute-force ground truth — the
     compression-loss metric that decides PQ_M/PQ_K before the code table
@@ -846,6 +977,7 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "similarity_pq_topk": pq_topk,
     "similarity_pq_recall": pq_recall,
+    "similarity_ivfpq_topk": ivfpq_topk,
     "similarity_semantic_contamination": semantic_contamination,
     "similarity_embedding_drift": embedding_drift,
     "similarity_ivf_near_dup": ivf_near_dup_pairs,
@@ -1124,8 +1256,83 @@ def _build_pq_topk_oracle() -> str:
     """
 
 
+def _build_ivfpq_topk_oracle() -> str:
+    """IVF-PQ oracle: the PQ code/LUT CTEs (shared shape with the pq_topk
+    oracle) restricted to each query's probed IVF cells (the ivf_topk
+    oracle's assigned/probes subqueries), then the same shortlist + exact
+    rerank."""
+    code_ctes = []
+    for m in range(PQ_M):
+        code_ctes.append(
+            f"""code{m} AS (
+                SELECT vec_id, list_indexof(dots, list_max(dots)) AS code
+                FROM (SELECT vec_id, {_pq_dots_sql(m)} AS dots
+                      FROM sub{m} CROSS JOIN book{m} b)
+            )"""
+        )
+        code_ctes.append(
+            f"""lut{m} AS (
+                SELECT vec_id AS query_id, {_pq_dots_sql(m)} AS lut
+                FROM sub{m} CROSS JOIN book{m} b
+                WHERE vec_id < {N_QUERY_VECS}
+            )"""
+        )
+    cc_joins = " ".join(f"JOIN code{m} c{m} USING (vec_id)" for m in range(1, PQ_M))
+    qq_joins = " ".join(f"JOIN lut{m} q{m} USING (query_id)" for m in range(1, PQ_M))
+    cc_cols = ", ".join(f"c{m}.code AS k{m}" for m in range(PQ_M))
+    qq_cols = ", ".join(f"q{m}.lut AS l{m}" for m in range(PQ_M))
+    adc_sum = " + ".join(f"l{m}[k{m}]" for m in range(PQ_M))
+    norm_sql = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""
+        WITH {_pq_ctes()},
+        {",".join(code_ctes)},
+        nrm AS (SELECT vec_id, {norm_sql} AS nv FROM embeddings),
+        assigned AS ({_IVF_ASSIGNED}),
+        probes AS ({_IVF_PROBES}),
+        cc AS (SELECT c0.vec_id, a.centroid, nv, {cc_cols}
+               FROM code0 c0 {cc_joins}
+               JOIN nrm USING (vec_id)
+               JOIN assigned a USING (vec_id)),
+        qq AS (SELECT q0.query_id, nq, {qq_cols}
+               FROM lut0 q0 {qq_joins}
+               JOIN (SELECT vec_id AS query_id, {norm_sql} AS nq
+                     FROM embeddings WHERE vec_id < {N_QUERY_VECS}) n
+               USING (query_id)),
+        adc AS (
+            SELECT q.query_id, cc.vec_id AS neighbor_id,
+                   round(({adc_sum}) / (nq * nv), 6) AS approx_cos
+            FROM cc
+            JOIN probes p ON cc.centroid = p.probe
+            JOIN qq q ON q.query_id = p.query_id
+            WHERE cc.vec_id <> q.query_id
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY approx_cos DESC, neighbor_id ASC) AS ra
+                FROM adc
+            ) WHERE ra <= {PQ_SHORTLIST}
+        ),
+        rer AS (
+            SELECT s.query_id, s.neighbor_id,
+                   round({_COS.format(a="qa.embedding", b="nb.embedding")}, 6)
+                       AS cosine_sim
+            FROM short s
+            JOIN embeddings qa ON qa.vec_id = s.query_id
+            JOIN embeddings nb ON nb.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM rer
+        ) WHERE rank <= {TOP_K}
+    """
+
+
 ORACLES = {
     "similarity_pq_topk": _build_pq_topk_oracle(),
+    "similarity_ivfpq_topk": _build_ivfpq_topk_oracle(),
     "similarity_embedding_drift": """
         WITH idx AS (
             SELECT vec_id % 2 AS half, embedding,

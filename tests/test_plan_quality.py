@@ -467,3 +467,15 @@ def test_cms_grid_broadcasts_to_candidate_probe(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_probe_join_not_cartesian(spark, sf_dir):
+    """IVF-PQ must NOT scan corpus x queries like the flat-PQ baseline:
+    candidates come from a broadcast equi-join on the probed cell id, and
+    the whole ADC path stays JVM-side. (pq_topk's crossJoin against the
+    broadcast query set is the deliberate flat-scan baseline; this is the
+    scale path.)"""
+    plan = _formatted(_QUERIES["similarity_ivfpq_topk"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
