@@ -189,11 +189,19 @@ def test_range_lookup_bucketed_is_hash_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_profile_columns_single_scan(spark, sf_dir):
-    """One profiling pass = one parquet scan of events, however many
-    columns are profiled (multi-distinct compiles to Expand, not re-scans)."""
+def test_profile_columns_two_hash_branches(spark, sf_dir):
+    """The profile is two columnar branches (counts/min-max wide agg +
+    unpivoted distinct hash agg) — deliberately NOT one agg with N
+    countDistincts, which would Expand the stream and fall back to a
+    SortAggregate keyed on every profiled column (a global sort of wide
+    rows). Pin: ≤2 scans, no Expand, and the distinct branch is a hash
+    aggregate. (A zero-key SortAggregate remains for the wide min/max fold
+    — string min/max buffers are var-length so hash agg is unavailable,
+    but with no grouping keys it performs no sort.)"""
     plan = _executed_plan(_QUERIES["profile_columns"](spark, sf_dir))
-    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "Expand" not in plan
+    assert "HashAggregate" in plan
 
 
 def test_scd2_single_shuffle_reused_sort(spark, sf_dir):
