@@ -92,6 +92,7 @@ HEADLINE = [
     "text_bm25_search",
     "profile_cms_heavy_hitters",
     "similarity_ivfpq_topk",
+    "wire_schema_evolution",
 ]
 
 

@@ -471,3 +471,201 @@ def compile_loads(schema: Any):
         return dec(bytes(raw), 0)[0]
 
     return loads_compiled
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (Avro spec "Schema Resolution"): decode data written
+# with an OLD writer schema under a NEW reader schema. This is the runtime
+# half of the registry's BACKWARD-compatibility gate
+# (schemas/registry.py: a reader on version N must decode version N-1
+# messages — use.latest.version=True producers + lagging consumers,
+# kafka_producer/app/handlers/kafka_producer.py:53-62).
+#
+# Supported rules (the subset the compat gate admits):
+# - record: writer-order decode; fields matched by reader name or alias;
+#   writer-only fields are decoded and discarded; reader-only fields take
+#   their declared default (required by BACKWARD compat);
+# - promotions: int->long, int/long->float/double, float->double,
+#   string<->bytes;
+# - unions: writer branch resolved against the first matching reader
+#   branch (by type name / promotability);
+# - enum: unknown writer symbol falls to the reader's default symbol.
+# ---------------------------------------------------------------------------
+
+_PROMOTABLE = {
+    ("int", "long"): lambda v: v,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): lambda v: v,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: bytes(v).decode("utf-8"),
+}
+
+
+def _type_name(schema: Any) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    t = schema["type"]
+    return _type_name(t) if isinstance(t, (dict, list)) else t
+
+
+def _resolvable(writer: Any, reader: Any) -> bool:
+    wt, rt = _type_name(writer), _type_name(reader)
+    return wt == rt or (wt, rt) in _PROMOTABLE
+
+
+def _compile_res(writer: Any, reader: Any):
+    """(writer, reader) -> fn(buf, pos) -> (value-as-reader, pos)."""
+    wt, rt = _type_name(writer), _type_name(reader)
+
+    if wt == "union":
+        w_branches = writer if isinstance(writer, list) else writer["type"]
+        r_branches = (
+            reader
+            if isinstance(reader, list)
+            else [reader]  # writer union -> reader non-union
+        )
+
+        def resolve_branch(wb):
+            for rb in r_branches:
+                if _resolvable(wb, rb):
+                    return _compile_res(wb, rb)
+            def fail(buf, pos, _wb=wb):
+                raise ValueError(
+                    f"writer branch {_type_name(_wb)!r} has no reader branch"
+                )
+            return fail
+
+        branch_decs = [resolve_branch(wb) for wb in w_branches]
+
+        def dec_union_res(buf, pos):
+            idx, pos = _take_long(buf, pos)
+            return branch_decs[idx](buf, pos)
+
+        return dec_union_res
+
+    if rt == "union" and wt != "union":
+        for rb in reader:
+            if _resolvable(writer, rb):
+                return _compile_res(writer, rb)
+        raise ValueError(f"writer {wt!r} matches no reader union branch")
+
+    if wt == "record":
+        r_fields = {f["name"]: f for f in reader["fields"]}
+        for f in reader["fields"]:
+            for alias in f.get("aliases", ()):
+                r_fields.setdefault(alias, f)
+        actions = []  # (reader_name | None, dec)
+        matched = set()
+        for wf in writer["fields"]:
+            rf = r_fields.get(wf["name"])
+            if rf is not None:
+                matched.add(rf["name"])
+                actions.append((rf["name"], _compile_res(wf["type"], rf["type"])))
+            else:
+                actions.append((None, _compile_dec(wf["type"])))  # skip
+        defaults = []
+        for rf in reader["fields"]:
+            if rf["name"] not in matched:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"reader field {rf['name']!r} absent from writer "
+                        "and has no default"
+                    )
+                defaults.append((rf["name"], rf["default"]))
+
+        def dec_record_res(buf, pos):
+            out = {}
+            for name, fd in actions:
+                v, pos = fd(buf, pos)
+                if name is not None:
+                    out[name] = v
+            for name, dv in defaults:
+                out[name] = dv
+            return out, pos
+
+        return dec_record_res
+
+    if wt == "array":
+        w_items = writer["items"] if isinstance(writer, dict) else None
+        r_items = reader["items"] if isinstance(reader, dict) else None
+        item_dec = _compile_res(w_items, r_items)
+
+        def dec_array_res(buf, pos):
+            out = []
+            while True:
+                n, pos = _take_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    _, pos = _take_long(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    v, pos = item_dec(buf, pos)
+                    out.append(v)
+
+        return dec_array_res
+
+    if wt == "map":
+        val_dec = _compile_res(writer["values"], reader["values"])
+
+        def dec_map_res(buf, pos):
+            out = {}
+            while True:
+                n, pos = _take_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    _, pos = _take_long(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    klen, pos = _take_long(buf, pos)
+                    k = buf[pos : pos + klen].decode("utf-8")
+                    pos += klen
+                    out[k], pos = val_dec(buf, pos)
+
+        return dec_map_res
+
+    if wt == "enum":
+        w_symbols = writer["symbols"]
+        r_symbols = set(reader["symbols"])
+        fallback = reader.get("default")
+
+        def dec_enum_res(buf, pos):
+            i, pos = _take_long(buf, pos)
+            s = w_symbols[i]
+            if s in r_symbols:
+                return s, pos
+            if fallback is None:
+                raise ValueError(f"writer enum symbol {s!r} unknown to reader")
+            return fallback, pos
+
+        return dec_enum_res
+
+    if wt == rt:
+        return _compile_dec(writer)
+    promote = _PROMOTABLE.get((wt, rt))
+    if promote is None:
+        raise ValueError(f"cannot resolve writer {wt!r} as reader {rt!r}")
+    base = _compile_dec(writer)
+
+    def dec_promoted(buf, pos):
+        v, pos = base(buf, pos)
+        return promote(v), pos
+
+    return dec_promoted
+
+
+def compile_loads_resolved(writer_schema: Any, reader_schema: Any):
+    """Schema-resolution decode: fn(raw written under writer_schema) ->
+    value shaped per reader_schema."""
+    dec = _compile_res(writer_schema, reader_schema)
+
+    def loads_resolved(raw: bytes) -> Any:
+        return dec(bytes(raw), 0)[0]
+
+    return loads_resolved

@@ -244,6 +244,83 @@ def avro_payload_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Reader-side schema evolution (the registry's BACKWARD gate made
+# executable): V2 drops the e2e_latency_secs field and adds an `exchange`
+# field with a default — the canonical compatible evolution. A V2 consumer
+# must decode V1 wire bytes via Avro schema resolution
+# (functions/avro_codec.compile_loads_resolved), exactly the lagging-
+# consumer scenario use.latest.version=True producers create
+# (kafka_producer/app/handlers/kafka_producer.py:53-62).
+TRADE_WIRE_SCHEMA_V2 = {
+    "type": "record",
+    "name": "TradeEventWire",
+    "namespace": "io.malmike.trades.wire",
+    "fields": [
+        {"name": "trade_event_id", "type": "string"},
+        {"name": "symbol", "type": "string"},
+        {"name": "price", "type": "double"},
+        {"name": "volume", "type": "double"},
+        {
+            "name": "trade_condition",
+            "type": ["null", {"type": "array", "items": "string"}],
+            "default": None,
+        },
+        {"name": "event_ts_us", "type": "long"},
+        {"name": "start_ts_us", "type": "long"},
+        {"name": "exchange", "type": "string", "default": "BINANCE"},
+    ],
+}
+
+_V2_FIELDS = [f["name"] for f in TRADE_WIRE_SCHEMA_V2["fields"]]
+
+
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the envelope under the V1 writer schema, decode under the
+    V2 reader: the dropped field is skipped mid-record, the added field
+    materializes its default — per-row, from the binary, with no
+    re-serialization. The decode stays on the Python resolver path
+    unconditionally (spark-avro's from_avro would need the writer schema
+    passed as avroSchema; the resolution demonstrated here is the part the
+    registry's BACKWARD gate promises)."""
+    env = trade_envelope(spark, sf_dir).select(
+        "trade_event_id",
+        "symbol",
+        "price",
+        "volume",
+        "trade_condition",
+        F.unix_micros("event_timestamp").alias("event_ts_us"),
+        F.unix_micros("start_timestamp").alias("start_ts_us"),
+        "e2e_latency_secs",
+    )
+    env = env.repartition(spark.sparkContext.defaultParallelism)
+    wire = avro_serialize(env, use_jvm=False)
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        loads = avro_codec.compile_loads_resolved(
+            TRADE_WIRE_SCHEMA, TRADE_WIRE_SCHEMA_V2
+        )
+        for pdf in batches:
+            rows = [loads(v) for v in pdf["value"]]
+            yield pd.DataFrame(rows, columns=_V2_FIELDS)
+
+    decoded = wire.mapInPandas(
+        dec,
+        "trade_event_id string, symbol string, price double, volume double, "
+        "trade_condition array<string>, event_ts_us long, start_ts_us long, "
+        "exchange string",
+    )
+    return decoded.select(
+        "trade_event_id",
+        "symbol",
+        "price",
+        "volume",
+        "trade_condition",
+        F.timestamp_micros("event_ts_us").alias("event_timestamp"),
+        F.timestamp_micros("start_ts_us").alias("start_timestamp"),
+        "exchange",
+    )
+
+
 # The reference's SECOND topic schema: HealthSensorRecord (nested record +
 # signature fields, kafka_initialiser/app/resources/avro/health_sensor.avsc)
 # — exercises the codec's nested-record path on the driver contract, not
@@ -355,6 +432,7 @@ QUERIES = {
     "wire_avro_roundtrip": avro_roundtrip,
     "wire_avro_payload_sizes": avro_payload_sizes,
     "wire_health_roundtrip": health_roundtrip,
+    "wire_schema_evolution": schema_evolution_roundtrip,
 }
 
 # the roundtrip restores the envelope exactly -> reuse its oracle SQL
@@ -403,6 +481,20 @@ ORACLES = {
         SELECT symbol, count(*) AS n_messages,
                min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
         FROM sized GROUP BY symbol
+    """,
+    # V2 view of the envelope: e2e dropped, exchange defaulted
+    "wire_schema_evolution": f"""
+        SELECT md5(event_id::VARCHAR) AS trade_event_id,
+               {_SYMBOLS_SQL}[(user_id % 5 + 1)::INT] AS symbol,
+               value AS price,
+               (event_id % 100 + 1)::DOUBLE AS volume,
+               CASE WHEN event_type != 'view' THEN [event_type]
+                    ELSE []::VARCHAR[] END AS trade_condition,
+               ts AS event_timestamp,
+               make_timestamp(epoch_us(ts) + (event_id % 5) * 1000000)
+                   AS start_timestamp,
+               'BINANCE' AS exchange
+        FROM events
     """,
     "wire_health_roundtrip": """
         SELECT md5(event_id::VARCHAR) AS id,
