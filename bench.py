@@ -93,6 +93,7 @@ HEADLINE = [
     "profile_cms_heavy_hitters",
     "similarity_ivfpq_topk",
     "wire_schema_evolution",
+    "transform_training_shuffle",
 ]
 
 

@@ -12,7 +12,7 @@ column operations, no Python boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
@@ -357,7 +357,41 @@ def provenance_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_SEED = "epoch-0"
+SHUFFLE_SHARDS = 8
+
+
+def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic shuffle + shard assignment for a training run:
+    every document gets a pseudo-random sort key (md5 of id + epoch seed),
+    a global position, a shard id, and a within-shard position — the
+    dataloader-order step between curation and tokenization. Changing the
+    seed string reshuffles the epoch; the same seed replays the exact
+    order on any cluster size (no RNG, no partition dependence).
+
+    Scale shape: the only global step is the position row_number; at
+    real corpus sizes the global position is dropped and shards order
+    independently (the within-shard window, one shuffle on shard id) —
+    both orderings are emitted here so the oracle checks each.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|" + SHUFFLE_SEED)))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % SHUFFLE_SHARDS
+    ).cast("int")
+    base = d.select("doc_id", key.alias("shuffle_key"), shard.alias("shard"))
+    w_global = Window.orderBy("shuffle_key", "doc_id")
+    w_shard = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return base.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w_global).alias("global_pos"),
+        F.row_number().over(w_shard).alias("shard_pos"),
+    )
+
+
 QUERIES = {
+    "transform_training_shuffle": training_shuffle,
     "transform_normalize_roundtrip": normalize_roundtrip,
     "transform_snapshot_diff": snapshot_diff,
     "transform_provenance": provenance_tags,
@@ -376,6 +410,20 @@ _Z_SQL = " | ".join(
 _BPE_N_SQL = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
 
 ORACLES = {
+    "transform_training_shuffle": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   md5(doc_id::VARCHAR || '|{SHUFFLE_SEED}') AS shuffle_key,
+                   (('0x' || substr(md5(doc_id::VARCHAR || '|{SHUFFLE_SEED}'),
+                     1, 8))::UBIGINT::BIGINT % {SHUFFLE_SHARDS})::INT AS shard
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               row_number() OVER (ORDER BY shuffle_key, doc_id) AS global_pos,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY shuffle_key, doc_id) AS shard_pos
+        FROM base
+    """,
     "transform_length_batches": f"""
         WITH base AS (
             SELECT source, doc_id, {_BPE_N_SQL} AS n_tokens FROM documents
