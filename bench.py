@@ -94,6 +94,7 @@ HEADLINE = [
     "similarity_ivfpq_topk",
     "wire_schema_evolution",
     "transform_training_shuffle",
+    "wire_corrupt_route",
 ]
 
 

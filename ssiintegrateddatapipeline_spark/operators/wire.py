@@ -321,6 +321,79 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corrupt_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 for the Avro boundary: per-record deserialization errors are
+    routed, counted, and skipped — never crash the stream — mirroring the
+    consumer's ValueDeserializationError handling
+    (kafka_consumer/app/handlers/kafka_consumer.py:142-150).
+
+    A deterministic subset of wire frames (trade_event_id md5 prefix
+    '00', the same tamper device as trade_sign_verify) is truncated
+    on the wire; the permissive decoder emits null columns + a corrupt
+    flag for those rows and decoded values for the rest. The oracle
+    predicts both the per-symbol ok/corrupt counts and an exact integer
+    aggregate over the surviving decoded values."""
+    env = trade_envelope(spark, sf_dir).select(
+        "trade_event_id",
+        "symbol",
+        "price",
+        "volume",
+        "trade_condition",
+        F.unix_micros("event_timestamp").alias("event_ts_us"),
+        F.unix_micros("start_timestamp").alias("start_ts_us"),
+        "e2e_latency_secs",
+    )
+    env = env.repartition(spark.sparkContext.defaultParallelism)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dumps = avro_codec.compile_dumps(TRADE_WIRE_SCHEMA)
+        for pdf in batches:
+            records = pdf[_FIELDS].to_dict("records")
+            yield pd.DataFrame(
+                {
+                    "trade_event_id": pdf["trade_event_id"],
+                    "symbol": pdf["symbol"],
+                    "value": [dumps(r) for r in records],
+                }
+            )
+
+    wire = env.mapInPandas(enc, "trade_event_id string, symbol string, value binary")
+    tampered = wire.withColumn(
+        "value",
+        F.when(
+            F.substring("trade_event_id", 1, 2) == "00",
+            F.expr("substring(value, 1, 5)"),  # truncated mid-record
+        ).otherwise(F.col("value")),
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        loads = avro_codec.compile_loads(TRADE_WIRE_SCHEMA)
+        for pdf in batches:
+            vols, corrupt = [], []
+            for v in pdf["value"]:
+                try:
+                    vols.append(loads(v)["volume"])
+                    corrupt.append(False)
+                except Exception:
+                    vols.append(None)
+                    corrupt.append(True)
+            yield pd.DataFrame(
+                {"symbol": pdf["symbol"], "volume": vols, "corrupt": corrupt}
+            )
+
+    decoded = tampered.mapInPandas(
+        dec, "symbol string, volume double, corrupt boolean"
+    )
+    return decoded.groupBy("symbol").agg(
+        F.sum(F.when(~F.col("corrupt"), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("corrupt"), 1).otherwise(0)).alias("n_corrupt"),
+        # volumes are small integers stored as doubles -> the sum is exact
+        F.sum(F.when(~F.col("corrupt"), F.col("volume")).otherwise(0.0))
+        .cast("long")
+        .alias("ok_volume_units"),
+    )
+
+
 # The reference's SECOND topic schema: HealthSensorRecord (nested record +
 # signature fields, kafka_initialiser/app/resources/avro/health_sensor.avsc)
 # — exercises the codec's nested-record path on the driver contract, not
@@ -433,6 +506,7 @@ QUERIES = {
     "wire_avro_payload_sizes": avro_payload_sizes,
     "wire_health_roundtrip": health_roundtrip,
     "wire_schema_evolution": schema_evolution_roundtrip,
+    "wire_corrupt_route": corrupt_route,
 }
 
 # the roundtrip restores the envelope exactly -> reuse its oracle SQL
@@ -481,6 +555,24 @@ ORACLES = {
         SELECT symbol, count(*) AS n_messages,
                min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
         FROM sized GROUP BY symbol
+    """,
+    # per-symbol ok/corrupt split under the '00'-prefix truncation rule,
+    # plus the exact integer volume aggregate over surviving rows
+    "wire_corrupt_route": f"""
+        WITH env AS (
+            SELECT md5(event_id::VARCHAR) AS id,
+                   {_SYMBOLS_SQL}[(user_id % 5 + 1)::INT] AS symbol,
+                   (event_id % 100 + 1) AS vol_units
+            FROM events
+        )
+        SELECT symbol,
+               sum(CASE WHEN substr(id, 1, 2) != '00' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_ok,
+               sum(CASE WHEN substr(id, 1, 2) = '00' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_corrupt,
+               sum(CASE WHEN substr(id, 1, 2) != '00' THEN vol_units
+                        ELSE 0 END)::BIGINT AS ok_volume_units
+        FROM env GROUP BY symbol
     """,
     # V2 view of the envelope: e2e dropped, exchange defaulted
     "wire_schema_evolution": f"""
