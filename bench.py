@@ -95,6 +95,7 @@ HEADLINE = [
     "wire_schema_evolution",
     "transform_training_shuffle",
     "wire_corrupt_route",
+    "text_bpe_train",
 ]
 
 

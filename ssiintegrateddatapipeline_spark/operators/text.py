@@ -709,8 +709,96 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE vocabulary training: number of merge steps and the end-of-word marker
+BPE_MERGES = 8
+BPE_EOW = "$"  # not in the corpus alphabet (lowercase words)
+_BPE_MERGE_CACHE: dict[str, list[tuple[str, str, int]]] = {}
+
+
+def _bpe_word_symbols(word_col):
+    """word -> space-joined character symbols + end-of-word marker."""
+    chars = F.expr(f"regexp_extract_all({word_col}, '.', 0)")
+    return F.concat(F.array_join(chars, " "), F.lit(" " + BPE_EOW))
+
+
+def _bpe_apply_merge(w, a: str, b: str):
+    """Merge every boundary-respecting occurrence of symbol pair (a, b) in
+    the space-joined symbol string ``w`` — the space-doubling device makes
+    adjacent occurrences non-overlapping without regex lookarounds (which
+    DuckDB's RE2 lacks), so the SAME expression runs in both engines."""
+    doubled = F.replace(
+        F.concat(F.lit(" "), w, F.lit(" ")), F.lit(" "), F.lit("  ")
+    )
+    merged = F.replace(
+        doubled, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+    )
+    return F.trim(F.regexp_replace(merged, " +", " "))
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
+    """Learn BPE_MERGES merge rules over the corpus word-frequency table.
+
+    Scale shape: the unit of iteration is the (word, freq) vocabulary —
+    orders of magnitude smaller than the corpus (the corpus reduces to it
+    through one hash agg). Each step is a distributed pair-count with
+    map-side combine; only the 1-row argmax crosses to the driver (the
+    k-means-centroid device), and the merge application is a per-row
+    string map. Cached per (session, sf_dir) like the IVF codebooks.
+    """
+    key = sf_dir
+    if key in _BPE_MERGE_CACHE:
+        return _BPE_MERGE_CACHE[key]
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(_bpe_word_symbols("word").alias("w"), "freq")
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(BPE_MERGES):
+        syms = F.split(F.col("w"), " ")
+        n = F.size(syms)
+        pair_col = F.zip_with(
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+        best = (
+            words.select(F.explode(pair_col).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((best.a, best.b, best.cnt))
+        words = words.select(
+            _bpe_apply_merge(F.col("w"), best.a, best.b).alias("w"), "freq"
+        )
+    _BPE_MERGE_CACHE[key] = merges
+    return merges
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table: step, pair, merged symbol, weighted
+    pair count — the tokenizer-vocabulary training step of the pipeline
+    (Sennrich et al. 2016), distributed as in :func:`_bpe_train`."""
+    merges = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, a + b, int(cnt))
+            for i, (a, b, cnt) in enumerate(merges)
+        ],
+        "merge_step int, pair_a string, pair_b string, merged string, "
+        "pair_count long",
+    )
+
+
 QUERIES = {
     "text_dup_ngrams": dup_ngrams,
+    "text_bpe_train": bpe_train,
     "text_bm25_search": bm25_search,
     "text_chunk_windows": chunk_windows,
     "text_char_entropy": char_entropy,
@@ -817,7 +905,59 @@ _BIGRAM_CTES = f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             FROM scored GROUP BY doc_id
         )"""
 
+def _bpe_oracle() -> str:
+    """Chained-CTE replay of the BPE training loop (the Lloyd-steps device
+    from the IVF oracles): per step, a pair-count CTE, a 1-row argmax CTE
+    with the same (count desc, a, b) tie-break, and a merge-application CTE
+    using the identical space-doubling string expressions."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+            SELECT array_to_string(regexp_extract_all(word, '.'), ' ')
+                       || ' {BPE_EOW}' AS w,
+                   freq
+            FROM (SELECT word, count(*) AS freq
+                  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+                  WHERE word != '' GROUP BY word)
+        )"""
+    ]
+    for t in range(BPE_MERGES):
+        parts.append(
+            f"""p{t} AS (
+                SELECT s[i] AS a, s[i + 1] AS b, sum(freq) AS cnt
+                FROM (SELECT string_split(w, ' ') AS s, freq,
+                             unnest(generate_series(
+                                 1, len(string_split(w, ' ')) - 1)) AS i
+                      FROM w{t})
+                GROUP BY 1, 2
+            )"""
+        )
+        parts.append(
+            f"b{t} AS MATERIALIZED (SELECT a, b, cnt FROM p{t} "
+            f"ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"""w{t + 1} AS MATERIALIZED (
+                SELECT trim(regexp_replace(
+                    replace(
+                        replace(' ' || w || ' ', ' ', '  '),
+                        ' ' || (SELECT a FROM b{t}) || '  ' ||
+                            (SELECT b FROM b{t}) || ' ',
+                        ' ' || (SELECT a FROM b{t}) ||
+                            (SELECT b FROM b{t}) || ' '),
+                    ' +', ' ', 'g')) AS w, freq
+                FROM w{t}
+            )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {t + 1} AS merge_step, a AS pair_a, b AS pair_b, "
+        f"a || b AS merged, cnt::BIGINT AS pair_count FROM b{t}"
+        for t in range(BPE_MERGES)
+    )
+    return "WITH " + ",\n".join(parts) + " " + selects
+
+
 ORACLES = {
+    "text_bpe_train": _bpe_oracle(),
     # query VALUES + k1/b literals derive from the module constants — one
     # source of truth with bm25_search (same device as the quality CTEs)
     "text_bm25_search": f"""
