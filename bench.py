@@ -96,6 +96,7 @@ HEADLINE = [
     "transform_training_shuffle",
     "wire_corrupt_route",
     "text_bpe_train",
+    "similarity_ivfpq_recall",
 ]
 
 

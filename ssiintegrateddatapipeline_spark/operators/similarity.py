@@ -950,6 +950,31 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the combined IVF-PQ search vs exact ground truth —
+    measures the compounded loss of cell pruning (IVF) plus code
+    quantization (PQ), the number that tunes nprobe and PQ_M/PQ_K
+    together before deployment."""
+    truth = brute_force_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ivfpq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_found",
+            F.round(F.col("n_found") / F.col("k"), 6).alias("recall_at_k"),
+        )
+    )
+
+
 def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of PQ-ADC search vs exact brute-force ground truth — the
     compression-loss metric that decides PQ_M/PQ_K before the code table
@@ -978,6 +1003,7 @@ QUERIES = {
     "similarity_pq_topk": pq_topk,
     "similarity_pq_recall": pq_recall,
     "similarity_ivfpq_topk": ivfpq_topk,
+    "similarity_ivfpq_recall": ivfpq_recall,
     "similarity_semantic_contamination": semantic_contamination,
     "similarity_embedding_drift": embedding_drift,
     "similarity_ivf_near_dup": ivf_near_dup_pairs,
@@ -1509,6 +1535,19 @@ ORACLES["similarity_ivf_recall"] = f"""
 ORACLES["similarity_pq_recall"] = f"""
     WITH truth AS ({ORACLES["similarity_brute_topk"]}),
          approx AS ({ORACLES["similarity_pq_topk"]})
+    SELECT t.query_id, count(*) AS k,
+           sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_found,
+           round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS recall_at_k
+    FROM truth t LEFT JOIN approx a
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+    GROUP BY t.query_id
+"""
+
+ORACLES["similarity_ivfpq_recall"] = f"""
+    WITH truth AS ({ORACLES["similarity_brute_topk"]}),
+         approx AS ({ORACLES["similarity_ivfpq_topk"]})
     SELECT t.query_id, count(*) AS k,
            sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
                AS n_found,
