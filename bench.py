@@ -97,6 +97,7 @@ HEADLINE = [
     "wire_corrupt_route",
     "text_bpe_train",
     "similarity_ivfpq_recall",
+    "streaming_cms_grid",
 ]
 
 

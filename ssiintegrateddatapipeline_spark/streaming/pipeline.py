@@ -116,6 +116,43 @@ def payload_hist_plan(stream: DataFrame, buckets: list[float]) -> DataFrame:
     )
 
 
+def cms_grid_plan(stream: DataFrame) -> DataFrame:
+    """Streaming count-min-sketch maintenance: the d×w grid of
+    profiling.cms_heavy_hitters kept incrementally over the event stream.
+    Streaming state is the |d×w| counter grid — O(1) in stream length, the
+    whole point of the sketch; estimates for any key are then a batch-time
+    min over d cells against this continuously-updated table."""
+    from ssiintegrateddatapipeline_spark.operators.profiling import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    rows_seq = F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+    key = F.col("user_id").cast("string")
+    hashed = stream.select(key.alias("key")).select(
+        "key", F.explode(rows_seq).alias("row_i")
+    )
+    col_j = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("row_i").cast("string"), F.lit(":"), F.col("key"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+    return (
+        hashed.select("row_i", col_j.alias("col_j"))
+        .groupBy("row_i", "col_j")
+        .agg(F.count("*").alias("cell"))
+    )
+
+
 def value_hist_plan(stream: DataFrame, buckets: list[float]) -> DataFrame:
     """Labeled cumulative bucket counts over the stream — the state the
     streaming job maintains is |labels| x |buckets| counters, NEVER raw
@@ -582,6 +619,13 @@ def streaming_payload_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_cms_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query: the fully-drained streaming CMS grid equals the
+    batch grid (same hash rows, same counters) — sketch maintenance
+    verified end-to-end through the streaming engine."""
+    return run_available_now(cms_grid_plan(events_stream(spark, sf_dir)))
+
+
 def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         user_stats_plan(events_stream(spark, sf_dir)),
@@ -719,6 +763,7 @@ QUERIES = {
     "streaming_payload_hist": streaming_payload_hist,
     "streaming_user_stats": streaming_user_stats,
     "streaming_user_profile": streaming_user_profile,
+    "streaming_cms_grid": streaming_cms_grid,
 }
 
 ORACLES = {
@@ -840,6 +885,8 @@ ORACLES = {
         FROM events
         GROUP BY user_id
     """,
+    # grid CTE shared with the batch CMS oracle (profiling._CMS_COL_J)
+    "streaming_cms_grid": None,  # assigned below from profiling constants
     "streaming_user_profile": """
         SELECT user_id,
                count(*) AS events,
@@ -851,3 +898,19 @@ ORACLES = {
         GROUP BY user_id
     """,
 }
+
+# the streaming grid must equal the batch sketch build — one hash-row
+# fragment (profiling._CMS_COL_J) is the single source of truth
+from ssiintegrateddatapipeline_spark.operators.profiling import (  # noqa: E402
+    _CMS_COL_J as _CMS_COL_J_SQL,
+    CMS_DEPTH as _CMS_DEPTH,
+)
+
+ORACLES["streaming_cms_grid"] = f"""
+    WITH keys AS (SELECT user_id::VARCHAR AS key FROM events),
+    rows_d AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS row_i),
+    hashed AS (SELECT row_i, {_CMS_COL_J_SQL} AS col_j
+               FROM keys CROSS JOIN rows_d)
+    SELECT row_i, col_j, count(*) AS cell
+    FROM hashed GROUP BY row_i, col_j
+"""
