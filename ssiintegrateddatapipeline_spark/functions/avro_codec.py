@@ -513,9 +513,33 @@ def _type_name(schema: Any) -> str:
     return _type_name(t) if isinstance(t, (dict, list)) else t
 
 
+_NAMED_TYPES = ("record", "enum", "fixed")
+
+
+def _full_name(schema: Any) -> str | None:
+    """Full name of a named type (namespace.name), else None."""
+    if not isinstance(schema, dict):
+        return None
+    t = schema.get("type")
+    if isinstance(t, dict):
+        return _full_name(t)
+    if t not in _NAMED_TYPES:
+        return None
+    name = schema.get("name", "")
+    ns = schema.get("namespace")
+    return f"{ns}.{name}" if ns and "." not in name else name
+
+
 def _resolvable(writer: Any, reader: Any) -> bool:
     wt, rt = _type_name(writer), _type_name(reader)
-    return wt == rt or (wt, rt) in _PROMOTABLE
+    if wt != rt:
+        return (wt, rt) in _PROMOTABLE
+    # named types (record/enum/fixed) match by FULL NAME, not category —
+    # a union of two records must resolve each writer branch against the
+    # same-named reader branch (Avro spec, union resolution)
+    if wt in _NAMED_TYPES:
+        return _full_name(writer) == _full_name(reader)
+    return True
 
 
 def _compile_res(writer: Any, reader: Any):
@@ -524,11 +548,12 @@ def _compile_res(writer: Any, reader: Any):
 
     if wt == "union":
         w_branches = writer if isinstance(writer, list) else writer["type"]
-        r_branches = (
-            reader
-            if isinstance(reader, list)
-            else [reader]  # writer union -> reader non-union
-        )
+        if isinstance(reader, list):
+            r_branches = reader
+        elif isinstance(reader, dict) and isinstance(reader.get("type"), list):
+            r_branches = reader["type"]  # dict-wrapped reader union
+        else:
+            r_branches = [reader]  # writer union -> reader non-union
 
         def resolve_branch(wb):
             for rb in r_branches:

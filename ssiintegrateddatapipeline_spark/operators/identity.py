@@ -53,10 +53,12 @@ IDENTITY_SCHEMA = (
     "authorization_jwt string"
 )
 
-# The reference's DID provider matrix (README.md:96-145): did:key creates
-# Ed25519 keys (EdDSA JWTs), while did:web and did:ethr:sepolia use
-# Secp256k1 (ES256K JWTs) — Veramo's WebDIDProvider/EthrDIDProvider default
-# key type (veramo-agent/src/veramo/veramo_resolver_manager.ts:22-64).
+# The reference's DID provider matrix (README.md:96-145): did:key and
+# did:web sign EdDSA — the agent creates Ed25519 keys for its managed DIDs
+# (keyManagerCreate type "Ed25519",
+# veramo-agent/src/veramo/veramo_create_protected_did.ts:332-337) — while
+# did:ethr:sepolia is secp256k1-bound (the DID IS the Ethereum account)
+# and signs ES256K.
 DID_PROVIDERS = ("did:key", "did:web", "did:ethr:sepolia")
 
 # did:web hosting coordinates (host_did_web/src/main.go serves the docs;
@@ -188,9 +190,10 @@ def sign_column(
     did_provider: str = "did:key",
 ) -> DataFrame:
     """U1: add a 'jwt' column signing payload_col with symbol_col's key
-    under the given DID provider (EdDSA for did:key, ES256K for
-    did:web / did:ethr — both RFC 6979-deterministic, so the token is a
-    pure function of the row).
+    under the given DID provider (EdDSA for did:key and did:web — the
+    agent's managed keys are Ed25519 — ES256K for did:ethr; Ed25519 and
+    RFC 6979 ECDSA are both deterministic, so the token is a pure
+    function of the row).
 
     Arrow-batched Pandas UDF; key lookup is executor-local.
     """

@@ -1,12 +1,13 @@
 """Dataset profiling operators — the "know your corpus" pass a training-data
 pipeline runs before anything else.
 
-Everything here is built to be ONE scan + one aggregation over the fact
-table, however many columns are profiled: Spark evaluates all the
-aggregate expressions (including multiple `count(DISTINCT ...)`, via the
-Expand operator) in a single grouped pass, then the wide result row is
-unpivoted driver-free with `stack`. Profiling 100 TB therefore costs one
-pass over the data, not one pass per column.
+Everything here is built as a fixed number of aggregation passes over the
+fact table, however many columns are profiled: non-distinct stats fold in
+one zero-key pass and distinct counts reduce through a stack-unpivot hash
+aggregate (deliberately NOT the multi-`count(DISTINCT)` Expand rewrite,
+whose keyed SortAggregate globally sorts the expanded stream — see
+profile_columns). Profiling 100 TB therefore costs O(1) passes over the
+data, not one pass per column.
 
 Reference parallel: the reference's only profiling is Prometheus counters
 per label set (kafka_consumer/app/metrics/metrics.py:35-101); this module
@@ -61,15 +62,27 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_nonnull, min_repr, max_repr)",
     )
-    # string cast is injective for every profiled type, so the distinct
-    # count over the unpivoted values equals the native distinct count
-    un_args = ", ".join(f"'{c}', {c}::string" for c, _ in _PROFILE_COLS)
+    # string cast is injective for the profiled types EXCEPT that native
+    # distinct treats -0.0 == 0.0 while their strings differ — `x + 0`
+    # normalizes -0.0 to 0.0 (IEEE) before the cast, restoring equality
+    # with the oracle's native count(DISTINCT) on the double column
+    un_args = ", ".join(
+        (f"'{c}', ({c} + 0)::string" if not renderable else f"'{c}', {c}::string")
+        for c, renderable in _PROFILE_COLS
+    )
     long = ev.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {un_args}) AS (column_name, v)"
     )
     dis = long.groupBy("column_name").agg(F.countDistinct("v").alias("n_distinct"))
-    return mm.join(F.broadcast(dis), "column_name").select(
-        "column_name", "n_rows", "n_nonnull", "n_distinct", "min_repr", "max_repr"
+    # left join + 0-fill: an empty table must still report one row per
+    # profiled column (counts 0), not an empty result
+    return (
+        mm.join(F.broadcast(dis), "column_name", "left")
+        .withColumn("n_distinct", F.coalesce("n_distinct", F.lit(0)))
+        .select(
+            "column_name", "n_rows", "n_nonnull", "n_distinct",
+            "min_repr", "max_repr",
+        )
     )
 
 
@@ -286,6 +299,14 @@ CMS_WIDTH = 512
 CMS_TOP_K = 15
 
 
+def cms_col_j(row_i: Column, key: Column) -> Column:
+    """CMS column index for hash row ``row_i`` and ``key`` — the Spark twin
+    of the `_CMS_COL_J` SQL fragment; batch build, candidate probe, and the
+    streaming grid all share THIS one expression."""
+    h = F.md5(F.concat(row_i.cast("string"), F.lit(":"), key))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter detection through a count-min sketch over
     ``events.user_id``, audited against exact counts.
@@ -304,13 +325,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     keys = ev.select(F.col("user_id").cast("string").alias("key"))
 
-    def col_j(row_i: Column, key: Column) -> Column:
-        h = F.md5(F.concat(row_i.cast("string"), F.lit(":"), key))
-        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH
-
     rows_seq = F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
     hashed = keys.select("key", F.explode(rows_seq).alias("row_i")).select(
-        "row_i", col_j(F.col("row_i"), F.col("key")).alias("col_j")
+        "row_i", cms_col_j(F.col("row_i"), F.col("key")).alias("col_j")
     )
     grid = hashed.groupBy("row_i", "col_j").agg(F.count("*").alias("cell"))
 
@@ -318,7 +335,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = exact.orderBy(F.col("exact_count").desc(), "key").limit(CMS_TOP_K)
     cand = top.select(
         "key", "exact_count", F.explode(rows_seq).alias("row_i")
-    ).withColumn("col_j", col_j(F.col("row_i"), F.col("key")))
+    ).withColumn("col_j", cms_col_j(F.col("row_i"), F.col("key")))
     est = (
         cand.join(F.broadcast(grid), ["row_i", "col_j"])
         .groupBy("key", "exact_count")

@@ -755,7 +755,12 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .select(_bpe_word_symbols("word").alias("w"), "freq")
+        # each step's argmax action would otherwise re-run the corpus scan
+        # and every prior merge application from scratch (O(M^2) passes);
+        # persisting pins each step's vocab so a step costs one pass
+        .persist()
     )
+    steps_cached = [words]
     merges: list[tuple[str, str, int]] = []
     for _ in range(BPE_MERGES):
         syms = F.split(F.col("w"), " ")
@@ -776,7 +781,13 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
         merges.append((best.a, best.b, best.cnt))
         words = words.select(
             _bpe_apply_merge(F.col("w"), best.a, best.b).alias("w"), "freq"
-        )
+        ).persist()
+        # the PREVIOUS step's cache stays pinned until the loop ends: the
+        # next argmax materializes this step's vocab FROM it — unpersisting
+        # earlier would force the whole lineage to recompute
+        steps_cached.append(words)
+    for cached in steps_cached:
+        cached.unpersist()
     _BPE_MERGE_CACHE[key] = merges
     return merges
 

@@ -184,25 +184,32 @@ def avro_deserialize(df: DataFrame, use_jvm: bool | None = None) -> DataFrame:
     return df.mapInPandas(dec, _DECODED_SPARK_SCHEMA)
 
 
+def _wire_env(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope projected into the wire field order (_FIELDS),
+    timestamps as epoch-microsecond longs, fanned across cores for the
+    Python codec stage (the local scan is a single parquet split; at
+    production scale the repartition is a no-op to remove)."""
+    return (
+        trade_envelope(spark, sf_dir)
+        .select(
+            "trade_event_id",
+            "symbol",
+            "price",
+            "volume",
+            "trade_condition",
+            F.unix_micros("event_timestamp").alias("event_ts_us"),
+            F.unix_micros("start_timestamp").alias("start_ts_us"),
+            "e2e_latency_secs",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 + S3 round trip over the trade envelope: serialize every event to
     Avro binary, deserialize, restore timestamps. Output equals the envelope
     exactly — the oracle is the envelope SQL itself."""
-    env = trade_envelope(spark, sf_dir).select(
-        "trade_event_id",
-        "symbol",
-        "price",
-        "volume",
-        "trade_condition",
-        F.unix_micros("event_timestamp").alias("event_ts_us"),
-        F.unix_micros("start_timestamp").alias("start_ts_us"),
-        "e2e_latency_secs",
-    )
-    # The local events table is a single parquet split, which would run the
-    # whole Python codec chain on one worker; fan out to all cores first (at
-    # production scale the scan is already wide and this repartition is a
-    # no-op to remove).
-    env = env.repartition(spark.sparkContext.defaultParallelism)
+    env = _wire_env(spark, sf_dir)
     decoded = avro_deserialize(avro_serialize(env))
     return decoded.select(
         "trade_event_id",
@@ -220,18 +227,7 @@ def avro_payload_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11 over the wire bytes: per-symbol payload-size stats of the Avro
     binary — the engine-side equivalent of the payload-size histogram's
     input (data_synthesizer_finnhub_payload_size_bytes)."""
-    env = trade_envelope(spark, sf_dir).select(
-        "trade_event_id",
-        "symbol",
-        "price",
-        "volume",
-        "trade_condition",
-        F.unix_micros("event_timestamp").alias("event_ts_us"),
-        F.unix_micros("start_timestamp").alias("start_ts_us"),
-        "e2e_latency_secs",
-    )
-    # single-split scan -> fan out before the Python codec (see avro_roundtrip)
-    env = env.repartition(spark.sparkContext.defaultParallelism)
+    env = _wire_env(spark, sf_dir)
     wire = avro_serialize(env)
     return (
         wire.groupBy("key")
@@ -282,17 +278,7 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     unconditionally (spark-avro's from_avro would need the writer schema
     passed as avroSchema; the resolution demonstrated here is the part the
     registry's BACKWARD gate promises)."""
-    env = trade_envelope(spark, sf_dir).select(
-        "trade_event_id",
-        "symbol",
-        "price",
-        "volume",
-        "trade_condition",
-        F.unix_micros("event_timestamp").alias("event_ts_us"),
-        F.unix_micros("start_timestamp").alias("start_ts_us"),
-        "e2e_latency_secs",
-    )
-    env = env.repartition(spark.sparkContext.defaultParallelism)
+    env = _wire_env(spark, sf_dir)
     wire = avro_serialize(env, use_jvm=False)
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -333,17 +319,7 @@ def corrupt_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag for those rows and decoded values for the rest. The oracle
     predicts both the per-symbol ok/corrupt counts and an exact integer
     aggregate over the surviving decoded values."""
-    env = trade_envelope(spark, sf_dir).select(
-        "trade_event_id",
-        "symbol",
-        "price",
-        "volume",
-        "trade_condition",
-        F.unix_micros("event_timestamp").alias("event_ts_us"),
-        F.unix_micros("start_timestamp").alias("start_ts_us"),
-        "e2e_latency_secs",
-    )
-    env = env.repartition(spark.sparkContext.defaultParallelism)
+    env = _wire_env(spark, sf_dir)
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dumps = avro_codec.compile_dumps(TRADE_WIRE_SCHEMA)

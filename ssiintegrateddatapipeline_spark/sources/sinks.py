@@ -154,19 +154,23 @@ def compact_files(
 
 
 def did_web_document(did: str, public_key_hex: str) -> dict:
-    """W3C DID document for a did:web identity with a secp256k1 key (the
-    provider's Veramo default key type)."""
+    """W3C DID document for a did:web identity with an Ed25519 key — the
+    agent creates Ed25519 keys for its managed DIDs (keyManagerCreate type
+    "Ed25519", veramo_create_protected_did.ts:332-337), and the identity
+    dimension signs did:web tokens EdDSA accordingly; the hosted document
+    must declare the same key type or remote verifiers would attempt
+    ES256K and reject every token."""
     vm_id = f"{did}#owner"
     return {
         "@context": [
             "https://www.w3.org/ns/did/v1",
-            "https://w3id.org/security/v2",
+            "https://w3id.org/security/suites/ed25519-2020/v1",
         ],
         "id": did,
         "verificationMethod": [
             {
                 "id": vm_id,
-                "type": "EcdsaSecp256k1VerificationKey2019",
+                "type": "Ed25519VerificationKey2020",
                 "controller": did,
                 "publicKeyHex": public_key_hex,
             }

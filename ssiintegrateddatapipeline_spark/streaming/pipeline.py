@@ -124,7 +124,7 @@ def cms_grid_plan(stream: DataFrame) -> DataFrame:
     min over d cells against this continuously-updated table."""
     from ssiintegrateddatapipeline_spark.operators.profiling import (
         CMS_DEPTH,
-        CMS_WIDTH,
+        cms_col_j,
     )
 
     rows_seq = F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
@@ -132,22 +132,10 @@ def cms_grid_plan(stream: DataFrame) -> DataFrame:
     hashed = stream.select(key.alias("key")).select(
         "key", F.explode(rows_seq).alias("row_i")
     )
-    col_j = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.col("row_i").cast("string"), F.lit(":"), F.col("key"))
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % CMS_WIDTH
-    )
     return (
-        hashed.select("row_i", col_j.alias("col_j"))
+        hashed.select(
+            "row_i", cms_col_j(F.col("row_i"), F.col("key")).alias("col_j")
+        )
         .groupBy("row_i", "col_j")
         .agg(F.count("*").alias("cell"))
     )
@@ -643,17 +631,28 @@ def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the RocksDB state store (the API requires it), offline the
     applyInPandasWithState fallback."""
     use_tws = tws_available()
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(conf_key, None) if use_tws else None
     if use_tws:
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
+            conf_key,
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-    out = run_available_now(
-        user_profile_plan(events_stream(spark, sf_dir), use_tws),
-        output_mode="update",
-        dedup_keys=["user_id"],
-    )
+    try:
+        out = run_available_now(
+            user_profile_plan(events_stream(spark, sf_dir), use_tws),
+            output_mode="update",
+            dedup_keys=["user_id"],
+        )
+    finally:
+        # never leak the provider override into the session: later
+        # streaming queries must keep running on the session default
+        if use_tws:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
     return out.select(
         "user_id",
         "events",

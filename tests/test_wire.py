@@ -419,3 +419,18 @@ def test_registry_gate_matches_runtime_resolution():
         C.compile_dumps(TRADE_WIRE_SCHEMA)(rec)
     )
     assert out["exchange"] == "BINANCE" and "e2e_latency_secs" not in out
+
+
+def test_schema_resolution_union_of_records_matches_by_name():
+    """Union branches that are named types must resolve by FULL NAME, not
+    category — a union of two records resolved against itself must map
+    each writer branch to the same-named reader branch."""
+    rec_a = {"type": "record", "name": "A", "fields": [{"name": "x", "type": "int"}]}
+    rec_b = {"type": "record", "name": "B",
+             "fields": [{"name": "y", "type": "string"}]}
+    writer = {"type": "record", "name": "R",
+              "fields": [{"name": "u", "type": [rec_a, rec_b]}]}
+    loads = C.compile_loads_resolved(writer, writer)
+    # branch A through the encoder; branch B as hand-built wire bytes
+    assert loads(C.compile_dumps(writer)({"u": {"x": 3}})) == {"u": {"x": 3}}
+    assert loads(b"\x02\x04hi") == {"u": {"y": "hi"}}
