@@ -98,6 +98,7 @@ HEADLINE = [
     "text_bpe_train",
     "similarity_ivfpq_recall",
     "streaming_cms_grid",
+    "sampling_temperature_mix",
 ]
 
 

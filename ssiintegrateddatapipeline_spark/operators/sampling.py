@@ -219,7 +219,57 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing: sampling probability
+    p_i ∝ share_i^0.5 — the standard upsampling rule for low-resource
+    sources in multi-source/multilingual training mixes (α = 1 keeps the
+    natural distribution, α → 0 flattens it; 0.5 is the common middle).
+
+    Cross-engine exactness: the α-power weights go through integer micro
+    units (round(sqrt(share)·1e6)::long) so the normalizing SUM over
+    sources is order-independent, and both the normalized probability and
+    the boost-vs-natural-share ratio are computed with the half-up
+    integer-ratio device — no float summation order anywhere."""
+    from ssiintegrateddatapipeline_spark.functions.text_funcs import tokens
+    from ssiintegrateddatapipeline_spark.operators.analytics import (
+        _round_half_up_ratio,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    totals = per_source.agg(F.sum("n_tokens").alias("total_tokens"))
+    share = _round_half_up_ratio(F.col("n_tokens"), F.col("total_tokens"), 6)
+    sh = per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "total_tokens",
+        share.alias("token_share"),
+        F.round(F.sqrt(share) * 1_000_000, 0).cast("long").alias("w_micro"),
+    )
+    tw = sh.agg(F.sum("w_micro").alias("total_w"))
+    return sh.crossJoin(F.broadcast(tw)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        _round_half_up_ratio(F.col("w_micro"), F.col("total_w"), 6).alias(
+            "p_temperature"
+        ),
+        # boost = p/share as one exact integer ratio (w·TT)/(TW·nt)
+        _round_half_up_ratio(
+            F.col("w_micro") * F.col("total_tokens"),
+            F.col("total_w") * F.col("n_tokens"),
+            4,
+        ).alias("boost"),
+    )
+
+
 QUERIES = {
+    "sampling_temperature_mix": temperature_mix,
     "sampling_token_budget_mix": token_budget_mix,
     "sampling_corpus_rebalance": corpus_rebalance,
     "sampling_hash_sample": sample_events,
@@ -233,6 +283,31 @@ _RATE_CASE = " ".join(
 )
 
 ORACLES = {
+    "sampling_temperature_mix": """
+        WITH per_source AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        totals AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM per_source),
+        sh AS (
+            SELECT source, n_docs, n_tokens, total_tokens,
+                   ((n_tokens * 2000000 + total_tokens)
+                    // (2 * total_tokens)) / 1000000.0 AS token_share,
+                   CAST(round(sqrt(
+                       ((n_tokens * 2000000 + total_tokens)
+                        // (2 * total_tokens)) / 1000000.0) * 1000000)
+                        AS BIGINT) AS w_micro
+            FROM per_source CROSS JOIN totals
+        ),
+        tw AS (SELECT sum(w_micro)::BIGINT AS total_w FROM sh)
+        SELECT source, n_docs, n_tokens, token_share,
+               ((w_micro * 2000000 + total_w) // (2 * total_w))
+                   / 1000000.0 AS p_temperature,
+               ((w_micro * total_tokens * 20000 + total_w * n_tokens)
+                // (2 * total_w * n_tokens)) / 10000.0 AS boost
+        FROM sh CROSS JOIN tw
+    """,
     "sampling_token_budget_mix": """
         WITH per_source AS (
             SELECT source, count(*) AS n_docs,
