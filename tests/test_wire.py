@@ -434,3 +434,50 @@ def test_schema_resolution_union_of_records_matches_by_name():
     # branch A through the encoder; branch B as hand-built wire bytes
     assert loads(C.compile_dumps(writer)({"u": {"x": 3}})) == {"u": {"x": 3}}
     assert loads(b"\x02\x04hi") == {"u": {"y": "hi"}}
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    values=st.lists(
+        st.tuples(
+            st.integers(-(2**31), 2**31 - 1),  # a: int (promoted to long)
+            _text,                             # b: string (dropped by reader)
+            st.floats(allow_nan=False, width=32),  # c: float -> double
+            st.none() | st.integers(-(2**31), 2**31 - 1),  # u: union null|int
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_schema_resolution_property_randomized(values):
+    """Property: for ANY record stream, resolving under a reader that
+    promotes, drops, renames (via alias) and adds-with-default must yield
+    exactly the hand-computable projection of the writer values."""
+    writer = {
+        "type": "record",
+        "name": "P",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": "float"},
+            {"name": "u", "type": ["null", "int"]},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "P",
+        "fields": [
+            {"name": "a2", "type": "long", "aliases": ["a"]},
+            {"name": "c", "type": "double"},
+            {"name": "u", "type": ["null", "long"]},
+            {"name": "extra", "type": "string", "default": "?"},
+        ],
+    }
+    dumps = C.compile_dumps(writer)
+    loads = C.compile_loads_resolved(writer, reader)
+    import struct as _struct
+
+    for a, b, c, u in values:
+        c32 = _struct.unpack("<f", _struct.pack("<f", c))[0]
+        got = loads(dumps({"a": a, "b": b, "c": c, "u": u}))
+        assert got == {"a2": a, "c": c32, "u": u, "extra": "?"}
