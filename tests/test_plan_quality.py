@@ -487,3 +487,26 @@ def test_ivfpq_probe_join_not_cartesian(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_mix_broadcasts_scalar_totals(spark, sf_dir):
+    """Both normalizing totals (token sum, weight sum) must come back as
+    broadcast 1-row sides — never a shuffle join — and the whole mix stays
+    JVM-side."""
+    plan = _formatted(_QUERIES["sampling_temperature_mix"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_training_shuffle_shard_window_is_keyed(spark, sf_dir):
+    """The within-shard position must be a window PARTITIONED by shard id
+    (the scale path once global_pos is dropped); Catalyst may satisfy its
+    distribution with the global window's existing exchange, so the pin
+    checks the window spec itself, not the exchange count."""
+    plan = _executed_plan(_QUERIES["transform_training_shuffle"](spark, sf_dir))
+    assert "Python" not in plan
+    # physical Window node partitioned on shard: "...AS shard_pos#N], [shard#M]"
+    assert "AS shard_pos" in plan
+    shard_window = plan.split("AS shard_pos")[1]
+    assert shard_window.split("]")[1].strip().startswith(", [shard#"), plan
