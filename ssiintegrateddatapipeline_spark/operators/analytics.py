@@ -23,6 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ssiintegrateddatapipeline_spark.functions.twophase import (
+    ntile_from_rank,
+    quantile_buckets,
+    two_phase_row_number,
+)
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
 
 # Prometheus-style cumulative bucket upper bounds.
@@ -640,13 +645,24 @@ def spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) customer segmentation by lifetime spend. The sort key is
     (cents, custkey) — rounding to exact cent multiples first makes the
     total order engine-independent (raw double sums can differ in the last
-    ulp and flip near-ties)."""
+    ulp and flip near-ties).
+
+    Scale shape: the ntile is two-phase ranked (functions/twophase.py):
+    customers range-bucket on approx-quantile spend boundaries (monotone
+    along the DESC order), rank in parallel inside buckets, and the exact
+    ANSI ntile bucket falls out of the global rank plus two plan-time
+    literals (row count, tile cuts). No single-partition exchange; the
+    quantile sketch only steers placement, never results.
+    """
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
     )
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
-    tiles = spend.withColumn("quartile", F.ntile(4).over(w))
+    bucket = quantile_buckets(spend, F.col("spend"), descending=True)
+    ranked, n = two_phase_row_number(
+        spend, bucket, [F.col("spend").desc(), F.col("o_custkey")], out="rank"
+    )
+    tiles = ranked.withColumn("quartile", ntile_from_rank(F.col("rank"), n, 4))
     return tiles.groupBy("quartile").agg(
         F.count("*").alias("n_customers"),
         F.min("spend").alias("min_spend"),
@@ -731,12 +747,18 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     share a salting decision would be based on."""
     ev = _events(spark, sf_dir)
     counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    # top-5 as TakeOrderedAndProject (partial per-partition top-k, then a
+    # 5-row merge on the driver) — not an unpartitioned row_number window
+    # sorting every per-user count in one task. The total for the share
+    # column is a scalar aggregate broadcast into the 5-row result; the
+    # rank window that remains runs over the post-limit 5 rows only.
+    top = counts.orderBy(F.col("n").desc(), F.col("user_id")).limit(5)
+    tot = counts.agg(F.sum("n").alias("total_n"))
     w = Window.orderBy(F.col("n").desc(), F.col("user_id"))
-    total = Window.partitionBy()
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .withColumn("share_pct", F.round(F.col("n") * 100.0 / F.sum("n").over(total), 4))
-        .where(F.col("rank") <= 5)
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("share_pct", F.round(F.col("n") * 100.0 / F.col("total_n"), 4))
         .select("rank", "user_id", "n", "share_pct")
     )
 

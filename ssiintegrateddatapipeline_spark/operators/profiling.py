@@ -132,11 +132,16 @@ def profile_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql.window import Window
 
         counts = df.groupBy(F.col(col).alias("val")).agg(F.count("*").alias("freq"))
+        # top-3 via TakeOrderedAndProject; the rank window only sees the
+        # post-limit 3 rows, so no unbounded single-partition sort even
+        # if a column turns out higher-cardinality than documented.
+        top3 = counts.orderBy(F.col("freq").desc(), F.col("val").asc()).limit(3)
         w = Window.orderBy(F.col("freq").desc(), F.col("val").asc())
-        return (
-            counts.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 3)
-            .select(F.lit(label).alias("column_name"), "val", "freq", "rank")
+        return top3.select(
+            F.lit(label).alias("column_name"),
+            "val",
+            "freq",
+            F.row_number().over(w).alias("rank"),
         )
 
     return (

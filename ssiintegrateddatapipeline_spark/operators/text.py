@@ -21,6 +21,10 @@ from ssiintegrateddatapipeline_spark.functions.text_funcs import (
     tokens,
     word_shingles,
 )
+from ssiintegrateddatapipeline_spark.functions.twophase import (
+    ntile_from_rank,
+    two_phase_row_number,
+)
 from ssiintegrateddatapipeline_spark.sources.batch import load_table, spread
 
 # tiny stopword marker lists for the n-gram language heuristic
@@ -563,22 +567,29 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM layer; this is the training-data-curation operator the engine adds
     (CCNet, Wenzek et al. 2020) on the same corpus tables.
 
-    Scale shape: scoring is the bigram join (uniform hash keys); the only
-    global step is the ntile ranking. At 100 TB the split would come from
-    approx quantiles of the score distribution instead of a global sort;
-    here ntile over (score, doc_id) keeps the assignment exact so the
-    oracle can replay it bit-for-bit. Per-bucket outputs are exact
-    (counts + order statistics), no cross-engine float-sum hazard.
+    Scale shape: scoring is the bigram join (uniform hash keys); the
+    ntile is two-phase ranked (functions/twophase.py) — documents
+    range-bucket on quarter-bit score intervals (monotone along the
+    (score, doc_id) order), rank in parallel inside buckets, and the
+    exact ANSI ntile falls out of the rank plus plan-time literals. No
+    ``Exchange SinglePartition``; assignment stays exact, so the oracle
+    replays it bit-for-bit. The scored table is persisted across the
+    offset and rank passes (at warehouse scale this is the checkpoint
+    you'd write between curation stages anyway).
     """
-    from pyspark.sql import Window
-
-    scored = bigram_lm_score(spark, sf_dir)
-    w = Window.orderBy(F.col("bits_per_bigram").asc(), F.col("doc_id").asc())
-    bucketed = scored.select(
+    scored = bigram_lm_score(spark, sf_dir).persist()
+    # quarter-bit fixed intervals: cheap, deterministic, monotone in the
+    # sort key's leading column; balance only affects parallelism.
+    bucket = F.floor(F.col("bits_per_bigram") * 4).cast("int")
+    ranked, n = two_phase_row_number(
+        scored, bucket, [F.col("bits_per_bigram").asc(), F.col("doc_id").asc()],
+        out="rank",
+    )
+    bucketed = ranked.select(
         "doc_id",
         "n_bigrams",
         "bits_per_bigram",
-        F.ntile(PPL_BUCKETS).over(w).alias("ppl_bucket"),
+        ntile_from_rank(F.col("rank"), n, PPL_BUCKETS).alias("ppl_bucket"),
     )
     return bucketed.groupBy("ppl_bucket").agg(
         F.count("*").alias("n_docs"),

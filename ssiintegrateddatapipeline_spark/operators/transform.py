@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ssiintegrateddatapipeline_spark.functions.twophase import two_phase_row_number
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
 
 
@@ -369,10 +370,13 @@ def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed string reshuffles the epoch; the same seed replays the exact
     order on any cluster size (no RNG, no partition dependence).
 
-    Scale shape: the only global step is the position row_number; at
-    real corpus sizes the global position is dropped and shards order
-    independently (the within-shard window, one shuffle on shard id) —
-    both orderings are emitted here so the oracle checks each.
+    Scale shape: the global position is two-phase ranked (see
+    ``functions/twophase.py``) — rows range-bucket on the first two hex
+    chars of the shuffle key (a prefix of the sort key, so bucket order ==
+    sort order), rank inside each of the 256 buckets in parallel, and add
+    a plan-time per-bucket offset. No ``Exchange SinglePartition``
+    anywhere; the only shuffles are the two hash partitionings (bucket,
+    shard), both uniform because md5 keys are uniform.
     """
     d = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|" + SHUFFLE_SEED)))
@@ -380,12 +384,18 @@ def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % SHUFFLE_SHARDS
     ).cast("int")
     base = d.select("doc_id", key.alias("shuffle_key"), shard.alias("shard"))
-    w_global = Window.orderBy("shuffle_key", "doc_id")
+    # md5 hex is lowercase [0-9a-f]: numeric value of the first two chars
+    # orders identically to the string prefix, so this bucket expression
+    # is monotone along the (shuffle_key, doc_id) total order.
+    bucket = F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int")
+    ranked, _ = two_phase_row_number(
+        base, bucket, [F.col("shuffle_key"), F.col("doc_id")], out="global_pos"
+    )
     w_shard = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
-    return base.select(
+    return ranked.select(
         "doc_id",
         "shard",
-        F.row_number().over(w_global).alias("global_pos"),
+        "global_pos",
         F.row_number().over(w_shard).alias("shard_pos"),
     )
 

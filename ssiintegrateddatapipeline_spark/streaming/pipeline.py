@@ -197,11 +197,13 @@ def streaming_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
     )
+    # top-k as TakeOrderedAndProject (per-partition partial top-k, k-row
+    # driver merge), not an unpartitioned row_number over every per-user
+    # counter; the rank window runs over the post-limit k rows only.
+    top = counts.orderBy(F.desc("n_events"), "user_id").limit(TOPK_USERS)
     w = Window.orderBy(F.desc("n_events"), "user_id")
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOPK_USERS)
-        .select("user_id", "n_events", "rank")
+    return top.select(
+        "user_id", "n_events", F.row_number().over(w).alias("rank")
     )
 
 

@@ -510,3 +510,88 @@ def test_training_shuffle_shard_window_is_keyed(spark, sf_dir):
     assert "AS shard_pos" in plan
     shard_window = plan.split("AS shard_pos")[1]
     assert shard_window.split("]")[1].strip().startswith(", [shard#"), plan
+
+
+# ---------------------------------------------------------------------------
+# Global-window ban (round-3 VERDICT task 1): no contract query may feed a
+# Window from an unbounded Exchange SinglePartition. "Bounded" is decided
+# structurally — a limit (TakeOrderedAndProject / GlobalLimit / CollectLimit)
+# below the exchange caps its input regardless of data volume — plus a short
+# documented allowlist where the window input is bounded by the query's
+# domain, not by row count.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+# windows whose input is domain-bounded (documented in the operators):
+_BOUNDED_GLOBAL_WINDOWS = {
+    # cumulative CDF over DISTINCT values of a discretized metric
+    # (operators/analytics.py ks_drift docstring; binned twin exists)
+    "analytics_ks_drift",
+    # month-grain lag: rows == months in the corpus timespan
+    "analytics_revenue_growth",
+}
+
+_LIMIT_NODES = {"TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit"}
+
+
+def _plan_children(node):
+    cs = node.children()
+    out = [cs.apply(i) for i in range(cs.size())]
+    if node.nodeName() == "AdaptiveSparkPlan":
+        out.append(node.executedPlan())
+    return out
+
+
+def _subtree_has_limit(node):
+    if node.nodeName() in _LIMIT_NODES:
+        return True
+    return any(_subtree_has_limit(c) for c in _plan_children(node))
+
+
+def _exchange_input_bounded(node):
+    """A SinglePartition exchange is fine when its input is bounded:
+    either a limit sits below it, or it is the merge step of a SCALAR
+    aggregate (grouping keys=[]) — one partial row per partition."""
+    if _subtree_has_limit(node):
+        return True
+    kids = _plan_children(node)
+    if kids:
+        head = kids[0].toString().splitlines()[0]
+        if "Aggregate" in kids[0].nodeName() and "keys=[]" in head:
+            return True
+    return False
+
+
+def _has_unbounded_single_partition(node):
+    if "Exchange" in node.nodeName():
+        try:
+            single = "SinglePartition" in node.outputPartitioning().toString()
+        except Exception:
+            single = False
+        if single:
+            return not _exchange_input_bounded(node)
+    return any(_has_unbounded_single_partition(c) for c in _plan_children(node))
+
+
+def _offending_windows(df):
+    root = df._jdf.queryExecution().executedPlan()
+    bad = []
+
+    def walk(node):
+        if node.nodeName() == "Window" and _has_unbounded_single_partition(node):
+            bad.append(node.toString().splitlines()[0])
+        for c in _plan_children(node):
+            walk(c)
+
+    walk(root)
+    return bad
+
+
+@pytest.mark.parametrize("qname", sorted(_QUERIES), ids=sorted(_QUERIES))
+def test_no_unbounded_single_partition_window(qname, spark, sf_dir):
+    if qname in _BOUNDED_GLOBAL_WINDOWS:
+        pytest.skip("documented domain-bounded global window")
+    df = _QUERIES[qname](spark, sf_dir)
+    bad = _offending_windows(df)
+    assert not bad, f"{qname}: Window fed by unbounded SinglePartition: {bad}"
