@@ -1059,6 +1059,54 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned-ECDF two-sample KS — the scale path for :func:`ks_drift`
+    when the metric is continuous (unbounded distinct values): both CDFs
+    are evaluated only at the fixed psi_drift bin edges, so the whole
+    statistic is ONE scalar aggregation of 2×(bins−1) conditional
+    cumulative counts plus a `greatest` over the literal gap expressions
+    — no ordered window, no distinct-value table, fully map-side
+    combinable at any scale. The binned statistic lower-bounds the exact
+    KS (resolution = one bin width); every ratio is exact-integer /
+    exact-integer so the value is bit-identical across engines.
+    """
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)).select(
+        F.least(F.floor(F.col("value") / PSI_BIN_W), F.lit(PSI_MAX_BIN)).alias("bin"),
+        (F.col("event_type") == KS_TYPE_A).cast("long").alias("ia"),
+        (F.col("event_type") == KS_TYPE_B).cast("long").alias("ib"),
+    )
+    aggs = [F.sum("ia").alias("na"), F.sum("ib").alias("nb")]
+    for k in range(_PSI_NBINS - 1):  # CDF gap at the top edge is always 0
+        aggs.append(
+            F.sum(F.when(F.col("bin") <= k, F.col("ia")).otherwise(0)).alias(f"ca{k}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("bin") <= k, F.col("ib")).otherwise(0)).alias(f"cb{k}")
+        )
+    row = v.agg(*aggs)
+    gaps = [
+        F.abs(F.col(f"ca{k}") / F.col("na") - F.col(f"cb{k}") / F.col("nb"))
+        for k in range(_PSI_NBINS - 1)
+    ]
+    return row.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(F.greatest(*gaps), 6).alias("ks_stat_binned"),
+    )
+
+
+# generated SQL mirrors of ks_drift_binned's conditional cumulative sums
+_KS_BINNED_CUMS = ",\n".join(
+    f"sum(CASE WHEN bin <= {k} THEN ia ELSE 0 END) AS ca{k},"
+    f" sum(CASE WHEN bin <= {k} THEN ib ELSE 0 END) AS cb{k}"
+    for k in range(_PSI_NBINS - 1)
+)
+_KS_BINNED_GAPS = ",\n".join(
+    f"abs(ca{k} / na - cb{k} / nb)" for k in range(_PSI_NBINS - 1)
+)
+
+
 SPIKE_HI, SPIKE_LO = 1.5, 0.5  # hour flagged when count strays 50% off baseline
 
 
@@ -1196,6 +1244,7 @@ def _rolling_distinct_from(day_users: DataFrame) -> DataFrame:
 
 QUERIES = {
     "analytics_ks_drift": ks_drift,
+    "analytics_ks_drift_binned": ks_drift_binned,
     "analytics_rolling_distinct_users": rolling_distinct_users,
     "analytics_psi_drift": psi_drift,
     "analytics_hourly_anomaly": hourly_anomaly,
@@ -1376,6 +1425,22 @@ ORACLES = {
         SELECT t.na::BIGINT AS n_a, t.nb::BIGINT AS n_b,
                round(max(abs(c.cuma / t.na - c.cumb / t.nb)), 6) AS ks_stat
         FROM c, t GROUP BY t.na, t.nb
+    """,
+    "analytics_ks_drift_binned": f"""
+        WITH v AS (
+            SELECT least(floor(value / {PSI_BIN_W}), {PSI_MAX_BIN}) AS bin,
+                   CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END AS ia,
+                   CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END AS ib
+            FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+        ),
+        c AS (
+            SELECT sum(ia) AS na, sum(ib) AS nb,
+                   {_KS_BINNED_CUMS}
+            FROM v
+        )
+        SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+               round(greatest({_KS_BINNED_GAPS}), 6) AS ks_stat_binned
+        FROM c
     """,
     "analytics_market_basket": f"""
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

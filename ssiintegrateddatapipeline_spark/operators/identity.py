@@ -53,12 +53,13 @@ IDENTITY_SCHEMA = (
     "authorization_jwt string"
 )
 
-# The reference's DID provider matrix (README.md:96-145): did:key and
-# did:web sign EdDSA — the agent creates Ed25519 keys for its managed DIDs
-# (keyManagerCreate type "Ed25519",
-# veramo-agent/src/veramo/veramo_create_protected_did.ts:332-337) — while
-# did:ethr:sepolia is secp256k1-bound (the DID IS the Ethereum account)
-# and signs ES256K.
+# The reference's DID provider matrix (README.md:96-145): did:key signs
+# EdDSA (KeyDIDProvider mints Ed25519), while did:web and did:ethr sign
+# ES256K — Veramo's WebDIDProvider (veramo_did_manager.ts:50-52, options
+# {}) creates a Secp256k1 key inside createIdentifier, so the identifier
+# already has keys[0] and the Ed25519 top-up in
+# veramo_create_protected_did.ts:317-341 (which only fires on a key-less
+# identifier) never runs for did:web.
 DID_PROVIDERS = ("did:key", "did:web", "did:ethr:sepolia")
 
 # did:web hosting coordinates (host_did_web/src/main.go serves the docs;
@@ -94,11 +95,11 @@ def _executor_keys(symbol: str, provider: str = "did:key"):
     built on demand in each worker, never serialized.
 
     Returns (priv, pub, did, alg) where alg is the JWS algorithm the
-    provider's key type mandates. The reference's agent creates Ed25519
-    keys for managed DIDs (keyManagerCreate type "Ed25519",
-    veramo-agent/src/veramo/veramo_create_protected_did.ts:332-337), so
-    did:key AND did:web sign EdDSA; only did:ethr is secp256k1-bound (the
-    DID is derived from the Ethereum account) and signs ES256K."""
+    provider's key type mandates. did:key signs EdDSA (KeyDIDProvider
+    mints Ed25519); did:web and did:ethr sign ES256K — Veramo's
+    WebDIDProvider creates a Secp256k1 key in createIdentifier
+    (veramo_did_manager.ts:50-52), so the conditional Ed25519 top-up in
+    veramo_create_protected_did.ts:317-341 never fires for did:web."""
     from ssiintegrateddatapipeline_spark.functions import crypto
     from ssiintegrateddatapipeline_spark.functions.ttl_cache import executor_cache
 
@@ -110,8 +111,8 @@ def _executor_keys(symbol: str, provider: str = "did:key"):
             priv, pub = crypto.es256k_keypair_for(symbol)
             network = provider.split(":")[2] if provider.count(":") >= 2 else ""
             return (priv, pub, crypto.did_ethr_for(pub, network=network), "ES256K")
-        priv, pub = crypto.keypair_for(symbol)
-        return (priv, pub, did_web_alias(symbol), "EdDSA")
+        priv, pub = crypto.es256k_keypair_for(symbol)
+        return (priv, pub, did_web_alias(symbol), "ES256K")
 
     return executor_cache("symbol_keys", max_size=100, ttl_secs=600.0).get_or_load(
         f"{provider}|{symbol}", load
@@ -190,10 +191,9 @@ def sign_column(
     did_provider: str = "did:key",
 ) -> DataFrame:
     """U1: add a 'jwt' column signing payload_col with symbol_col's key
-    under the given DID provider (EdDSA for did:key and did:web — the
-    agent's managed keys are Ed25519 — ES256K for did:ethr; Ed25519 and
-    RFC 6979 ECDSA are both deterministic, so the token is a pure
-    function of the row).
+    under the given DID provider (EdDSA for did:key, ES256K for did:web
+    and did:ethr — see _executor_keys; Ed25519 and RFC 6979 ECDSA are
+    both deterministic, so the token is a pure function of the row).
 
     Arrow-batched Pandas UDF; key lookup is executor-local.
     """

@@ -154,23 +154,23 @@ def compact_files(
 
 
 def did_web_document(did: str, public_key_hex: str) -> dict:
-    """W3C DID document for a did:web identity with an Ed25519 key — the
-    agent creates Ed25519 keys for its managed DIDs (keyManagerCreate type
-    "Ed25519", veramo_create_protected_did.ts:332-337), and the identity
-    dimension signs did:web tokens EdDSA accordingly; the hosted document
-    must declare the same key type or remote verifiers would attempt
-    ES256K and reject every token."""
+    """W3C DID document for a did:web identity with a Secp256k1 key —
+    Veramo's WebDIDProvider creates a Secp256k1 key in createIdentifier
+    (veramo_did_manager.ts:50-52), so the conditional Ed25519 top-up in
+    veramo_create_protected_did.ts:317-341 never fires and did:web tokens
+    sign ES256K; the hosted document must declare the same key type or
+    remote verifiers would reject every token."""
     vm_id = f"{did}#owner"
     return {
         "@context": [
             "https://www.w3.org/ns/did/v1",
-            "https://w3id.org/security/suites/ed25519-2020/v1",
+            "https://w3id.org/security/suites/secp256k1-2019/v1",
         ],
         "id": did,
         "verificationMethod": [
             {
                 "id": vm_id,
-                "type": "Ed25519VerificationKey2020",
+                "type": "EcdsaSecp256k1VerificationKey2019",
                 "controller": did,
                 "publicKeyHex": public_key_hex,
             }

@@ -157,9 +157,10 @@ def test_identity_dim_per_provider(spark):
                 assert len(bytes.fromhex(r.public_key_hex)) == 32
             elif provider == "did:web":
                 assert r.did.startswith("did:web:ssi-pipeline.localhost:trades:")
-                # the agent creates Ed25519 keys for managed (did:web) DIDs
-                # (veramo_create_protected_did.ts:332-337)
-                assert len(bytes.fromhex(r.public_key_hex)) == 32
+                # WebDIDProvider creates a Secp256k1 key in createIdentifier
+                # (veramo_did_manager.ts:50-52), so did:web keys are
+                # compressed secp256k1 (33 bytes) and tokens sign ES256K
+                assert len(bytes.fromhex(r.public_key_hex)) == 33
             else:
                 assert r.did.startswith("did:ethr:sepolia:0x")
                 assert len(bytes.fromhex(r.public_key_hex)) == 33

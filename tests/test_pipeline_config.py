@@ -25,8 +25,8 @@ def test_option_sets_match_reference_matrix():
 
 
 def test_provider_pipelines_verify_untampered_rows(spark, sf_dir):
-    """The non-default providers (did:web signs EdDSA like did:key — the
-    agent's managed keys are Ed25519; did:ethr:sepolia signs ES256K) run
+    """The non-default providers (did:web and did:ethr:sepolia both sign
+    ES256K — WebDIDProvider mints a Secp256k1 key in createIdentifier) run
     the same tamper/verify contract — every row verifies iff not
     tampered."""
     for provider in ("did:web", "did:ethr:sepolia"):

@@ -206,10 +206,10 @@ def test_host_did_web_documents_layout(spark, tmp_path):
         doc = json.loads(open(path).read())
         assert doc["id"] == did
         vm = doc["verificationMethod"][0]
-        # did:web keys are the agent's managed Ed25519 keys — the hosted
-        # document must declare the type the EdDSA tokens verify against
-        assert vm["type"] == "Ed25519VerificationKey2020"
-        assert len(bytes.fromhex(vm["publicKeyHex"])) == 32
+        # did:web keys are WebDIDProvider-minted Secp256k1 — the hosted
+        # document must declare the type the ES256K tokens verify against
+        assert vm["type"] == "EcdsaSecp256k1VerificationKey2019"
+        assert len(bytes.fromhex(vm["publicKeyHex"])) == 33
         # on-disk layout mirrors the resolution URL path exactly
         url = crypto.did_web_document_url(did)
         rel_url = url.split("/", 3)[3]          # path after host
