@@ -516,21 +516,42 @@ def _type_name(schema: Any) -> str:
 _NAMED_TYPES = ("record", "enum", "fixed")
 
 
-def _full_name(schema: Any) -> str | None:
-    """Full name of a named type (namespace.name), else None."""
+def _full_name(schema: Any, enclosing_ns: str | None = None) -> str | None:
+    """Full name of a named type, else None. A dotted ``name`` IS the full
+    name; otherwise an explicit ``namespace`` wins, and a nested named type
+    without one inherits the enclosing schema's namespace (Avro spec,
+    "Names")."""
     if not isinstance(schema, dict):
         return None
     t = schema.get("type")
     if isinstance(t, dict):
-        return _full_name(t)
+        return _full_name(t, enclosing_ns)
     if t not in _NAMED_TYPES:
         return None
     name = schema.get("name", "")
-    ns = schema.get("namespace")
-    return f"{ns}.{name}" if ns and "." not in name else name
+    if "." in name:
+        return name
+    ns = schema.get("namespace", enclosing_ns)
+    return f"{ns}.{name}" if ns else name
 
 
-def _resolvable(writer: Any, reader: Any) -> bool:
+def _ns_of(schema: Any, enclosing_ns: str | None) -> str | None:
+    """Namespace in effect INSIDE ``schema`` — the namespace its nested
+    named types inherit when they declare none."""
+    full = _full_name(schema, enclosing_ns)
+    if full is not None and "." in full:
+        return full.rsplit(".", 1)[0]
+    if full is not None:
+        return None  # named type in the null namespace
+    return enclosing_ns
+
+
+def _resolvable(
+    writer: Any,
+    reader: Any,
+    wns: str | None = None,
+    rns: str | None = None,
+) -> bool:
     wt, rt = _type_name(writer), _type_name(reader)
     if wt != rt:
         return (wt, rt) in _PROMOTABLE
@@ -538,12 +559,20 @@ def _resolvable(writer: Any, reader: Any) -> bool:
     # a union of two records must resolve each writer branch against the
     # same-named reader branch (Avro spec, union resolution)
     if wt in _NAMED_TYPES:
-        return _full_name(writer) == _full_name(reader)
+        return _full_name(writer, wns) == _full_name(reader, rns)
     return True
 
 
-def _compile_res(writer: Any, reader: Any):
-    """(writer, reader) -> fn(buf, pos) -> (value-as-reader, pos)."""
+def _compile_res(
+    writer: Any,
+    reader: Any,
+    wns: str | None = None,
+    rns: str | None = None,
+):
+    """(writer, reader) -> fn(buf, pos) -> (value-as-reader, pos).
+
+    ``wns``/``rns`` carry the enclosing namespaces so nested named types
+    that rely on Avro namespace inheritance still full-name-match."""
     wt, rt = _type_name(writer), _type_name(reader)
 
     if wt == "union":
@@ -557,8 +586,8 @@ def _compile_res(writer: Any, reader: Any):
 
         def resolve_branch(wb):
             for rb in r_branches:
-                if _resolvable(wb, rb):
-                    return _compile_res(wb, rb)
+                if _resolvable(wb, rb, wns, rns):
+                    return _compile_res(wb, rb, wns, rns)
             def fail(buf, pos, _wb=wb):
                 raise ValueError(
                     f"writer branch {_type_name(_wb)!r} has no reader branch"
@@ -574,12 +603,15 @@ def _compile_res(writer: Any, reader: Any):
         return dec_union_res
 
     if rt == "union" and wt != "union":
-        for rb in reader:
-            if _resolvable(writer, rb):
-                return _compile_res(writer, rb)
+        r_branches = reader if isinstance(reader, list) else reader["type"]
+        for rb in r_branches:
+            if _resolvable(writer, rb, wns, rns):
+                return _compile_res(writer, rb, wns, rns)
         raise ValueError(f"writer {wt!r} matches no reader union branch")
 
     if wt == "record":
+        # names declared inside this record inherit its namespace
+        wns, rns = _ns_of(writer, wns), _ns_of(reader, rns)
         r_fields = {f["name"]: f for f in reader["fields"]}
         for f in reader["fields"]:
             for alias in f.get("aliases", ()):
@@ -590,7 +622,9 @@ def _compile_res(writer: Any, reader: Any):
             rf = r_fields.get(wf["name"])
             if rf is not None:
                 matched.add(rf["name"])
-                actions.append((rf["name"], _compile_res(wf["type"], rf["type"])))
+                actions.append(
+                    (rf["name"], _compile_res(wf["type"], rf["type"], wns, rns))
+                )
             else:
                 actions.append((None, _compile_dec(wf["type"])))  # skip
         defaults = []
@@ -618,7 +652,7 @@ def _compile_res(writer: Any, reader: Any):
     if wt == "array":
         w_items = writer["items"] if isinstance(writer, dict) else None
         r_items = reader["items"] if isinstance(reader, dict) else None
-        item_dec = _compile_res(w_items, r_items)
+        item_dec = _compile_res(w_items, r_items, wns, rns)
 
         def dec_array_res(buf, pos):
             out = []
@@ -636,7 +670,7 @@ def _compile_res(writer: Any, reader: Any):
         return dec_array_res
 
     if wt == "map":
-        val_dec = _compile_res(writer["values"], reader["values"])
+        val_dec = _compile_res(writer["values"], reader["values"], wns, rns)
 
         def dec_map_res(buf, pos):
             out = {}

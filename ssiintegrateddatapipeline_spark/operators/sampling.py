@@ -251,20 +251,20 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(share) * 1_000_000, 0).cast("long").alias("w_micro"),
     )
     tw = sh.agg(F.sum("w_micro").alias("total_w"))
+    p_temp = _round_half_up_ratio(F.col("w_micro"), F.col("total_w"), 6)
+    # boost = p/share over the already-normalized MICRO values (both ≤ 1e6)
+    # so every intermediate stays ≤ 2e10 — the raw cross ratio
+    # (w·total_tokens)/(total_w·n_tokens) would overflow int64 once the
+    # corpus passes ~4.6e8 tokens (ANSI-mode throw vs DuckDB HUGEINT).
+    p_micro = F.round(p_temp * 1_000_000).cast("long")
+    share_micro = F.round(F.col("token_share") * 1_000_000).cast("long")
     return sh.crossJoin(F.broadcast(tw)).select(
         "source",
         "n_docs",
         "n_tokens",
         "token_share",
-        _round_half_up_ratio(F.col("w_micro"), F.col("total_w"), 6).alias(
-            "p_temperature"
-        ),
-        # boost = p/share as one exact integer ratio (w·TT)/(TW·nt)
-        _round_half_up_ratio(
-            F.col("w_micro") * F.col("total_tokens"),
-            F.col("total_w") * F.col("n_tokens"),
-            4,
-        ).alias("boost"),
+        p_temp.alias("p_temperature"),
+        _round_half_up_ratio(p_micro, share_micro, 4).alias("boost"),
     )
 
 
@@ -300,13 +300,18 @@ ORACLES = {
                         AS BIGINT) AS w_micro
             FROM per_source CROSS JOIN totals
         ),
-        tw AS (SELECT sum(w_micro)::BIGINT AS total_w FROM sh)
+        tw AS (SELECT sum(w_micro)::BIGINT AS total_w FROM sh),
+        m AS (
+            SELECT source, n_docs, n_tokens, token_share,
+                   (w_micro * 2000000 + total_w) // (2 * total_w) AS p_micro,
+                   CAST(round(token_share * 1000000) AS BIGINT) AS share_micro
+            FROM sh CROSS JOIN tw
+        )
         SELECT source, n_docs, n_tokens, token_share,
-               ((w_micro * 2000000 + total_w) // (2 * total_w))
-                   / 1000000.0 AS p_temperature,
-               ((w_micro * total_tokens * 20000 + total_w * n_tokens)
-                // (2 * total_w * n_tokens)) / 10000.0 AS boost
-        FROM sh CROSS JOIN tw
+               p_micro / 1000000.0 AS p_temperature,
+               ((p_micro * 20000 + share_micro) // (2 * share_micro))
+                   / 10000.0 AS boost
+        FROM m
     """,
     "sampling_token_budget_mix": """
         WITH per_source AS (

@@ -683,9 +683,17 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    # identical expression text in the oracle — keep the parenthesization
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    # identical expression text in the oracle — keep the parenthesization.
+    # The natural log is the one transcendental in the integer-exact path:
+    # JVM Math.log and libm can differ by 1 ulp, which could flip the
+    # round(x·1e6) micro at a .5 boundary — snapping idf to a 12-decimal
+    # grid first (both engines) absorbs any 1-ulp disagreement.
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        12,
     )
     tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
         F.col("tf")
@@ -998,7 +1006,7 @@ ORACLES = {
         scored AS (
             SELECT q.query_id, tf.doc_id,
                    CAST(round(
-                       ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)), 12)
                        * ((tf.tf * {BM25_K1 + 1}) /
                           (tf.tf + {BM25_K1} * ({1 - BM25_B} +
                                ({BM25_B} * dl.dl) / s.avgdl)))

@@ -481,3 +481,73 @@ def test_schema_resolution_property_randomized(values):
         c32 = _struct.unpack("<f", _struct.pack("<f", c))[0]
         got = loads(dumps({"a": a, "b": b, "c": c, "u": u}))
         assert got == {"a2": a, "c": c32, "u": u, "extra": "?"}
+
+
+def test_schema_resolution_nonunion_writer_dict_wrapped_reader_union():
+    """A non-union writer field resolved against a reader whose union is
+    dict-wrapped ({'type': [...]}, as nested schemas parse) must match a
+    branch instead of iterating the dict's keys."""
+    writer = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "v", "type": "int"}],
+    }
+    reader = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "v", "type": {"type": ["null", "long"]}}],
+    }
+    out = C.compile_loads_resolved(writer, reader)(C.compile_dumps(writer)({"v": 9}))
+    assert out == {"v": 9}
+
+
+def test_schema_resolution_namespace_inheritance():
+    """Avro namespace inheritance: a nested named type without an explicit
+    namespace inherits the enclosing record's. Writer declares the child's
+    namespace explicitly, reader inherits it — the union-of-records branch
+    match must still succeed (same full name com.ex.Child), and a
+    same-name child in a DIFFERENT explicit namespace must not match."""
+    child_w = {
+        "type": "record",
+        "name": "Child",
+        "namespace": "com.ex",
+        "fields": [{"name": "x", "type": "int"}],
+    }
+    child_r = {  # no namespace -> inherits com.ex from the enclosing record
+        "type": "record",
+        "name": "Child",
+        "fields": [{"name": "x", "type": "int"}],
+    }
+    other = {
+        "type": "record",
+        "name": "Other",
+        "fields": [{"name": "y", "type": "string"}],
+    }
+    writer = {
+        "type": "record",
+        "name": "R",
+        "namespace": "com.ex",
+        "fields": [{"name": "u", "type": [child_w, other]}],
+    }
+    reader = {
+        "type": "record",
+        "name": "R",
+        "namespace": "com.ex",
+        "fields": [{"name": "u", "type": [child_r, other]}],
+    }
+    loads = C.compile_loads_resolved(writer, reader)
+    assert loads(C.compile_dumps(writer)({"u": {"x": 5}})) == {"u": {"x": 5}}
+
+    # same short name, different namespace: branch must NOT match by name
+    child_wrong_ns = dict(child_r, namespace="org.else")
+    reader_bad = {
+        "type": "record",
+        "name": "R",
+        "namespace": "com.ex",
+        "fields": [{"name": "u", "type": [child_wrong_ns, other]}],
+    }
+    loads_bad = C.compile_loads_resolved(writer, reader_bad)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        loads_bad(C.compile_dumps(writer)({"u": {"x": 5}}))
