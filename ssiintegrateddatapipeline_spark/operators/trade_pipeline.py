@@ -228,12 +228,84 @@ def json_parse_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def identity_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U3: the per-symbol identity dimension (did:key, pubkey, authz JWT).
+    """U3: the per-symbol identity dimension, audited structurally across
+    ALL THREE providers (did:key / did:web / did:ethr:sepolia).
 
-    Not SQL-expressible (Ed25519 + base58) -> rows-only driver check; the
-    crypto itself is covered by property tests and by sign_verify's oracle.
-    """
-    return build_identity_dim(spark)
+    The raw dimension (build_identity_dim) carries base58 DIDs and
+    Ed25519/ES256K JWTs that no SQL engine can derive, so the contract
+    projection validates the crypto Spark-side and emits only
+    deterministic structural facts — DID well-formedness (exact alias
+    equality for did:web, EIP-55 checksum for did:ethr, multicodec prefix
+    for did:key), key size, the decoded JWS header, signature length, and
+    an authorization-claims check — all of which the DuckDB oracle
+    reproduces from the literal provider matrix. A flipped bit anywhere in
+    the crypto path (wrong curve, bad checksum, malformed JWS) flips a
+    column and fails the hash compare. Raw signatures remain covered by
+    trade_sign_verify's tamper oracle."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd  # noqa: F811
+
+    from ssiintegrateddatapipeline_spark.operators.identity import (
+        DID_PROVIDERS,
+        PROTECTED_METHODS,
+    )
+
+    dim = build_identity_dim(spark, did_provider=DID_PROVIDERS[0])
+    for p in DID_PROVIDERS[1:]:
+        dim = dim.unionByName(build_identity_dim(spark, did_provider=p))
+
+    def audit(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        import json as _json
+
+        from ssiintegrateddatapipeline_spark.functions import crypto
+        from ssiintegrateddatapipeline_spark.operators.identity import (
+            did_web_alias,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.provider == "did:key":
+                    did_valid = r.did.startswith("did:key:z6Mk")
+                elif r.provider == "did:web":
+                    did_valid = r.did == did_web_alias(r.symbol)
+                else:
+                    try:  # resolve_did raises on a bad EIP-55 checksum
+                        crypto.resolve_did(r.did)
+                        did_valid = r.did.startswith("did:ethr:sepolia:0x")
+                    except ValueError:
+                        did_valid = False
+                h, p, s = r.authorization_jwt.split(".")
+                payload = _json.loads(crypto.b64url_decode(p))
+                rows.append(
+                    {
+                        "symbol": r.symbol,
+                        "provider": r.provider,
+                        "did_method": r.provider.split(":")[1],
+                        "did_valid": bool(did_valid),
+                        "did_web_alias": (
+                            r.did if r.provider == "did:web" else None
+                        ),
+                        "key_bytes": len(bytes.fromhex(r.public_key_hex)),
+                        "jwt_header": crypto.b64url_decode(h).decode(),
+                        "jwt_sig_bytes": len(crypto.b64url_decode(s)),
+                        "authz_ok": bool(
+                            payload.get("sub") == r.did
+                            and payload.get("scope") == f"{r.did}/*"
+                            and tuple(payload.get("permissions", ()))
+                            == PROTECTED_METHODS[:6]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return dim.mapInPandas(
+        audit,
+        "symbol string, provider string, did_method string, "
+        "did_valid boolean, did_web_alias string, key_bytes int, "
+        "jwt_header string, jwt_sig_bytes int, authz_ok boolean",
+    )
 
 
 def did_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,8 +313,12 @@ def did_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods (resolver map parity: veramo_resolver_manager.ts:22-64).
     did:key recovers and cross-checks the public key; did:ethr validates
     the EIP-55 checksum against the key-derived address; did:web yields
-    the hosted document URL. Arrow-batched; rows-only driver check
-    (base58/keccak are not SQL-expressible)."""
+    the hosted document URL. Arrow-batched. The output is the structural
+    resolution audit (method, per-method verification counts, the
+    did:web document URL — a pure string function of the symbol — and
+    key-consistency flags), which the DuckDB oracle replays from the
+    literal provider matrix; the base58/keccak-bearing DIDs themselves
+    stay out of the projection (not SQL-expressible)."""
     from collections.abc import Iterator as _Iterator
 
     import pandas as pd  # noqa: F811
@@ -276,7 +352,7 @@ def did_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "symbol": r.symbol,
                         "provider": r.provider,
-                        "did": r.did,
+                        "did_method": r.provider.split(":")[1],
                         "n_verification_methods": len(vms),
                         "document_url": doc.get("documentUrl"),
                         "key_consistent": bool(key_ok),
@@ -291,12 +367,12 @@ def did_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     jwk_ok = (
                         crypto.b64url_decode(jvm[0]["publicKeyJwk"]["x"]).hex()
                         == r.public_key_hex
-                    )
+                    ) and jdid.startswith("did:jwk:ey")
                     rows.append(
                         {
                             "symbol": r.symbol,
                             "provider": "did:jwk",
-                            "did": jdid,
+                            "did_method": "jwk",
                             "n_verification_methods": len(jvm),
                             "document_url": None,
                             "key_consistent": bool(jwk_ok),
@@ -306,7 +382,7 @@ def did_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return dim.mapInPandas(
         res,
-        "symbol string, provider string, did string, "
+        "symbol string, provider string, did_method string, "
         "n_verification_methods int, document_url string, "
         "key_consistent boolean",
     )
@@ -346,6 +422,9 @@ def _grants_case_sql() -> str:
     )
     return f"CASE event_type {arms} ELSE []::VARCHAR[] END"
 
+
+# literal symbol list for the structural identity/resolution oracles
+_SYM_VALUES = ", ".join(f"('{s}')" for s in SYMBOLS)
 
 ORACLES = {
     "trade_envelope": f"""
@@ -426,6 +505,45 @@ ORACLES = {
                     THEN json_extract(payload, '$.k')::INT END AS k
         FROM wire
     """,
-    # trade_identity_dim: intentionally no oracle (Ed25519 + base58 not
-    # SQL-expressible) -> driver records rows-only check.
+    # Structural oracles for the two crypto queries: the DuckDB side
+    # replays every SQL-derivable fact (provider matrix literals, did:web
+    # alias/url string derivation, key sizes, JWS header, signature
+    # length, validation booleans); the Spark side computes the booleans
+    # from the REAL crypto, so any break in the Ed25519/ES256K/base58
+    # path flips a value and fails the hash compare.
+    "trade_identity_dim": f"""
+        WITH syms(symbol) AS (VALUES {_SYM_VALUES}),
+        prov(provider) AS (VALUES ('did:key'), ('did:web'), ('did:ethr:sepolia'))
+        SELECT symbol, provider,
+               split_part(provider, ':', 2) AS did_method,
+               TRUE AS did_valid,
+               CASE WHEN provider = 'did:web'
+                    THEN 'did:web:ssi-pipeline.localhost:trades:'
+                         || replace(lower(symbol), ':', '-')
+               END AS did_web_alias,
+               CASE WHEN provider = 'did:key' THEN 32 ELSE 33 END AS key_bytes,
+               CASE WHEN provider = 'did:key'
+                    THEN '{{"alg":"EdDSA","typ":"JWT"}}'
+                    ELSE '{{"alg":"ES256K","typ":"JWT"}}'
+               END AS jwt_header,
+               64 AS jwt_sig_bytes,
+               TRUE AS authz_ok
+        FROM syms CROSS JOIN prov
+    """,
+    "trade_did_resolution": f"""
+        WITH syms(symbol) AS (VALUES {_SYM_VALUES}),
+        prov(provider, did_method, n_vm, has_url) AS (VALUES
+            ('did:key', 'key', 1, FALSE),
+            ('did:web', 'web', 0, TRUE),
+            ('did:ethr:sepolia', 'ethr', 1, FALSE),
+            ('did:jwk', 'jwk', 1, FALSE))
+        SELECT symbol, provider, did_method,
+               n_vm AS n_verification_methods,
+               CASE WHEN has_url
+                    THEN 'https://ssi-pipeline.localhost/trades/'
+                         || replace(lower(symbol), ':', '-') || '/did.json'
+               END AS document_url,
+               TRUE AS key_consistent
+        FROM syms CROSS JOIN prov
+    """,
 }
