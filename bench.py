@@ -99,6 +99,8 @@ HEADLINE = [
     "similarity_ivfpq_recall",
     "streaming_cms_grid",
     "sampling_temperature_mix",
+    "streaming_sign_verify",
+    "streaming_provider_matrix",
 ]
 
 

@@ -572,11 +572,14 @@ def streaming_sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = events_stream(spark, sf_dir)
     arr = F.array(*[F.lit(s) for s in SYMBOLS])
+    # the file source emits one partition per file — hash-spread the narrow
+    # projection so the Arrow-batched crypto runs on every core, exactly as
+    # sources.batch.spread() does for the batch pipeline
     ev = stream.select(
         "event_id",
         F.element_at(arr, (F.col("user_id") % 5 + 1).cast("int")).alias("symbol"),
         F.col("props").alias("payload"),
-    )
+    ).repartition(F.col("event_id"))
     signed = sign_column(ev, "symbol", "payload")
     tampered = signed.withColumn(
         "jwt",
@@ -587,6 +590,108 @@ def streaming_sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = verify_column(tampered, "symbol", "jwt")
     tally = verified.groupBy("symbol").agg(
         F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("verified"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_verified"),
+        F.sum(F.when(~F.col("verified"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rejected"),
+    )
+    return run_available_now(tally, output_mode="complete")
+
+
+def streaming_provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 6-option configuration experiment (README.md:92-145)
+    run through the STREAMING engine — the streaming twin of
+    plans.pipeline.provider_matrix, so the config sweep has a streaming
+    headline number alongside the batch one.
+
+    All six option sets execute inside ONE streaming query: each config is
+    a labeled branch (sign → deterministic tamper → verify for SSI-on,
+    plain pass-through for SSI-off) over the same replayed source, unioned
+    before a complete-mode tally keyed by the config columns — so the
+    micro-batch/checkpoint overhead is paid once, not six times, and the
+    per-config state is one row. A deterministic 1-in-16 ``event_id``
+    sample gates the Arrow-batched crypto exactly like the batch matrix's
+    hash sample. ``cache_did`` / ``processing_mode`` are honest metadata
+    labels (the executor-local TTL key cache and partition parallelism are
+    engine-level, not per-row branches), mirroring how the reference
+    stamps config env-vars into every metric series
+    (kafka_consumer/app/metrics/metrics.py:33-38).
+
+    Scale: state is 6 rows; the crypto cost is bounded by the sample gate;
+    each branch's scan/filter/UDF chain is stateless and partitions
+    freely. On a cluster the same plan runs off the Kafka source.
+    """
+    from ssiintegrateddatapipeline_spark.operators.identity import (
+        SYMBOLS,
+        sign_column,
+        verify_column,
+    )
+    from ssiintegrateddatapipeline_spark.plans.pipeline import OPTION_SETS
+
+    stream = events_stream(spark, sf_dir)
+    arr = F.array(*[F.lit(s) for s in SYMBOLS])
+    # file source = one partition per file; hash-spread the sampled rows so
+    # each branch's crypto stage uses every core, not one task per branch
+    ev = (
+        stream.where(F.col("event_id") % 16 == 0)
+        .select(
+            "event_id",
+            F.element_at(arr, (F.col("user_id") % 5 + 1).cast("int")).alias(
+                "symbol"
+            ),
+            F.col("props").alias("payload"),
+        )
+        .repartition(F.col("event_id"))
+    )
+    # dedupe the common crypto subplan: configs sharing (provider, ssi)
+    # differ only in label columns, so sign/verify runs once per distinct
+    # pair and the config labels fan out as an exploded literal array —
+    # the label duplication costs rows, never ECDSA/EdDSA operations
+    groups: dict[tuple[str, bool], list] = {}
+    for cfg in OPTION_SETS:
+        groups.setdefault((cfg.did_provider, cfg.ssi_validation), []).append(cfg)
+    branches = []
+    for (prov, ssi), cfgs in groups.items():
+        if ssi:
+            signed = sign_column(ev, "symbol", "payload", prov)
+            tampered = signed.withColumn(
+                "jwt",
+                F.when(
+                    F.col("event_id") % 50 == 0, F.concat(F.col("jwt"), F.lit("x"))
+                ).otherwise(F.col("jwt")),
+            )
+            b = verify_column(tampered, "symbol", "jwt", prov).select(
+                "event_id", "verified"
+            )
+        else:
+            b = ev.select(
+                "event_id", F.lit(None).cast("boolean").alias("verified")
+            )
+        cfg_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(c.did_provider).alias("did_provider"),
+                    F.lit(c.ssi_validation).alias("ssi_validation"),
+                    F.lit(c.cache_did).alias("cache_did"),
+                    F.lit(c.processing_mode).alias("processing_mode"),
+                )
+                for c in cfgs
+            ]
+        )
+        branches.append(
+            b.withColumn("cfg", F.explode(cfg_arr)).select(
+                "event_id", "verified", "cfg.*"
+            )
+        )
+    allb = branches[0]
+    for b in branches[1:]:
+        allb = allb.unionByName(b)
+    tally = allb.groupBy(
+        "did_provider", "ssi_validation", "cache_did", "processing_mode"
+    ).agg(
+        F.count("*").alias("n_messages"),
         F.sum(F.when(F.col("verified"), 1).otherwise(0))
         .cast("long")
         .alias("n_verified"),
@@ -760,6 +865,7 @@ QUERIES = {
     "streaming_attribution": streaming_attribution,
     "streaming_throughput_30s": streaming_throughput_30s,
     "streaming_sign_verify": streaming_sign_verify,
+    "streaming_provider_matrix": streaming_provider_matrix,
     "streaming_last_seen": streaming_last_seen,
     "streaming_payload_hist": streaming_payload_hist,
     "streaming_user_stats": streaming_user_stats,
@@ -858,6 +964,32 @@ ORACLES = {
                    AS n_rejected
         FROM events
         GROUP BY 1
+    """,
+    # config-matrix replay: n from the 1-in-16 sample gate, verified split
+    # from the tamper rule, config labels from the literal 6-option matrix
+    # (plans.pipeline.OPTION_SETS; reference README.md:96-145)
+    "streaming_provider_matrix": """
+        WITH base AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN event_id % 50 != 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_ok,
+                   sum(CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_bad
+            FROM events WHERE event_id % 16 = 0
+        ),
+        cfg(did_provider, ssi_validation, cache_did, processing_mode) AS (
+            VALUES ('did:web', true, false, 'async'),
+                   ('did:web', true, true, 'sync'),
+                   ('did:key', true, false, 'sync'),
+                   ('did:key', true, true, 'sync'),
+                   ('did:key', false, true, 'async'),
+                   ('did:ethr:sepolia', true, true, 'sync')
+        )
+        SELECT did_provider, ssi_validation, cache_did, processing_mode,
+               n AS n_messages,
+               CASE WHEN ssi_validation THEN n_ok ELSE 0 END AS n_verified,
+               CASE WHEN ssi_validation THEN n_bad ELSE 0 END AS n_rejected
+        FROM cfg CROSS JOIN base
     """,
     "streaming_throughput_30s": """
         SELECT to_timestamp(floor(epoch(ts) / 30) * 30)::TIMESTAMP AS window_start,
