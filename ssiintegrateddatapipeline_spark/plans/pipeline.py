@@ -146,10 +146,12 @@ def summary_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run summaries across the three DID providers of the reference's
-    config matrix (README.md:96-145), SSI on: did:key and did:web sign
-    EdDSA (the agent's managed keys are Ed25519,
-    veramo_create_protected_did.ts:332-337), did:ethr:sepolia signs ES256K
-    (secp256k1-bound) — same tamper/verify contract across methods."""
+    config matrix (README.md:96-145), SSI on: did:key signs EdDSA
+    (Ed25519 multicodec key), did:web and did:ethr:sepolia sign ES256K —
+    Veramo's WebDIDProvider/EthrDIDProvider create Secp256k1 keys inside
+    createIdentifier, so the Ed25519 top-up
+    (veramo_create_protected_did.ts:332-337) never fires for them — same
+    tamper/verify contract across methods."""
     parts = [
         run_summary(
             build_pipeline(
