@@ -211,6 +211,56 @@ def sign_column(
     return df.withColumn("jwt", _sign(F.col(symbol_col), F.col(payload_col)))
 
 
+def sign_column_by(
+    df: DataFrame, symbol_col: str, payload_col: str, provider_col: str
+) -> DataFrame:
+    """U1 with the DID provider as DATA: one Arrow-batched sign stage
+    dispatching per-row on a provider column, instead of one plan branch
+    per provider. Collapsing the per-provider branches into a single
+    stage keeps the logical plan shallow (Spark's analyzer runs eagerly
+    per Dataset transformation, so three parallel crypto branches cost
+    3x the driver-side analysis of one) and the key lookup stays
+    executor-cached per (provider, symbol)."""
+    import pandas as pd  # noqa: F811
+
+    @F.pandas_udf("string")
+    def _sign(
+        symbols: pd.Series, payloads: pd.Series, providers: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                _sign_for(sym, prov, {"claims": payload})
+                for sym, payload, prov in zip(symbols, payloads, providers)
+            ]
+        )
+
+    return df.withColumn(
+        "jwt", _sign(F.col(symbol_col), F.col(payload_col), F.col(provider_col))
+    )
+
+
+def verify_column_by(
+    df: DataFrame, symbol_col: str, jwt_col: str, provider_col: str
+) -> DataFrame:
+    """U2 twin of sign_column_by: per-row provider dispatch in one stage."""
+    import pandas as pd  # noqa: F811
+
+    @F.pandas_udf("boolean")
+    def _verify(
+        symbols: pd.Series, jwts: pd.Series, providers: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                _verify_for(sym, prov, token)
+                for sym, token, prov in zip(symbols, jwts, providers)
+            ]
+        )
+
+    return df.withColumn(
+        "verified", _verify(F.col(symbol_col), F.col(jwt_col), F.col(provider_col))
+    )
+
+
 def verify_column(
     df: DataFrame,
     symbol_col: str,

@@ -152,21 +152,48 @@ def provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     createIdentifier, so the Ed25519 top-up
     (veramo_create_protected_did.ts:332-337) never fires for them — same
     tamper/verify contract across methods."""
-    parts = [
-        run_summary(
-            build_pipeline(
-                spark,
-                sf_dir,
-                PipelineConfig(p, True, True, "sync"),
-                sample_hex_lt="1",
-            )
-        )
-        for p in ("did:key", "did:web", "did:ethr:sepolia")
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    from ssiintegrateddatapipeline_spark.operators.identity import (
+        sign_column_by,
+        verify_column_by,
+    )
+
+    # ONE plan for the whole sweep: the provider is a data column (a
+    # broadcast 3-row dim cross-joined under the crypto stage), not three
+    # parallel plan branches — same crypto volume, a third of the stages,
+    # and the eager per-Dataset analysis cost is paid once instead of
+    # three times (the branched form spent ~4 s of driver time just
+    # CONSTRUCTING the union plan at sf0.1)
+    env = trade_envelope(spark, sf_dir)
+    env = env.where(F.substring("trade_event_id", 1, 1) < F.lit("1"))
+    ev = spread(env).select(
+        "trade_event_id",
+        "symbol",
+        "start_timestamp",
+        F.to_json(F.struct("price", "volume")).alias("payload"),
+    )
+    provs = spark.createDataFrame(
+        [(p,) for p in ("did:key", "did:web", "did:ethr:sepolia")],
+        "did_provider string",
+    )
+    evp = ev.crossJoin(F.broadcast(provs))
+    signed = sign_column_by(evp, "symbol", "payload", "did_provider")
+    tampered = signed.withColumn(
+        "jwt",
+        F.when(
+            F.substring("trade_event_id", 1, 2) == F.lit("00"),
+            F.concat(F.col("jwt"), F.lit("x")),
+        ).otherwise(F.col("jwt")),
+    )
+    out = verify_column_by(tampered, "symbol", "jwt", "did_provider").select(
+        "did_provider",
+        F.lit(True).alias("ssi_validation"),
+        F.lit(True).alias("cache_did"),
+        F.lit("sync").alias("processing_mode"),
+        "trade_event_id",
+        "start_timestamp",
+        "verified",
+    )
+    return run_summary(out)
 
 
 QUERIES = {

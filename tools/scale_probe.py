@@ -56,8 +56,14 @@ FACT_SQL = {
         SELECT doc_id + i * 10000000 AS doc_id, text, lang, source, n_chars
         FROM read_parquet('{base}/documents.parquet') CROSS JOIN copies
     """,
+    # replica vectors stay identical — a worst-ish case for dedup blocking
+    # (every point gains k-1 exact twins in its LSH/IVF cell)
+    "embeddings": """
+        SELECT vec_id + i * 10000000 AS vec_id, embedding, label
+        FROM read_parquet('{base}/embeddings.parquet') CROSS JOIN copies
+    """,
 }
-DIM_TABLES = ("region", "nation", "supplier", "part", "embeddings")
+DIM_TABLES = ("region", "nation", "supplier", "part")
 
 PROBE_QUERIES = [
     # the three queries whose global windows were rewritten this round
