@@ -227,9 +227,10 @@ def sign_column_by(
     def _sign(
         symbols: pd.Series, payloads: pd.Series, providers: pd.Series
     ) -> pd.Series:
+        # null provider = no-crypto row (an SSI-off config) -> null jwt
         return pd.Series(
             [
-                _sign_for(sym, prov, {"claims": payload})
+                None if pd.isna(prov) else _sign_for(sym, prov, {"claims": payload})
                 for sym, payload, prov in zip(symbols, payloads, providers)
             ]
         )
@@ -251,9 +252,12 @@ def verify_column_by(
     ) -> pd.Series:
         return pd.Series(
             [
-                _verify_for(sym, prov, token)
+                None
+                if (pd.isna(prov) or pd.isna(token))
+                else _verify_for(sym, prov, token)
                 for sym, token, prov in zip(symbols, jwts, providers)
-            ]
+            ],
+            dtype="object",
         )
 
     return df.withColumn(

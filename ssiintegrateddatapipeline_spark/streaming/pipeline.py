@@ -606,18 +606,20 @@ def streaming_provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans.pipeline.provider_matrix, so the config sweep has a streaming
     headline number alongside the batch one.
 
-    All six option sets execute inside ONE streaming query: each config is
-    a labeled branch (sign → deterministic tamper → verify for SSI-on,
-    plain pass-through for SSI-off) over the same replayed source, unioned
-    before a complete-mode tally keyed by the config columns — so the
-    micro-batch/checkpoint overhead is paid once, not six times, and the
-    per-config state is one row. A deterministic 1-in-16 ``event_id``
-    sample gates the Arrow-batched crypto exactly like the batch matrix's
-    hash sample. ``cache_did`` / ``processing_mode`` are honest metadata
-    labels (the executor-local TTL key cache and partition parallelism are
-    engine-level, not per-row branches), mirroring how the reference
-    stamps config env-vars into every metric series
-    (kafka_consumer/app/metrics/metrics.py:33-38).
+    All six option sets execute inside ONE streaming query with ONE crypto
+    stage: the sampled source is cross-joined with a broadcast dim of the
+    DISTINCT (provider, ssi) pairs (crypto work is deduped — configs that
+    differ only in cache/mode labels share one signed row; SSI-off rows
+    carry a null crypto_provider and pass the null-safe dispatch UDFs
+    untouched), then a second broadcast join fans the pairs back out to
+    the six labeled configs before the complete-mode tally. One checkpoint,
+    one sign stage, one verify stage, 6 rows of state. A deterministic
+    1-in-16 ``event_id`` sample gates the Arrow-batched crypto exactly
+    like the batch matrix's hash sample. ``cache_did`` /
+    ``processing_mode`` are honest metadata labels (the executor-local TTL
+    key cache and partition parallelism are engine-level, not per-row
+    branches), mirroring how the reference stamps config env-vars into
+    every metric series (kafka_consumer/app/metrics/metrics.py:33-38).
 
     Scale: state is 6 rows; the crypto cost is bounded by the sample gate;
     each branch's scan/filter/UDF chain is stateless and partitions
@@ -625,8 +627,8 @@ def streaming_provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ssiintegrateddatapipeline_spark.operators.identity import (
         SYMBOLS,
-        sign_column,
-        verify_column,
+        sign_column_by,
+        verify_column_by,
     )
     from ssiintegrateddatapipeline_spark.plans.pipeline import OPTION_SETS
 
@@ -645,50 +647,34 @@ def streaming_provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(F.col("event_id"))
     )
-    # dedupe the common crypto subplan: configs sharing (provider, ssi)
-    # differ only in label columns, so sign/verify runs once per distinct
-    # pair and the config labels fan out as an exploded literal array —
-    # the label duplication costs rows, never ECDSA/EdDSA operations
-    groups: dict[tuple[str, bool], list] = {}
-    for cfg in OPTION_SETS:
-        groups.setdefault((cfg.did_provider, cfg.ssi_validation), []).append(cfg)
-    branches = []
-    for (prov, ssi), cfgs in groups.items():
-        if ssi:
-            signed = sign_column(ev, "symbol", "payload", prov)
-            tampered = signed.withColumn(
-                "jwt",
-                F.when(
-                    F.col("event_id") % 50 == 0, F.concat(F.col("jwt"), F.lit("x"))
-                ).otherwise(F.col("jwt")),
-            )
-            b = verify_column(tampered, "symbol", "jwt", prov).select(
-                "event_id", "verified"
-            )
-        else:
-            b = ev.select(
-                "event_id", F.lit(None).cast("boolean").alias("verified")
-            )
-        cfg_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(c.did_provider).alias("did_provider"),
-                    F.lit(c.ssi_validation).alias("ssi_validation"),
-                    F.lit(c.cache_did).alias("cache_did"),
-                    F.lit(c.processing_mode).alias("processing_mode"),
-                )
-                for c in cfgs
-            ]
-        )
-        branches.append(
-            b.withColumn("cfg", F.explode(cfg_arr)).select(
-                "event_id", "verified", "cfg.*"
-            )
-        )
-    allb = branches[0]
-    for b in branches[1:]:
-        allb = allb.unionByName(b)
-    tally = allb.groupBy(
+    pairs = list(
+        dict.fromkeys((c.did_provider, c.ssi_validation) for c in OPTION_SETS)
+    )
+    pair_df = spark.createDataFrame(
+        [(p, s, p if s else None) for p, s in pairs],
+        "did_provider string, ssi_validation boolean, crypto_provider string",
+    )
+    cfg_df = spark.createDataFrame(
+        [
+            (c.did_provider, c.ssi_validation, c.cache_did, c.processing_mode)
+            for c in OPTION_SETS
+        ],
+        "did_provider string, ssi_validation boolean, cache_did boolean, "
+        "processing_mode string",
+    )
+    evp = ev.crossJoin(F.broadcast(pair_df))
+    signed = sign_column_by(evp, "symbol", "payload", "crypto_provider")
+    tampered = signed.withColumn(
+        "jwt",
+        F.when(
+            F.col("event_id") % 50 == 0, F.concat(F.col("jwt"), F.lit("x"))
+        ).otherwise(F.col("jwt")),
+    )
+    ver = verify_column_by(tampered, "symbol", "jwt", "crypto_provider")
+    labeled = ver.join(
+        F.broadcast(cfg_df), ["did_provider", "ssi_validation"]
+    )
+    tally = labeled.groupBy(
         "did_provider", "ssi_validation", "cache_did", "processing_mode"
     ).agg(
         F.count("*").alias("n_messages"),
