@@ -290,3 +290,28 @@ def test_did_peer_and_pkh_resolution():
         C.resolve_did(bad_addr)
     # non-eip155 namespaces carry opaque account ids -> accepted verbatim
     C.resolve_did("did:pkh:solana:mainnet:4Nd1mYvn")
+
+
+def test_provider_dispatch_columns_null_safe(spark):
+    """sign_column_by / verify_column_by: per-row provider dispatch signs
+    with the row's provider (tokens match the fixed-provider path) and a
+    null provider (an SSI-off config row) flows through as null jwt and
+    null verified."""
+    from ssiintegrateddatapipeline_spark.operators import identity as I
+
+    rows = [
+        ("BINANCE:BTCUSDT", "p0", "did:key"),
+        ("BINANCE:ETHUSDT", "p1", "did:web"),
+        ("BINANCE:SOLUSDT", "p2", "did:ethr:sepolia"),
+        ("BINANCE:BTCUSDT", "p3", None),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, payload string, prov string")
+    out = I.verify_column_by(
+        I.sign_column_by(df, "symbol", "payload", "prov"), "symbol", "jwt", "prov"
+    ).collect()
+    by_payload = {r.payload: r for r in out}
+    for payload, (sym, _, prov) in zip(["p0", "p1", "p2"], rows):
+        r = by_payload[payload]
+        assert r.jwt == I._sign_for(sym, prov, {"claims": payload})
+        assert r.verified is True
+    assert by_payload["p3"].jwt is None and by_payload["p3"].verified is None
