@@ -512,13 +512,25 @@ def _session_ckpt_root() -> str:
 
 
 def run_available_now(
-    plan: DataFrame, output_mode: str = "complete", dedup_keys: list[str] | None = None
+    plan: DataFrame,
+    output_mode: str = "complete",
+    dedup_keys: list[str] | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming plan with ``trigger(availableNow=True)`` into a
     memory sink and return the materialized result as a batch DataFrame.
 
     ``update`` mode may emit a row per micro-batch per key; pass
     ``dedup_keys`` to keep only each key's final row (latest ``events``).
+
+    ``state_partitions``: stateful operators instantiate one state store
+    per shuffle partition, and the partition count is frozen into the
+    checkpoint at first start — for plans whose state cardinality is O(1)
+    in the data (a fixed symbol/config/bucket set), 32 stores are pure
+    per-micro-batch setup/commit overhead. Pass a small count to pin the
+    state layout for this run; upstream stages that need width (e.g. the
+    crypto spread) must size their repartition explicitly rather than
+    inheriting the session shuffle conf.
     """
     spark = plan.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
@@ -526,15 +538,23 @@ def run_available_now(
     # under ONE session root cleaned at interpreter exit — the recursive
     # delete of state/offset files stays OUT of the measured path
     ckpt = tempfile.mkdtemp(dir=_session_ckpt_root())
-    q = (
-        plan.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key) if state_partitions else None
+    if state_partitions:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions:
+            spark.conf.set(conf_key, prior)
     out = spark.table(name)
     if dedup_keys:
         out = out.groupBy(*dedup_keys).agg(
@@ -574,12 +594,13 @@ def streaming_sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.array(*[F.lit(s) for s in SYMBOLS])
     # the file source emits one partition per file — hash-spread the narrow
     # projection so the Arrow-batched crypto runs on every core, exactly as
-    # sources.batch.spread() does for the batch pipeline
+    # sources.batch.spread() does for the batch pipeline (explicit width:
+    # the session shuffle conf is pinned small for the 5-row tally state)
     ev = stream.select(
         "event_id",
         F.element_at(arr, (F.col("user_id") % 5 + 1).cast("int")).alias("symbol"),
         F.col("props").alias("payload"),
-    ).repartition(F.col("event_id"))
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("event_id"))
     signed = sign_column(ev, "symbol", "payload")
     tampered = signed.withColumn(
         "jwt",
@@ -597,7 +618,8 @@ def streaming_sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rejected"),
     )
-    return run_available_now(tally, output_mode="complete")
+    # state = one row per symbol (5): O(1) state partitions
+    return run_available_now(tally, output_mode="complete", state_partitions=8)
 
 
 def streaming_provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,7 +657,8 @@ def streaming_provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir)
     arr = F.array(*[F.lit(s) for s in SYMBOLS])
     # file source = one partition per file; hash-spread the sampled rows so
-    # each branch's crypto stage uses every core, not one task per branch
+    # the crypto stage uses every core (explicit width — the session
+    # shuffle conf is pinned small for the 6-row tally state)
     ev = (
         stream.where(F.col("event_id") % 16 == 0)
         .select(
@@ -645,7 +668,7 @@ def streaming_provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("props").alias("payload"),
         )
-        .repartition(F.col("event_id"))
+        .repartition(spark.sparkContext.defaultParallelism, F.col("event_id"))
     )
     pairs = list(
         dict.fromkeys((c.did_provider, c.ssi_validation) for c in OPTION_SETS)
@@ -685,18 +708,24 @@ def streaming_provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rejected"),
     )
-    return run_available_now(tally, output_mode="complete")
+    # state = one row per config (6): O(1) state partitions
+    return run_available_now(tally, output_mode="complete", state_partitions=8)
 
 
 def streaming_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_available_now(last_seen_plan(events_stream(spark, sf_dir)))
+    # state = one gauge row per event type (5): O(1) state partitions
+    return run_available_now(
+        last_seen_plan(events_stream(spark, sf_dir)), state_partitions=8
+    )
 
 
 def streaming_payload_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssiintegrateddatapipeline_spark.operators.analytics import PAYLOAD_BUCKETS
 
+    # state = one row per (type, bucket) pair: O(1) state partitions
     return run_available_now(
-        payload_hist_plan(events_stream(spark, sf_dir), PAYLOAD_BUCKETS)
+        payload_hist_plan(events_stream(spark, sf_dir), PAYLOAD_BUCKETS),
+        state_partitions=8,
     )
 
 
@@ -704,7 +733,10 @@ def streaming_cms_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract query: the fully-drained streaming CMS grid equals the
     batch grid (same hash rows, same counters) — sketch maintenance
     verified end-to-end through the streaming engine."""
-    return run_available_now(cms_grid_plan(events_stream(spark, sf_dir)))
+    # state = the fixed d x w counter grid: O(1) state partitions
+    return run_available_now(
+        cms_grid_plan(events_stream(spark, sf_dir)), state_partitions=8
+    )
 
 
 def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
