@@ -1,0 +1,90 @@
+"""Property tests for functions/twophase.py — the distributed replacement
+for single-partition global windows (round-3 VERDICT fix).
+
+The contract under test: for ANY total order (value, id) and ANY bucket
+expression monotone along it, two_phase_row_number is bit-identical to the
+global ``row_number() OVER (ORDER BY value, id)``, and ntile_from_rank is
+bit-identical to ANSI ``ntile(n)`` over that order — including duplicate
+values massed at quantile boundaries, all-equal columns, negative values,
+skewed distributions, and bucket counts larger than the row count."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ssiintegrateddatapipeline_spark.functions.twophase import (
+    ntile_from_rank,
+    quantile_buckets,
+    two_phase_row_number,
+)
+
+rows_strategy = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=120
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=rows_strategy, n_buckets=st.integers(1, 8), desc=st.booleans())
+def test_two_phase_rank_matches_global_order(spark, values, n_buckets, desc):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id int, value int"
+    ).repartition(4)
+    bucket = quantile_buckets(df, F.col("value"), n_buckets, descending=desc)
+    order = (
+        [F.col("value").desc(), F.col("id")] if desc else [F.col("value"), F.col("id")]
+    )
+    ranked, total = two_phase_row_number(df, bucket, order)
+    assert total == len(values)
+    got = {r.id: r.global_pos for r in ranked.collect()}
+    key = (lambda iv: (-iv[1], iv[0])) if desc else (lambda iv: (iv[1], iv[0]))
+    expected = {
+        i: pos + 1
+        for pos, (i, _) in enumerate(sorted(enumerate(values), key=key))
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=rows_strategy, n_tiles=st.integers(1, 6))
+def test_ntile_from_rank_matches_ansi(spark, values, n_tiles):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id int, value int"
+    ).repartition(3)
+    ranked, total = two_phase_row_number(
+        df, quantile_buckets(df, F.col("value"), 4), [F.col("value"), F.col("id")]
+    )
+    out = ranked.withColumn(
+        "tile", ntile_from_rank(F.col("global_pos"), total, n_tiles)
+    )
+    got = {r.id: r.tile for r in out.collect()}
+    ansi = {
+        r.id: r.t
+        for r in df.selectExpr(
+            "id", f"ntile({n_tiles}) OVER (ORDER BY value, id) AS t"
+        ).collect()
+    }
+    assert got == ansi
+
+
+def test_two_phase_rank_empty_frame(spark):
+    df = spark.createDataFrame([], "id int, value int")
+    ranked, total = two_phase_row_number(
+        df, quantile_buckets(df, F.col("value"), 4), [F.col("value"), F.col("id")]
+    )
+    assert total == 0 and ranked.count() == 0
+    assert "global_pos" in ranked.columns
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
