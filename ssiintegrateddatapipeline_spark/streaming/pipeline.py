@@ -574,7 +574,12 @@ def run_available_now(
 # ---------------------------------------------------------------------------
 
 def streaming_throughput_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_available_now(throughput_plan(events_stream(spark, sf_dir)))
+    # state = (30s window, type) keys — O(event-time span), not O(rows):
+    # more data densifies windows without adding keys, so a small state
+    # layout is safe at any volume for a fixed span
+    return run_available_now(
+        throughput_plan(events_stream(spark, sf_dir)), state_partitions=8
+    )
 
 
 def streaming_sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,7 +860,10 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_available_now(sliding_rate_plan(events_stream(spark, sf_dir)))
+    # state = overlapping (window, type) keys — O(span), not O(rows)
+    return run_available_now(
+        sliding_rate_plan(events_stream(spark, sf_dir)), state_partitions=8
+    )
 
 
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
