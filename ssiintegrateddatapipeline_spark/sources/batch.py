@@ -43,7 +43,21 @@ TIMESTAMP_COLS = {
 }
 
 
+# Session-scoped loader memo: every load_table call otherwise re-lists the
+# path and re-reads parquet footers (~90 ms per call even with a warm FS
+# cache), which multiplied across a query suite is pure driver overhead.
+# DataFrames are immutable, so handing the same analyzed relation to every
+# caller is safe; keyed by applicationId so a new session never sees stale
+# JVM references. This is metadata caching only — no .cache()/persist of
+# row data, and scan pushdown still specializes per downstream query.
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _LOAD_MEMO.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in TIMESTAMP_COLS.get(name, ()):
         dt = df.schema[col].dataType
@@ -54,6 +68,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(dt, T.TimestampNTZType):
             # naive micros reinterpreted as a UTC instant (session tz is UTC)
             df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    _LOAD_MEMO[key] = df
     return df
 
 
