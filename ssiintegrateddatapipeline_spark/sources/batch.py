@@ -53,12 +53,23 @@ TIMESTAMP_COLS = {
 _LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The un-normalized parquet relation (file-layout schema), memoized.
+    Streaming readers need THIS schema — readStream.schema must match the
+    physical files, before any timestamp normalization."""
+    key = (spark.sparkContext.applicationId, sf_dir, name + "#raw")
+    hit = _LOAD_MEMO.get(key)
+    if hit is None:
+        hit = _LOAD_MEMO[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return hit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     hit = _LOAD_MEMO.get(key)
     if hit is not None:
         return hit
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = load_raw(spark, sf_dir, name)
     for col in TIMESTAMP_COLS.get(name, ()):
         dt = df.schema[col].dataType
         if isinstance(dt, T.LongType):

@@ -58,7 +58,9 @@ def events_stream(
     ``maxFilesPerTrigger`` is the file-source backpressure knob (the Kafka
     equivalent is ``maxOffsetsPerTrigger``).
     """
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ssiintegrateddatapipeline_spark.sources.batch import load_raw
+
+    batch = load_raw(spark, sf_dir, "events")
     # the file stream source wants a directory; select just the events
     # parquet out of the sf dir with a glob filter
     reader = spark.readStream.schema(batch.schema).option(
