@@ -101,6 +101,7 @@ HEADLINE = [
     "sampling_temperature_mix",
     "streaming_sign_verify",
     "streaming_provider_matrix",
+    "streaming_neardup_gate",
 ]
 
 

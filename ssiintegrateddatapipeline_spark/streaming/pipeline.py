@@ -82,6 +82,19 @@ def events_stream(
 # one declarative plan serves both batch and streaming execution)
 # ---------------------------------------------------------------------------
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay ``documents.parquet`` as a streaming DataFrame (the ingest
+    feed for online corpus-curation operators)."""
+    from ssiintegrateddatapipeline_spark.sources.batch import load_raw
+
+    batch = load_raw(spark, sf_dir, "documents")
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def throughput_plan(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """A4/Q3: tumbling 30 s event rate per type, event-time windows."""
     return (
@@ -857,6 +870,112 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GATE_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online near-duplicate ingest gate — the streaming twin of the batch
+    MinHash-LSH path (operators/dedup.py): documents with even ids stand in
+    for the EXISTING corpus (a static LSH bucket table), documents with odd
+    ids replay as the arriving stream, and each arrival is admitted iff no
+    corpus document in any of its 4 LSH band buckets matches >= 4/8 of its
+    minhashes. This is the shape a training-data pipeline runs at ingest:
+    new crawl shards probe the corpus's bucket index before admission.
+
+    Plan: the arrival stream computes shingle->minhash signatures with the
+    SAME JVM column expressions as batch dedup (no UDF), explodes its 4
+    band keys, stream-static LEFT-joins the corpus bucket table on
+    (band, key), and aggregates per arrival (bucket-hit count, best
+    minhash match). Scale: the probe is bucket-blocked (never all-pairs);
+    the corpus side is a static relation joined per micro-batch (broadcast
+    when small, shuffled hash join when not); per-arrival state lives only
+    for the run — production would emit per-micro-batch decisions
+    append-only and evict with a watermark."""
+    from ssiintegrateddatapipeline_spark.functions.text_funcs import (
+        tokens,
+        with_minhash_signature,
+        word_shingles,
+    )
+    from ssiintegrateddatapipeline_spark.operators.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        NEAR_DUP_MIN_MATCHES,
+    )
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    def band_keys(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "_",
+                                F.element_at("sig", 2 * b + 1),
+                                F.element_at("sig", 2 * b + 2),
+                            ).alias("key"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "sig", "bk.band", "bk.key")
+
+    def signatures(df: DataFrame) -> DataFrame:
+        return with_minhash_signature(
+            df.select("doc_id", word_shingles(tokens(F.col("text"))).alias("_sh")),
+            F.col("_sh"),
+            N_MINHASH,
+        ).select("doc_id", "sig")
+
+    # the corpus bucket index is static across micro-batches (and across
+    # gate runs in a session) — persist it once, like dedup._PAIRS_CACHE;
+    # a production gate would maintain this as an indexed table
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    if ckey not in _GATE_CORPUS_CACHE:
+        _GATE_CORPUS_CACHE[ckey] = (
+            band_keys(
+                signatures(
+                    load_table(spark, sf_dir, "documents").where(
+                        F.col("doc_id") % 2 == 0
+                    )
+                )
+            )
+            .select("band", "key", F.col("sig").alias("ref_sig"))
+            .persist()
+        )
+    corpus = _GATE_CORPUS_CACHE[ckey]
+    arrivals = band_keys(
+        signatures(
+            documents_stream(spark, sf_dir)
+            .where(F.col("doc_id") % 2 == 1)
+            .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        )
+    )
+    n_match = F.size(
+        F.filter(F.zip_with("sig", "ref_sig", lambda x, y: x == y), lambda m: m)
+    )
+    probed = arrivals.join(corpus, ["band", "key"], "left").select(
+        "doc_id",
+        F.when(F.col("ref_sig").isNotNull(), 1).otherwise(0).alias("hit"),
+        F.when(F.col("ref_sig").isNotNull(), n_match).alias("n_match"),
+    )
+    gate = probed.groupBy("doc_id").agg(
+        F.sum("hit").cast("long").alias("n_bucket_hits"),
+        F.coalesce(F.max("n_match"), F.lit(0)).cast("int").alias("best_match"),
+    )
+    out = run_available_now(gate, output_mode="complete").select(
+        "doc_id",
+        "n_bucket_hits",
+        "best_match",
+        (F.col("best_match") < NEAR_DUP_MIN_MATCHES).alias("admitted"),
+    )
+    return out
+
+
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(session_plan(events_stream(spark, sf_dir)))
 
@@ -894,6 +1013,7 @@ QUERIES = {
     "streaming_throughput_30s": streaming_throughput_30s,
     "streaming_sign_verify": streaming_sign_verify,
     "streaming_provider_matrix": streaming_provider_matrix,
+    "streaming_neardup_gate": streaming_neardup_gate,
     "streaming_last_seen": streaming_last_seen,
     "streaming_payload_hist": streaming_payload_hist,
     "streaming_user_stats": streaming_user_stats,
@@ -901,10 +1021,53 @@ QUERIES = {
     "streaming_cms_grid": streaming_cms_grid,
 }
 
+def _neardup_gate_oracle() -> str:
+    from ssiintegrateddatapipeline_spark.operators.dedup import (
+        _SIG_CTE,
+        N_BANDS,
+        N_MINHASH,
+        NEAR_DUP_MIN_MATCHES,
+    )
+
+    return f"""
+        WITH {_SIG_CTE},
+        arr AS (SELECT doc_id, sig FROM sigs WHERE doc_id % 2 = 1),
+        ref AS (SELECT doc_id, sig FROM sigs WHERE doc_id % 2 = 0),
+        bspine AS (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b),
+        arrb AS (
+            SELECT doc_id, sig, b,
+                   sig[2*b + 1]::VARCHAR || '_' || sig[2*b + 2]::VARCHAR AS key
+            FROM arr CROSS JOIN bspine
+        ),
+        refb AS (
+            SELECT sig, b,
+                   sig[2*b + 1]::VARCHAR || '_' || sig[2*b + 2]::VARCHAR AS key
+            FROM ref CROSS JOIN bspine
+        ),
+        hits AS (
+            SELECT a.doc_id,
+                   length(list_filter(
+                       list_transform(generate_series(1, {N_MINHASH}),
+                                      i -> a.sig[i] = r.sig[i]),
+                       x -> x)) AS n_match
+            FROM arrb a JOIN refb r ON a.b = r.b AND a.key = r.key
+        )
+        SELECT a.doc_id,
+               count(h.n_match)::BIGINT AS n_bucket_hits,
+               coalesce(max(h.n_match), 0)::INT AS best_match,
+               coalesce(max(h.n_match), 0) < {NEAR_DUP_MIN_MATCHES} AS admitted
+        FROM arr a LEFT JOIN hits h USING (doc_id)
+        GROUP BY a.doc_id
+    """
+
+
 ORACLES = {
     # identical final answer to the batch histogram p95: the streaming
     # counter/interpolation split must be lossless
     "streaming_p95_value": _BATCH_P95_ORACLE,
+    # online LSH ingest gate: the oracle replays shingle->minhash->band
+    # keys with dedup.py's SQL machinery, split into arrival/corpus halves
+    "streaming_neardup_gate": _neardup_gate_oracle(),
 
     "streaming_top_users": f"""
         SELECT user_id, n_events, rank FROM (
