@@ -29,6 +29,7 @@ backpressure knob (SURVEY §4).
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 import uuid
@@ -526,6 +527,23 @@ def _session_ckpt_root() -> str:
     return _CKPT_ROOT[0]
 
 
+# Final StreamingQueryProgress of the most recent runner invocation, for
+# state-shape assertions (tests/test_streaming_state.py reads the
+# stateOperators row counts after running each contract query). The runners
+# execute one query at a time (see the conf note in run_available_now), so a
+# single module slot is race-free.
+LAST_QUERY_PROGRESS: dict | None = None
+
+
+def _record_progress(query) -> None:
+    global LAST_QUERY_PROGRESS
+    try:
+        prog = query.lastProgress
+        LAST_QUERY_PROGRESS = dict(prog) if prog else None
+    except Exception:
+        LAST_QUERY_PROGRESS = None
+
+
 def run_available_now(
     plan: DataFrame,
     output_mode: str = "complete",
@@ -546,6 +564,11 @@ def run_available_now(
     state layout for this run; upstream stages that need width (e.g. the
     crypto spread) must size their repartition explicitly rather than
     inheriting the session shuffle conf.
+
+    Note: pinning mutates the session-global ``spark.sql.shuffle.partitions``
+    around ``start()`` (restored in ``finally``). The engine's runners are
+    single-threaded per session — a concurrent plan built in another thread
+    of the SAME session during that window would inherit the pinned value.
     """
     spark = plan.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
@@ -567,6 +590,7 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
+        _record_progress(q)
     finally:
         if state_partitions:
             spark.conf.set(conf_key, prior)
@@ -582,6 +606,49 @@ def run_available_now(
     pdf = out.toPandas()
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(pdf, out.schema)
+
+
+def run_foreach_batch(
+    plan: DataFrame,
+    per_batch,
+) -> DataFrame:
+    """Execute a STATELESS streaming plan with ``trigger(availableNow=True)``
+    through ``foreachBatch``, applying ``per_batch`` (a batch-DataFrame →
+    batch-DataFrame transform) to each micro-batch and APPENDING its rows to
+    a parquet spool, then return the spool as a batch DataFrame.
+
+    This is the append-only decision-emission shape for per-arrival
+    verdicts: any aggregation whose keys are confined to a single
+    micro-batch (e.g. a document's exploded band rows, co-batched by
+    construction) runs INSIDE ``per_batch`` as plain batch code — the
+    streaming engine instantiates no state store at all, so the query's
+    state footprint is zero regardless of how many arrivals the stream ever
+    carries. Contrast complete-mode ``groupBy``: its state is one row per
+    key forever (banned for unbounded keys by
+    tests/test_streaming_state.py).
+    """
+    spark = plan.sparkSession
+    ckpt = tempfile.mkdtemp(dir=_session_ckpt_root())
+    spool = os.path.join(tempfile.mkdtemp(dir=_session_ckpt_root()), "out")
+    schema: list = []
+
+    def _emit(bdf: DataFrame, _batch_id: int) -> None:
+        out = per_batch(bdf)
+        if not schema:
+            schema.append(out.schema)
+        out.write.mode("append").parquet(spool)
+
+    q = (
+        plan.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _record_progress(q)
+    if not schema:  # zero micro-batches: empty result, schema from a probe
+        return per_batch(spark.createDataFrame([], plan.schema)).limit(0)
+    return spark.read.schema(schema[0]).parquet(spool)
 
 
 # ---------------------------------------------------------------------------
@@ -885,12 +952,19 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the arrival stream computes shingle->minhash signatures with the
     SAME JVM column expressions as batch dedup (no UDF), explodes its 4
     band keys, stream-static LEFT-joins the corpus bucket table on
-    (band, key), and aggregates per arrival (bucket-hit count, best
-    minhash match). Scale: the probe is bucket-blocked (never all-pairs);
-    the corpus side is a static relation joined per micro-batch (broadcast
-    when small, shuffled hash join when not); per-arrival state lives only
-    for the run — production would emit per-micro-batch decisions
-    append-only and evict with a watermark."""
+    (band, key), and emits one admit/block decision per arrival
+    APPEND-ONLY through ``run_foreach_batch``: a document's 4 exploded
+    band rows land in the same micro-batch by construction (they derive
+    from one input row), so the per-document tally (bucket-hit count,
+    best minhash match) is an intra-batch aggregation — plain batch code
+    inside ``foreachBatch``, no streaming state store at all. Scale: the
+    probe is bucket-blocked (never all-pairs); the corpus side is a
+    static relation joined per micro-batch (broadcast when small,
+    shuffled hash join when not); state is ZERO — a long-running ingest
+    stream decides each arrival and forgets it. (The previous
+    complete-mode form kept one state row per document ever streamed,
+    O(arrivals); zero-state is pinned against regression by
+    tests/test_streaming_state.py.)"""
     from ssiintegrateddatapipeline_spark.functions.text_funcs import (
         tokens,
         with_minhash_signature,
@@ -963,17 +1037,26 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("ref_sig").isNotNull(), 1).otherwise(0).alias("hit"),
         F.when(F.col("ref_sig").isNotNull(), n_match).alias("n_match"),
     )
-    gate = probed.groupBy("doc_id").agg(
-        F.sum("hit").cast("long").alias("n_bucket_hits"),
-        F.coalesce(F.max("n_match"), F.lit(0)).cast("int").alias("best_match"),
-    )
-    out = run_available_now(gate, output_mode="complete").select(
-        "doc_id",
-        "n_bucket_hits",
-        "best_match",
-        (F.col("best_match") < NEAR_DUP_MIN_MATCHES).alias("admitted"),
-    )
-    return out
+
+    def decide(batch: DataFrame) -> DataFrame:
+        # intra-batch by construction: every band row of a doc co-batches
+        return (
+            batch.groupBy("doc_id")
+            .agg(
+                F.sum("hit").cast("long").alias("n_bucket_hits"),
+                F.coalesce(F.max("n_match"), F.lit(0))
+                .cast("int")
+                .alias("best_match"),
+            )
+            .select(
+                "doc_id",
+                "n_bucket_hits",
+                "best_match",
+                (F.col("best_match") < NEAR_DUP_MIN_MATCHES).alias("admitted"),
+            )
+        )
+
+    return run_foreach_batch(probed, decide)
 
 
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
