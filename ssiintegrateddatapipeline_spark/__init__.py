@@ -15,4 +15,5 @@ genuinely non-relational kernels (Ed25519/JWT crypto) as Arrow-batched UDFs.
 
 __version__ = "0.1.0"
 
+from ssiintegrateddatapipeline_spark.caches import clear_caches  # noqa: F401
 from ssiintegrateddatapipeline_spark.session import get_spark  # noqa: F401

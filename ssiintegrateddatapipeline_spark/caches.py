@@ -1,0 +1,56 @@
+"""Session-scoped cache registry with an explicit eviction path.
+
+The engine memoizes three kinds of session-local artifacts:
+
+- analyzed relations (``sources/batch._LOAD_MEMO``) — metadata only;
+- ``.persist()``-ed DataFrames (``operators/dedup._PAIRS_CACHE``,
+  ``streaming/pipeline._GATE_CORPUS_CACHE``) — executor block-manager
+  memory;
+- plan-time literal tables (``functions/twophase`` offset/boundary memos)
+  — tiny driver dicts.
+
+All are keyed by ``(applicationId, ...)`` so a new session never sees stale
+JVM references, and all assume the keyed ``sf_dir``'s contents are
+IMMUTABLE for the life of the session (the memoized relation freezes the
+file listing). They grow per (app, sf_dir) with no automatic eviction —
+harmless in a bench run over one dataset, a slow leak in a long-lived
+session sweeping many. Call :func:`clear_caches` between datasets (bench
+does between sf_dirs); tests/test_caches.py pins that eviction leaves no
+persisted RDDs behind.
+"""
+
+from __future__ import annotations
+
+# (cache_dict, holds_persisted_dataframes)
+_REGISTRY: list[tuple[dict, bool]] = []
+
+
+def register(cache: dict, persisted: bool = False) -> dict:
+    """Enroll a module-level cache dict for :func:`clear_caches` eviction.
+    ``persisted=True`` marks values as ``.persist()``-ed DataFrames that
+    must be unpersisted on eviction (not just dropped)."""
+    _REGISTRY.append((cache, persisted))
+    return cache
+
+
+def clear_caches(spark=None) -> int:
+    """Evict every registered session cache; returns the number of entries
+    dropped. Unpersists DataFrame values (blocking=False) before clearing,
+    so executor storage is actually released, then clears the dicts. Safe
+    to call at any point between queries; the next call to any memoized
+    loader simply rebuilds its entry."""
+    dropped = 0
+    for cache, persisted in _REGISTRY:
+        if persisted:
+            for v in cache.values():
+                # a value may be one persisted DataFrame or a list of them
+                # (auxiliary persists feeding a cached result, e.g. the LSH
+                # signature table under the pair graph)
+                for df in v if isinstance(v, (list, tuple)) else (v,):
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass  # session already stopped; nothing to release
+        dropped += len(cache)
+        cache.clear()
+    return dropped

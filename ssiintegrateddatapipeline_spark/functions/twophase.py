@@ -28,9 +28,23 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ssiintegrateddatapipeline_spark.caches import register
+
 # Default number of range buckets for quantile-derived bucketing. Buckets
 # only shape parallelism, never results; raise for bigger clusters.
 N_RANK_BUCKETS = 64
+
+# Offset-table / quantile-boundary memos: the offset pass is a full
+# groupBy(bucket).count() job over the input — a real scan, paid once per
+# DISTINCT bucketed plan rather than once per call (a suite re-building the
+# same query otherwise re-runs it every time; round-4 VERDICT task 2). Keyed
+# by (applicationId, DataFrame.semanticHash()): the semantic hash is derived
+# from the CANONICALIZED plan (normalized expression ids, LocalRelation data
+# included), so two plans collide only if they are semantically the same
+# query over the same session-immutable input — see caches.py for the
+# immutability contract and the eviction path.
+_OFFSETS_MEMO: dict[tuple, tuple[dict, int]] = register({})
+_BOUNDS_MEMO: dict[tuple, list] = register({})
 
 
 def two_phase_row_number(
@@ -39,31 +53,173 @@ def two_phase_row_number(
     order_by: Sequence[Column],
     out: str = "global_pos",
 ) -> tuple[DataFrame, int]:
-    """Append a 1-based global row number ``out`` ordered by ``order_by``.
+    """Append a 1-based global row number ``out`` (``long`` — ranks are
+    exactly what outgrow int32 at warehouse scale) ordered by ``order_by``.
 
-    ``bucket`` must be an integer expression monotone non-decreasing along
-    the ``order_by`` total order (caller's contract). Returns the ranked
-    frame and the total row count (a free by-product of the offset pass,
-    handy for exact ntile arithmetic).
+    ``bucket`` must be a NON-NULL integer expression monotone non-decreasing
+    along the ``order_by`` total order (caller's contract; a null bucket has
+    no place in the total order, so it raises rather than mis-ranking).
+    Returns the ranked frame and the total row count (a free by-product of
+    the offset pass, handy for exact ntile arithmetic).
     """
     b = df.withColumn("__tpb", bucket)
-    # Offset pass: one row per bucket. Catalyst prunes everything except
-    # the bucket expression's inputs from this scan.
-    rows = b.groupBy("__tpb").agg(F.count(F.lit(1)).alias("__n")).collect()
-    offsets: dict[int, int] = {}
-    total = 0
-    for r in sorted(rows, key=lambda r: r["__tpb"]):
-        offsets[r["__tpb"]] = total
-        total += r["__n"]
+    key = (df.sparkSession.sparkContext.applicationId, b.semanticHash())
+    memo = _OFFSETS_MEMO.get(key)
+    if memo is None:
+        # Offset pass: one row per bucket. Catalyst prunes everything except
+        # the bucket expression's inputs from this scan.
+        rows = b.groupBy("__tpb").agg(F.count(F.lit(1)).alias("__n")).collect()
+        if any(r["__tpb"] is None for r in rows):
+            raise ValueError(
+                "two_phase_row_number: bucket expression evaluated to NULL "
+                "for some rows — coalesce nulls into a sentinel bucket that "
+                "respects the order, or filter them out"
+            )
+        offsets: dict[int, int] = {}
+        total = 0
+        for r in sorted(rows, key=lambda r: r["__tpb"]):
+            offsets[r["__tpb"]] = total
+            total += r["__n"]
+        memo = _OFFSETS_MEMO[key] = (offsets, total)
+    offsets, total = memo
     w = Window.partitionBy("__tpb").orderBy(*order_by)
     if offsets:
-        lookup = F.create_map(
-            *[F.lit(x) for k, v in offsets.items() for x in (k, v)]
-        )
-        pos = F.row_number().over(w) + lookup[F.col("__tpb")]
+        pos = F.row_number().over(w) + _offset_lookup(offsets)
     else:  # empty input: keep the schema without a degenerate map literal
         pos = F.row_number().over(w)
-    return b.withColumn(out, pos.cast("int")).drop("__tpb"), total
+    return b.withColumn(out, pos.cast("long")).drop("__tpb"), total
+
+
+# Dense bucket domains up to this span encode their offset table as ONE
+# folded array literal instead of a 2x|buckets| create_map expression tree:
+# the analyzer re-walks every expression node of a plan on each downstream
+# Dataset transformation, so a 256-bucket map (512 Literal nodes) costs
+# ~0.2 s of driver time PER CALL. ``split`` of one CSV string literal is a
+# single expression to build (one py4j hop — ``F.lit([...])`` would issue
+# one hop per element) and is foldable, so the optimizer collapses it to a
+# single ArrayData literal once per execution; per-row lookup is then an
+# O(1) ``element_at``.
+_DENSE_SPAN_MAX = 4096
+
+
+def _blob_lookup(idx: Column, values: list[int]) -> Column:
+    """``values[idx]`` (0-based) as a single folded-array-literal lookup."""
+    csv = ",".join(str(int(v)) for v in values)
+    arr = F.split(F.lit(csv), ",")
+    return F.element_at(arr, (idx + 1).cast("int")).cast("long")
+
+
+def _offset_lookup(offsets: dict[int, int]):
+    """Plan-time column mapping ``__tpb`` -> its cumulative offset."""
+    lo, hi = min(offsets), max(offsets)
+    if hi - lo < _DENSE_SPAN_MAX:
+        dense = []
+        prev = 0
+        for k in range(lo, hi + 1):
+            # gap buckets hold no rows; carry the previous offset (unused)
+            prev = offsets.get(k, prev)
+            dense.append(prev)
+        return _blob_lookup(F.col("__tpb") - F.lit(lo), dense)
+    # sparse/huge bucket domain: fall back to the map literal
+    lookup = F.create_map(*[F.lit(x) for k, v in offsets.items() for x in (k, v)])
+    return lookup[F.col("__tpb")]
+
+
+def two_phase_grouped_row_number(
+    df: DataFrame,
+    bucket: Column,
+    group: Column,
+    order_by: Sequence[Column],
+    out: str = "global_pos",
+    group_out: str = "group_pos",
+) -> tuple[DataFrame, int]:
+    """One-shuffle twin of :func:`two_phase_row_number` that also appends the
+    within-``group`` rank (both ``long``, both ordered by ``order_by``).
+
+    A naive plan computes the global rank with one window and the per-group
+    rank with a second ``Window.partitionBy(group)`` — a SECOND full shuffle
+    of the data. Here both ranks ride ONE hash exchange on the range bucket:
+    ``hash(__tpb)`` co-locates every ``(__tpb, group)`` pair, so the
+    per-(bucket, group) window's clustering requirement is already satisfied
+    and Catalyst plans exchange → sort → Window → sort → Window with no
+    second exchange. The offset pass aggregates per (bucket, group) — at
+    most ``|buckets| x |groups|`` rows, bounded by construction — and yields
+    BOTH offset tables: per-bucket (global rank) and per-(group, bucket)
+    (rows of the same group in lower buckets).
+
+    Requirements: ``bucket`` as in :func:`two_phase_row_number`; ``group``
+    a non-null integer expression over a SMALL dense domain (shards,
+    partitions — parallelism-shaped, not data-shaped).
+    """
+    b = df.withColumn("__tpb", bucket).withColumn("__tpg", group)
+    key = (df.sparkSession.sparkContext.applicationId, b.semanticHash())
+    memo = _OFFSETS_MEMO.get(key)
+    if memo is None:
+        rows = (
+            b.groupBy("__tpb", "__tpg").agg(F.count(F.lit(1)).alias("__n")).collect()
+        )
+        if any(r["__tpb"] is None or r["__tpg"] is None for r in rows):
+            raise ValueError(
+                "two_phase_grouped_row_number: bucket/group expression "
+                "evaluated to NULL — coalesce or filter first"
+            )
+        bucket_tot: dict[int, int] = {}
+        for r in rows:
+            bucket_tot[r["__tpb"]] = bucket_tot.get(r["__tpb"], 0) + r["__n"]
+        bucket_offsets: dict[int, int] = {}
+        run = 0
+        for k in sorted(bucket_tot):
+            bucket_offsets[k] = run
+            run += bucket_tot[k]
+        group_offsets: dict[tuple[int, int], int] = {}
+        per_group_run: dict[int, int] = {}
+        for r in sorted(rows, key=lambda r: (r["__tpg"], r["__tpb"])):
+            g = r["__tpg"]
+            group_offsets[(g, r["__tpb"])] = per_group_run.get(g, 0)
+            per_group_run[g] = per_group_run.get(g, 0) + r["__n"]
+        memo = _OFFSETS_MEMO[key] = ((bucket_offsets, group_offsets), run)
+    (bucket_offsets, group_offsets), total = memo
+    w1 = Window.partitionBy("__tpb").orderBy(*order_by)
+    w2 = Window.partitionBy("__tpb", "__tpg").orderBy(*order_by)
+    if not bucket_offsets:  # empty input
+        return (
+            b.withColumn(out, F.row_number().over(w1).cast("long"))
+            .withColumn(group_out, F.row_number().over(w2).cast("long"))
+            .drop("__tpb", "__tpg"),
+            0,
+        )
+    pos = F.row_number().over(w1) + _offset_lookup(bucket_offsets)
+    g_lo = min(g for g, _ in group_offsets)
+    g_hi = max(g for g, _ in group_offsets)
+    b_lo = min(bucket_offsets)
+    b_hi = max(bucket_offsets)
+    span_b = b_hi - b_lo + 1
+    if (g_hi - g_lo + 1) * span_b < _DENSE_SPAN_MAX * 8:
+        dense = [
+            group_offsets.get((g, k), 0)
+            for g in range(g_lo, g_hi + 1)
+            for k in range(b_lo, b_hi + 1)
+        ]
+        gidx = (F.col("__tpg") - F.lit(g_lo)) * span_b + (
+            F.col("__tpb") - F.lit(b_lo)
+        )
+        goff = _blob_lookup(gidx, dense)
+    else:
+        lookup = F.create_map(
+            *[
+                F.lit(x)
+                for (g, k), v in group_offsets.items()
+                for x in (g * (b_hi + 1) + k, v)
+            ]
+        )
+        goff = lookup[F.col("__tpg") * (b_hi + 1) + F.col("__tpb")]
+    gpos = F.row_number().over(w2) + goff
+    return (
+        b.withColumn(out, pos.cast("long"))
+        .withColumn(group_out, gpos.cast("long"))
+        .drop("__tpb", "__tpg"),
+        total,
+    )
 
 
 def quantile_buckets(
@@ -80,11 +236,22 @@ def quantile_buckets(
     approximation error is harmless. ``descending=True`` yields buckets
     monotone along a DESC order on ``col``.
     """
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    row = df.agg(
-        F.percentile_approx(col, F.array(*[F.lit(q) for q in qs]), 10_000).alias("b")
-    ).collect()[0]["b"]
-    bounds = sorted(set(row or []))
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        str(col),
+        n_buckets,
+        descending,
+    )
+    bounds = _BOUNDS_MEMO.get(key)
+    if bounds is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        row = df.agg(
+            F.percentile_approx(
+                col, F.array(*[F.lit(q) for q in qs]), 10_000
+            ).alias("b")
+        ).collect()[0]["b"]
+        bounds = _BOUNDS_MEMO[key] = sorted(set(row or []))
     expr = F.lit(0)
     for v in bounds:
         # ascending: count of boundaries <= value; descending: count > value

@@ -88,29 +88,41 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the expensive stage and is shared by minhash_lsh_pairs AND
 # near_dup_clusters — within one session (one bench run, one pipeline) it
 # is computed once and the persisted result reused. Keyed by application id
-# so a new session never sees a stale plan.
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# so a new session never sees a stale plan. Evicted (with unpersist) by
+# caches.clear_caches between datasets.
+from ssiintegrateddatapipeline_spark.caches import register
+
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register({}, persisted=True)
+# the persisted signature table UNDER each cached pair graph — tracked so
+# eviction releases it too (it is a separate .persist() from the pairs)
+_PAIRS_AUX: dict[tuple[str, str], list] = register({}, persisted=True)
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (session-cached; see _PAIRS_CACHE)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = _compute_minhash_lsh_pairs(spark, sf_dir).persist()
+        pairs, aux = _compute_minhash_lsh_pairs(spark, sf_dir)
+        _PAIRS_CACHE[key] = pairs.persist()
+        _PAIRS_AUX[key] = aux
     return _PAIRS_CACHE[key]
 
 
-def _compute_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _compute_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list]:
     """shingle -> minhash -> band -> bucket-join: explode the 4 band keys,
     self-join on (band, key), dedup candidate pairs, then estimate Jaccard
-    as the fraction of matching minhashes and keep pairs >= 4/8.
+    as the fraction of matching minhashes and keep pairs >= 4/8. Returns
+    (pairs, [auxiliary persisted frames]) — the caller caches the pairs and
+    tracks the auxiliaries for eviction.
 
     Signatures are persisted before the self-join: otherwise Catalyst inlines
     the (expensive) signature expression into both join branches and the band
     keys, recomputing the md5 work up to 10x.
     """
-    sigs = _signatures(spark, sf_dir).persist()
-    sigs = sigs.select(
+    persisted_sigs = _signatures(spark, sf_dir).persist()
+    sigs = persisted_sigs.select(
         "doc_id",
         "sig",
         F.explode(
@@ -142,7 +154,7 @@ def _compute_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_match = F.size(
         F.filter(F.zip_with("sig", "sig_b", lambda x, y: x == y), lambda m: m)
     )
-    return (
+    pairs = (
         cand.withColumn("n_matching_minhashes", n_match)
         .where(F.col("n_matching_minhashes") >= NEAR_DUP_MIN_MATCHES)
         .select(
@@ -154,6 +166,7 @@ def _compute_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return pairs, [persisted_sigs]
 
 
 def near_dup_clusters(

@@ -257,7 +257,12 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (w·total_tokens)/(total_w·n_tokens) would overflow int64 once the
     # corpus passes ~4.6e8 tokens (ANSI-mode throw vs DuckDB HUGEINT).
     p_micro = F.round(p_temp * 1_000_000).cast("long")
-    share_micro = F.round(F.col("token_share") * 1_000_000).cast("long")
+    # greatest(..., 1): a source whose token share rounds below 5e-7 would
+    # otherwise divide by zero (ANSI-mode error) at extreme imbalance; the
+    # clamp caps its boost at p_micro/1e-6 instead (mirrored in the oracle)
+    share_micro = F.greatest(
+        F.round(F.col("token_share") * 1_000_000).cast("long"), F.lit(1)
+    )
     return sh.crossJoin(F.broadcast(tw)).select(
         "source",
         "n_docs",
@@ -304,7 +309,8 @@ ORACLES = {
         m AS (
             SELECT source, n_docs, n_tokens, token_share,
                    (w_micro * 2000000 + total_w) // (2 * total_w) AS p_micro,
-                   CAST(round(token_share * 1000000) AS BIGINT) AS share_micro
+                   greatest(CAST(round(token_share * 1000000) AS BIGINT), 1)
+                       AS share_micro
             FROM sh CROSS JOIN tw
         )
         SELECT source, n_docs, n_tokens, token_share,

@@ -15,7 +15,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ssiintegrateddatapipeline_spark.functions.twophase import two_phase_row_number
+from ssiintegrateddatapipeline_spark.functions.twophase import (
+    two_phase_grouped_row_number,
+)
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
 
 
@@ -370,13 +372,16 @@ def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed string reshuffles the epoch; the same seed replays the exact
     order on any cluster size (no RNG, no partition dependence).
 
-    Scale shape: the global position is two-phase ranked (see
-    ``functions/twophase.py``) — rows range-bucket on the first two hex
-    chars of the shuffle key (a prefix of the sort key, so bucket order ==
-    sort order), rank inside each of the 256 buckets in parallel, and add
-    a plan-time per-bucket offset. No ``Exchange SinglePartition``
-    anywhere; the only shuffles are the two hash partitionings (bucket,
-    shard), both uniform because md5 keys are uniform.
+    Scale shape: BOTH positions are two-phase ranked off ONE shuffle (see
+    ``functions/twophase.two_phase_grouped_row_number``) — rows
+    range-bucket on the first two hex chars of the shuffle key (a prefix
+    of the sort key, so bucket order == sort order), rank inside each of
+    the 256 buckets in parallel, and add plan-time offsets: per-bucket for
+    the global position, per-(shard, bucket) for the within-shard
+    position. ``hash(bucket)`` already co-locates every (bucket, shard)
+    pair, so the shard window reuses the bucket exchange — no
+    ``Exchange SinglePartition`` anywhere and no second full shuffle (the
+    old ``Window.partitionBy(shard)`` re-shuffled the whole table).
     """
     d = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|" + SHUFFLE_SEED)))
@@ -388,16 +393,15 @@ def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders identically to the string prefix, so this bucket expression
     # is monotone along the (shuffle_key, doc_id) total order.
     bucket = F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int")
-    ranked, _ = two_phase_row_number(
-        base, bucket, [F.col("shuffle_key"), F.col("doc_id")], out="global_pos"
+    ranked, _ = two_phase_grouped_row_number(
+        base,
+        bucket,
+        F.col("shard"),
+        [F.col("shuffle_key"), F.col("doc_id")],
+        out="global_pos",
+        group_out="shard_pos",
     )
-    w_shard = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
-    return ranked.select(
-        "doc_id",
-        "shard",
-        "global_pos",
-        F.row_number().over(w_shard).alias("shard_pos"),
-    )
+    return ranked.select("doc_id", "shard", "global_pos", "shard_pos")
 
 
 QUERIES = {

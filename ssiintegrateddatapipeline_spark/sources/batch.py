@@ -50,7 +50,15 @@ TIMESTAMP_COLS = {
 # caller is safe; keyed by applicationId so a new session never sees stale
 # JVM references. This is metadata caching only — no .cache()/persist of
 # row data, and scan pushdown still specializes per downstream query.
-_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+#
+# Contract: an sf_dir's CONTENTS ARE IMMUTABLE for the session — the memo
+# freezes the file listing, so files added to the directory mid-session are
+# invisible to later load_table calls. Sweeping a mutated/replaced dataset
+# requires caches.clear_caches(spark) first (bench calls it between
+# sf_dirs).
+from ssiintegrateddatapipeline_spark.caches import register
+
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = register({})
 
 
 def load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

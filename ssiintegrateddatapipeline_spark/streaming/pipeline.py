@@ -937,7 +937,10 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GATE_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+from ssiintegrateddatapipeline_spark.caches import register
+
+# evicted (with unpersist) by caches.clear_caches between datasets
+_GATE_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = register({}, persisted=True)
 
 
 def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

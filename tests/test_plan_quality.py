@@ -499,17 +499,24 @@ def test_temperature_mix_broadcasts_scalar_totals(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_training_shuffle_shard_window_is_keyed(spark, sf_dir):
-    """The within-shard position must be a window PARTITIONED by shard id
-    (the scale path once global_pos is dropped); Catalyst may satisfy its
-    distribution with the global window's existing exchange, so the pin
-    checks the window spec itself, not the exchange count."""
+def test_training_shuffle_single_shuffle_keyed_windows(spark, sf_dir):
+    """Both ranks must ride ONE hash exchange on the range bucket: the
+    global window partitions by __tpb and the within-shard window by
+    (__tpb, __tpg) — hash(__tpb) already satisfies the finer clustering,
+    so no second full shuffle (and no 8-key hash(shard) exchange, which
+    would collapse parallelism to |shards| tasks at scale)."""
     plan = _executed_plan(_QUERIES["transform_training_shuffle"](spark, sf_dir))
     assert "Python" not in plan
-    # physical Window node partitioned on shard: "...AS shard_pos#N], [shard#M]"
-    assert "AS shard_pos" in plan
-    shard_window = plan.split("AS shard_pos")[1]
-    assert shard_window.split("]")[1].strip().startswith(", [shard#"), plan
+    assert "AS shard_pos" in plan and "AS global_pos" in plan
+    # the shard rank window is keyed by (bucket, group), not a bare shard
+    assert "windowspecdefinition(__tpb" in plan
+    assert "Exchange SinglePartition" not in plan
+    # exactly one exchange shape: hash on the range bucket (AQE prints the
+    # plan twice — final + spec — so count DISTINCT partitioning exprs)
+    import re
+
+    parts = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert parts == {"__tpb"}, parts
 
 
 # ---------------------------------------------------------------------------
