@@ -132,24 +132,47 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Best-of-2 timed runs per query: the box hosts other processes whose
-    # bursts can inflate a single timing several-fold; the min of two runs
-    # is the standard least-noise estimator of the query's actual cost.
+    # Median-of-3 timed runs per query (round-4 VERDICT task 6): the box
+    # hosts other processes whose bursts can inflate a single timing
+    # several-fold, and best-of-2 still let one clean+one noisy pair read
+    # as a regression; the median of three is robust to one outlier in
+    # either direction. Each run is split into build (DataFrame
+    # construction: driver-side analysis + any plan-time literal training)
+    # and exec (toPandas: job + Arrow transfer) — regressions in the two
+    # have different causes, so the split is recorded per query.
+    N_RUNS = 3
     per_query: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
+        runs = []  # (wall, build, exec)
         rows = 0
-        for _ in range(2):
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
-            n = fn(spark, sf_dir).toPandas()
-            best = min(best, time.perf_counter() - t0)
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            n = df.toPandas()
+            t2 = time.perf_counter()
+            runs.append((t2 - t0, t1 - t0, t2 - t1))
             rows = len(n)
-        dt = round(best, 3)
+        runs.sort()
+        med = runs[N_RUNS // 2]
+        dt = round(med[0], 3)
         per_query[name] = dt
+        detail[name] = {
+            "median": dt,
+            "n": N_RUNS,
+            "best": round(runs[0][0], 3),
+            "build": round(med[1], 3),
+            "exec": round(med[2], 3),
+        }
         total += dt
-        print(f"# {name}: {dt:.3f}s ({rows} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.3f}s (build {med[1]:.3f} exec {med[2]:.3f}, "
+            f"best {runs[0][0]:.3f}, {rows} rows)",
+            file=sys.stderr,
+        )
 
     # The driver captures only the last ~2.2 KB of stdout; the per-query
     # dict alone outgrew that in round 2 ("parsed": null). Robust layout:
@@ -160,7 +183,8 @@ def main() -> None:
     #     the headline fields, so any tail parser (last-line json.loads,
     #     regex, balanced-brace scan) recovers metric/value/unit/sf.
     result = {
-        "queries": per_query,
+        "queries": per_query,  # name -> median-of-3 seconds (driver contract)
+        "queries_detail": detail,  # name -> {median, n, best, build, exec}
         "metric": "headline_queries_total_wall",
         "unit": "sec",
         "sf": sf,
@@ -173,6 +197,7 @@ def main() -> None:
     print(line)
     summary = {k: result[k] for k in ("metric", "unit", "sf", "value")}
     summary["n_queries"] = len(per_query)
+    summary["per_query"] = "median-of-3"
     print(json.dumps(summary, separators=(",", ":")))
     print(f"# bench line bytes: {len(line)}", file=sys.stderr)
 

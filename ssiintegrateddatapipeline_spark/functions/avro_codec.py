@@ -563,6 +563,46 @@ def _resolvable(
     return True
 
 
+def _record_actions(
+    writer: Any,
+    reader: Any,
+    wns: str | None = None,
+    rns: str | None = None,
+) -> tuple[list, list]:
+    """Field-resolution plan for a writer record under a reader record:
+    ``(actions, defaults)`` where actions is ``[(reader_name | None, dec)]``
+    in WRITER order (None = decode-and-discard) and defaults is
+    ``[(reader_name, default_value)]`` for reader-only fields. Shared by the
+    per-record resolver and the batch decoder."""
+    # names declared inside this record inherit its namespace
+    wns, rns = _ns_of(writer, wns), _ns_of(reader, rns)
+    r_fields = {f["name"]: f for f in reader["fields"]}
+    for f in reader["fields"]:
+        for alias in f.get("aliases", ()):
+            r_fields.setdefault(alias, f)
+    actions = []  # (reader_name | None, dec)
+    matched = set()
+    for wf in writer["fields"]:
+        rf = r_fields.get(wf["name"])
+        if rf is not None:
+            matched.add(rf["name"])
+            actions.append(
+                (rf["name"], _compile_res(wf["type"], rf["type"], wns, rns))
+            )
+        else:
+            actions.append((None, _compile_dec(wf["type"])))  # skip
+    defaults = []
+    for rf in reader["fields"]:
+        if rf["name"] not in matched:
+            if "default" not in rf:
+                raise ValueError(
+                    f"reader field {rf['name']!r} absent from writer "
+                    "and has no default"
+                )
+            defaults.append((rf["name"], rf["default"]))
+    return actions, defaults
+
+
 def _compile_res(
     writer: Any,
     reader: Any,
@@ -610,32 +650,7 @@ def _compile_res(
         raise ValueError(f"writer {wt!r} matches no reader union branch")
 
     if wt == "record":
-        # names declared inside this record inherit its namespace
-        wns, rns = _ns_of(writer, wns), _ns_of(reader, rns)
-        r_fields = {f["name"]: f for f in reader["fields"]}
-        for f in reader["fields"]:
-            for alias in f.get("aliases", ()):
-                r_fields.setdefault(alias, f)
-        actions = []  # (reader_name | None, dec)
-        matched = set()
-        for wf in writer["fields"]:
-            rf = r_fields.get(wf["name"])
-            if rf is not None:
-                matched.add(rf["name"])
-                actions.append(
-                    (rf["name"], _compile_res(wf["type"], rf["type"], wns, rns))
-                )
-            else:
-                actions.append((None, _compile_dec(wf["type"])))  # skip
-        defaults = []
-        for rf in reader["fields"]:
-            if rf["name"] not in matched:
-                if "default" not in rf:
-                    raise ValueError(
-                        f"reader field {rf['name']!r} absent from writer "
-                        "and has no default"
-                    )
-                defaults.append((rf["name"], rf["default"]))
+        actions, defaults = _record_actions(writer, reader, wns, rns)
 
         def dec_record_res(buf, pos):
             out = {}
@@ -728,3 +743,100 @@ def compile_loads_resolved(writer_schema: Any, reader_schema: Any):
         return dec(bytes(raw), 0)[0]
 
     return loads_resolved
+
+
+# ---------------------------------------------------------------------------
+# Batch (columnar) codec for TOP-LEVEL RECORD schemas — the Arrow-chunk hot
+# path (round-4 VERDICT task 3). The per-record compiled closures above
+# still build one dict per record and the callers then pay pandas'
+# list-of-dicts DataFrame inference; here the whole Arrow batch is
+# encoded into ONE shared buffer (sliced by offsets) and decoded into
+# preallocated per-FIELD column lists, so the only per-record Python work
+# is the field-value decode itself. Wire bytes are identical to
+# encode()/decode() (property-tested in tests/test_wire.py).
+# ---------------------------------------------------------------------------
+
+
+def compile_dumps_batch(schema: Any):
+    """Top-level record encoder: fn(columns in field order) -> list[bytes].
+    ``columns`` is a list of equal-length sequences, one per record field,
+    in the schema's declared field order."""
+    if _type_name(schema) != "record":
+        raise ValueError("compile_dumps_batch requires a record schema")
+    encs = [_compile_enc(f["type"]) for f in schema["fields"]]
+
+    def dumps_batch(columns) -> list:
+        out = bytearray()
+        offsets = [0]
+        mark = offsets.append
+        for row in zip(*columns):
+            for enc, v in zip(encs, row):
+                enc(v, out)
+            mark(len(out))
+        raw = bytes(out)
+        return [raw[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)]
+
+    return dumps_batch
+
+
+def compile_loads_batch(
+    writer_schema: Any,
+    reader_schema: Any | None = None,
+    permissive: bool = False,
+):
+    """Top-level record batch decoder: fn(values: sequence of bytes) ->
+    dict[field_name, list] in reader field order. With ``reader_schema``,
+    applies Avro schema resolution (dropped fields skipped, reader-only
+    fields defaulted). With ``permissive=True``, a record that fails to
+    decode yields None in every column plus True in the extra
+    ``"_corrupt"`` column instead of raising (the consumer's
+    deserialization-error routing, F5)."""
+    if _type_name(writer_schema) != "record":
+        raise ValueError("compile_loads_batch requires a record schema")
+    if reader_schema is None:
+        actions = [(f["name"], _compile_dec(f["type"])) for f in writer_schema["fields"]]
+        defaults: list = []
+        names = [f["name"] for f in writer_schema["fields"]]
+    else:
+        actions, defaults = _record_actions(writer_schema, reader_schema)
+        names = [f["name"] for f in reader_schema["fields"]]
+
+    def loads_batch(values) -> dict:
+        cols: dict[str, list] = {n: [] for n in names}
+        kept = [(dec, cols[name].append if name is not None else None)
+                for name, dec in actions]
+        default_apps = [(cols[name].append, dv) for name, dv in defaults]
+        all_apps = [cols[n].append for n in names]
+        corrupt: list = []
+        for raw in values:
+            buf = bytes(raw)
+            if permissive:
+                try:
+                    pos = 0
+                    tmp = []
+                    for dec, app in kept:
+                        v, pos = dec(buf, pos)
+                        if app is not None:
+                            tmp.append((app, v))
+                    for app, v in tmp:
+                        app(v)
+                    for app, dv in default_apps:
+                        app(dv)
+                    corrupt.append(False)
+                except Exception:
+                    for app in all_apps:
+                        app(None)
+                    corrupt.append(True)
+            else:
+                pos = 0
+                for dec, app in kept:
+                    v, pos = dec(buf, pos)
+                    if app is not None:
+                        app(v)
+                for app, dv in default_apps:
+                    app(dv)
+        if permissive:
+            cols["_corrupt"] = corrupt
+        return cols
+
+    return loads_batch

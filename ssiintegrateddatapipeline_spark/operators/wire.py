@@ -151,11 +151,12 @@ def avro_serialize(df: DataFrame, use_jvm: bool | None = None) -> DataFrame:
         )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dumps = avro_codec.compile_dumps(TRADE_WIRE_SCHEMA)
+        # batch encode: whole Arrow chunk into one shared buffer, no
+        # per-record dict construction (avro_codec.compile_dumps_batch)
+        dumps_b = avro_codec.compile_dumps_batch(TRADE_WIRE_SCHEMA)
         for pdf in batches:
-            records = pdf[_FIELDS].to_dict("records")
-            values = [dumps(r) for r in records]
-            yield pd.DataFrame({"key": pdf["symbol"], "value": values})
+            cols = [pdf[n].tolist() for n in _FIELDS]
+            yield pd.DataFrame({"key": pdf["symbol"], "value": dumps_b(cols)})
 
     return df.mapInPandas(enc, "key string, value binary")
 
@@ -176,10 +177,11 @@ def avro_deserialize(df: DataFrame, use_jvm: bool | None = None) -> DataFrame:
         )
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        loads = avro_codec.compile_loads(TRADE_WIRE_SCHEMA)
+        # batch decode: preallocated per-field column lists, no per-record
+        # dict + no pandas list-of-dicts inference
+        loads_b = avro_codec.compile_loads_batch(TRADE_WIRE_SCHEMA)
         for pdf in batches:
-            rows = [loads(v) for v in pdf["value"]]
-            yield pd.DataFrame(rows, columns=_FIELDS)
+            yield pd.DataFrame(loads_b(pdf["value"].tolist()))
 
     return df.mapInPandas(dec, _DECODED_SPARK_SCHEMA)
 
@@ -279,18 +281,23 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed as avroSchema; the resolution demonstrated here is the part the
     registry's BACKWARD gate promises)."""
     env = _wire_env(spark, sf_dir)
-    wire = avro_serialize(env, use_jvm=False)
 
-    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        loads = avro_codec.compile_loads_resolved(
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fused V1-encode -> resolved V2-decode per Arrow chunk (dropped
+        # field skipped mid-record, added field defaulted): one Python
+        # boundary crossing instead of two — the wire bytes are produced
+        # and consumed inside the same batch, exactly as a consumer
+        # sidecar would, without shipping them through Arrow twice
+        dumps_b = avro_codec.compile_dumps_batch(TRADE_WIRE_SCHEMA)
+        loads_b = avro_codec.compile_loads_batch(
             TRADE_WIRE_SCHEMA, TRADE_WIRE_SCHEMA_V2
         )
         for pdf in batches:
-            rows = [loads(v) for v in pdf["value"]]
-            yield pd.DataFrame(rows, columns=_V2_FIELDS)
+            wire_bytes = dumps_b([pdf[n].tolist() for n in _FIELDS])
+            yield pd.DataFrame(loads_b(wire_bytes))
 
-    decoded = wire.mapInPandas(
-        dec,
+    decoded = env.mapInPandas(
+        rt,
         "trade_event_id string, symbol string, price double, volume double, "
         "trade_condition array<string>, event_ts_us long, start_ts_us long, "
         "exchange string",
@@ -322,14 +329,13 @@ def corrupt_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = _wire_env(spark, sf_dir)
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dumps = avro_codec.compile_dumps(TRADE_WIRE_SCHEMA)
+        dumps_b = avro_codec.compile_dumps_batch(TRADE_WIRE_SCHEMA)
         for pdf in batches:
-            records = pdf[_FIELDS].to_dict("records")
             yield pd.DataFrame(
                 {
                     "trade_event_id": pdf["trade_event_id"],
                     "symbol": pdf["symbol"],
-                    "value": [dumps(r) for r in records],
+                    "value": dumps_b([pdf[n].tolist() for n in _FIELDS]),
                 }
             )
 
@@ -343,18 +349,17 @@ def corrupt_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        loads = avro_codec.compile_loads(TRADE_WIRE_SCHEMA)
+        # permissive batch decode: failed records null out + flag, never
+        # crash the stream (F5 routing, now columnar)
+        loads_b = avro_codec.compile_loads_batch(TRADE_WIRE_SCHEMA, permissive=True)
         for pdf in batches:
-            vols, corrupt = [], []
-            for v in pdf["value"]:
-                try:
-                    vols.append(loads(v)["volume"])
-                    corrupt.append(False)
-                except Exception:
-                    vols.append(None)
-                    corrupt.append(True)
+            cols = loads_b(pdf["value"].tolist())
             yield pd.DataFrame(
-                {"symbol": pdf["symbol"], "volume": vols, "corrupt": corrupt}
+                {
+                    "symbol": pdf["symbol"],
+                    "volume": cols["volume"],
+                    "corrupt": cols["_corrupt"],
+                }
             )
 
     decoded = tampered.mapInPandas(

@@ -551,3 +551,48 @@ def test_schema_resolution_namespace_inheritance():
 
     with _pytest.raises(ValueError):
         loads_bad(C.compile_dumps(writer)({"u": {"x": 5}}))
+
+
+def test_batch_codec_matches_per_record():
+    """compile_dumps_batch / compile_loads_batch (the Arrow-chunk hot path)
+    must produce byte-identical wire frames and value-identical decodes vs
+    the per-record compiled closures, including schema resolution and the
+    permissive corrupt-routing mode."""
+    from ssiintegrateddatapipeline_spark.functions import avro_codec as C
+    from ssiintegrateddatapipeline_spark.operators.wire import (
+        TRADE_WIRE_SCHEMA,
+        TRADE_WIRE_SCHEMA_V2,
+        _FIELDS,
+    )
+
+    rows = [
+        ("a" * 32, "BTC", 101.5, 3.0, ["trade"], 1_700_000_000_000_000,
+         1_700_000_001_000_000, 1.0),
+        ("b" * 32, "ETH", -2.25, 0.0, [], 1, 2, 0.5),
+        ("c" * 32, "ADA", 0.0, 99.0, ["x", "y"], -5, 0, 12.125),
+    ]
+    cols = [list(c) for c in zip(*rows)]
+
+    dumps = C.compile_dumps(TRADE_WIRE_SCHEMA)
+    per_rec = [dumps(dict(zip(_FIELDS, r))) for r in rows]
+    assert C.compile_dumps_batch(TRADE_WIRE_SCHEMA)(cols) == per_rec
+
+    loads = C.compile_loads(TRADE_WIRE_SCHEMA)
+    batch = C.compile_loads_batch(TRADE_WIRE_SCHEMA)(per_rec)
+    for i, raw in enumerate(per_rec):
+        want = loads(raw)
+        assert {k: batch[k][i] for k in batch} == want
+
+    res = C.compile_loads_resolved(TRADE_WIRE_SCHEMA, TRADE_WIRE_SCHEMA_V2)
+    rbatch = C.compile_loads_batch(TRADE_WIRE_SCHEMA, TRADE_WIRE_SCHEMA_V2)(per_rec)
+    for i, raw in enumerate(per_rec):
+        want = res(raw)
+        assert {k: rbatch[k][i] for k in rbatch} == want
+    assert "e2e_latency_secs" not in rbatch and rbatch["exchange"][0] == "BINANCE"
+
+    # permissive: truncate the middle frame mid-record
+    broken = [per_rec[0], per_rec[1][:5], per_rec[2]]
+    p = C.compile_loads_batch(TRADE_WIRE_SCHEMA, permissive=True)(broken)
+    assert p["_corrupt"] == [False, True, False]
+    assert p["symbol"] == ["BTC", None, "ADA"]
+    assert p["volume"] == [3.0, None, 99.0]
