@@ -25,12 +25,32 @@ from __future__ import annotations
 _REGISTRY: list[tuple[dict, bool]] = []
 
 
+def track(df):
+    """Enroll a call-scoped ``.persist()``-ed DataFrame for eviction.
+
+    Several operators persist an intermediate for intra-query reuse (LSH
+    signatures before a self-join, a scored table across offset+rank
+    passes, k-means candidate frames). The persist must outlive the call —
+    the returned plan may recompute from it lazily — so it cannot be
+    unpersisted inline; without tracking, every invocation leaks one
+    persisted DataFrame for the life of the session. ``track`` hands each
+    one to :func:`clear_caches`."""
+    _EPHEMERAL[next(_EPHEMERAL_SEQ)] = df
+    return df
+
+
 def register(cache: dict, persisted: bool = False) -> dict:
     """Enroll a module-level cache dict for :func:`clear_caches` eviction.
     ``persisted=True`` marks values as ``.persist()``-ed DataFrames that
     must be unpersisted on eviction (not just dropped)."""
     _REGISTRY.append((cache, persisted))
     return cache
+
+
+from itertools import count as _count
+
+_EPHEMERAL_SEQ = _count()
+_EPHEMERAL: dict[int, object] = register({}, persisted=True)
 
 
 def clear_caches(spark=None) -> int:

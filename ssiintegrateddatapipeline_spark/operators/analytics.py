@@ -29,6 +29,7 @@ from ssiintegrateddatapipeline_spark.functions.twophase import (
     two_phase_row_number,
 )
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
+from ssiintegrateddatapipeline_spark.caches import track
 
 # Prometheus-style cumulative bucket upper bounds.
 # e2e latency buckets: kafka_consumer/app/metrics/metrics.py:59 (reference).
@@ -1159,7 +1160,7 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |basket|² instead of materializing a join
     # persist: every downstream aggregate (pairs, per-part totals, basket
     # count) derives from this one table, so the fact is shuffled ONCE
-    baskets = (
+    baskets = track(
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .persist()

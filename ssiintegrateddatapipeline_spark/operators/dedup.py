@@ -90,7 +90,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is computed once and the persisted result reused. Keyed by application id
 # so a new session never sees a stale plan. Evicted (with unpersist) by
 # caches.clear_caches between datasets.
-from ssiintegrateddatapipeline_spark.caches import register
+from ssiintegrateddatapipeline_spark.caches import register, track
 
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register({}, persisted=True)
 # the persisted signature table UNDER each cached pair graph — tracked so
@@ -209,7 +209,7 @@ def near_dup_clusters(
         # pairs stays persisted: it is the shared session cache
         return spark.createDataFrame(rows, "doc_id long, cluster_id long")
 
-    edges = (
+    edges = track(
         pairs.union(pairs.select(F.col("doc_id_b"), F.col("doc_id_a")))
         .toDF("src", "dst")
         .persist()
@@ -238,6 +238,7 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    track(labels)  # the final frame backs the returned plan
     edges.unpersist()
     return labels.select("doc_id", "cluster_id")
 
@@ -268,7 +269,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlines the (expensive: per-token hash + 32 bit-sums) signature
     expression into both join branches and computes it twice (the same
     trap minhash_lsh_pairs documents)."""
-    sigs = simhash_signatures(spark, sf_dir).persist()
+    sigs = track(simhash_signatures(spark, sf_dir).persist())
     a = sigs.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("simhash").alias("sh_a"),
@@ -334,7 +335,9 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded candidate set, one shingle equi-join + two broadcast size
     lookups.
     """
-    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b").persist()
+    cand = track(
+        minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b").persist()
+    )
     # the exact-verify stage only ever touches docs that appear in some
     # candidate pair — semi-join the CORPUS down to those BEFORE sharding
     # shingles, so the expensive shingle self-join runs over the candidate
@@ -449,7 +452,7 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     ).union(pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")))
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    e = edges.join(deg, "src").persist()
+    e = track(edges.join(deg, "src").persist())
     n = deg.count()
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
     jump = 0.15 / n
@@ -563,9 +566,11 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     them — two shuffles on uniformly-hashed doc ids, never a full
     materialization of neighborhoods.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir).select(
-        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
-    ).persist()
+    pairs = track(
+        minhash_lsh_pairs(spark, sf_dir).select(
+            F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+        ).persist()
+    )
     wedges = pairs.alias("p1").join(
         pairs.alias("p2"), F.col("p1.b") == F.col("p2.a")
     ).select(F.col("p1.a").alias("a"), F.col("p1.b").alias("b"), F.col("p2.b").alias("c"))

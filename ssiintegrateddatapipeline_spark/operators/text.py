@@ -26,6 +26,7 @@ from ssiintegrateddatapipeline_spark.functions.twophase import (
     two_phase_row_number,
 )
 from ssiintegrateddatapipeline_spark.sources.batch import load_table, spread
+from ssiintegrateddatapipeline_spark.caches import register, track
 
 # tiny stopword marker lists for the n-gram language heuristic
 LANG_MARKERS = {
@@ -577,7 +578,7 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset and rank passes (at warehouse scale this is the checkpoint
     you'd write between curation stages anyway).
     """
-    scored = bigram_lm_score(spark, sf_dir).persist()
+    scored = track(bigram_lm_score(spark, sf_dir).persist())
     # quarter-bit fixed intervals: cheap, deterministic, monotone in the
     # sort key's leading column; balance only affects parallelism.
     bucket = F.floor(F.col("bits_per_bigram") * 4).cast("int")
@@ -731,7 +732,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BPE vocabulary training: number of merge steps and the end-of-word marker
 BPE_MERGES = 8
 BPE_EOW = "$"  # not in the corpus alphabet (lowercase words)
-_BPE_MERGE_CACHE: dict[str, list[tuple[str, str, int]]] = {}
+_BPE_MERGE_CACHE: dict[str, list[tuple[str, str, int]]] = register({})
 
 
 def _bpe_word_symbols(word_col):

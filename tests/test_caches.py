@@ -30,6 +30,10 @@ def _sweep(spark, sf_dirs) -> None:
     for sf in sf_dirs:
         batch.load_table(spark, sf, "documents")
         dedup.minhash_lsh_pairs(spark, sf).count()  # materialize the persist
+    # call-scoped persists (caches.track): signature/candidate frames that
+    # back returned plans and previously leaked one persist per invocation
+    dedup.simhash_near_dup_pairs(spark, SF_A).count()
+    dedup.near_dup_clusters(spark, SF_A).count()
 
 
 def test_two_dataset_sweep_shows_no_growth_after_eviction(spark):
