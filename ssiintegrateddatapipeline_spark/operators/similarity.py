@@ -174,7 +174,9 @@ N_PROBES = 4
 # costs hundreds of py4j round trips (measured: seconds of per-query wall
 # for the PQ/IVF expression sets). Keyed by applicationId so a restarted
 # session never sees stale JVM references.
-_COL_MEMO: dict[tuple, object] = {}
+from ssiintegrateddatapipeline_spark.caches import register
+
+_COL_MEMO: dict[tuple, object] = register({})
 
 
 def _memo_col(spark: SparkSession, key: tuple, builder):
@@ -224,7 +226,7 @@ def _centroid_dots(emb_col, dim: int) -> "F.Column":
 TRAIN_STEPS = 4
 # 2^20 quantization: |sum| <= rows·2^20·max|v|, far under 2^53 exactness
 QUANT = 1 << 20
-_TRAINED_CACHE: dict[tuple[str, str], tuple[tuple[float, ...], ...]] = {}
+_TRAINED_CACHE: dict[tuple[str, str], tuple[tuple[float, ...], ...]] = register({})
 
 
 def _trained_centroids(
@@ -639,7 +641,7 @@ PQ_STEPS = 2  # Lloyd steps per sub-codebook fit
 # the quantization noise; 120 is 6% of this corpus, and at real scale the
 # ratio shrinks with corpus size while the rerank stays |Q| x shortlist.
 PQ_SHORTLIST = 12 * TOP_K
-_PQ_CACHE: dict[tuple[str, str], tuple] = {}
+_PQ_CACHE: dict[tuple[str, str], tuple] = register({})
 
 
 @lru_cache(maxsize=None)

@@ -112,7 +112,9 @@ _assert_no_logical(TRADE_WIRE_SCHEMA_PLAIN)
 # with the spark-avro package loaded we use the JVM ``to_avro``/``from_avro``
 # (whole-stage, no Python boundary); offline — where the jar is absent —
 # we fall back to the pure-Python codec inside mapInPandas.
-_JVM_AVRO_CACHE: dict[str, bool] = {}
+from ssiintegrateddatapipeline_spark.caches import register
+
+_JVM_AVRO_CACHE: dict[str, bool] = register({})
 
 
 def jvm_avro_available(spark: SparkSession) -> bool:
