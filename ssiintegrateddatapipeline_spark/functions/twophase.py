@@ -205,14 +205,19 @@ def two_phase_grouped_row_number(
         )
         goff = _blob_lookup(gidx, dense)
     else:
+        # injective (group, bucket) -> int encoding: shift both to zero
+        # base, stride by the bucket span (b_hi+1 alone would collide for
+        # negative buckets)
         lookup = F.create_map(
             *[
                 F.lit(x)
                 for (g, k), v in group_offsets.items()
-                for x in (g * (b_hi + 1) + k, v)
+                for x in ((g - g_lo) * span_b + (k - b_lo), v)
             ]
         )
-        goff = lookup[F.col("__tpg") * (b_hi + 1) + F.col("__tpb")]
+        goff = lookup[
+            (F.col("__tpg") - F.lit(g_lo)) * span_b + (F.col("__tpb") - F.lit(b_lo))
+        ]
     gpos = F.row_number().over(w2) + goff
     return (
         b.withColumn(out, pos.cast("long"))

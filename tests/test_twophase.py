@@ -88,3 +88,52 @@ def test_two_phase_rank_empty_frame(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+from ssiintegrateddatapipeline_spark.functions.twophase import (  # noqa: E402
+    two_phase_grouped_row_number,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=rows_strategy,
+    n_groups=st.integers(1, 5),
+    dense=st.booleans(),
+)
+def test_grouped_rank_matches_global_and_per_group(spark, values, n_groups, dense):
+    """two_phase_grouped_row_number must equal BOTH the global
+    row_number() and the per-group row_number() for any monotone bucket —
+    including negative buckets and the sparse create_map fallback path."""
+    from ssiintegrateddatapipeline_spark.functions import twophase as TP
+
+    df = spark.createDataFrame(
+        [(i, v, i % n_groups) for i, v in enumerate(values)],
+        "id int, value int, grp int",
+    ).repartition(3)
+    bucket = F.col("value")  # identity is trivially monotone; spans negatives
+    span_cap = TP._DENSE_SPAN_MAX
+    if not dense:
+        TP._DENSE_SPAN_MAX = 0  # force the create_map fallback paths
+    try:
+        ranked, total = two_phase_grouped_row_number(
+            df, bucket, F.col("grp"), [F.col("value"), F.col("id")],
+            out="gpos", group_out="sub",
+        )
+        got = {r.id: (r.gpos, r.sub) for r in ranked.collect()}
+    finally:
+        TP._DENSE_SPAN_MAX = span_cap
+    assert total == len(values)
+    order = sorted(range(len(values)), key=lambda i: (values[i], i))
+    want_g = {i: pos + 1 for pos, i in enumerate(order)}
+    want_sub = {}
+    seen: dict[int, int] = {}
+    for i in order:
+        g = i % n_groups
+        seen[g] = seen.get(g, 0) + 1
+        want_sub[i] = seen[g]
+    assert got == {i: (want_g[i], want_sub[i]) for i in range(len(values))}
