@@ -102,6 +102,7 @@ HEADLINE = [
     "streaming_sign_verify",
     "streaming_provider_matrix",
     "streaming_neardup_gate",
+    "streaming_ivf_ingest",
 ]
 
 

@@ -1062,6 +1062,59 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_foreach_batch(probed, decide)
 
 
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay ``embeddings.parquet`` as a streaming DataFrame (the ingest
+    feed for online vector-index maintenance)."""
+    from ssiintegrateddatapipeline_spark.sources.batch import load_raw
+
+    batch = load_raw(spark, sf_dir, "embeddings")
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online IVF index ingestion — the similarity twin of the near-dup
+    gate: each arriving embedding is assigned to its inverted-list cell
+    (argmax dot against the TRAINED codebook, the same plan-time centroid
+    literals the batch IVF queries fold in) and per-micro-batch partial
+    list statistics are emitted APPEND-ONLY through ``run_foreach_batch``;
+    the final inverted-list census is a read-time rollup of the partials.
+    This is how a production vector index absorbs a crawl shard: cell
+    assignment is a stateless per-row projection, list appends partition
+    by cell, and NOTHING is keyed on arrival identity — zero streaming
+    state (pinned by tests/test_streaming_state.py), any number of
+    vectors. Output equals the batch census exactly
+    (``similarity.ivf_centroid_stats``), which is the oracle."""
+    from ssiintegrateddatapipeline_spark.operators.similarity import (
+        _dots_for,
+        _trained_centroids,
+    )
+
+    cents = _trained_centroids(spark, sf_dir)  # session-memoized batch train
+    stream = embeddings_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
+    d = _dots_for(F.col("embedding"), cents)
+    assigned = stream.select(
+        "vec_id",
+        F.array_position(d, F.array_max(d)).cast("int").alias("centroid"),
+    )
+
+    def partials(batch: DataFrame) -> DataFrame:
+        # per-batch partial census: |cells| rows per micro-batch, bounded
+        return batch.groupBy("centroid").agg(
+            F.count("*").alias("n"), F.min("vec_id").alias("mn")
+        )
+
+    out = run_foreach_batch(assigned, partials)
+    return out.groupBy("centroid").agg(
+        F.sum("n").alias("list_size"), F.min("mn").alias("min_vec_id")
+    )
+
+
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(session_plan(events_stream(spark, sf_dir)))
 
@@ -1100,6 +1153,7 @@ QUERIES = {
     "streaming_sign_verify": streaming_sign_verify,
     "streaming_provider_matrix": streaming_provider_matrix,
     "streaming_neardup_gate": streaming_neardup_gate,
+    "streaming_ivf_ingest": streaming_ivf_ingest,
     "streaming_last_seen": streaming_last_seen,
     "streaming_payload_hist": streaming_payload_hist,
     "streaming_user_stats": streaming_user_stats,
@@ -1154,6 +1208,8 @@ ORACLES = {
     # online LSH ingest gate: the oracle replays shingle->minhash->band
     # keys with dedup.py's SQL machinery, split into arrival/corpus halves
     "streaming_neardup_gate": _neardup_gate_oracle(),
+    # "streaming_ivf_ingest" is assigned below the dict: it reuses the
+    # batch similarity_ivf_centroids oracle verbatim (import-order safe)
 
     "streaming_top_users": f"""
         SELECT user_id, n_events, rank FROM (
@@ -1308,6 +1364,14 @@ ORACLES = {
         GROUP BY user_id
     """,
 }
+
+# the drained IVF ingest partials must roll up to the batch inverted-list
+# census exactly — the batch query's oracle IS the streaming oracle
+from ssiintegrateddatapipeline_spark.operators.similarity import (  # noqa: E402
+    ORACLES as _SIM_ORACLES,
+)
+
+ORACLES["streaming_ivf_ingest"] = _SIM_ORACLES["similarity_ivf_centroids"]
 
 # the streaming grid must equal the batch sketch build — one hash-row
 # fragment (profiling._CMS_COL_J) is the single source of truth

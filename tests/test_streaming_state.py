@@ -112,6 +112,8 @@ _STATE_BOUNDS = {
     "streaming_attribution": lambda s, n: 2 * s["n_events"] + 8,
     # append-only ingest gate: NO state store at all
     "streaming_neardup_gate": lambda s, n: 0,
+    # append-only IVF index ingestion: stateless cell assignment
+    "streaming_ivf_ingest": lambda s, n: 0,
 }
 
 
