@@ -103,6 +103,7 @@ HEADLINE = [
     "streaming_provider_matrix",
     "streaming_neardup_gate",
     "streaming_ivf_ingest",
+    "streaming_curation_gate",
 ]
 
 

@@ -87,6 +87,48 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_terms(text_col) -> tuple:
+    """(type_token_ratio, stopword_ratio, score) column triple — the SINGLE
+    source of the quality formula, shared by the batch profile query and
+    the streaming curation gate (the SQL twin is QUALITY_FORMULA_SQL)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop_ratio = n_stop / n
+    length_term = F.least(F.lit(1.0), n / F.lit(50.0))
+    score = (
+        F.lit(0.4) * ttr
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * length_term
+    )
+    return F.round(ttr, 6), F.round(stop_ratio, 6), F.round(score, 6)
+
+
+def lang_marker_counts(text_col) -> dict:
+    """Per-language marker-word counts (the n-gram language heuristic)."""
+    toks = tokens(text_col)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang_col(cnt: dict):
+    """argmax language with the fixed priority tiebreak en > de > es > fr."""
+    return (
+        F.when(
+            (cnt["en"] >= cnt["de"])
+            & (cnt["en"] >= cnt["es"])
+            & (cnt["en"] >= cnt["fr"]),
+            "en",
+        )
+        .when((cnt["de"] >= cnt["es"]) & (cnt["de"] >= cnt["fr"]), "de")
+        .when(cnt["es"] >= cnt["fr"], "es")
+        .otherwise("fr")
+    )
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: type-token ratio, stopword ratio, length.
 
@@ -94,18 +136,12 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
           + 0.3*min(1, n_tokens/50)
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
-    ttr = F.size(F.array_distinct(toks)) / n
-    stop_ratio = n_stop / n
-    length_term = F.least(F.lit(1.0), n / F.lit(50.0))
-    score = F.lit(0.4) * ttr + F.lit(0.3) * (F.lit(1.0) - stop_ratio) + F.lit(0.3) * length_term
+    ttr, stop_ratio, score = quality_terms(F.col("text"))
     return d.select(
         "doc_id",
-        F.round(ttr, 6).alias("type_token_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        ttr.alias("type_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
     )
 
 
@@ -113,17 +149,8 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-heuristic language ID: count per-language marker words, pick
     the best with fixed priority tiebreak en > de > es > fr."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    cnt = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
-    predicted = (
-        F.when((cnt["en"] >= cnt["de"]) & (cnt["en"] >= cnt["es"]) & (cnt["en"] >= cnt["fr"]), "en")
-        .when((cnt["de"] >= cnt["es"]) & (cnt["de"] >= cnt["fr"]), "de")
-        .when(cnt["es"] >= cnt["fr"], "es")
-        .otherwise("fr")
-    )
+    cnt = lang_marker_counts(F.col("text"))
+    predicted = predicted_lang_col(cnt)
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),

@@ -943,6 +943,93 @@ from ssiintegrateddatapipeline_spark.caches import register
 _GATE_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = register({}, persisted=True)
 
 
+def _gate_signatures(df: DataFrame) -> DataFrame:
+    """(doc_id, text, *extra) -> (doc_id, *extra, sig): the SAME JVM
+    shingle->minhash expressions as batch dedup, no UDF. Extra columns
+    (e.g. curation scores computed pre-explode) pass through."""
+    from ssiintegrateddatapipeline_spark.functions.text_funcs import (
+        tokens,
+        with_minhash_signature,
+        word_shingles,
+    )
+    from ssiintegrateddatapipeline_spark.operators.dedup import N_MINHASH
+
+    extra = [c for c in df.columns if c not in ("doc_id", "text")]
+    return with_minhash_signature(
+        df.select(
+            "doc_id", *extra, word_shingles(tokens(F.col("text"))).alias("_sh")
+        ),
+        F.col("_sh"),
+        N_MINHASH,
+    ).select("doc_id", *extra, "sig")
+
+
+def _gate_band_keys(df: DataFrame) -> DataFrame:
+    """Explode each signature into its LSH (band, key) probe rows."""
+    from ssiintegrateddatapipeline_spark.operators.dedup import N_BANDS
+
+    extra = [c for c in df.columns if c not in ("doc_id", "sig")]
+    return df.select(
+        "doc_id",
+        *extra,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            F.element_at("sig", 2 * b + 1),
+                            F.element_at("sig", 2 * b + 2),
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", *extra, "sig", "bk.band", "bk.key")
+
+
+def _gate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXISTING-corpus LSH bucket index (even doc_ids): static across
+    micro-batches and across gate runs in a session — persisted once, like
+    dedup._PAIRS_CACHE; a production gate maintains this as an indexed
+    table."""
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    if ckey not in _GATE_CORPUS_CACHE:
+        _GATE_CORPUS_CACHE[ckey] = (
+            _gate_band_keys(
+                _gate_signatures(
+                    load_table(spark, sf_dir, "documents")
+                    .where(F.col("doc_id") % 2 == 0)
+                    .select("doc_id", "text")
+                )
+            )
+            .select("band", "key", F.col("sig").alias("ref_sig"))
+            .persist()
+        )
+    return _GATE_CORPUS_CACHE[ckey]
+
+
+def _gate_probe(spark: SparkSession, sf_dir: str, arrivals: DataFrame) -> DataFrame:
+    """Stream-static LEFT join of arrival band rows against the corpus
+    bucket index; emits per-band-row (doc_id, *extra, hit, n_match)."""
+    banded = _gate_band_keys(_gate_signatures(arrivals))
+    extra = [c for c in banded.columns if c not in ("doc_id", "sig", "band", "key")]
+    n_match = F.size(
+        F.filter(F.zip_with("sig", "ref_sig", lambda x, y: x == y), lambda m: m)
+    )
+    return banded.join(_gate_corpus(spark, sf_dir), ["band", "key"], "left").select(
+        "doc_id",
+        *extra,
+        F.when(F.col("ref_sig").isNotNull(), 1).otherwise(0).alias("hit"),
+        F.when(F.col("ref_sig").isNotNull(), n_match).alias("n_match"),
+    )
+
+
 def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online near-duplicate ingest gate — the streaming twin of the batch
     MinHash-LSH path (operators/dedup.py): documents with even ids stand in
@@ -968,77 +1055,17 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete-mode form kept one state row per document ever streamed,
     O(arrivals); zero-state is pinned against regression by
     tests/test_streaming_state.py.)"""
-    from ssiintegrateddatapipeline_spark.functions.text_funcs import (
-        tokens,
-        with_minhash_signature,
-        word_shingles,
-    )
     from ssiintegrateddatapipeline_spark.operators.dedup import (
-        N_BANDS,
-        N_MINHASH,
         NEAR_DUP_MIN_MATCHES,
     )
-    from ssiintegrateddatapipeline_spark.sources.batch import load_table
 
-    def band_keys(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            "sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                "_",
-                                F.element_at("sig", 2 * b + 1),
-                                F.element_at("sig", 2 * b + 2),
-                            ).alias("key"),
-                        )
-                        for b in range(N_BANDS)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("doc_id", "sig", "bk.band", "bk.key")
-
-    def signatures(df: DataFrame) -> DataFrame:
-        return with_minhash_signature(
-            df.select("doc_id", word_shingles(tokens(F.col("text"))).alias("_sh")),
-            F.col("_sh"),
-            N_MINHASH,
-        ).select("doc_id", "sig")
-
-    # the corpus bucket index is static across micro-batches (and across
-    # gate runs in a session) — persist it once, like dedup._PAIRS_CACHE;
-    # a production gate would maintain this as an indexed table
-    ckey = (spark.sparkContext.applicationId, sf_dir)
-    if ckey not in _GATE_CORPUS_CACHE:
-        _GATE_CORPUS_CACHE[ckey] = (
-            band_keys(
-                signatures(
-                    load_table(spark, sf_dir, "documents").where(
-                        F.col("doc_id") % 2 == 0
-                    )
-                )
-            )
-            .select("band", "key", F.col("sig").alias("ref_sig"))
-            .persist()
-        )
-    corpus = _GATE_CORPUS_CACHE[ckey]
-    arrivals = band_keys(
-        signatures(
-            documents_stream(spark, sf_dir)
-            .where(F.col("doc_id") % 2 == 1)
-            .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
-        )
-    )
-    n_match = F.size(
-        F.filter(F.zip_with("sig", "ref_sig", lambda x, y: x == y), lambda m: m)
-    )
-    probed = arrivals.join(corpus, ["band", "key"], "left").select(
-        "doc_id",
-        F.when(F.col("ref_sig").isNotNull(), 1).otherwise(0).alias("hit"),
-        F.when(F.col("ref_sig").isNotNull(), n_match).alias("n_match"),
+    probed = _gate_probe(
+        spark,
+        sf_dir,
+        documents_stream(spark, sf_dir)
+        .where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id")),
     )
 
     def decide(batch: DataFrame) -> DataFrame:
@@ -1057,6 +1084,79 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "best_match",
                 (F.col("best_match") < NEAR_DUP_MIN_MATCHES).alias("admitted"),
             )
+        )
+
+    return run_foreach_batch(probed, decide)
+
+
+# documents scoring below this are blocked at ingest (chosen to split the
+# synthetic corpus meaningfully; production tunes this per corpus)
+CURATION_QUALITY_MIN = 0.70
+
+
+def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ingest-time curation pipeline as ONE streaming query —
+    what a training-data pipeline actually runs when a crawl shard
+    arrives: every document is (1) quality-scored (type-token ratio,
+    stopword ratio, length — operators/text.quality_terms), (2)
+    language-identified (marker n-gram heuristic), and (3) probed against
+    the existing corpus's LSH bucket index (the near-dup gate), then
+    admitted or blocked with a REASON (precedence: near_dup > no_lang >
+    low_quality > ok). All three checks are JVM column expressions
+    sharing their single-source formulas with the batch queries; scores
+    compute once per document BEFORE the band explode and ride the probe
+    rows. Decisions emit append-only via ``run_foreach_batch`` — zero
+    streaming state, any number of arrivals (pinned by
+    tests/test_streaming_state.py)."""
+    from ssiintegrateddatapipeline_spark.operators.dedup import (
+        NEAR_DUP_MIN_MATCHES,
+    )
+    from ssiintegrateddatapipeline_spark.operators.text import (
+        lang_marker_counts,
+        predicted_lang_col,
+        quality_terms,
+    )
+
+    cnt = lang_marker_counts(F.col("text"))
+    _, _, score = quality_terms(F.col("text"))
+    arrivals = (
+        documents_stream(spark, sf_dir)
+        .where(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id",
+            "text",
+            score.alias("quality_score"),
+            predicted_lang_col(cnt).alias("predicted_lang"),
+            F.greatest(*cnt.values()).alias("max_markers"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
+    probed = _gate_probe(spark, sf_dir, arrivals)
+
+    def decide(batch: DataFrame) -> DataFrame:
+        tally = batch.groupBy("doc_id").agg(
+            F.first("quality_score").alias("quality_score"),
+            F.first("predicted_lang").alias("predicted_lang"),
+            F.first("max_markers").alias("max_markers"),
+            F.coalesce(F.max("n_match"), F.lit(0)).cast("int").alias("best_match"),
+        )
+        reason = (
+            F.when(
+                F.col("best_match") >= NEAR_DUP_MIN_MATCHES, "near_dup"
+            )
+            .when(F.col("max_markers") == 0, "no_lang")
+            .when(F.col("quality_score") < CURATION_QUALITY_MIN, "low_quality")
+            .otherwise("ok")
+        )
+        return tally.select(
+            "doc_id",
+            "quality_score",
+            F.when(F.col("max_markers") > 0, F.col("predicted_lang")).alias(
+                "predicted_lang"
+            ),
+            "best_match",
+            reason.alias("reason"),
+            (reason == "ok").alias("admitted"),
         )
 
     return run_foreach_batch(probed, decide)
@@ -1154,6 +1254,7 @@ QUERIES = {
     "streaming_provider_matrix": streaming_provider_matrix,
     "streaming_neardup_gate": streaming_neardup_gate,
     "streaming_ivf_ingest": streaming_ivf_ingest,
+    "streaming_curation_gate": streaming_curation_gate,
     "streaming_last_seen": streaming_last_seen,
     "streaming_payload_hist": streaming_payload_hist,
     "streaming_user_stats": streaming_user_stats,
@@ -1201,6 +1302,86 @@ def _neardup_gate_oracle() -> str:
     """
 
 
+def _curation_gate_oracle() -> str:
+    from ssiintegrateddatapipeline_spark.operators.dedup import (
+        _SIG_CTE,
+        N_BANDS,
+        N_MINHASH,
+        NEAR_DUP_MIN_MATCHES,
+    )
+    from ssiintegrateddatapipeline_spark.operators.text import _markers_sql
+    from ssiintegrateddatapipeline_spark.functions.text_funcs import (
+        QUALITY_FORMULA_SQL,
+        quality_terms_sql,
+    )
+
+    return f"""
+        WITH {_SIG_CTE},
+        arr AS (SELECT doc_id, sig FROM sigs WHERE doc_id % 2 = 1),
+        ref AS (SELECT doc_id, sig FROM sigs WHERE doc_id % 2 = 0),
+        bspine AS (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b),
+        arrb AS (
+            SELECT doc_id, sig, b,
+                   sig[2*b + 1]::VARCHAR || '_' || sig[2*b + 2]::VARCHAR AS key
+            FROM arr CROSS JOIN bspine
+        ),
+        refb AS (
+            SELECT sig, b,
+                   sig[2*b + 1]::VARCHAR || '_' || sig[2*b + 2]::VARCHAR AS key
+            FROM ref CROSS JOIN bspine
+        ),
+        hits AS (
+            SELECT a.doc_id,
+                   length(list_filter(
+                       list_transform(generate_series(1, {N_MINHASH}),
+                                      i -> a.sig[i] = r.sig[i]),
+                       x -> x)) AS n_match
+            FROM arrb a JOIN refb r ON a.b = r.b AND a.key = r.key
+        ),
+        best AS (
+            SELECT a.doc_id, coalesce(max(h.n_match), 0)::INT AS best_match
+            FROM arr a LEFT JOIN hits h USING (doc_id)
+            GROUP BY a.doc_id
+        ),
+        scored AS (
+            SELECT doc_id, {quality_terms_sql()},
+                   {_markers_sql("en")} AS en_markers,
+                   {_markers_sql("de")} AS de_markers,
+                   {_markers_sql("es")} AS es_markers,
+                   {_markers_sql("fr")} AS fr_markers
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        feats AS (
+            SELECT doc_id, {QUALITY_FORMULA_SQL} AS quality_score,
+                   CASE WHEN en_markers >= de_markers
+                             AND en_markers >= es_markers
+                             AND en_markers >= fr_markers THEN 'en'
+                        WHEN de_markers >= es_markers
+                             AND de_markers >= fr_markers THEN 'de'
+                        WHEN es_markers >= fr_markers THEN 'es'
+                        ELSE 'fr' END AS pl,
+                   greatest(en_markers, de_markers, es_markers, fr_markers)
+                       AS max_markers
+            FROM scored
+        ),
+        decided AS (
+            SELECT f.doc_id, f.quality_score,
+                   CASE WHEN f.max_markers > 0 THEN f.pl END AS predicted_lang,
+                   b.best_match,
+                   CASE WHEN b.best_match >= {NEAR_DUP_MIN_MATCHES}
+                            THEN 'near_dup'
+                        WHEN f.max_markers = 0 THEN 'no_lang'
+                        WHEN f.quality_score < {CURATION_QUALITY_MIN}
+                            THEN 'low_quality'
+                        ELSE 'ok' END AS reason
+            FROM feats f JOIN best b USING (doc_id)
+        )
+        SELECT doc_id, quality_score, predicted_lang, best_match, reason,
+               reason = 'ok' AS admitted
+        FROM decided
+    """
+
+
 ORACLES = {
     # identical final answer to the batch histogram p95: the streaming
     # counter/interpolation split must be lossless
@@ -1208,6 +1389,8 @@ ORACLES = {
     # online LSH ingest gate: the oracle replays shingle->minhash->band
     # keys with dedup.py's SQL machinery, split into arrival/corpus halves
     "streaming_neardup_gate": _neardup_gate_oracle(),
+    # full ingest curation pipeline: quality + language + LSH probe, one query
+    "streaming_curation_gate": _curation_gate_oracle(),
     # "streaming_ivf_ingest" is assigned below the dict: it reuses the
     # batch similarity_ivf_centroids oracle verbatim (import-order safe)
 

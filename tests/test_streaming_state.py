@@ -114,6 +114,8 @@ _STATE_BOUNDS = {
     "streaming_neardup_gate": lambda s, n: 0,
     # append-only IVF index ingestion: stateless cell assignment
     "streaming_ivf_ingest": lambda s, n: 0,
+    # append-only composed curation gate: stateless scoring + LSH probe
+    "streaming_curation_gate": lambda s, n: 0,
 }
 
 
