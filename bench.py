@@ -141,7 +141,12 @@ def main() -> None:
     # either direction. Each run is split into build (DataFrame
     # construction: driver-side analysis + any plan-time literal training)
     # and exec (toPandas: job + Arrow transfer) — regressions in the two
-    # have different causes, so the split is recorded per query.
+    # have different causes, so the split is recorded per query. CAVEAT:
+    # streaming_* queries drain their bounded replay EAGERLY inside the
+    # query function (run_available_now / run_foreach_batch), so for them
+    # "build" contains the whole streaming execution and "exec" only
+    # re-materializes the already-local result; read their split as
+    # run-vs-fetch, not plan-vs-job.
     N_RUNS = 3
     per_query: dict[str, float] = {}
     detail: dict[str, dict] = {}

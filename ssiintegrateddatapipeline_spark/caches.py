@@ -58,7 +58,13 @@ def clear_caches(spark=None) -> int:
     dropped. Unpersists DataFrame values (blocking=False) before clearing,
     so executor storage is actually released, then clears the dicts. Safe
     to call at any point between queries; the next call to any memoized
-    loader simply rebuilds its entry."""
+    loader simply rebuilds its entry.
+
+    Eviction is registry-driven and GLOBAL across sessions — every
+    registered dict is emptied regardless of which SparkSession its
+    entries belong to (the dicts key by applicationId precisely so a
+    clear can never leak a stale entry into a live session). ``spark``
+    is accepted only for call-site symmetry and ignored."""
     dropped = 0
     for cache, persisted in _REGISTRY:
         if persisted:

@@ -207,16 +207,19 @@ def two_phase_grouped_row_number(
     else:
         # injective (group, bucket) -> int encoding: shift both to zero
         # base, stride by the bucket span (b_hi+1 alone would collide for
-        # negative buckets)
+        # negative buckets). Probe arithmetic is forced to LONG: Python
+        # computes the map keys exactly, but a column-side int32 product
+        # over a wide bucket span would wrap and silently miss the map.
         lookup = F.create_map(
             *[
-                F.lit(x)
+                F.lit(x).cast("long")
                 for (g, k), v in group_offsets.items()
                 for x in ((g - g_lo) * span_b + (k - b_lo), v)
             ]
         )
         goff = lookup[
-            (F.col("__tpg") - F.lit(g_lo)) * span_b + (F.col("__tpb") - F.lit(b_lo))
+            (F.col("__tpg").cast("long") - F.lit(g_lo)) * F.lit(span_b)
+            + (F.col("__tpb").cast("long") - F.lit(b_lo))
         ]
     gpos = F.row_number().over(w2) + goff
     return (

@@ -108,22 +108,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIRS_CACHE[key]
 
 
-def _compute_minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, list]:
-    """shingle -> minhash -> band -> bucket-join: explode the 4 band keys,
-    self-join on (band, key), dedup candidate pairs, then estimate Jaccard
-    as the fraction of matching minhashes and keep pairs >= 4/8. Returns
-    (pairs, [auxiliary persisted frames]) — the caller caches the pairs and
-    tracks the auxiliaries for eviction.
-
-    Signatures are persisted before the self-join: otherwise Catalyst inlines
-    the (expensive) signature expression into both join branches and the band
-    keys, recomputing the md5 work up to 10x.
-    """
-    persisted_sigs = _signatures(spark, sf_dir).persist()
-    sigs = persisted_sigs.select(
-        "doc_id",
+def explode_band_keys(df: DataFrame) -> DataFrame:
+    """(..., sig) -> one row per LSH band: every non-``sig`` column passes
+    through, plus (band, key) where key concatenates the band's two
+    minhashes. SINGLE SOURCE of the banding scheme — the batch pair join
+    and the streaming ingest gates (streaming/pipeline._gate_*) both call
+    this; the DuckDB twin is the arrb/refb CTE fragments."""
+    extra = [c for c in df.columns if c != "sig"]
+    return df.select(
+        *extra,
         "sig",
         F.explode(
             F.array(
@@ -140,8 +133,24 @@ def _compute_minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    )
-    a = sigs.select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(*extra, "sig", "bk.band", "bk.key")
+
+
+def _compute_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list]:
+    """shingle -> minhash -> band -> bucket-join: explode the 4 band keys,
+    self-join on (band, key), dedup candidate pairs, then estimate Jaccard
+    as the fraction of matching minhashes and keep pairs >= 4/8. Returns
+    (pairs, [auxiliary persisted frames]) — the caller caches the pairs and
+    tracks the auxiliaries for eviction.
+
+    Signatures are persisted before the self-join: otherwise Catalyst inlines
+    the (expensive) signature expression into both join branches and the band
+    keys, recomputing the md5 work up to 10x.
+    """
+    persisted_sigs = _signatures(spark, sf_dir).persist()
+    a = explode_band_keys(persisted_sigs)
     b = a.select(
         F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"), "band", "key"
     )

@@ -12,7 +12,7 @@ column operations, no Python boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.functions.twophase import (

@@ -965,30 +965,11 @@ def _gate_signatures(df: DataFrame) -> DataFrame:
 
 
 def _gate_band_keys(df: DataFrame) -> DataFrame:
-    """Explode each signature into its LSH (band, key) probe rows."""
-    from ssiintegrateddatapipeline_spark.operators.dedup import N_BANDS
+    """Explode each signature into its LSH (band, key) probe rows — the
+    banding scheme lives in ONE place (dedup.explode_band_keys)."""
+    from ssiintegrateddatapipeline_spark.operators.dedup import explode_band_keys
 
-    extra = [c for c in df.columns if c not in ("doc_id", "sig")]
-    return df.select(
-        "doc_id",
-        *extra,
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            F.element_at("sig", 2 * b + 1),
-                            F.element_at("sig", 2 * b + 2),
-                        ).alias("key"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", *extra, "sig", "bk.band", "bk.key")
+    return explode_band_keys(df)
 
 
 def _gate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
