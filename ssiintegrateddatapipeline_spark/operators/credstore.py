@@ -24,8 +24,7 @@ a top-K, not a full sort, under Spark's TakeOrderedAndProject.
 from __future__ import annotations
 
 import hashlib
-from dataclasses import dataclass, field
-from typing import Any
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F

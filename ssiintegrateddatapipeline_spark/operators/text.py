@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.functions.text_funcs import (
-    md5_int32,
     minhash_signature,
     tokens,
     word_shingles,
