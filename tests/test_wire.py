@@ -596,3 +596,33 @@ def test_batch_codec_matches_per_record():
     assert p["_corrupt"] == [False, True, False]
     assert p["symbol"] == ["BTC", None, "ADA"]
     assert p["volume"] == [3.0, None, 99.0]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            _text,
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.floats(allow_nan=False),
+            st.none() | _text,
+            st.lists(_text, max_size=4),
+            st.dictionaries(_text, st.integers(-(2**31), 2**31 - 1), max_size=4),
+            st.booleans(),
+        ),
+        max_size=12,
+    )
+)
+def test_batch_codec_matches_interpreted_randomized(rows):
+    """Property twin of test_batch_codec_matches_per_record over the
+    randomized record schema: the Arrow-chunk batch encoder/decoder must
+    agree with the interpreted codec frame-for-frame and value-for-value,
+    for any batch size including empty."""
+    fields = ["s", "n", "d", "opt", "tags", "attrs", "b"]
+    values = [dict(zip(fields, r)) for r in rows]
+    per_rec = [C.dumps(v, _RECORD_SCHEMA) for v in values]
+    cols = [[v[f] for v in values] for f in fields]
+    assert C.compile_dumps_batch(_RECORD_SCHEMA)(cols) == per_rec
+    got = C.compile_loads_batch(_RECORD_SCHEMA)(per_rec)
+    assert list(got) == fields
+    for i, v in enumerate(values):
+        assert {k: got[k][i] for k in got} == v
