@@ -104,6 +104,7 @@ HEADLINE = [
     "streaming_neardup_gate",
     "streaming_ivf_ingest",
     "streaming_curation_gate",
+    "streaming_online_dedup",
 ]
 
 

@@ -29,6 +29,7 @@ backpressure knob (SURVEY §4).
 from __future__ import annotations
 
 import atexit
+import glob
 import os
 import shutil
 import tempfile
@@ -1143,6 +1144,151 @@ def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_foreach_batch(probed, decide)
 
 
+ONLINE_DEDUP_BATCHES = 4
+
+# staged arrival files are immutable per (app, sf_dir): memoized so repeat
+# calls skip the 4 little staging writes (the MUTATING index dir is always
+# fresh per call)
+_ONLINE_STAGE_CACHE: dict[tuple[str, str], str] = register({})
+
+
+def _online_batch_of(n: int):
+    """Micro-batch index of an odd doc_id: ((doc_id % 2n) - 1) div 2 —
+    deterministic, data-derived, identical in both engines."""
+    return F.expr(f"((doc_id % {2 * n}) - 1) div 2").cast("int")
+
+
+def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online SELF-MAINTAINING near-duplicate index — the full production
+    shape of ingest dedup: arrivals replay in ``ONLINE_DEDUP_BATCHES``
+    sequential micro-batches (staged one file per batch,
+    ``maxFilesPerTrigger=1``, mtime-ordered), each batch probes an index
+    TABLE seeded with the corpus band keys, and the band keys of ADMITTED
+    arrivals are APPENDED to that table before the next batch starts — so
+    later arrivals are near-dup-checked against earlier admissions, not
+    just the static corpus. The index lives in STORAGE (parquet appends;
+    at scale a bucketed/Delta table partitioned by band), never in the
+    state store: zero streaming state for any number of arrivals, and the
+    index survives restarts with the checkpoint. Consistency is
+    per-micro-batch: a batch sees the index as of batch start (intra-batch
+    arrivals do not block each other — documented choice, replayed by the
+    oracle's unrolled per-stage CTEs)."""
+    from ssiintegrateddatapipeline_spark.operators.dedup import (
+        NEAR_DUP_MIN_MATCHES,
+    )
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    n = ONLINE_DEDUP_BATCHES
+    docs = load_table(spark, sf_dir, "documents")
+
+    # --- stage arrivals: one parquet FILE per micro-batch, strictly
+    # increasing mtimes so the file source replays them in batch order
+    skey = (spark.sparkContext.applicationId, sf_dir)
+    arrivals_dir = _ONLINE_STAGE_CACHE.get(skey)
+    if arrivals_dir is None:
+        stage_root = tempfile.mkdtemp(dir=_session_ckpt_root())
+        arrivals_dir = os.path.join(stage_root, "arrivals")
+        os.makedirs(arrivals_dir)
+        base_t = 1_600_000_000
+        for k in range(n):
+            part_dir = os.path.join(stage_root, f"w{k}")
+            (
+                docs.where(
+                    (F.col("doc_id") % 2 == 1) & (_online_batch_of(n) == k)
+                )
+                .select("doc_id", "text")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            (part_file,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            dst = os.path.join(arrivals_dir, f"b{k}.parquet")
+            shutil.move(part_file, dst)
+            os.utime(dst, (base_t + k, base_t + k))
+        _ONLINE_STAGE_CACHE[skey] = arrivals_dir
+
+    # --- fresh index per run, seeded with the corpus band keys
+    run_root = tempfile.mkdtemp(dir=_session_ckpt_root())
+    index_dir = os.path.join(run_root, "index")
+    spool = os.path.join(run_root, "decisions")
+    _gate_band_keys(
+        _gate_signatures(
+            docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+        )
+    ).select("band", "key", F.col("sig").alias("ref_sig")).write.parquet(index_dir)
+    idx_schema = spark.read.parquet(index_dir).schema
+
+    staged_schema = spark.read.parquet(arrivals_dir).schema
+    stream = (
+        spark.readStream.schema(staged_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    banded = _gate_band_keys(_gate_signatures(stream))
+    n_match = F.size(
+        F.filter(F.zip_with("sig", "ref_sig", lambda x, y: x == y), lambda m: m)
+    )
+
+    def _emit(bdf: DataFrame, _bid: int) -> None:
+        # persist both frames: each is consumed by two actions, and without
+        # pinning, every action re-reads the batch file and re-runs the
+        # band lineage (measured: 7.2 s -> 10.8 s per call without)
+        b = bdf.persist()
+        # fresh read per batch: the listing must see last batch's appends
+        idx = spark.read.schema(idx_schema).parquet(index_dir)
+        tally = (
+            b.join(idx, ["band", "key"], "left")
+            .select(
+                "doc_id",
+                F.when(F.col("ref_sig").isNotNull(), n_match).alias("nm"),
+            )
+            .groupBy("doc_id")
+            .agg(F.coalesce(F.max("nm"), F.lit(0)).cast("int").alias("best_match"))
+            .select(
+                "doc_id",
+                _online_batch_of(n).alias("batch_id"),
+                "best_match",
+                (F.col("best_match") < NEAR_DUP_MIN_MATCHES).alias("admitted"),
+            )
+            .persist()  # reused by both writes; unpersisted below
+        )
+        # coalesce(1): each append is a few thousand rows — one file per
+        # batch keeps the per-batch index re-listing O(batches), where a
+        # 32-partition append would grow it by 32 small files per batch
+        tally.coalesce(1).write.mode("append").parquet(spool)
+        # grow the index with the ADMITTED arrivals' band keys — the part
+        # the state store would otherwise hold, as a table append instead
+        (
+            b.join(tally.where(F.col("admitted")).select("doc_id"), "doc_id")
+            .select("band", "key", F.col("sig").alias("ref_sig"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(index_dir)
+        )
+        tally.unpersist()
+        b.unpersist()
+
+    ckpt = tempfile.mkdtemp(dir=_session_ckpt_root())
+    # the per-batch joins/aggs move a few thousand rows: 32 shuffle
+    # partitions are pure task overhead x (jobs x batches). Same pin (and
+    # same single-threaded-session note) as run_available_now.
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        q = (
+            banded.writeStream.foreachBatch(_emit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _record_progress(q)
+    finally:
+        spark.conf.set(conf_key, prior)
+    return spark.read.parquet(spool)
+
+
 def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay ``embeddings.parquet`` as a streaming DataFrame (the ingest
     feed for online vector-index maintenance)."""
@@ -1236,6 +1382,7 @@ QUERIES = {
     "streaming_neardup_gate": streaming_neardup_gate,
     "streaming_ivf_ingest": streaming_ivf_ingest,
     "streaming_curation_gate": streaming_curation_gate,
+    "streaming_online_dedup": streaming_online_dedup,
     "streaming_last_seen": streaming_last_seen,
     "streaming_payload_hist": streaming_payload_hist,
     "streaming_user_stats": streaming_user_stats,
@@ -1281,6 +1428,63 @@ def _neardup_gate_oracle() -> str:
         FROM arr a LEFT JOIN hits h USING (doc_id)
         GROUP BY a.doc_id
     """
+
+
+def _online_dedup_oracle() -> str:
+    """The self-growing-index semantics unrolled into per-stage CTEs:
+    stage k's arrivals probe ``idx_k`` = corpus band keys ∪ band keys of
+    every arrival ADMITTED in stages < k; its admissions then define
+    ``idx_{k+1}``. MATERIALIZED CTEs keep the linear chain from inlining
+    exponentially (each idx is referenced twice)."""
+    from ssiintegrateddatapipeline_spark.operators.dedup import (
+        _SIG_CTE,
+        N_BANDS,
+        N_MINHASH,
+        NEAR_DUP_MIN_MATCHES,
+    )
+
+    n = ONLINE_DEDUP_BATCHES
+    nm = (
+        f"length(list_filter(list_transform(generate_series(1, {N_MINHASH}),"
+        " i -> a.sig[i] = r.sig[i]), x -> x))"
+    )
+    ctes = [
+        _SIG_CTE,
+        f"bspine AS (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b)",
+        "refb AS MATERIALIZED (SELECT sig, b,"
+        " sig[2*b + 1]::VARCHAR || '_' || sig[2*b + 2]::VARCHAR AS key"
+        " FROM sigs CROSS JOIN bspine WHERE doc_id % 2 = 0)",
+        f"arrb AS MATERIALIZED (SELECT doc_id,"
+        f" ((doc_id % {2 * n}) - 1) // 2 AS batch_id, sig, b,"
+        " sig[2*b + 1]::VARCHAR || '_' || sig[2*b + 2]::VARCHAR AS key"
+        " FROM sigs CROSS JOIN bspine WHERE doc_id % 2 = 1)",
+        "idx0 AS MATERIALIZED (SELECT sig, b, key FROM refb)",
+    ]
+    for k in range(n):
+        ctes.append(
+            f"hits{k} AS (SELECT a.doc_id, {nm} AS n_match"
+            f" FROM (SELECT * FROM arrb WHERE batch_id = {k}) a"
+            f" JOIN idx{k} r ON a.b = r.b AND a.key = r.key)"
+        )
+        ctes.append(
+            f"dec{k} AS MATERIALIZED (SELECT a.doc_id, {k} AS batch_id,"
+            f" coalesce(max(h.n_match), 0)::INT AS best_match,"
+            f" coalesce(max(h.n_match), 0) < {NEAR_DUP_MIN_MATCHES} AS admitted"
+            f" FROM (SELECT DISTINCT doc_id FROM arrb WHERE batch_id = {k}) a"
+            f" LEFT JOIN hits{k} h USING (doc_id) GROUP BY a.doc_id)"
+        )
+        if k + 1 < n:
+            ctes.append(
+                f"idx{k + 1} AS MATERIALIZED (SELECT sig, b, key FROM idx{k}"
+                f" UNION ALL SELECT a.sig, a.b, a.key FROM arrb a"
+                f" JOIN dec{k} d ON a.doc_id = d.doc_id AND d.admitted"
+                f" AND a.batch_id = {k})"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, batch_id, best_match, admitted FROM dec{k}"
+        for k in range(n)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
 def _curation_gate_oracle() -> str:
@@ -1372,6 +1576,8 @@ ORACLES = {
     "streaming_neardup_gate": _neardup_gate_oracle(),
     # full ingest curation pipeline: quality + language + LSH probe, one query
     "streaming_curation_gate": _curation_gate_oracle(),
+    # self-growing dedup index: sequential per-stage semantics unrolled
+    "streaming_online_dedup": _online_dedup_oracle(),
     # "streaming_ivf_ingest" is assigned below the dict: it reuses the
     # batch similarity_ivf_centroids oracle verbatim (import-order safe)
 

@@ -116,6 +116,8 @@ _STATE_BOUNDS = {
     "streaming_ivf_ingest": lambda s, n: 0,
     # append-only composed curation gate: stateless scoring + LSH probe
     "streaming_curation_gate": lambda s, n: 0,
+    # self-growing dedup index: the index lives in STORAGE, not state
+    "streaming_online_dedup": lambda s, n: 0,
 }
 
 
