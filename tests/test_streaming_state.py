@@ -165,3 +165,22 @@ def test_neardup_gate_is_stateless(spark, sf_dir):
     SP.streaming_neardup_gate(spark, sf_dir).count()
     prog = SP.LAST_QUERY_PROGRESS or {}
     assert prog.get("stateOperators") in ([], None) or _last_state_rows() == 0
+
+
+def test_online_dedup_index_growth_blocks_later_arrivals(spark, sf_dir):
+    """The self-maintaining index must change decisions relative to the
+    static-corpus gate — and only in one direction: growth can BLOCK a
+    later arrival (an earlier admission became its near-dup), never admit
+    one the static gate blocks (the index is a superset of the corpus)."""
+    online = {
+        r.doc_id: r.admitted
+        for r in SP.streaming_online_dedup(spark, sf_dir).collect()
+    }
+    static = {
+        r.doc_id: r.admitted
+        for r in SP.streaming_neardup_gate(spark, sf_dir).collect()
+    }
+    assert set(online) == set(static)
+    flipped = [d for d in online if online[d] != static[d]]
+    assert flipped, "no decision changed: the index growth is not exercised"
+    assert all(static[d] and not online[d] for d in flipped)
