@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import atexit
 import glob
+from contextlib import contextmanager
 import os
 import shutil
 import tempfile
@@ -519,6 +520,24 @@ def user_profile_plan(stream: DataFrame, use_tws: bool | None = None) -> DataFra
 _CKPT_ROOT: list[str] = []
 
 
+@contextmanager
+def _pinned_shuffle(spark: SparkSession, n: int | None):
+    """Temporarily pin spark.sql.shuffle.partitions (restored on exit).
+    Session-global: the engine's runners are single-threaded per session —
+    a concurrent plan built in another thread of the SAME session during
+    the window would inherit the pinned value."""
+    if n is None:
+        yield
+        return
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(conf_key, prior)
+
+
 def _session_ckpt_root() -> str:
     """One checkpoint root per process, removed at exit (not per-run)."""
     if not _CKPT_ROOT:
@@ -577,11 +596,7 @@ def run_available_now(
     # under ONE session root cleaned at interpreter exit — the recursive
     # delete of state/offset files stays OUT of the measured path
     ckpt = tempfile.mkdtemp(dir=_session_ckpt_root())
-    conf_key = "spark.sql.shuffle.partitions"
-    prior = spark.conf.get(conf_key) if state_partitions else None
-    if state_partitions:
-        spark.conf.set(conf_key, str(state_partitions))
-    try:
+    with _pinned_shuffle(spark, state_partitions):
         q = (
             plan.writeStream.format("memory")
             .queryName(name)
@@ -592,9 +607,6 @@ def run_available_now(
         )
         q.awaitTermination()
         _record_progress(q)
-    finally:
-        if state_partitions:
-            spark.conf.set(conf_key, prior)
     out = spark.table(name)
     if dedup_keys:
         out = out.groupBy(*dedup_keys).agg(
@@ -996,14 +1008,21 @@ def _gate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _GATE_CORPUS_CACHE[ckey]
 
 
+def _sig_match_count():
+    """Matching-minhash count between an arrival ``sig`` and an index
+    ``ref_sig`` — the near-dup scoring formula, defined ONCE for every
+    gate (probe join, curation gate, online index)."""
+    return F.size(
+        F.filter(F.zip_with("sig", "ref_sig", lambda x, y: x == y), lambda m: m)
+    )
+
+
 def _gate_probe(spark: SparkSession, sf_dir: str, arrivals: DataFrame) -> DataFrame:
     """Stream-static LEFT join of arrival band rows against the corpus
     bucket index; emits per-band-row (doc_id, *extra, hit, n_match)."""
     banded = _gate_band_keys(_gate_signatures(arrivals))
     extra = [c for c in banded.columns if c not in ("doc_id", "sig", "band", "key")]
-    n_match = F.size(
-        F.filter(F.zip_with("sig", "ref_sig", lambda x, y: x == y), lambda m: m)
-    )
+    n_match = _sig_match_count()
     return banded.join(_gate_corpus(spark, sf_dir), ["band", "key"], "left").select(
         "doc_id",
         *extra,
@@ -1211,11 +1230,9 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_root = tempfile.mkdtemp(dir=_session_ckpt_root())
     index_dir = os.path.join(run_root, "index")
     spool = os.path.join(run_root, "decisions")
-    _gate_band_keys(
-        _gate_signatures(
-            docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
-        )
-    ).select("band", "key", F.col("sig").alias("ref_sig")).write.parquet(index_dir)
+    # the corpus bucket index is the SAME frame the other gates persist —
+    # reuse the session cache instead of re-deriving the signatures
+    _gate_corpus(spark, sf_dir).write.parquet(index_dir)
     idx_schema = spark.read.parquet(index_dir).schema
 
     staged_schema = spark.read.parquet(arrivals_dir).schema
@@ -1225,9 +1242,7 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(arrivals_dir)
     )
     banded = _gate_band_keys(_gate_signatures(stream))
-    n_match = F.size(
-        F.filter(F.zip_with("sig", "ref_sig", lambda x, y: x == y), lambda m: m)
-    )
+    n_match = _sig_match_count()
 
     def _emit(bdf: DataFrame, _bid: int) -> None:
         # persist both frames: each is consumed by two actions, and without
@@ -1270,12 +1285,8 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ckpt = tempfile.mkdtemp(dir=_session_ckpt_root())
     # the per-batch joins/aggs move a few thousand rows: 32 shuffle
-    # partitions are pure task overhead x (jobs x batches). Same pin (and
-    # same single-threaded-session note) as run_available_now.
-    conf_key = "spark.sql.shuffle.partitions"
-    prior = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, "8")
-    try:
+    # partitions are pure task overhead x (jobs x batches)
+    with _pinned_shuffle(spark, 8):
         q = (
             banded.writeStream.foreachBatch(_emit)
             .option("checkpointLocation", ckpt)
@@ -1284,8 +1295,6 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         _record_progress(q)
-    finally:
-        spark.conf.set(conf_key, prior)
     return spark.read.parquet(spool)
 
 

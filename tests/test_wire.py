@@ -598,6 +598,7 @@ def test_batch_codec_matches_per_record():
     assert p["volume"] == [3.0, None, 99.0]
 
 
+@settings(deadline=None)
 @given(
     rows=st.lists(
         st.tuples(
