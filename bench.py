@@ -47,6 +47,9 @@ HEADLINE = [
     "multimodal_decode",
     "streaming_throughput_30s",
     "range_band_pricing",
+    "range_session_overlap",
+    "analytics_peak_concurrency",
+    "asof_nearest_event",
     "scd2_customer_tiers",
     "sampling_train_split",
     "text_tfidf_top_terms",

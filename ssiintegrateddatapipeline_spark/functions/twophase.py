@@ -125,6 +125,54 @@ def _offset_lookup(offsets: dict[int, int]):
     return lookup[F.col("__tpb")]
 
 
+def two_phase_prefix_sum(
+    df: DataFrame,
+    bucket: Column,
+    order_by: Sequence[Column],
+    val: Column,
+    out: str = "running_sum",
+) -> DataFrame:
+    """Append the global running sum of ``val`` ordered by ``order_by`` —
+    the prefix-sum twin of :func:`two_phase_row_number` (sweep-line
+    algorithms are cumulative SUMS over a total order, not ranks).
+
+    Same contract and same shape: ``bucket`` non-null, integer, monotone
+    non-decreasing along ``order_by``. The offset pass aggregates
+    ``sum(val)`` per bucket (one row per bucket, bounded by construction),
+    cumulative offsets fold back as a plan-time literal, and the running
+    sum within each bucket is an ordinary partitioned window — no
+    ``Exchange SinglePartition`` anywhere. ``val`` is summed as ``long``
+    (offsets are exact integers on both the driver and the literal path).
+    """
+    b = df.withColumn("__tpb", bucket).withColumn("__tpv", val.cast("long"))
+    key = (df.sparkSession.sparkContext.applicationId, b.semanticHash(), "psum")
+    memo = _OFFSETS_MEMO.get(key)
+    if memo is None:
+        rows = b.groupBy("__tpb").agg(F.sum("__tpv").alias("__s")).collect()
+        if any(r["__tpb"] is None for r in rows):
+            raise ValueError(
+                "two_phase_prefix_sum: bucket expression evaluated to NULL "
+                "for some rows — coalesce nulls into a sentinel bucket that "
+                "respects the order, or filter them out"
+            )
+        offsets: dict[int, int] = {}
+        total = 0
+        for r in sorted(rows, key=lambda r: r["__tpb"]):
+            offsets[r["__tpb"]] = total
+            total += r["__s"] or 0
+        memo = _OFFSETS_MEMO[key] = (offsets, total)
+    offsets, _ = memo
+    w = (
+        Window.partitionBy("__tpb")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("__tpv").over(w)
+    if offsets:
+        run = run + _offset_lookup(offsets)
+    return b.withColumn(out, run.cast("long")).drop("__tpb", "__tpv")
+
+
 def two_phase_grouped_row_number(
     df: DataFrame,
     bucket: Column,

@@ -175,10 +175,277 @@ def range_band_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Interval analytics — binned interval self-join & sweep-line concurrency
+# ---------------------------------------------------------------------------
+
+# Sessions are padded by the inactivity timeout: a user is "active" from
+# the session's first event until 30 minutes after its last (half-open
+# [start, end+pad) activity window — the same 30-minute gap that DEFINES
+# the session, so the pad is the session's own timeout, not a new knob).
+ACTIVITY_PAD_US = 30 * 60 * 1_000_000
+
+# Bin width for the interval self-join: 1 hour ~ the p99 padded-session
+# span, so each interval explodes to O(1) bins (<=3 here). At other span
+# distributions pick W ~ median interval length — the classic tuning rule
+# for binned range joins.
+OVERLAP_BIN_US = 60 * 60 * 1_000_000
+
+# Nearest-event tolerance: +/- 6 h (events average ~10 h apart per user at
+# the test scales; the tolerance exists to show the bounded-search
+# semantics, not to catch everything).
+NEAREST_TOL_US = 6 * 3600 * 1_000_000
+
+
+def _padded_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity intervals ``[su, eu)`` in unix-micros, derived
+    from the same 30-minute-gap sessionization as
+    ``analytics_session_windows`` (single source of session truth)."""
+    from ssiintegrateddatapipeline_spark.caches import track
+    from ssiintegrateddatapipeline_spark.operators.analytics import (
+        session_windows,
+    )
+
+    # persisted: the interval queries consume this frame from multiple
+    # plan branches (self-join sides, boundary-event fan-out) — without
+    # pinning, each branch re-runs the full sessionization windows. The
+    # frame is one row per session (an aggregate of events — orders of
+    # magnitude smaller than its input), so the pin is cheap at any scale.
+    return track(
+        session_windows(spark, sf_dir)
+        .select(
+            "user_id",
+            "session_seq",
+            F.unix_micros("session_start").alias("su"),
+            (F.unix_micros("session_end") + F.lit(ACTIVITY_PAD_US)).alias("eu"),
+        )
+        .persist()
+    )
+
+
+def session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user concurrent-activity report via a BINNED interval
+    self-join — the scale pattern for interval-overlap joins Spark lacks
+    natively.
+
+    A naive overlap join (``a.s < b.e AND b.s < a.e``) is non-equi and
+    physically a nested-loop over all session pairs — O(n^2) at any real
+    volume. Binning restores an equi-join: each interval explodes to the
+    fixed-width time bins it covers (O(1) bins per interval when the bin
+    width ~ interval span), the join key becomes the bin, and the exact
+    overlap predicate filters within the bin. A pair overlapping several
+    bins is emitted ONCE by keeping only the bin that contains the
+    overlap's start (``floor(greatest(su)/W)``) — a filter, not a
+    ``distinct`` shuffle. At 100 TB: the join shuffles on the bin key
+    (hash join, AQE-skew-splittable); per-bin density is the inherent
+    output bound of any interval join — hot bins mean genuinely quadratic
+    overlap output, not an avoidable plan artifact.
+    """
+    sess = _padded_sessions(spark, sf_dir)
+    w = F.lit(OVERLAP_BIN_US)
+    binned = sess.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("su") / w), F.floor((F.col("eu") - 1) / w)
+            )
+        ),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    ov_start = F.greatest(F.col("a.su"), F.col("b.su"))
+    ov_end = F.least(F.col("a.eu"), F.col("b.eu"))
+    pairs = a.join(
+        b,
+        (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.su") < F.col("b.eu"))
+        & (F.col("b.su") < F.col("a.eu"))
+        & (F.col("a.bin") == F.floor(ov_start / w)),
+    ).select(
+        F.col("a.user_id").alias("u1"),
+        F.col("b.user_id").alias("u2"),
+        (ov_end - ov_start).alias("ov_us"),
+    )
+    # fan each pair out to both participants with ONE explode, not a
+    # union of two selects — a union re-executes the join lineage per
+    # branch, doubling the (expensive) pair computation
+    per_user = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u1").alias("user_id"), F.col("u2").alias("partner")
+                ),
+                F.struct(
+                    F.col("u2").alias("user_id"), F.col("u1").alias("partner")
+                ),
+            )
+        ).alias("p"),
+        "ov_us",
+    ).select("p.user_id", "p.partner", "ov_us")
+    return per_user.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.count_distinct("partner").alias("n_partners"),
+        F.round(F.sum("ov_us") / F.lit(1e6), 3).alias("overlap_secs"),
+    )
+
+
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent active users per hour via SWEEP-LINE — the other
+    half of the interval toolkit: when the question is "how many overlap"
+    rather than "which pairs overlap", the O(n^2) join collapses to a
+    running sum over +1/-1 boundary events.
+
+    The running sum is a GLOBAL cumulative aggregate — the textbook
+    single-partition-window trap — so it rides
+    :func:`~ssiintegrateddatapipeline_spark.functions.twophase.two_phase_prefix_sum`:
+    day-bucketed partial sums with literal-folded per-bucket offsets, no
+    ``Exchange SinglePartition``. Ties order ``(t, delta)`` — ends (-1)
+    before starts (+1) at the same instant, matching the half-open
+    ``[start, end)`` activity windows. The within-hour maximum is
+    invariant to ordering among equal ``(t, delta)`` rows (the multiset
+    of prefix values inside a tie group does not depend on it), so the
+    result is deterministic and exactly replayable by the oracle's window.
+    """
+    from ssiintegrateddatapipeline_spark.functions.twophase import (
+        two_phase_prefix_sum,
+    )
+
+    sess = _padded_sessions(spark, sf_dir)
+    deltas = sess.select(
+        F.col("su").alias("t_us"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(F.col("eu").alias("t_us"), F.lit(-1).alias("delta"))
+    )
+    day_us = 86_400 * 1_000_000
+    run = two_phase_prefix_sum(
+        deltas,
+        bucket=F.floor(F.col("t_us") / F.lit(day_us)).cast("int"),
+        order_by=[F.col("t_us"), F.col("delta")],
+        val=F.col("delta"),
+        out="conc",
+    )
+    return run.groupBy(
+        F.date_trunc("hour", F.timestamp_micros("t_us")).alias("hour")
+    ).agg(F.max("conc").alias("peak_concurrency"))
+
+
+def nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nearest-neighbor-in-time join with tolerance (pandas
+    ``merge_asof(direction='nearest', tolerance=...)`` semantics, which
+    Spark lacks): each error event is matched to the closest click by the
+    same user within +/- 6 h, or null.
+
+    Same union+window formulation as :func:`asof_join`, run in BOTH
+    directions off ONE shuffle: the backward candidate is
+    ``last(click, ignorenulls)`` over the preceding frame and the forward
+    candidate ``first(click, ignorenulls)`` over the following frame of
+    the SAME sort (clicks order before errors at equal timestamps, so a
+    same-instant click is a backward match — gap 0 — and never double
+    counted forward). Catalyst plans both window frames over a single
+    hash exchange + sort on ``user_id``. Ties prefer the backward match
+    (pandas' rule); ``gap_secs`` is signed (negative = click before
+    error). Cost at 100 TB: one shuffle + sort per side union — identical
+    to the plain as-of join, with no range-join candidate explosion.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("error_id"),
+        F.lit(None).cast("timestamp").alias("error_ts"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "side", "click_id")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    carried = clicks.unionByName(errors).select(
+        "side",
+        "user_id",
+        "error_id",
+        F.last("click_id", ignorenulls=True).over(wb).alias("back_id"),
+        (
+            F.unix_micros("error_ts")
+            - F.unix_micros(F.last("click_ts", ignorenulls=True).over(wb))
+        ).alias("gb"),
+        F.first("click_id", ignorenulls=True).over(wf).alias("fwd_id"),
+        (
+            F.unix_micros(F.first("click_ts", ignorenulls=True).over(wf))
+            - F.unix_micros("error_ts")
+        ).alias("gf"),
+    ).where(F.col("side") == 1)
+    tol = F.lit(NEAREST_TOL_US)
+    back_wins = (
+        F.col("gb").isNotNull()
+        & (F.col("gb") <= tol)
+        & (F.col("gf").isNull() | (F.col("gf") > tol) | (F.col("gb") <= F.col("gf")))
+    )
+    fwd_wins = ~back_wins & F.col("gf").isNotNull() & (F.col("gf") <= tol)
+    return carried.select(
+        "user_id",
+        "error_id",
+        F.when(back_wins, F.col("back_id"))
+        .when(fwd_wins, F.col("fwd_id"))
+        .alias("nearest_click_id"),
+        F.when(back_wins, F.lit("back"))
+        .when(fwd_wins, F.lit("fwd"))
+        .alias("direction"),
+        F.when(back_wins, F.round(-F.col("gb") / F.lit(1e6), 3))
+        .when(fwd_wins, F.round(F.col("gf") / F.lit(1e6), 3))
+        .alias("gap_secs"),
+    )
+
+
 QUERIES = {
     "asof_last_touch": last_touch,
+    "asof_nearest_event": nearest_event,
     "range_band_pricing": range_band_pricing,
+    "range_session_overlap": session_overlap,
+    "analytics_peak_concurrency": peak_concurrency,
 }
+
+# Shared session-interval CTE for the interval oracles: identical
+# 30-minute-gap sessionization to the analytics_session_windows oracle,
+# padded to half-open [su, eu) activity windows in unix-micros.
+_SESSIONS_CTE = """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               epoch_us(ts) - epoch_us(lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM gaps
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS session_seq
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, session_seq,
+               epoch_us(min(ts)) AS su,
+               epoch_us(max(ts)) + 30 * 60 * 1000000 AS eu
+        FROM numbered GROUP BY user_id, session_seq
+    )
+"""
 
 ORACLES = {
     # same union+window formulation in DuckDB (not its native ASOF JOIN, so
@@ -215,6 +482,85 @@ ORACLES = {
                    AS gap_secs
         FROM carried
         WHERE _side = 1
+    """,
+    # the oracle states overlap DECLARATIVELY (plain inequality self-join)
+    # — the binned equi-join must reproduce it exactly
+    "range_session_overlap": _SESSIONS_CTE + """
+        , pairs AS (
+            SELECT a.user_id AS u1, b.user_id AS u2,
+                   least(a.eu, b.eu) - greatest(a.su, b.su) AS ov_us
+            FROM sessions a JOIN sessions b
+              ON a.user_id < b.user_id
+             AND a.su < b.eu AND b.su < a.eu
+        ),
+        per_user AS (
+            SELECT u1 AS user_id, u2 AS partner, ov_us FROM pairs
+            UNION ALL
+            SELECT u2, u1, ov_us FROM pairs
+        )
+        SELECT user_id,
+               count(*) AS n_overlaps,
+               count(DISTINCT partner) AS n_partners,
+               round(sum(ov_us) / 1e6, 3) AS overlap_secs
+        FROM per_user GROUP BY user_id
+    """,
+    "analytics_peak_concurrency": _SESSIONS_CTE + """
+        , deltas AS (
+            SELECT su AS t_us, 1 AS delta FROM sessions
+            UNION ALL
+            SELECT eu, -1 FROM sessions
+        ),
+        run AS (
+            SELECT t_us,
+                   sum(delta) OVER (ORDER BY t_us, delta
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                       AS conc
+            FROM deltas
+        )
+        SELECT date_trunc('hour', make_timestamp(t_us)) AS hour,
+               max(conc) AS peak_concurrency
+        FROM run GROUP BY hour
+    """,
+    "asof_nearest_event": f"""
+        WITH u AS (
+            SELECT user_id, ts, 0 AS side, event_id AS click_id,
+                   ts AS click_ts, NULL::BIGINT AS error_id,
+                   NULL::TIMESTAMP AS error_ts
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id, ts, 1, NULL, NULL, event_id, ts
+            FROM events WHERE event_type = 'error'
+        ),
+        carried AS (
+            SELECT side, user_id, error_id,
+                   last_value(click_id IGNORE NULLS) OVER wb AS back_id,
+                   epoch_us(error_ts) - epoch_us(
+                       last_value(click_ts IGNORE NULLS) OVER wb) AS gb,
+                   first_value(click_id IGNORE NULLS) OVER wf AS fwd_id,
+                   epoch_us(first_value(click_ts IGNORE NULLS) OVER wf)
+                       - epoch_us(error_ts) AS gf
+            FROM u
+            WINDOW wb AS (PARTITION BY user_id ORDER BY ts, side, click_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY ts, side, click_id
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ),
+        scored AS (
+            SELECT user_id, error_id, back_id, gb, fwd_id, gf,
+                   (gb IS NOT NULL AND gb <= {NEAREST_TOL_US}
+                    AND (gf IS NULL OR gf > {NEAREST_TOL_US} OR gb <= gf))
+                       AS back_wins,
+                   (gf IS NOT NULL AND gf <= {NEAREST_TOL_US}) AS fwd_ok
+            FROM carried WHERE side = 1
+        )
+        SELECT user_id, error_id,
+               CASE WHEN back_wins THEN back_id
+                    WHEN fwd_ok THEN fwd_id END AS nearest_click_id,
+               CASE WHEN back_wins THEN 'back'
+                    WHEN fwd_ok THEN 'fwd' END AS direction,
+               CASE WHEN back_wins THEN round(-gb / 1e6, 3)
+                    WHEN fwd_ok THEN round(gf / 1e6, 3) END AS gap_secs
+        FROM scored
     """,
     "range_band_pricing": """
         SELECT band,
