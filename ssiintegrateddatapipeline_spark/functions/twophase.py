@@ -47,6 +47,34 @@ _OFFSETS_MEMO: dict[tuple, tuple[dict, int]] = register({})
 _BOUNDS_MEMO: dict[tuple, list] = register({})
 
 
+def _collect_bucket_offsets(b: DataFrame, agg: Column, fn_name: str):
+    """Shared offset pass for the two-phase helpers: aggregate ``agg`` per
+    ``__tpb`` bucket (one row per bucket — bounded by construction), fold
+    cumulative offsets on the driver, memoize per (applicationId,
+    semanticHash). Raises on null buckets — a null bucket has no place in
+    the total order, so failing beats mis-ranking. Returns
+    ``(offsets, total)``."""
+    key = (b.sparkSession.sparkContext.applicationId, b.semanticHash(), fn_name)
+    memo = _OFFSETS_MEMO.get(key)
+    if memo is None:
+        # Offset pass: one row per bucket. Catalyst prunes everything except
+        # the aggregated expressions' inputs from this scan.
+        rows = b.groupBy("__tpb").agg(agg.alias("__n")).collect()
+        if any(r["__tpb"] is None for r in rows):
+            raise ValueError(
+                f"{fn_name}: bucket expression evaluated to NULL "
+                "for some rows — coalesce nulls into a sentinel bucket that "
+                "respects the order, or filter them out"
+            )
+        offsets: dict[int, int] = {}
+        total = 0
+        for r in sorted(rows, key=lambda r: r["__tpb"]):
+            offsets[r["__tpb"]] = total
+            total += r["__n"] or 0
+        memo = _OFFSETS_MEMO[key] = (offsets, total)
+    return memo
+
+
 def two_phase_row_number(
     df: DataFrame,
     bucket: Column,
@@ -63,25 +91,9 @@ def two_phase_row_number(
     the offset pass, handy for exact ntile arithmetic).
     """
     b = df.withColumn("__tpb", bucket)
-    key = (df.sparkSession.sparkContext.applicationId, b.semanticHash())
-    memo = _OFFSETS_MEMO.get(key)
-    if memo is None:
-        # Offset pass: one row per bucket. Catalyst prunes everything except
-        # the bucket expression's inputs from this scan.
-        rows = b.groupBy("__tpb").agg(F.count(F.lit(1)).alias("__n")).collect()
-        if any(r["__tpb"] is None for r in rows):
-            raise ValueError(
-                "two_phase_row_number: bucket expression evaluated to NULL "
-                "for some rows — coalesce nulls into a sentinel bucket that "
-                "respects the order, or filter them out"
-            )
-        offsets: dict[int, int] = {}
-        total = 0
-        for r in sorted(rows, key=lambda r: r["__tpb"]):
-            offsets[r["__tpb"]] = total
-            total += r["__n"]
-        memo = _OFFSETS_MEMO[key] = (offsets, total)
-    offsets, total = memo
+    offsets, total = _collect_bucket_offsets(
+        b, F.count(F.lit(1)), "two_phase_row_number"
+    )
     w = Window.partitionBy("__tpb").orderBy(*order_by)
     if offsets:
         pos = F.row_number().over(w) + _offset_lookup(offsets)
@@ -142,26 +154,18 @@ def two_phase_prefix_sum(
     cumulative offsets fold back as a plan-time literal, and the running
     sum within each bucket is an ordinary partitioned window — no
     ``Exchange SinglePartition`` anywhere. ``val`` is summed as ``long``
-    (offsets are exact integers on both the driver and the literal path).
+    (offsets are exact integers on both the driver and the literal path);
+    null summands count as 0 — SQL ``sum`` skips nulls, so the running
+    value at a null row carries the previous value, which is exactly what
+    adding 0 produces (without the coalesce, a null LEADING a bucket would
+    null out that bucket's window sum and the folded offset with it).
     """
-    b = df.withColumn("__tpb", bucket).withColumn("__tpv", val.cast("long"))
-    key = (df.sparkSession.sparkContext.applicationId, b.semanticHash(), "psum")
-    memo = _OFFSETS_MEMO.get(key)
-    if memo is None:
-        rows = b.groupBy("__tpb").agg(F.sum("__tpv").alias("__s")).collect()
-        if any(r["__tpb"] is None for r in rows):
-            raise ValueError(
-                "two_phase_prefix_sum: bucket expression evaluated to NULL "
-                "for some rows — coalesce nulls into a sentinel bucket that "
-                "respects the order, or filter them out"
-            )
-        offsets: dict[int, int] = {}
-        total = 0
-        for r in sorted(rows, key=lambda r: r["__tpb"]):
-            offsets[r["__tpb"]] = total
-            total += r["__s"] or 0
-        memo = _OFFSETS_MEMO[key] = (offsets, total)
-    offsets, _ = memo
+    b = df.withColumn("__tpb", bucket).withColumn(
+        "__tpv", F.coalesce(val.cast("long"), F.lit(0))
+    )
+    offsets, _ = _collect_bucket_offsets(
+        b, F.sum("__tpv"), "two_phase_prefix_sum"
+    )
     w = (
         Window.partitionBy("__tpb")
         .orderBy(*order_by)

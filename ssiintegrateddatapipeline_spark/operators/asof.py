@@ -223,6 +223,38 @@ def _padded_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _overlap_pairs(sess: DataFrame) -> DataFrame:
+    """Distinct cross-user overlapping interval pairs ``(u1, u2, ov_us)``
+    from ``(user_id, su, eu)`` half-open intervals, via the binned
+    equi-join described in :func:`session_overlap` (shared with the
+    equivalence test so the proof covers the production join)."""
+    w = F.lit(OVERLAP_BIN_US)
+    binned = sess.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("su") / w), F.floor((F.col("eu") - 1) / w)
+            )
+        ),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    ov_start = F.greatest(F.col("a.su"), F.col("b.su"))
+    ov_end = F.least(F.col("a.eu"), F.col("b.eu"))
+    return a.join(
+        b,
+        (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.su") < F.col("b.eu"))
+        & (F.col("b.su") < F.col("a.eu"))
+        & (F.col("a.bin") == F.floor(ov_start / w)),
+    ).select(
+        F.col("a.user_id").alias("u1"),
+        F.col("b.user_id").alias("u2"),
+        (ov_end - ov_start).alias("ov_us"),
+    )
+
+
 def session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-user concurrent-activity report via a BINNED interval
     self-join — the scale pattern for interval-overlap joins Spark lacks
@@ -241,32 +273,7 @@ def session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     output bound of any interval join — hot bins mean genuinely quadratic
     overlap output, not an avoidable plan artifact.
     """
-    sess = _padded_sessions(spark, sf_dir)
-    w = F.lit(OVERLAP_BIN_US)
-    binned = sess.withColumn(
-        "bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("su") / w), F.floor((F.col("eu") - 1) / w)
-            )
-        ),
-    )
-    a = binned.alias("a")
-    b = binned.alias("b")
-    ov_start = F.greatest(F.col("a.su"), F.col("b.su"))
-    ov_end = F.least(F.col("a.eu"), F.col("b.eu"))
-    pairs = a.join(
-        b,
-        (F.col("a.bin") == F.col("b.bin"))
-        & (F.col("a.user_id") < F.col("b.user_id"))
-        & (F.col("a.su") < F.col("b.eu"))
-        & (F.col("b.su") < F.col("a.eu"))
-        & (F.col("a.bin") == F.floor(ov_start / w)),
-    ).select(
-        F.col("a.user_id").alias("u1"),
-        F.col("b.user_id").alias("u2"),
-        (ov_end - ov_start).alias("ov_us"),
-    )
+    pairs = _overlap_pairs(_padded_sessions(spark, sf_dir))
     # fan each pair out to both participants with ONE explode, not a
     # union of two selects — a union re-executes the join lineage per
     # branch, doubling the (expensive) pair computation

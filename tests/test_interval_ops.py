@@ -22,6 +22,7 @@ from ssiintegrateddatapipeline_spark.functions.twophase import (
 )
 from ssiintegrateddatapipeline_spark.operators.asof import (
     NEAREST_TOL_US,
+    _overlap_pairs,
     _padded_sessions,
     nearest_event,
     session_overlap,
@@ -82,35 +83,9 @@ def test_binned_overlap_join_matches_naive(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("ov_us").alias("s"))
     )
     expected = {(r.u1, r.n, r.s) for r in naive.collect()}
-    # reconstruct the same (one-sided) aggregate from the binned operator's
-    # symmetric per-user output is not possible; re-derive pairs instead
-    from ssiintegrateddatapipeline_spark.operators.asof import OVERLAP_BIN_US
-
-    w = F.lit(OVERLAP_BIN_US)
-    binned = sess.withColumn(
-        "bin",
-        F.explode(
-            F.sequence(F.floor(F.col("su") / w), F.floor((F.col("eu") - 1) / w))
-        ),
-    )
-    a2, b2 = binned.alias("a"), binned.alias("b")
-    ov_start = F.greatest(F.col("a.su"), F.col("b.su"))
+    # the PRODUCTION binned join (shared helper), same one-sided aggregate
     got_pairs = (
-        a2.join(
-            b2,
-            (F.col("a.bin") == F.col("b.bin"))
-            & (F.col("a.user_id") < F.col("b.user_id"))
-            & (F.col("a.su") < F.col("b.eu"))
-            & (F.col("b.su") < F.col("a.eu"))
-            & (F.col("a.bin") == F.floor(ov_start / w)),
-        )
-        .select(
-            F.col("a.user_id").alias("u1"),
-            (
-                F.least(F.col("a.eu"), F.col("b.eu"))
-                - F.greatest(F.col("a.su"), F.col("b.su"))
-            ).alias("ov_us"),
-        )
+        _overlap_pairs(sess)
         .groupBy("u1")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("ov_us").alias("s"))
     )
@@ -119,12 +94,21 @@ def test_binned_overlap_join_matches_naive(spark, sf_dir):
 
 
 def test_session_overlap_symmetry(spark, sf_dir):
-    # every overlap second is attributed to exactly two users
+    # every overlap (and each of its seconds) is attributed to exactly two
+    # users: per-user totals sum to 2x the pair-level totals
     out = session_overlap(spark, sf_dir)
     row = out.agg(
-        F.sum("n_overlaps").alias("n"), F.round(F.sum("overlap_secs"), 3).alias("s")
+        F.sum("n_overlaps").alias("n"), F.sum("overlap_secs").alias("s")
     ).collect()[0]
-    assert row.n % 2 == 0
+    pair = (
+        _overlap_pairs(_padded_sessions(spark, sf_dir))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("ov_us").alias("us"))
+        .collect()[0]
+    )
+    assert row.n == 2 * pair.n
+    # per-user rounding to 3 decimals before the sum: tolerance = 0.5 ms
+    # per user row
+    assert abs(row.s - 2 * pair.us / 1e6) <= 5e-4 * out.count()
 
 
 def test_nearest_event_contract(spark, sf_dir):
@@ -137,7 +121,10 @@ def test_nearest_event_contract(spark, sf_dir):
             assert r.direction is None and r.gap_secs is None
         else:
             assert abs(r.gap_secs) <= tol_secs
-            assert (r.direction == "back") == (r.gap_secs <= 0)
+            # a forward gap under 0.5 ms rounds to 0.0 — sign-check only
+            # nonzero gaps to keep the assertion data-independent
+            if r.gap_secs != 0:
+                assert (r.direction == "back") == (r.gap_secs < 0)
 
 
 def test_nearest_event_backward_wins_ties(spark, sf_dir):
