@@ -93,6 +93,48 @@ def test_binned_overlap_join_matches_naive(spark, sf_dir):
     assert got == expected
 
 
+interval_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # user
+        st.integers(min_value=0, max_value=500),  # start (scaled to us)
+        st.integers(min_value=1, max_value=400),  # length
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(intervals=interval_strategy)
+def test_binned_overlap_property_random_intervals(spark, intervals):
+    # random intervals spanning 0..~9 bins (bin = OVERLAP_BIN_US), incl.
+    # many-bin spans, bin-boundary endpoints, and duplicate intervals —
+    # the binned join must equal the naive non-equi join on the PAIR level
+    from ssiintegrateddatapipeline_spark.operators.asof import OVERLAP_BIN_US
+
+    scale = OVERLAP_BIN_US // 100  # endpoints land on 1/100-bin grid
+    rows = [
+        (i, u, s * scale, (s + ln) * scale)
+        for i, (u, s, ln) in enumerate(intervals)
+    ]
+    sess = spark.createDataFrame(
+        rows, "session_seq long, user_id long, su long, eu long"
+    )
+    got = sorted(
+        (r.u1, r.u2, r.ov_us) for r in _overlap_pairs(sess).collect()
+    )
+    expected = []
+    for _, u1, s1, e1 in rows:
+        for _, u2, s2, e2 in rows:
+            if u1 < u2 and s1 < e2 and s2 < e1:
+                expected.append((u1, u2, min(e1, e2) - max(s1, s2)))
+    assert got == sorted(expected)
+
+
 def test_session_overlap_symmetry(spark, sf_dir):
     # every overlap (and each of its seconds) is attributed to exactly two
     # users: per-user totals sum to 2x the pair-level totals
