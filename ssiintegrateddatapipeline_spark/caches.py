@@ -15,8 +15,10 @@ IMMUTABLE for the life of the session (the memoized relation freezes the
 file listing). They grow per (app, sf_dir) with no automatic eviction —
 harmless in a bench run over one dataset, a slow leak in a long-lived
 session sweeping many. Call :func:`clear_caches` between datasets (bench
-does between sf_dirs); tests/test_caches.py pins that eviction leaves no
-persisted RDDs behind.
+runs a single sf_dir per process, so it never needs to — a multi-dataset
+loop MUST call it when switching sf_dirs or the frozen file listings go
+stale); tests/test_caches.py pins that eviction leaves no persisted RDDs
+behind.
 """
 
 from __future__ import annotations

@@ -766,10 +766,12 @@ def compile_dumps_batch(schema: Any):
     encs = [_compile_enc(f["type"]) for f in schema["fields"]]
 
     def dumps_batch(columns) -> list:
+        # strict: plain zip would silently truncate to the shortest column,
+        # dropping trailing records from the wire output
         out = bytearray()
         offsets = [0]
         mark = offsets.append
-        for row in zip(*columns):
+        for row in zip(*columns, strict=True):
             for enc, v in zip(encs, row):
                 enc(v, out)
             mark(len(out))
@@ -793,6 +795,14 @@ def compile_loads_batch(
     deserialization-error routing, F5)."""
     if _type_name(writer_schema) != "record":
         raise ValueError("compile_loads_batch requires a record schema")
+    if permissive:
+        fields = (reader_schema or writer_schema)["fields"]
+        if any(f["name"] == "_corrupt" for f in fields):
+            raise ValueError(
+                "compile_loads_batch(permissive=True) reserves the "
+                "'_corrupt' column name; the record schema declares a "
+                "field with that name — rename it or decode strict"
+            )
     if reader_schema is None:
         actions = [(f["name"], _compile_dec(f["type"])) for f in writer_schema["fields"]]
         defaults: list = []

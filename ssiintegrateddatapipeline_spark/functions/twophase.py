@@ -37,42 +37,59 @@ N_RANK_BUCKETS = 64
 # Offset-table / quantile-boundary memos: the offset pass is a full
 # groupBy(bucket).count() job over the input — a real scan, paid once per
 # DISTINCT bucketed plan rather than once per call (a suite re-building the
-# same query otherwise re-runs it every time; round-4 VERDICT task 2). Keyed
-# by (applicationId, DataFrame.semanticHash()): the semantic hash is derived
-# from the CANONICALIZED plan (normalized expression ids, LocalRelation data
-# included), so two plans collide only if they are semantically the same
-# query over the same session-immutable input — see caches.py for the
-# immutability contract and the eviction path.
-_OFFSETS_MEMO: dict[tuple, tuple[dict, int]] = register({})
+# same query otherwise re-runs it every time; round-4 VERDICT task 2).
+# Keyed by (applicationId, DataFrame.semanticHash(), fn) and VERIFIED with
+# sameSemantics() on every hit: semanticHash is a lossy 32-bit digest of
+# the canonicalized plan, so a bare hash match is not identity — a
+# collision in a long-lived session would silently serve another query's
+# offsets (wrong ranks, no error). The memo therefore stores the bucketed
+# frame alongside the value and falls through to a recompute when the
+# exact plan comparison fails. Input immutability contract and eviction
+# path: see caches.py.
+_OFFSETS_MEMO: dict[tuple, tuple[DataFrame, object]] = register({})
 _BOUNDS_MEMO: dict[tuple, list] = register({})
 
 
-def _collect_bucket_offsets(b: DataFrame, agg: Column, fn_name: str):
-    """Shared offset pass for the two-phase helpers: aggregate ``agg`` per
-    ``__tpb`` bucket (one row per bucket — bounded by construction), fold
-    cumulative offsets on the driver, memoize per (applicationId,
-    semanticHash). Raises on null buckets — a null bucket has no place in
-    the total order, so failing beats mis-ranking. Returns
-    ``(offsets, total)``."""
+def _memoized_offset_pass(b, group_cols, aggs, fn_name, fold):
+    """Run (or reuse) an offset pass: ``b.groupBy(*group_cols).agg(*aggs)``
+    collected to the driver — one row per bucket (or bucket x group),
+    bounded by construction — folded to the helper-specific offset value.
+    Raises on null bucket/group values: a null has no place in the total
+    order, so failing beats mis-ranking."""
     key = (b.sparkSession.sparkContext.applicationId, b.semanticHash(), fn_name)
-    memo = _OFFSETS_MEMO.get(key)
-    if memo is None:
-        # Offset pass: one row per bucket. Catalyst prunes everything except
-        # the aggregated expressions' inputs from this scan.
-        rows = b.groupBy("__tpb").agg(agg.alias("__n")).collect()
-        if any(r["__tpb"] is None for r in rows):
-            raise ValueError(
-                f"{fn_name}: bucket expression evaluated to NULL "
-                "for some rows — coalesce nulls into a sentinel bucket that "
-                "respects the order, or filter them out"
-            )
+    hit = _OFFSETS_MEMO.get(key)
+    if hit is not None:
+        stored, value = hit
+        if b.sameSemantics(stored):
+            return value
+    rows = b.groupBy(*group_cols).agg(*aggs).collect()
+    if any(any(r[c] is None for c in group_cols) for r in rows):
+        raise ValueError(
+            f"{fn_name}: bucket/group expression evaluated to NULL for some "
+            "rows — coalesce nulls into a sentinel bucket that respects the "
+            "order, or filter them out"
+        )
+    value = fold(rows)
+    _OFFSETS_MEMO[key] = (b, value)
+    return value
+
+
+def _collect_bucket_offsets(b: DataFrame, agg: Column, fn_name: str):
+    """Per-bucket offset pass shared by the rank and prefix-sum helpers:
+    cumulative offsets of ``agg`` in bucket order. Returns
+    ``(offsets, total)``."""
+
+    def fold(rows):
         offsets: dict[int, int] = {}
         total = 0
         for r in sorted(rows, key=lambda r: r["__tpb"]):
             offsets[r["__tpb"]] = total
             total += r["__n"] or 0
-        memo = _OFFSETS_MEMO[key] = (offsets, total)
-    return memo
+        return offsets, total
+
+    return _memoized_offset_pass(
+        b, ["__tpb"], [agg.alias("__n")], fn_name, fold
+    )
 
 
 def two_phase_row_number(
@@ -204,17 +221,8 @@ def two_phase_grouped_row_number(
     partitions — parallelism-shaped, not data-shaped).
     """
     b = df.withColumn("__tpb", bucket).withColumn("__tpg", group)
-    key = (df.sparkSession.sparkContext.applicationId, b.semanticHash())
-    memo = _OFFSETS_MEMO.get(key)
-    if memo is None:
-        rows = (
-            b.groupBy("__tpb", "__tpg").agg(F.count(F.lit(1)).alias("__n")).collect()
-        )
-        if any(r["__tpb"] is None or r["__tpg"] is None for r in rows):
-            raise ValueError(
-                "two_phase_grouped_row_number: bucket/group expression "
-                "evaluated to NULL — coalesce or filter first"
-            )
+
+    def fold(rows):
         bucket_tot: dict[int, int] = {}
         for r in rows:
             bucket_tot[r["__tpb"]] = bucket_tot.get(r["__tpb"], 0) + r["__n"]
@@ -229,8 +237,15 @@ def two_phase_grouped_row_number(
             g = r["__tpg"]
             group_offsets[(g, r["__tpb"])] = per_group_run.get(g, 0)
             per_group_run[g] = per_group_run.get(g, 0) + r["__n"]
-        memo = _OFFSETS_MEMO[key] = ((bucket_offsets, group_offsets), run)
-    (bucket_offsets, group_offsets), total = memo
+        return (bucket_offsets, group_offsets), run
+
+    (bucket_offsets, group_offsets), total = _memoized_offset_pass(
+        b,
+        ["__tpb", "__tpg"],
+        [F.count(F.lit(1)).alias("__n")],
+        "two_phase_grouped_row_number",
+        fold,
+    )
     w1 = Window.partitionBy("__tpb").orderBy(*order_by)
     w2 = Window.partitionBy("__tpb", "__tpg").orderBy(*order_by)
     if not bucket_offsets:  # empty input
@@ -293,8 +308,12 @@ def quantile_buckets(
 
     The boundaries only steer data placement — ties sit wholly inside one
     bucket and results never depend on boundary accuracy — so the sketch's
-    approximation error is harmless. ``descending=True`` yields buckets
-    monotone along a DESC order on ``col``.
+    approximation error is harmless. For the same reason the memo needs no
+    ``sameSemantics`` verification: ANY fixed threshold list yields a
+    bucket expression monotone in ``col``, so even a (2^-32-likely) hash
+    collision serving another plan's boundaries costs only load balance,
+    never correctness. ``descending=True`` yields buckets monotone along a
+    DESC order on ``col``.
     """
     key = (
         df.sparkSession.sparkContext.applicationId,
