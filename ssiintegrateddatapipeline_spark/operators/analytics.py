@@ -1243,6 +1243,56 @@ def _rolling_distinct_from(day_users: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count rollup (the theta/roaring-sketch warehouse
+# pattern): distinct users at day, week, month, and grand-total grain, where
+# every grain ABOVE day is computed by merging the per-day partials — the
+# fact table is scanned exactly once. The partial here is the exact form (a
+# deduplicated user-id set per day); at 100 TB the partial swaps for a
+# fixed-size mergeable sketch (Spark's hll_sketch_agg at day grain,
+# hll_union_agg for the merges — same two-level plan shape, O(kB) per
+# bucket instead of O(distinct)); tests/test_sketch_rollup.py drives that
+# HLL path and checks it against this exact form within the sketch's error
+# bound. Weeks can straddle month boundaries, so month merges from DAY
+# partials, not week partials (merging is only valid down a true
+# containment hierarchy); the grand total merges the month partials.
+# ---------------------------------------------------------------------------
+
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = track(
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.collect_set("user_id").alias("users"))
+        .persist()
+    )
+    merged_size = F.size(F.array_distinct(F.flatten(F.collect_list("users"))))
+
+    day_rows = daily.select(
+        F.lit("day").alias("grain"),
+        F.col("day").alias("bucket_ts"),
+        F.size("users").cast("long").alias("distinct_users"),
+    )
+    week_rows = daily.groupBy(F.date_trunc("week", "day").alias("bucket_ts")).agg(
+        merged_size.cast("long").alias("distinct_users")
+    ).select(F.lit("week").alias("grain"), "bucket_ts", "distinct_users")
+    month = daily.groupBy(F.date_trunc("month", "day").alias("bucket_ts")).agg(
+        F.array_distinct(F.flatten(F.collect_list("users"))).alias("users")
+    )
+    month_rows = month.select(
+        F.lit("month").alias("grain"),
+        "bucket_ts",
+        F.size("users").cast("long").alias("distinct_users"),
+    )
+    all_rows = month.agg(merged_size.cast("long").alias("distinct_users")).select(
+        F.lit("all").alias("grain"),
+        F.lit(None).cast("timestamp").alias("bucket_ts"),
+        "distinct_users",
+    )
+    return day_rows.unionByName(week_rows).unionByName(month_rows).unionByName(
+        all_rows
+    )
+
+
 QUERIES = {
     "analytics_ks_drift": ks_drift,
     "analytics_ks_drift_binned": ks_drift_binned,
@@ -1282,6 +1332,7 @@ QUERIES = {
     "analytics_consumer_lag": consumer_lag,
     "analytics_p95_histogram": p95_value_histogram,
     "analytics_payload_size_hist": payload_size_histogram,
+    "analytics_bitmap_rollup": bitmap_distinct_rollup,
 }
 
 _P95_ORACLE = """
@@ -1357,6 +1408,21 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_bitmap_rollup": """
+        SELECT 'day' AS grain, date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+               count(DISTINCT user_id) AS distinct_users
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'week', date_trunc('week', ts)::TIMESTAMP,
+               count(DISTINCT user_id)
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'month', date_trunc('month', ts)::TIMESTAMP,
+               count(DISTINCT user_id)
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'all', NULL::TIMESTAMP, count(DISTINCT user_id) FROM events
+    """,
     "analytics_rolling_distinct_users": """
         WITH day_users AS (
             SELECT DISTINCT ts::DATE AS d, user_id FROM events
