@@ -617,8 +617,50 @@ def sql_surface_market_pulse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join reduction: revenue by order priority for
+    high-balance BUILDING-segment customers, with the orders fact side
+    pre-filtered by a Bloom filter built from the qualifying customer keys
+    BEFORE any join shuffle (functions/bloom.py — the explicit form of
+    Spark's ``runtime.bloomFilter`` rewrite, which needs a cluster-side
+    jar switch this build lacks). ~5% of customers qualify, so ~95% of the
+    fact table drops at the scan's filter instead of crossing the shuffle;
+    Bloom false positives are removed by the exact broadcast join that
+    follows, so the result — and the oracle, a plain join — are exact.
+
+    Scale: the shipped filter is a fixed 8 KB word-array literal however
+    large the fact side grows; the build pass aggregates bit words from
+    the DIM side only. tests/test_bloom_join.py pins exactness against
+    the unfiltered plan, the false-positive bound, and the plan shape
+    (probe predicate below the join, dim side broadcast)."""
+    from ssiintegrateddatapipeline_spark.functions.bloom import (
+        bloom_might_contain,
+        build_bloom_words,
+    )
+
+    cust = _t(spark, sf_dir, "customer").where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7500.0)
+    )
+    words = build_bloom_words(cust, "c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        bloom_might_contain(words, F.col("o_custkey"))
+    )
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
     "tpch_sql_market_pulse": sql_surface_market_pulse,
+    "tpch_bloom_filter_join": bloom_filter_join,
     "tpch_pricing_summary": pricing_summary,
     "tpch_top_unshipped_orders": top_unshipped_orders,
     "tpch_order_priority_count": order_priority_count,
@@ -647,6 +689,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_bloom_filter_join": """
+        SELECT o_orderpriority, count(*) AS orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500.0
+        GROUP BY o_orderpriority
+    """,
     "tpch_sql_market_pulse": """
         WITH monthly AS (
             SELECT n_name,
