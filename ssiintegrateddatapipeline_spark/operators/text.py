@@ -176,6 +176,92 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+# MOSS document-fingerprint scheme). Character k-grams are hashed with an
+# ENGINE-PORTABLE polynomial (base-257 over ascii codes mod 2^20 — plain
+# integer arithmetic both Spark and the DuckDB oracle compute bit-for-bit;
+# xxhash64/md5 would differ across engines), then each sliding window of
+# WINNOW_W consecutive k-gram hashes selects its minimum (rightmost on
+# ties — the robust-winnowing rule), and the distinct selections are the
+# document's fingerprint set. Guarantee: any shared substring of length
+# >= WINNOW_W + WINNOW_K - 1 yields a shared fingerprint, and the selected
+# density is ~2/(W+1) of all k-grams.
+#
+# Plan shape: explode positions -> per-doc window min -> per-doc aggregate.
+# The window and the aggregate both key on doc_id, so the window's hash
+# exchange satisfies the groupBy and Catalyst plans ONE shuffle; partition
+# sizes are bounded by document length (no skew, no global window). The
+# rightmost-tie argmin rides the same min() by packing (hash, position)
+# into one long: hash * 2^21 + (2^21 - 1 - pos) orders by hash first, then
+# by LARGER position. ascii() is only portable over single-byte text; the
+# corpus is ASCII (checked), non-ASCII would need a codepoint hash.
+
+WINNOW_K = 5  # chars per k-gram
+WINNOW_W = 4  # k-gram hashes per winnowing window
+_WIN_B = 257
+_WIN_M = 1 << 20
+_POS_BITS = 21  # packing: supports documents up to 2^21 k-grams
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    # one ascii pass per doc, O(1) element_at per k-gram char afterwards
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+    # two-step projection: materialize the ascii array BELOW the explode
+    # (once per document) — fused into one select, Catalyst computes
+    # `codes` per exploded ROW, an O(len^2)-per-doc trap; deriving the
+    # explode bound from size(codes) pins the evaluation order
+    # hash-repartition on doc_id BEFORE the explode: the window below needs
+    # hashpartitioning(doc_id) anyway, so placing the one shuffle here means
+    # the explode+hash fan-out runs on every core (the local single-split
+    # scan would otherwise feed one task) and the window adds no exchange
+    per_doc = (
+        d.where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", "text")
+        .repartition(F.col("doc_id"))
+        .select("doc_id", codes.alias("codes"))
+    )
+    grams = per_doc.select(
+        "doc_id",
+        "codes",
+        F.explode(
+            F.sequence(F.lit(1), F.size("codes") - (WINNOW_K - 1))
+        ).alias("p"),
+    )
+    h = sum(
+        F.element_at("codes", F.col("p") + F.lit(j)).cast("long")
+        * F.lit(_WIN_B ** (WINNOW_K - 1 - j))
+        for j in range(WINNOW_K)
+    ) % F.lit(_WIN_M)
+    packed = h * F.lit(1 << _POS_BITS) + (
+        F.lit((1 << _POS_BITS) - 1) - F.col("p")
+    )
+    # project the hash BEFORE the window so the per-doc char array never
+    # crosses the shuffle — only (doc_id, p, packed) does
+    hashed = grams.select("doc_id", "p", packed.alias("packed"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    wins = hashed.select(
+        "doc_id", "p", F.min("packed").over(w).alias("wmin")
+    ).where(F.col("p") >= WINNOW_W)
+    sel = F.array_distinct(F.collect_list("wmin"))
+    hashes = F.transform(sel, lambda x: F.shiftright(x, _POS_BITS))
+    return wins.groupBy("doc_id").agg(
+        F.max("p").alias("n_kgrams"),
+        F.size(sel).cast("long").alias("n_fingerprints"),
+        F.aggregate(
+            hashes, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("fp_sum"),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+    )
+
+
 CLEAN_MIN_QUALITY = 0.55
 
 
@@ -874,6 +960,7 @@ QUERIES = {
     "text_quality_score": quality_score,
     "text_language_id": language_id,
     "text_fingerprint": fingerprint,
+    "text_winnowing_fingerprints": winnowing_fingerprints,
 }
 
 _TOKS = TOKS_SQL
@@ -1339,6 +1426,41 @@ ORACLES = {
                     ELSE 'fr' END AS predicted_lang,
                en_markers, de_markers, es_markers, fr_markers
         FROM t
+    """,
+    "text_winnowing_fingerprints": f"""
+        WITH grams AS (
+            SELECT doc_id, p,
+                   (ascii(substr(text, p, 1)) * 4362470401
+                    + ascii(substr(text, p + 1, 1)) * 16974593
+                    + ascii(substr(text, p + 2, 1)) * 66049
+                    + ascii(substr(text, p + 3, 1)) * 257
+                    + ascii(substr(text, p + 4, 1))) % 1048576 AS h
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - {WINNOW_K - 1}))
+                           AS p
+                FROM documents
+                WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+            )
+        ),
+        wins AS (
+            SELECT doc_id, p,
+                   min(h * {1 << _POS_BITS} + ({(1 << _POS_BITS) - 1} - p))
+                       OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                      AND CURRENT ROW) AS wmin
+            FROM grams
+            QUALIFY p >= {WINNOW_W}
+        ),
+        sel AS (SELECT DISTINCT doc_id, wmin FROM wins),
+        kg AS (SELECT doc_id, max(p) AS n_kgrams FROM wins GROUP BY doc_id)
+        SELECT k.doc_id, k.n_kgrams,
+               count(*) AS n_fingerprints,
+               sum(s.wmin >> {_POS_BITS})::BIGINT AS fp_sum,
+               min(s.wmin >> {_POS_BITS}) AS fp_min,
+               max(s.wmin >> {_POS_BITS}) AS fp_max
+        FROM sel s JOIN kg k USING (doc_id)
+        GROUP BY 1, 2
     """,
     "text_fingerprint": f"""
         WITH t AS (
