@@ -273,7 +273,51 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESERVOIR_K = 10
+RESERVOIR_SALTS = 16
+
+
+def reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic "reservoir" sample per source: the k documents
+    with the smallest md5-order per source, ranked. Hash-ordering top-k is
+    the distributed equivalent of reservoir sampling (uniform over the
+    stratum, exact size k, deterministic re-runs — arrival-order reservoirs
+    are not reproducible on a shuffled cluster).
+
+    Scale shape — hierarchical top-k, because one window partitioned by a
+    20-value ``source`` column is a skew trap at 100 TB: stage 1 ranks
+    within (source, salt) cells (fan-out 16 per source, each cell an
+    independent partition sort that spills fine) and keeps k; stage 2
+    re-ranks the <= 16*k survivors per source. Any global-top-k row's
+    betters are all stage-1 survivors too, so the stage-2 row_number IS the
+    global rank — the two-level result is exactly the single-window result
+    (pinned by tests/test_reservoir.py), with the big sort spread over
+    every core and the final window fed a bounded input.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        _hash_hex(F.col("doc_id"), "res").alias("h"),
+        F.pmod(F.col("doc_id"), F.lit(RESERVOIR_SALTS)).alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    survivors = base.withColumn("r1", F.row_number().over(w1)).where(
+        F.col("r1") <= RESERVOIR_K
+    )
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= RESERVOIR_K)
+        .select("source", "sample_rank", "doc_id", "n_chars")
+    )
+
+
 QUERIES = {
+    "sampling_reservoir": reservoir_per_source,
     "sampling_temperature_mix": temperature_mix,
     "sampling_token_budget_mix": token_budget_mix,
     "sampling_corpus_rebalance": corpus_rebalance,
@@ -288,6 +332,18 @@ _RATE_CASE = " ".join(
 )
 
 ORACLES = {
+    "sampling_reservoir": f"""
+        SELECT source, sample_rank, doc_id, n_chars
+        FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(cast(doc_id AS VARCHAR) || '|res'), doc_id
+                   ) AS sample_rank
+            FROM documents
+        )
+        WHERE sample_rank <= {RESERVOIR_K}
+    """,
     "sampling_temperature_mix": """
         WITH per_source AS (
             SELECT source, count(*) AS n_docs,
