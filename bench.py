@@ -19,6 +19,10 @@ import sys
 import time
 
 HEADLINE = [
+    "analytics_bitmap_rollup",
+    "tpch_bloom_filter_join",
+    "text_winnowing_fingerprints",
+    "sampling_reservoir",
     "tpch_pricing_summary",
     "tpch_local_supplier_volume",
     "tpch_top_customers",
