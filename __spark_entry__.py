@@ -17,6 +17,7 @@ from ssiintegrateddatapipeline_spark.operators import (
     asof,
     credstore,
     dedup,
+    hierarchy,
     metrics,
     multimodal,
     profiling,
@@ -41,6 +42,7 @@ _MODULES = [
     trade_pipeline,
     text,
     dedup,
+    hierarchy,
     similarity,
     multimodal,
     sampling,
