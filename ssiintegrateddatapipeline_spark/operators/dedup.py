@@ -332,6 +332,108 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Jaccard threshold for the prefix-filter join, as an exact rational so the
+# prefix length ceil(t*n) is integer arithmetic in both engines (no float
+# ceil straddling a representation boundary).
+PREFIX_T_NUM = 1
+PREFIX_T_DEN = 2
+
+
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-corpus exact Jaccard similarity join via prefix filtering
+    (SSJoin / All-Pairs / PPJoin family — Chaudhuri et al. ICDE'06, Bayardo
+    et al. WWW'07, Xiao et al. WWW'08): a lossless candidate generator for
+    ``J >= t`` that never forms all pairs.
+
+    Order every doc's shingles by ascending global document frequency
+    (rarest first); a doc of n shingles keeps only its first
+    ``n - ceil(t*n) + 1`` as its *prefix*. Two docs with Jaccard >= t must
+    share a prefix shingle (if all common shingles sat in both suffixes,
+    overlap <= ceil(t*min)-1 < t*min <= t*(na+nb)/(1+t), contradicting
+    J >= t), so an equi-join on prefix shingles finds every qualifying
+    pair; rare-first ordering makes those join keys the LOW-frequency ones,
+    which is what keeps the candidate count near-linear. A length filter
+    (min/max >= t) prunes impossible pairs before verification, and the
+    exact intersection count is computed only for candidates.
+
+    Contrast with dedup_ngram_jaccard_pairs: that is the bounded-subset
+    verify stage (doc_id < 500, join on EVERY shingle); this is the scale
+    form — same exact result, candidate generation restricted to prefixes.
+
+    Scale notes (100 TB): one shuffle on doc_id for the ranking windows
+    (row_number + size share the exchange), one equi-join on prefix
+    shingles whose keys are by construction the rarest in the corpus (skew
+    bounded by the prefix-filter principle; a df cap would bound it
+    outright at the cost of recall on stop-shingle-only pairs), then a
+    candidate-bounded verify join. The persisted shingle table is reused
+    by all three stages."""
+    from ssiintegrateddatapipeline_spark.caches import track
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = track(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(tokens(F.col("text"))))
+            ).alias("shingle"),
+        ).persist()
+    )
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    w_size = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("n_sh", F.count("*").over(w_size))
+        .withColumn("pos", F.row_number().over(w_rank))
+    )
+    # prefix length = n - ceil(t*n) + 1, all-integer: ceil(t*n) =
+    # (n*NUM + DEN - 1) div DEN
+    min_keep = F.expr(
+        f"(n_sh * {PREFIX_T_NUM} + {PREFIX_T_DEN - 1}) div {PREFIX_T_DEN}"
+    )
+    prefix = ranked.where(F.col("pos") <= F.col("n_sh") - min_keep + 1)
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_id_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_id_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        # length filter: J <= min/max, so J >= t needs min*DEN >= max*NUM
+        .where(
+            F.least("n_a", "n_b") * PREFIX_T_DEN
+            >= F.greatest("n_a", "n_b") * PREFIX_T_NUM
+        )
+        .select("doc_id_a", "doc_id_b", "n_a", "n_b")
+        .distinct()
+    )
+    # verify stage: expand candidate pairs by side-a shingles, probe side-b
+    # membership — cost is |cand| * |doc|, never corpus x corpus
+    ta = cand.join(
+        sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a"
+    )
+    inter = (
+        ta.join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            ["doc_id_b", "shingle"],
+        )
+        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jaccard = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+    )
+    return (
+        inter.withColumn("jaccard", jaccard)
+        .where(
+            F.col("jaccard") >= F.lit(PREFIX_T_NUM) / F.lit(PREFIX_T_DEN)
+        )
+        .select("doc_id_a", "doc_id_b", "n_common", "jaccard")
+    )
+
+
 CONTAINMENT_MIN = 0.5  # report pairs where >= half of the smaller doc recurs
 
 
@@ -736,6 +838,7 @@ QUERIES = {
     "dedup_simhash_signatures": simhash_signatures,
     "dedup_simhash_pairs": simhash_near_dup_pairs,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_prefix_jaccard_pairs": prefix_jaccard_pairs,
     "dedup_quality_canonical": quality_canonical,
     "dedup_decontaminated_split": decontaminated_split,
 }
@@ -1115,5 +1218,25 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = doc_id_a
         JOIN sizes sb ON sb.doc_id = doc_id_b
         WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.1
+    """,
+    # exact all-pairs form: the prefix filter is lossless for J >= t, so
+    # the scale plan must reproduce the naive join-on-every-shingle result
+    "dedup_prefix_jaccard_pairs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        shing AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shingles FROM toks),
+        sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS n_common
+            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b, n_common,
+               round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_id_a
+        JOIN sizes sb ON sb.doc_id = doc_id_b
+        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
+              >= {PREFIX_T_NUM} / {PREFIX_T_DEN}
     """,
 }
