@@ -22,7 +22,7 @@ column is used as a partition key at write time (sinks.write_partitioned).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
@@ -316,8 +316,59 @@ def reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ES_K = 40
+ES_SALTS = 16
+_ES_TWO48 = float(1 << 48)
+
+
+def weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement per stratum — the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006): each item draws a uniform
+    u and gets key ``-ln(u) / w``; the k SMALLEST keys per stratum are the
+    sample. One streaming-friendly pass, exact sample size k, and
+    P(item in sample) follows its weight — the distributed standard for
+    "sample k orders, big orders more likely" (priority sampling family).
+
+    u is hash-derived (48 bits of md5(orderkey|es), offset by 0.5 so u>0),
+    which makes the draw DETERMINISTIC and re-runnable on a shuffled
+    cluster — same device as sampling_reservoir. The key is snapped to a
+    12-decimal grid before ranking (tie-broken by orderkey) so a last-ulp
+    ``ln``/divide difference between engines cannot flip an order — the
+    BM25-idf cross-engine rounding device.
+
+    Scale shape: same hierarchical top-k as reservoir_per_source — a
+    window partitioned by a 5-value priority column is a skew trap, so
+    stage 1 ranks within (priority, salt) cells and keeps k, stage 2
+    re-ranks the <= 16*k survivors; any global winner beats its cell-mates
+    too, so the two-level result is exactly the single-window result."""
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(_hash_hex(F.col("o_orderkey"), "es"), 1, 12), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_ES_TWO48)
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("weight"),
+        F.round(-F.log(u) / F.col("o_totalprice"), 12).alias("es_key"),
+        F.pmod(F.col("o_orderkey"), F.lit(ES_SALTS)).alias("salt"),
+    )
+    w1 = Window.partitionBy("priority", "salt").orderBy("es_key", "orderkey")
+    survivors = base.withColumn("r1", F.row_number().over(w1)).where(
+        F.col("r1") <= ES_K
+    )
+    w2 = Window.partitionBy("priority").orderBy("es_key", "orderkey")
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= ES_K)
+        .select("priority", "sample_rank", "orderkey", "weight", "es_key")
+    )
+
+
 QUERIES = {
     "sampling_reservoir": reservoir_per_source,
+    "sampling_weighted_reservoir": weighted_reservoir,
     "sampling_temperature_mix": temperature_mix,
     "sampling_token_budget_mix": token_budget_mix,
     "sampling_corpus_rebalance": corpus_rebalance,
@@ -332,6 +383,28 @@ _RATE_CASE = " ".join(
 )
 
 ORACLES = {
+    "sampling_weighted_reservoir": f"""
+        SELECT priority, sample_rank, orderkey, weight, es_key
+        FROM (
+            SELECT priority, orderkey, weight, es_key,
+                   row_number() OVER (
+                       PARTITION BY priority ORDER BY es_key, orderkey
+                   ) AS sample_rank
+            FROM (
+                SELECT o_orderpriority AS priority,
+                       o_orderkey AS orderkey,
+                       o_totalprice AS weight,
+                       round(-ln(
+                           (('0x' || substr(
+                               md5(cast(o_orderkey AS VARCHAR) || '|es'),
+                               1, 12))::UBIGINT::DOUBLE + 0.5)
+                           / {_ES_TWO48!r}
+                       ) / o_totalprice, 12) AS es_key
+                FROM orders
+            )
+        )
+        WHERE sample_rank <= {ES_K}
+    """,
     "sampling_reservoir": f"""
         SELECT source, sample_rank, doc_id, n_chars
         FROM (
