@@ -602,3 +602,21 @@ def test_no_unbounded_single_partition_window(qname, spark, sf_dir):
     df = _QUERIES[qname](spark, sf_dir)
     bad = _offending_windows(df)
     assert not bad, f"{qname}: Window fed by unbounded SinglePartition: {bad}"
+
+
+def test_contract_bucketed_join_plan_and_memo(spark, sf_dir):
+    """The tpch_bucketed_join CONTRACT query (not just the ad-hoc demo
+    above) must execute its fact join as a sort-merge join with no
+    Exchange on either input, and the second build must reuse the
+    memoized catalog tables instead of re-writing them."""
+    from ssiintegrateddatapipeline_spark.plans import relational
+
+    df = relational.bucketed_revenue_by_month(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "Exchange" not in join_part, plan
+    key = (spark.sparkContext.applicationId, sf_dir)
+    names = relational._BUCKETED_MEMO[key]
+    relational.bucketed_revenue_by_month(spark, sf_dir)
+    assert relational._BUCKETED_MEMO[key] is names
