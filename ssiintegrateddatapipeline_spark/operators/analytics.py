@@ -1293,7 +1293,87 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTILE_BIN_W = 10.0  # events.value in [0, ~500) -> ~50 bins
+
+
+def _bins_quantile(arr, total, num: int, den: int):
+    """Smallest bin index whose cumulative count reaches num/den of total —
+    a pure-JVM fold over the (bin, cnt) partial array, all-integer compare
+    (cum*den >= num*total) so no float quantile math exists to diverge."""
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cum"), F.lit(None).cast("long").alias("q")
+    )
+
+    def step(acc, x):
+        cum = acc["cum"] + x["cnt"]
+        return F.struct(
+            cum.alias("cum"),
+            F.coalesce(
+                acc["q"], F.when(cum * den >= num * total, x["bin"])
+            ).alias("q"),
+        )
+
+    return F.aggregate(arr, acc0, step, lambda a: a["q"])
+
+
+def quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup — the t-digest/KLL pattern in its exact,
+    oracle-checkable form (companion to analytics_bitmap_rollup): one scan
+    of the fact table builds per-(day, bin) histogram partials; week,
+    month, and all-time p50/p95 come from MERGING partials (summing bin
+    counts upward), never from rescanning events. This is how a warehouse
+    serves "p95 by any time grain" over 100 TB: the partial table is
+    O(days x bins), the merge is O(bins) per coarser bucket, and the
+    quantile extraction is a fold over a bounded sorted bin array — no
+    global sort, no single-partition window, no approx sketch needed until
+    a bin's count no longer fits a long.
+
+    Quantile definition (shared with the oracle): the smallest bin index
+    whose cumulative count reaches q of the bucket total — integer
+    arithmetic end to end."""
+    ev = _events(spark, sf_dir)
+    daily = track(
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") / QUANTILE_BIN_W).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+
+    def grain_rows(grain: str, bucket):
+        grouped = daily.groupBy(bucket.alias("bucket_ts"), "bin").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        arr = F.array_sort(F.collect_list(F.struct("bin", "cnt")))
+        per_bucket = grouped.groupBy("bucket_ts").agg(
+            F.sum("cnt").alias("n_events"), arr.alias("bins")
+        )
+        return per_bucket.select(
+            F.lit(grain).alias("grain"),
+            "bucket_ts",
+            "n_events",
+            _bins_quantile(F.col("bins"), F.col("n_events"), 1, 2).alias(
+                "p50_bin"
+            ),
+            _bins_quantile(F.col("bins"), F.col("n_events"), 19, 20).alias(
+                "p95_bin"
+            ),
+        )
+
+    day_rows = grain_rows("day", F.col("day"))
+    week_rows = grain_rows("week", F.date_trunc("week", "day"))
+    month_rows = grain_rows("month", F.date_trunc("month", "day"))
+    all_rows = grain_rows("all", F.lit(None).cast("timestamp"))
+    return (
+        day_rows.unionByName(week_rows)
+        .unionByName(month_rows)
+        .unionByName(all_rows)
+    )
+
+
 QUERIES = {
+    "analytics_quantile_rollup": quantile_rollup,
     "analytics_ks_drift": ks_drift,
     "analytics_ks_drift_binned": ks_drift_binned,
     "analytics_rolling_distinct_users": rolling_distinct_users,
@@ -1408,6 +1488,40 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_quantile_rollup": """
+        WITH bins AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT 'day' AS grain, day AS bucket_ts, bin,
+                   sum(cnt)::BIGINT AS cnt FROM bins GROUP BY 2, 3
+            UNION ALL
+            SELECT 'week', date_trunc('week', day), bin, sum(cnt)::BIGINT
+            FROM bins GROUP BY 2, 3
+            UNION ALL
+            SELECT 'month', date_trunc('month', day), bin, sum(cnt)::BIGINT
+            FROM bins GROUP BY 2, 3
+            UNION ALL
+            SELECT 'all', CAST(NULL AS TIMESTAMP), bin, sum(cnt)::BIGINT
+            FROM bins GROUP BY 2, 3
+        ),
+        c AS (
+            SELECT grain, bucket_ts, bin, cnt,
+                   sum(cnt) OVER (
+                       PARTITION BY grain, bucket_ts ORDER BY bin
+                   )::BIGINT AS cum,
+                   sum(cnt) OVER (PARTITION BY grain, bucket_ts)::BIGINT AS tot
+            FROM g
+        )
+        SELECT grain, bucket_ts,
+               CAST(max(tot) AS BIGINT) AS n_events,
+               min(CASE WHEN cum * 2 >= tot THEN bin END) AS p50_bin,
+               min(CASE WHEN cum * 20 >= 19 * tot THEN bin END) AS p95_bin
+        FROM c GROUP BY 1, 2
+    """,
     "analytics_bitmap_rollup": """
         SELECT 'day' AS grain, date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
                count(DISTINCT user_id) AS distinct_users
