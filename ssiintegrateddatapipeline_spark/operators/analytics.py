@@ -1372,8 +1372,50 @@ def quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def set_algebra_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set ALGEBRA from mergeable partials — the theta-sketch
+    set-operation pattern (intersection / union / difference of user sets)
+    in its exact, oracle-checkable form. "Users who clicked AND purchased
+    this week" cannot be answered by adding counters: it needs per-(day,
+    type) user-set partials merged upward, then set ops across types —
+    exactly what theta sketches do at 100 TB with bounded memory, and what
+    collect_set does exactly at test scale (the drop-in sketch swap is the
+    same one tests/test_sketch_rollup.py pins for the distinct rollup).
+
+    One fact scan; day-grain partials roll to week; intersection/union run
+    on the merged arrays per week — never a re-scan, never a self-join of
+    the fact table."""
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.collect_set("user_id").alias("users"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").alias("week_ts"), "event_type"
+    ).agg(F.array_distinct(F.flatten(F.collect_list("users"))).alias("users"))
+    piv = (
+        weekly.groupBy("week_ts")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.first("users"))
+    )
+    empty = F.array().cast("array<bigint>")
+    click = F.coalesce(F.col("click"), empty)
+    purch = F.coalesce(F.col("purchase"), empty)
+    n_both = F.size(F.array_intersect(click, purch)).cast("long")
+    return piv.select(
+        "week_ts",
+        F.size(click).cast("long").alias("n_click"),
+        F.size(purch).cast("long").alias("n_purchase"),
+        n_both.alias("n_both"),
+        F.size(F.array_union(click, purch)).cast("long").alias("n_either"),
+        (F.size(click).cast("long") - n_both).alias("n_click_only"),
+    )
+
+
 QUERIES = {
     "analytics_quantile_rollup": quantile_rollup,
+    "analytics_set_algebra": set_algebra_rollup,
     "analytics_ks_drift": ks_drift,
     "analytics_ks_drift_binned": ks_drift_binned,
     "analytics_rolling_distinct_users": rolling_distinct_users,
@@ -1488,6 +1530,24 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_set_algebra": """
+        WITH u AS (
+            SELECT date_trunc('week', ts)::TIMESTAMP AS week_ts, user_id,
+                   bool_or(event_type = 'click') AS c,
+                   bool_or(event_type = 'purchase') AS p
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1, 2
+        )
+        SELECT week_ts,
+               sum(CASE WHEN c THEN 1 ELSE 0 END)::BIGINT AS n_click,
+               sum(CASE WHEN p THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+               sum(CASE WHEN c AND p THEN 1 ELSE 0 END)::BIGINT AS n_both,
+               count(*)::BIGINT AS n_either,
+               sum(CASE WHEN c AND NOT p THEN 1 ELSE 0 END)::BIGINT
+                   AS n_click_only
+        FROM u GROUP BY 1
+    """,
     "analytics_quantile_rollup": """
         WITH bins AS (
             SELECT date_trunc('day', ts) AS day,

@@ -65,6 +65,19 @@ FACT_SQL = {
 }
 DIM_TABLES = ("region", "nation", "supplier", "part")
 
+# Opt-in (SSI_SCALE_PART=1): grow part too, for probing operators whose
+# INPUT is the part dimension (graph_hierarchy_rollup). The digit-prefix
+# shift (+ i*100000) keeps each copy's parent chains internal until they
+# dangle at the copy boundary — the operator treats dangling parents as
+# roots, so shape semantics change but join/explode volumes scale
+# faithfully. Kept out of the default probe so part-joining TPC-H queries
+# keep their constant-dimension regime.
+PART_FACT_SQL = """
+    SELECT p_partkey + i * 100000 AS p_partkey, p_name, p_brand, p_type,
+           p_size, p_retailprice
+    FROM read_parquet('{base}/part.parquet') CROSS JOIN copies
+"""
+
 PROBE_QUERIES = [
     # the three queries whose global windows were rewritten this round
     "transform_training_shuffle",
@@ -83,13 +96,17 @@ PROBE_QUERIES = [
 
 
 def build_scaled_dir(k: int) -> str:
-    out = f"/tmp/ssi_scale_probe/sf{0.1 * k:g}"
+    scale_part = bool(os.environ.get("SSI_SCALE_PART"))
+    out = f"/tmp/ssi_scale_probe/sf{0.1 * k:g}" + ("_part" if scale_part else "")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(
         "CREATE TEMP TABLE copies AS SELECT unnest(range({k})) AS i".format(k=k)
     )
-    for tbl, sql in FACT_SQL.items():
+    fact_sql = dict(FACT_SQL)
+    if scale_part:
+        fact_sql["part"] = PART_FACT_SQL
+    for tbl, sql in fact_sql.items():
         dst = f"{out}/{tbl}.parquet"
         if not os.path.exists(dst):
             con.execute(
