@@ -19,6 +19,12 @@ import sys
 import time
 
 HEADLINE = [
+    "graph_hierarchy_rollup",
+    "dedup_prefix_jaccard_pairs",
+    "sampling_weighted_reservoir",
+    "tpch_bucketed_join",
+    "analytics_quantile_rollup",
+    "analytics_set_algebra",
     "analytics_bitmap_rollup",
     "tpch_bloom_filter_join",
     "text_winnowing_fingerprints",

@@ -939,7 +939,75 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCRUB_K = 8  # span width for the exact-substring scrub
+
+
+def substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring deduplication applied to the corpus — the Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models Better")
+    scrub, token-granular: any 8-token span that occurs in >= 2 DISTINCT
+    documents is removed from every document, and the cleaned text is
+    re-emitted (here as its md5 plus removal counters, so the row stays
+    narrow). Complements text_dup_ngrams (which only REPORTS the top
+    repeated spans): this is the transform that actually produces the
+    deduplicated training corpus.
+
+    Plan shape: one posexplode of per-doc 8-grams (linear in corpus
+    tokens) -> groupBy gram with a distinct-doc count (map-side partial on
+    uniform md5-ish keys) -> semi-join the gram stream against the
+    duplicated set -> per-doc merge of covered token positions as a
+    bounded array (doc length caps it) -> index filter rebuilds the
+    cleaned token list. No self-join, no all-pairs: cost is O(corpus
+    tokens) shuffled twice, exactly the published suffix-array scrub's
+    distributed-join reformulation.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks_df = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams8 = F.when(
+        F.size("toks") >= SCRUB_K, word_shingles(F.col("toks"), k=SCRUB_K)
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks_df.select(
+        "doc_id", F.posexplode(grams8).alias("pos0", "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    starts = grams.join(dup, "gram", "leftsemi")
+    cov = starts.groupBy("doc_id").agg(
+        F.countDistinct("pos0").alias("n_dup_starts"),
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(
+                            F.col("pos0"), F.col("pos0") + (SCRUB_K - 1)
+                        )
+                    )
+                )
+            )
+        ).alias("covered"),
+    )
+    joined = toks_df.join(cov, "doc_id", "left")
+    covered = F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    clean = F.filter(
+        "toks", lambda x, i: ~F.array_contains(covered, i)
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_dup_starts"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_starts"),
+        F.size(covered).cast("long").alias("n_removed"),
+        F.md5(F.array_join(clean, " ")).alias("clean_hash"),
+    )
+
+
 QUERIES = {
+    "text_substring_scrub": substring_scrub,
     "text_dup_ngrams": dup_ngrams,
     "text_bpe_train": bpe_train,
     "text_bm25_search": bm25_search,
@@ -1101,6 +1169,50 @@ def _bpe_oracle() -> str:
 
 
 ORACLES = {
+    "text_substring_scrub": f"""
+        WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        s8 AS (
+            SELECT doc_id, toks,
+                   list_transform(
+                       generate_series(1, CASE WHEN len(toks) >= {SCRUB_K}
+                                          THEN len(toks) - {SCRUB_K - 1}
+                                          ELSE 0 END),
+                       i -> {{'i': i,
+                             'g': array_to_string(
+                                 toks[i:i + {SCRUB_K - 1}], ' ')}}
+                   ) AS gs
+            FROM toks
+        ),
+        g2 AS (SELECT doc_id, unnest(gs) AS u FROM s8),
+        grams AS (SELECT doc_id, u.i AS i, u.g AS g FROM g2),
+        dup AS (
+            SELECT g FROM grams GROUP BY g
+            HAVING count(DISTINCT doc_id) >= 2
+        ),
+        starts AS (SELECT doc_id, i FROM grams JOIN dup USING (g)),
+        cov AS (
+            SELECT doc_id,
+                   count(DISTINCT i)::BIGINT AS n_dup_starts,
+                   list_sort(list_distinct(flatten(
+                       list(generate_series(i, i + {SCRUB_K - 1}))
+                   ))) AS covered
+            FROM starts GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               len(t.toks)::BIGINT AS n_tokens,
+               coalesce(c.n_dup_starts, 0)::BIGINT AS n_dup_starts,
+               coalesce(len(c.covered), 0)::BIGINT AS n_removed,
+               md5(coalesce(array_to_string(
+                   list_filter(
+                       list_transform(
+                           generate_series(1, len(t.toks)),
+                           j -> CASE WHEN c.covered IS NOT NULL
+                                      AND list_contains(c.covered, j)
+                                THEN NULL ELSE t.toks[j] END),
+                       x -> x IS NOT NULL),
+                   ' '), '')) AS clean_hash
+        FROM toks t LEFT JOIN cov c USING (doc_id)
+    """,
     "text_bpe_train": _bpe_oracle(),
     # query VALUES + k1/b literals derive from the module constants — one
     # source of truth with bm25_search (same device as the quality CTEs)
