@@ -258,16 +258,24 @@ def stream_static_enrich_plan(stream: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
-def attribution_plan(stream: DataFrame) -> DataFrame:
-    """Stream-stream inner join: attribute each purchase to the user's
-    clicks in the preceding 30 minutes.
+def attribution_plan(stream: DataFrame, join_type: str = "inner") -> DataFrame:
+    """Stream-stream join: attribute each purchase to the user's clicks in
+    the preceding 30 minutes.
 
     Both sides carry watermarks and the join condition bounds click_ts to a
     range of purchase_ts, so the state store can evict rows once the
     watermark passes — the canonical bounded-state stream-stream join. At
     100 TB the join key (user_id) partitions both sides; state per key is
     bounded by the 30-minute range + 1-hour watermark.
-    """
+
+    ``join_type="left_outer"`` adds the delayed-null semantics: a purchase
+    with NO qualifying click emits a null-click row only once the GLOBAL
+    watermark — min over both sides' (max event time - 1h) — passes its
+    purchase_ts, i.e. once no future click can possibly match. Purchases
+    above the final watermark are absorbed (their verdict is still open
+    when the bounded replay ends); the oracle reproduces exactly that
+    cutoff, which is how Structured Streaming actually behaves — NOT the
+    batch left join."""
     clicks = (
         stream.where(F.col("event_type") == "click")
         .select(
@@ -293,6 +301,7 @@ def attribution_plan(stream: DataFrame) -> DataFrame:
             "user_id = c_user_id AND click_ts <= purchase_ts "
             "AND click_ts >= purchase_ts - INTERVAL 30 MINUTES"
         ),
+        join_type,
     ).select(
         "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts", "purchase_value"
     )
@@ -1376,6 +1385,17 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream join with watermark-gated null emission —
+    the subtlest Structured Streaming join semantics, pinned against an
+    oracle that replays the engine's exact cutoff (see attribution_plan).
+    """
+    return run_available_now(
+        attribution_plan(events_stream(spark, sf_dir), join_type="left_outer"),
+        output_mode="append",
+    )
+
+
 QUERIES = {
     "streaming_sliding_rate": streaming_sliding_rate,
     "streaming_static_enrich": streaming_static_enrich,
@@ -1385,6 +1405,7 @@ QUERIES = {
     "streaming_top_users": streaming_top_users,
     "streaming_session_windows": streaming_session_windows,
     "streaming_attribution": streaming_attribution,
+    "streaming_attribution_outer": streaming_attribution_outer,
     "streaming_throughput_30s": streaming_throughput_30s,
     "streaming_sign_verify": streaming_sign_verify,
     "streaming_provider_matrix": streaming_provider_matrix,
@@ -1664,6 +1685,43 @@ ORACLES = {
           AND c.event_type = 'click'
           AND c.ts <= p.ts
           AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    # the left-outer twin: matched pairs emit as in the inner join; a
+    # purchase with no qualifying click emits ONE null-click row iff its
+    # purchase_ts lies strictly below the final global watermark =
+    # min(max click_ts, max purchase_ts) - 1h, millisecond-truncated
+    # exactly as the engine tracks watermarks. Purchases at/above the
+    # watermark are absorbed — their outer verdict is still open when the
+    # bounded replay terminates. This IS Structured Streaming's delayed
+    # null-emission contract, replayed in SQL.
+    "streaming_attribution_outer": """
+        WITH wm AS (
+            SELECT make_timestamp(epoch_ms(least(
+                       (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                       (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+                   )) * 1000) - INTERVAL 1 HOUR AS w
+        ),
+        p AS (SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click'),
+        matched AS (
+            SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+                   c.event_id AS click_id, c.ts AS click_ts,
+                   p.value AS purchase_value
+            FROM p JOIN c ON p.user_id = c.user_id
+             AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        )
+        SELECT * FROM matched
+        UNION ALL
+        SELECT p.user_id, p.event_id, p.ts,
+               CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), p.value
+        FROM p, wm
+        WHERE p.ts < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM c WHERE c.user_id = p.user_id
+                AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+          )
     """,
     "streaming_sign_verify": """
         SELECT ['BINANCE:BTCUSDT', 'BINANCE:ETHUSDT', 'BINANCE:SOLUSDT',

@@ -110,6 +110,8 @@ _STATE_BOUNDS = {
     "streaming_dedup_watermark": lambda s, n: s["n_events"] + 8,
     # range-condition + watermark bounded stream-stream join buffers
     "streaming_attribution": lambda s, n: 2 * s["n_events"] + 8,
+    # outer twin: same buffers; unmatched left rows wait for the watermark
+    "streaming_attribution_outer": lambda s, n: 2 * s["n_events"] + 8,
     # append-only ingest gate: NO state store at all
     "streaming_neardup_gate": lambda s, n: 0,
     # append-only IVF index ingestion: stateless cell assignment
