@@ -745,9 +745,41 @@ def bucketed_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asymmetric_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with ASYMMETRIC sets — ((priority, year), (status),
+    ()) — the grouping surface cube/rollup cannot express without waste:
+    one grouped pass produces the priority-by-year detail, the per-status
+    totals, and the grand total, nothing else. One shuffle (Spark expands
+    rows per set map-side, then a single hash aggregation); a cube here
+    would compute and throw away five unwanted set combinations."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.year("o_orderdate").alias("o_year"),
+            "o_totalprice",
+        )
+        .groupingSets(
+            [["o_orderpriority", "o_year"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+            "o_year",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("volume"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_year").alias("g_year"),
+        )
+    )
+
+
 QUERIES = {
     "tpch_sql_market_pulse": sql_surface_market_pulse,
     "tpch_bucketed_join": bucketed_revenue_by_month,
+    "tpch_grouping_sets": asymmetric_grouping_sets,
     "tpch_bloom_filter_join": bloom_filter_join,
     "tpch_pricing_summary": pricing_summary,
     "tpch_top_unshipped_orders": top_unshipped_orders,
@@ -1023,6 +1055,19 @@ ORACLES = {
                    AS order_seq
         FROM orders
         WHERE o_custkey < 50
+    """,
+    "tpch_grouping_sets": """
+        SELECT o_orderpriority, o_orderstatus, o_year,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS volume,
+               grouping(o_orderpriority) AS g_priority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_year) AS g_year
+        FROM (SELECT o_orderpriority, o_orderstatus,
+                     year(o_orderdate) AS o_year, o_totalprice
+              FROM orders)
+        GROUP BY GROUPING SETS ((o_orderpriority, o_year),
+                                (o_orderstatus), ())
     """,
     "tpch_priority_year_cube": """
         SELECT o_orderpriority, o_year,
