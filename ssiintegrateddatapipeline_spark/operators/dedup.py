@@ -378,6 +378,17 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         ).persist()
     )
+    return prefix_filtered_jaccard(sh, PREFIX_T_NUM, PREFIX_T_DEN)
+
+
+def prefix_filtered_jaccard(
+    sh: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Core prefix-filtered exact Jaccard join over an exploded
+    (doc_id, shingle) set frame, threshold t = t_num/t_den (0 < t <= 1).
+    Kept separate from the corpus binding so the losslessness claim is
+    property-testable on arbitrary random set collections
+    (tests/test_prefix_jaccard.py)."""
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "shingle")
     w_size = Window.partitionBy("doc_id")
@@ -389,7 +400,7 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix length = n - ceil(t*n) + 1, all-integer: ceil(t*n) =
     # (n*NUM + DEN - 1) div DEN
     min_keep = F.expr(
-        f"(n_sh * {PREFIX_T_NUM} + {PREFIX_T_DEN - 1}) div {PREFIX_T_DEN}"
+        f"(n_sh * {t_num} + {t_den - 1}) div {t_den}"
     )
     prefix = ranked.where(F.col("pos") <= F.col("n_sh") - min_keep + 1)
     pa = prefix.select(
@@ -403,8 +414,8 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id_a") < F.col("doc_id_b"))
         # length filter: J <= min/max, so J >= t needs min*DEN >= max*NUM
         .where(
-            F.least("n_a", "n_b") * PREFIX_T_DEN
-            >= F.greatest("n_a", "n_b") * PREFIX_T_NUM
+            F.least("n_a", "n_b") * t_den
+            >= F.greatest("n_a", "n_b") * t_num
         )
         .select("doc_id_a", "doc_id_b", "n_a", "n_b")
         .distinct()
@@ -428,7 +439,7 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.withColumn("jaccard", jaccard)
         .where(
-            F.col("jaccard") >= F.lit(PREFIX_T_NUM) / F.lit(PREFIX_T_DEN)
+            F.col("jaccard") >= F.lit(t_num) / F.lit(t_den)
         )
         .select("doc_id_a", "doc_id_b", "n_common", "jaccard")
     )

@@ -61,3 +61,44 @@ def test_prefix_join_stays_jvm_side(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_prefix_filter_lossless_on_random_corpora(spark):
+    """Property check decoupled from the testdata corpus: random set
+    collections from a small vocabulary (high collision rates), several
+    thresholds — the prefix-filtered join must equal the naive
+    join-on-every-token result every time."""
+    import itertools
+    import random
+
+    vocab = [f"w{i}" for i in range(14)]
+    for seed, (t_num, t_den) in itertools.product(
+        [7, 23], [(1, 2), (1, 3), (3, 4)]
+    ):
+        rng = random.Random(seed)
+        rows = []
+        for doc_id in range(40):
+            n = rng.randint(3, 10)
+            for tok in rng.sample(vocab, n):
+                rows.append((doc_id, tok))
+        sh = spark.createDataFrame(rows, ["doc_id", "shingle"])
+        got = sorted(
+            map(
+                tuple,
+                dedup.prefix_filtered_jaccard(sh, t_num, t_den).collect(),
+            )
+        )
+        # naive: every shared token makes a candidate
+        sets = {}
+        for d, tok in rows:
+            sets.setdefault(d, set()).add(tok)
+        want = []
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = round(inter / len(sets[a] | sets[b]), 6)
+            if j >= t_num / t_den:
+                want.append((a, b, inter, j))
+        assert got == sorted(want), (seed, t_num, t_den)
+        assert len(want) > 0, "vacuous corpus for this threshold"
