@@ -1413,9 +1413,63 @@ def set_algebra_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta algebra
+    Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, on top of the aggregate-merge
+    trick analytics_incremental_mv already pins for single-table views.
+    The view is revenue by customer nation over orders⋈customer; inserts
+    arrive on BOTH sides (orders delta = o_orderkey % 5 == 0, customer
+    delta = c_custkey % 7 == 0, the snapshot-parity device of
+    dedup_incremental). The refreshed MV is the stored old-state partials
+    merged with the three delta-term aggregates — and must equal a full
+    recompute exactly, which is what the oracle (a plain join over the
+    full tables) checks.
+
+    100 TB shape: the stored MV term is a read, not a recompute; ΔA⋈B₀
+    scans only the fact delta with the dim broadcast; A₀⋈ΔB is the
+    expensive term in principle, but ΔB is a handful of dim keys — the
+    join pushes the ΔB key set into the fact scan (broadcast semi-join /
+    DPP), so the fact is read only where it matches changed dim rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    d_o = F.col("o_orderkey") % 5 == 0
+    d_c = F.col("c_custkey") % 7 == 0
+    o_old, o_new = orders.where(~d_o), orders.where(d_o)
+    c_old, c_new = cust.where(~d_c), cust.where(d_c)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def partial(o: DataFrame, c: DataFrame, bcast: bool) -> DataFrame:
+        # the DELTA dim side is always tiny -> broadcast it; the full dim
+        # follows the repo convention (customer-scale dims shuffle)
+        c = F.broadcast(c) if bcast else c
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("rev"))
+        )
+
+    merged = (
+        partial(o_old, c_old, False)  # the stored MV state (a read, in prod)
+        .unionByName(partial(o_new, c_old, False))
+        .unionByName(partial(o_old, c_new, True))
+        .unionByName(partial(o_new, c_new, True))
+    )
+    return (
+        merged.groupBy("c_nationkey")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("rev").alias("revenue_cents"),
+        )
+        .select("c_nationkey", "n_orders", "revenue_cents")
+    )
+
+
 QUERIES = {
     "analytics_quantile_rollup": quantile_rollup,
     "analytics_set_algebra": set_algebra_rollup,
+    "analytics_incremental_join_mv": incremental_join_mv,
     "analytics_ks_drift": ks_drift,
     "analytics_ks_drift_binned": ks_drift_binned,
     "analytics_rolling_distinct_users": rolling_distinct_users,
@@ -1530,6 +1584,14 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_incremental_join_mv": """
+        SELECT c_nationkey,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
     "analytics_set_algebra": """
         WITH u AS (
             SELECT date_trunc('week', ts)::TIMESTAMP AS week_ts, user_id,
