@@ -1610,10 +1610,10 @@ ORACLES = {
                    AS n_click_only
         FROM u GROUP BY 1
     """,
-    "analytics_quantile_rollup": """
+    "analytics_quantile_rollup": f"""
         WITH bins AS (
             SELECT date_trunc('day', ts) AS day,
-                   CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                   CAST(floor(value / {QUANTILE_BIN_W!r}) AS BIGINT) AS bin,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2
         ),

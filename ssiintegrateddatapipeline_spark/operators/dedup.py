@@ -436,11 +436,16 @@ def prefix_filtered_jaccard(
     jaccard = F.round(
         F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
     )
+    # threshold on the TRUE Jaccard in exact integer arithmetic — the
+    # prefix filter's losslessness guarantee covers J >= t, not
+    # round(J, 6) >= t, and the rounded form would re-admit pairs in
+    # [t - 5e-7, t) that candidate generation correctly skips
+    true_ge_t = F.col("n_common") * t_den >= (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ) * t_num
     return (
-        inter.withColumn("jaccard", jaccard)
-        .where(
-            F.col("jaccard") >= F.lit(t_num) / F.lit(t_den)
-        )
+        inter.where(true_ge_t)
+        .withColumn("jaccard", jaccard)
         .select("doc_id_a", "doc_id_b", "n_common", "jaccard")
     )
 
@@ -1247,7 +1252,7 @@ ORACLES = {
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_id_a
         JOIN sizes sb ON sb.doc_id = doc_id_b
-        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
-              >= {PREFIX_T_NUM} / {PREFIX_T_DEN}
+        WHERE n_common * {PREFIX_T_DEN}
+              >= (sa.n_sh + sb.n_sh - n_common) * {PREFIX_T_NUM}
     """,
 }

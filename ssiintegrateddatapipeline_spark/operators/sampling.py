@@ -273,6 +273,32 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def two_level_topk(
+    df, stratum_cols: list[str], order_cols: list[str], k: int,
+    salt_col: str = "salt",
+) -> "DataFrame":
+    """Exact top-k per stratum via the hierarchical two-level plan shared
+    by every sampler here: stage 1 ranks within (stratum, salt) cells and
+    keeps k (fan-out spreads the big sort over all cores; each cell is an
+    independent partition sort that spills fine), stage 2 re-ranks the
+    <= n_salts*k survivors per stratum. Any global top-k row's betters all
+    survive stage 1 too, so the stage-2 row_number IS the global rank —
+    exactly the single-window result, without a window partitioned by a
+    handful of stratum values (the 100 TB skew trap). Pinned equal to the
+    single-window form by tests/test_reservoir.py and
+    tests/test_weighted_reservoir.py."""
+    w1 = Window.partitionBy(*stratum_cols, salt_col).orderBy(*order_cols)
+    survivors = (
+        df.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(*stratum_cols).orderBy(*order_cols)
+    return survivors.withColumn(
+        "sample_rank", F.row_number().over(w2)
+    ).where(F.col("sample_rank") <= k)
+
+
 RESERVOIR_K = 10
 RESERVOIR_SALTS = 16
 
@@ -294,8 +320,6 @@ def reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pinned by tests/test_reservoir.py), with the big sort spread over
     every core and the final window fed a bounded input.
     """
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
         "source",
@@ -304,16 +328,9 @@ def reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hash_hex(F.col("doc_id"), "res").alias("h"),
         F.pmod(F.col("doc_id"), F.lit(RESERVOIR_SALTS)).alias("salt"),
     )
-    w1 = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
-    survivors = base.withColumn("r1", F.row_number().over(w1)).where(
-        F.col("r1") <= RESERVOIR_K
-    )
-    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
-    return (
-        survivors.withColumn("sample_rank", F.row_number().over(w2))
-        .where(F.col("sample_rank") <= RESERVOIR_K)
-        .select("source", "sample_rank", "doc_id", "n_chars")
-    )
+    return two_level_topk(
+        base, ["source"], ["h", "doc_id"], RESERVOIR_K
+    ).select("source", "sample_rank", "doc_id", "n_chars")
 
 
 ES_K = 40
@@ -354,16 +371,9 @@ def weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.log(u) / F.col("o_totalprice"), 12).alias("es_key"),
         F.pmod(F.col("o_orderkey"), F.lit(ES_SALTS)).alias("salt"),
     )
-    w1 = Window.partitionBy("priority", "salt").orderBy("es_key", "orderkey")
-    survivors = base.withColumn("r1", F.row_number().over(w1)).where(
-        F.col("r1") <= ES_K
-    )
-    w2 = Window.partitionBy("priority").orderBy("es_key", "orderkey")
-    return (
-        survivors.withColumn("sample_rank", F.row_number().over(w2))
-        .where(F.col("sample_rank") <= ES_K)
-        .select("priority", "sample_rank", "orderkey", "weight", "es_key")
-    )
+    return two_level_topk(
+        base, ["priority"], ["es_key", "orderkey"], ES_K
+    ).select("priority", "sample_rank", "orderkey", "weight", "es_key")
 
 
 QUERIES = {

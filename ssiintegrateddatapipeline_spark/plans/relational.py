@@ -676,6 +676,14 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         li_name, o_name = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+        # memo miss with the tables still in THIS session's catalog (e.g.
+        # clear_caches ran between datasets): adopt them — the bucketed
+        # layout is immutable for an immutable sf_dir, never rewrite
+        if spark.catalog.tableExists(li_name) and spark.catalog.tableExists(
+            o_name
+        ):
+            _BUCKETED_MEMO[key] = (li_name, o_name)
+            return _BUCKETED_MEMO[key]
         # a previous PROCESS may have left the warehouse directory behind
         # (the in-memory catalog dies with the session, the files don't);
         # saveAsTable refuses to adopt an existing location, so clear both

@@ -1695,11 +1695,21 @@ ORACLES = {
     # bounded replay terminates. This IS Structured Streaming's delayed
     # null-emission contract, replayed in SQL.
     "streaming_attribution_outer": """
-        WITH wm AS (
-            SELECT make_timestamp(epoch_ms(least(
-                       (SELECT max(ts) FROM events WHERE event_type = 'click'),
-                       (SELECT max(ts) FROM events WHERE event_type = 'purchase')
-                   )) * 1000) - INTERVAL 1 HOUR AS w
+        WITH mx AS (
+            SELECT (SELECT max(ts) FROM events WHERE event_type = 'click')
+                       AS mc,
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+                       AS mp
+        ),
+        wm AS (
+            -- engine semantics, not least(): a side with NO events never
+            -- advances its watermark node, so the GLOBAL watermark stays
+            -- at epoch and nothing flushes (DuckDB least() would skip the
+            -- NULL and wrongly emit). w = NULL here suppresses all nulls.
+            SELECT CASE WHEN mc IS NULL OR mp IS NULL THEN NULL
+                        ELSE make_timestamp(epoch_ms(least(mc, mp)) * 1000)
+                             - INTERVAL 1 HOUR END AS w
+            FROM mx
         ),
         p AS (SELECT user_id, ts, event_id, value FROM events
               WHERE event_type = 'purchase'),

@@ -38,11 +38,14 @@ def _brute_force(spark, sf_dir):
     j = F.round(
         F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
     )
+    true_ge_t = F.col("n_common") * dedup.PREFIX_T_DEN >= (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ) * dedup.PREFIX_T_NUM
     return (
         inter.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
+        .where(true_ge_t)
         .withColumn("jaccard", j)
-        .where(F.col("jaccard") >= dedup.PREFIX_T_NUM / dedup.PREFIX_T_DEN)
         .select("doc_id_a", "doc_id_b", "n_common", "jaccard")
     )
 
@@ -97,8 +100,8 @@ def test_prefix_filter_lossless_on_random_corpora(spark):
             inter = len(sets[a] & sets[b])
             if inter == 0:
                 continue
-            j = round(inter / len(sets[a] | sets[b]), 6)
-            if j >= t_num / t_den:
-                want.append((a, b, inter, j))
+            union = len(sets[a] | sets[b])
+            if inter * t_den >= union * t_num:
+                want.append((a, b, inter, round(inter / union, 6)))
         assert got == sorted(want), (seed, t_num, t_den)
         assert len(want) > 0, "vacuous corpus for this threshold"

@@ -66,12 +66,15 @@ FACT_SQL = {
 DIM_TABLES = ("region", "nation", "supplier", "part")
 
 # Opt-in (SSI_SCALE_PART=1): grow part too, for probing operators whose
-# INPUT is the part dimension (graph_hierarchy_rollup). The digit-prefix
-# shift (+ i*100000) keeps each copy's parent chains internal until they
-# dangle at the copy boundary — the operator treats dangling parents as
-# roots, so shape semantics change but join/explode volumes scale
-# faithfully. Kept out of the default probe so part-joining TPC-H queries
-# keep their constant-dimension regime.
+# INPUT is the part dimension (graph_hierarchy_rollup). The +i*100000
+# shift is NOT chain-faithful for a decimal hierarchy: copy 1's derived
+# parents (10000..11999) are real copy-0 keys, so copy 1 grafts onto
+# copy 0's trees (deepening fan-in), while copies >= 2 dangle within a
+# level or two (the operator treats dangling parents as roots). Row,
+# join, and explode VOLUMES scale k-fold; chain-depth distribution is
+# mixed — read the probe ratio as volume-scaling evidence, not
+# depth-scaling. Kept out of the default probe so part-joining TPC-H
+# queries keep their constant-dimension regime.
 PART_FACT_SQL = """
     SELECT p_partkey + i * 100000 AS p_partkey, p_name, p_brand, p_type,
            p_size, p_retailprice
