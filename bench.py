@@ -19,6 +19,9 @@ import sys
 import time
 
 HEADLINE = [
+    "text_substring_scrub",
+    "analytics_incremental_join_mv",
+    "tpch_grouping_sets",
     "graph_hierarchy_rollup",
     "dedup_prefix_jaccard_pairs",
     "sampling_weighted_reservoir",

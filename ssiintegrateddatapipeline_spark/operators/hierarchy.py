@@ -44,6 +44,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ssiintegrateddatapipeline_spark.caches import track
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
 
 HIER_FANOUT = 10
@@ -64,7 +65,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _closed_chains(base: DataFrame) -> DataFrame:
+def _closed_chains(base: DataFrame, max_depth: int | None = None) -> DataFrame:
     """Pointer-doubling loop: returns (k, parent, cents, chain) where
     ``chain`` is the full root-ward ancestor path ``[parent, grandparent,
     ..., root]`` (empty for roots).
@@ -73,7 +74,15 @@ def _closed_chains(base: DataFrame) -> DataFrame:
     ``min(2^(i+1), depth)`` ancestors and ``jump`` points at the ancestor
     exactly ``2^(i+1)`` away (NULL once the chain reached its root), so
     concatenating a node's chain with its jump-target's chain is exactly
-    the next doubling step."""
+    the next doubling step.
+
+    ``max_depth``: pass a known bound to size the loop exactly (no probe
+    jobs); pass None for an UNKNOWN hierarchy — the loop then checks an
+    ``isEmpty()`` probe on the open-jump set each iteration and stops as
+    soon as every chain has reached its root (each probe is one cheap
+    short-circuit job; the persist keeps it from recomputing the joins).
+    Either way the join count is ceil(log2(depth)), capped at
+    ``_MAX_DOUBLING_ITERS`` (depth 2^20) as a runaway guard."""
     state = base.select(
         "k",
         "parent",
@@ -83,18 +92,18 @@ def _closed_chains(base: DataFrame) -> DataFrame:
         .alias("chain"),
         F.col("parent").alias("jump"),
     )
-    # Exact loop sizing from a 1-row census: with parent = floor(k/10),
-    # depth(k) = digits(k) - 1, so max depth falls out of max(k). The
-    # doubling itself never uses this fact — an unknown hierarchy would
-    # run the same loop against an `isEmpty()` probe per iteration.
-    max_k = base.agg(F.max("k")).first()[0] or 0
-    max_depth = len(str(max_k)) - 1 if max_k >= 1 else 0
-    iters = (
-        max(0, math.ceil(math.log2(max_depth)))
-        if max_depth > 1
-        else 0
-    )
+    if max_depth is not None:
+        iters = (
+            max(0, math.ceil(math.log2(max_depth))) if max_depth > 1 else 0
+        )
+    else:
+        iters = _MAX_DOUBLING_ITERS
+    probing = max_depth is None
     for _ in range(min(iters, _MAX_DOUBLING_ITERS)):
+        if probing:
+            if state.where(F.col("jump").isNotNull()).isEmpty():
+                break
+            state = track(state.persist())
         other = state.select(
             F.col("k").alias("jk"),
             F.col("chain").alias("jchain"),
@@ -121,7 +130,14 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped by ancestor: each node contributes its measure to every
     ancestor exactly once, which is precisely the recursive-CTE rollup
     without the recursion."""
-    chains = _closed_chains(_edges(spark, sf_dir))
+    base = _edges(spark, sf_dir)
+    # exact loop sizing from a 1-row census: with parent = floor(k/10),
+    # depth(k) = digits(k) - 1, so max depth falls out of max(k) — the
+    # bounded plan-time-literal pattern. _closed_chains(base, None) is the
+    # general probe-terminated path for unknown hierarchies.
+    max_k = base.agg(F.max("k")).first()[0] or 0
+    max_depth = len(str(max_k)) - 1 if max_k >= 1 else 0
+    chains = _closed_chains(base, max_depth)
     closure = chains.select(
         F.col("k").alias("node"),
         F.col("cents").alias("node_cents"),

@@ -86,3 +86,26 @@ def test_plan_is_log_depth_joins(spark, sf_dir):
     assert "Python" not in plan and "MapInPandas" not in plan
     # sf0.001: max_depth 2 -> 1 doubling join + rollup join (+ AQE reuse)
     assert plan.count("Join") <= 8, plan
+
+
+def test_probe_mode_closes_unknown_hierarchy(spark):
+    """The probe-terminated path (max_depth=None) must close a hierarchy
+    whose depth has nothing to do with key digits — a pure path graph
+    parent(k) = k-1 of depth 120 — proving the helper is general and the
+    join count stays logarithmic."""
+    from pyspark.sql import functions as F
+
+    n = 121
+    base = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") > 0, F.col("id") - 1).alias("parent"),
+        F.lit(1).cast("long").alias("cents"),
+    )
+    chains = hierarchy._closed_chains(base, None)
+    rows = {r["k"]: r["chain"] for r in chains.collect()}
+    for k in range(n):
+        assert rows[k] == list(range(k - 1, -1, -1)), k
+    # decimal sizing would have run ceil(log2(len(str(120)) - 1)) = 1
+    # doubling join and returned chains of length <= 2 — probe mode ran
+    # ceil(log2(120)) = 7 and closed the full path
+    assert len(rows[n - 1]) == n - 1
