@@ -235,9 +235,52 @@ def feed_ingest_streaming(spark, sf_dir: str):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def trade_vwap(spark, sf_dir: str):
+    """Per-symbol VWAP over the ingested trade feed — the reference
+    domain's headline market stat (volume-weighted average price), with
+    the repo's exact-integer parity device: price and volume become cents
+    and milli-units (both exact decimals by the feed's construction), the
+    p*v ledger accumulates as int64, and the final 4-dp VWAP is one
+    half-up integer division identical in both engines. sum bounds:
+    price_cents <= 1.01e6, vol_milli < 1e4, 2000 frames -> the pv ledger
+    stays ~1e13, far inside int64 even at the 2*10^4 rounding scale-up.
+
+    Scale shape: one narrow projection on the feed (no shuffle) into a
+    5-key hash aggregate with map-side partials — at a real feed rate
+    this is the canonical always-on symbol rollup."""
+    from pyspark.sql import functions as F
+
+    t = feed_ingest(spark, sf_dir)
+    price_cents = F.round(F.col("price") * 100).cast("long")
+    vol_milli = F.round(F.col("volume") * 1000).cast("long")
+    agg = t.groupBy("symbol").agg(
+        F.count("*").alias("n_trades"),
+        F.sum(price_cents * vol_milli).alias("pv"),
+        F.sum(vol_milli).alias("vol_milli_total"),
+    )
+    # vwap = pv / (100 * vol); round half-up to 4 dp in pure integers:
+    # (pv*2*10^4 + 100*vol) div (2*100*vol) / 10^4 — `div`, not `/`:
+    # float division of a ~4e16 numerator is past double's 2^53 exact
+    # range, and a last-ulp quotient error under floor() could flip the
+    # 4th decimal vs DuckDB's exact `//`
+    vwap = (
+        F.expr(
+            "(pv * 20000 + vol_milli_total * 100) div (vol_milli_total * 200)"
+        )
+        / F.lit(10000.0)
+    )
+    return agg.select(
+        "symbol",
+        "n_trades",
+        F.col("vol_milli_total"),
+        vwap.alias("vwap"),
+    )
+
+
 QUERIES = {
     "source_trade_feed": feed_ingest,
     "source_trade_feed_stream": feed_ingest_streaming,
+    "trade_vwap": trade_vwap,
 }
 
 _H32 = "(('0x' || substr(md5('{tag}|' || i::VARCHAR), 1, 8))::UBIGINT::BIGINT)"
@@ -258,4 +301,23 @@ _FEED_ORACLE = f"""
 ORACLES = {
     "source_trade_feed": _FEED_ORACLE,
     "source_trade_feed_stream": _FEED_ORACLE,
+    "trade_vwap": f"""
+        WITH feed AS ({_FEED_ORACLE}),
+        cents AS (
+            SELECT symbol,
+                   CAST(round(price * 100) AS BIGINT) AS pc,
+                   CAST(round(volume * 1000) AS BIGINT) AS vm
+            FROM feed
+        ),
+        agg AS (
+            SELECT symbol, count(*) AS n_trades,
+                   sum(pc * vm)::BIGINT AS pv,
+                   sum(vm)::BIGINT AS vol_milli_total
+            FROM cents GROUP BY symbol
+        )
+        SELECT symbol, n_trades, vol_milli_total,
+               ((pv * 20000 + vol_milli_total * 100)
+                // (vol_milli_total * 200)) / 10000.0 AS vwap
+        FROM agg
+    """,
 }
