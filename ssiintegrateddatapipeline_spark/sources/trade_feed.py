@@ -248,21 +248,32 @@ def trade_vwap(spark, sf_dir: str):
     Scale shape: one narrow projection on the feed (no shuffle) into a
     5-key hash aggregate with map-side partials — at a real feed rate
     this is the canonical always-on symbol rollup."""
+    return _vwap_finalize(_vwap_ledger(feed_ingest(spark, sf_dir)))
+
+
+def _vwap_ledger(t):
+    """Per-symbol integer VWAP ledger (count, Σ price_cents*vol_milli,
+    Σ vol_milli) — a commutative-monoid aggregate, so the SAME expression
+    runs as a batch hash agg and as streaming complete-mode state."""
     from pyspark.sql import functions as F
 
-    t = feed_ingest(spark, sf_dir)
     price_cents = F.round(F.col("price") * 100).cast("long")
     vol_milli = F.round(F.col("volume") * 1000).cast("long")
-    agg = t.groupBy("symbol").agg(
+    return t.groupBy("symbol").agg(
         F.count("*").alias("n_trades"),
         F.sum(price_cents * vol_milli).alias("pv"),
         F.sum(vol_milli).alias("vol_milli_total"),
     )
+
+
+def _vwap_finalize(agg):
     # vwap = pv / (100 * vol); round half-up to 4 dp in pure integers:
     # (pv*2*10^4 + 100*vol) div (2*100*vol) / 10^4 — `div`, not `/`:
     # float division of a ~4e16 numerator is past double's 2^53 exact
     # range, and a last-ulp quotient error under floor() could flip the
     # 4th decimal vs DuckDB's exact `//`
+    from pyspark.sql import functions as F
+
     vwap = (
         F.expr(
             "(pv * 20000 + vol_milli_total * 100) div (vol_milli_total * 200)"
@@ -277,10 +288,62 @@ def trade_vwap(spark, sf_dir: str):
     )
 
 
+def streaming_trade_vwap(spark, sf_dir: str):
+    """The VWAP ledger maintained as STREAMING complete-mode state over
+    the offset-tracked feed reader: 500-row micro-batches advance the
+    running per-symbol sums (5 rows of state — the bounded metrics-
+    counter footprint) and the final snapshot must equal the batch
+    aggregate exactly. Drain detection polls the ledger's trade count
+    against the known feed size (the memory sink row count is always 5,
+    so the count itself is the progress signal)."""
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    raw = (
+        spark.readStream.format("trade_feed")
+        .option("n", FEED_N)
+        .option("rowsPerBatch", 500)
+        .option("numPartitions", 4)
+        .load()
+    )
+    plan = _vwap_ledger(_ingest_projection(raw))
+    name = f"feed_vwap_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ssi_feed_ckpt_")
+    expected = FEED_N - len(range(0, FEED_N, PING_EVERY))
+    try:
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            row = spark.table(name).agg(F.sum("n_trades")).first()
+            if row[0] is not None and row[0] >= expected:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+        out = spark.table(name)
+        snap = spark.createDataFrame(out.toPandas(), out.schema)
+        return _vwap_finalize(snap)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 QUERIES = {
     "source_trade_feed": feed_ingest,
     "source_trade_feed_stream": feed_ingest_streaming,
     "trade_vwap": trade_vwap,
+    "streaming_trade_vwap": streaming_trade_vwap,
 }
 
 _H32 = "(('0x' || substr(md5('{tag}|' || i::VARCHAR), 1, 8))::UBIGINT::BIGINT)"
@@ -298,26 +361,31 @@ _FEED_ORACLE = f"""
     WHERE i % {PING_EVERY} != 0
 """
 
+_VWAP_ORACLE = f"""
+    WITH feed AS ({_FEED_ORACLE}),
+    cents AS (
+        SELECT symbol,
+               CAST(round(price * 100) AS BIGINT) AS pc,
+               CAST(round(volume * 1000) AS BIGINT) AS vm
+        FROM feed
+    ),
+    agg AS (
+        SELECT symbol, count(*) AS n_trades,
+               sum(pc * vm)::BIGINT AS pv,
+               sum(vm)::BIGINT AS vol_milli_total
+        FROM cents GROUP BY symbol
+    )
+    SELECT symbol, n_trades, vol_milli_total,
+           ((pv * 20000 + vol_milli_total * 100)
+            // (vol_milli_total * 200)) / 10000.0 AS vwap
+    FROM agg
+"""
+
 ORACLES = {
     "source_trade_feed": _FEED_ORACLE,
     "source_trade_feed_stream": _FEED_ORACLE,
-    "trade_vwap": f"""
-        WITH feed AS ({_FEED_ORACLE}),
-        cents AS (
-            SELECT symbol,
-                   CAST(round(price * 100) AS BIGINT) AS pc,
-                   CAST(round(volume * 1000) AS BIGINT) AS vm
-            FROM feed
-        ),
-        agg AS (
-            SELECT symbol, count(*) AS n_trades,
-                   sum(pc * vm)::BIGINT AS pv,
-                   sum(vm)::BIGINT AS vol_milli_total
-            FROM cents GROUP BY symbol
-        )
-        SELECT symbol, n_trades, vol_milli_total,
-               ((pv * 20000 + vol_milli_total * 100)
-                // (vol_milli_total * 200)) / 10000.0 AS vwap
-        FROM agg
-    """,
+    "trade_vwap": _VWAP_ORACLE,
+    # the streaming twin drains the same deterministic feed into the same
+    # integer ledger — one oracle serves both forms
+    "streaming_trade_vwap": _VWAP_ORACLE,
 }
