@@ -339,11 +339,41 @@ def streaming_trade_vwap(spark, sf_dir: str):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def trade_ohlc_bars(spark, sf_dir: str):
+    """One-minute OHLC candlestick bars per symbol — the other canonical
+    market rollup next to VWAP. Open/high/low/close are SELECTIONS
+    (min_by/max_by/min/max over the bar), so no float arithmetic exists
+    to diverge between engines; bar volume uses the integer milli-unit
+    ledger. One narrow projection into a (symbol, minute) hash aggregate
+    with map-side partials — the always-on bar builder shape; the
+    streaming twin would be the same expression under a 1-minute
+    event-time window + watermark."""
+    from pyspark.sql import functions as F
+
+    t = feed_ingest(spark, sf_dir)
+    vol_milli = F.round(F.col("volume") * 1000).cast("long")
+    return (
+        t.groupBy(
+            "symbol",
+            F.date_trunc("minute", "event_timestamp").alias("bar_ts"),
+        )
+        .agg(
+            F.min_by("price", "event_timestamp").alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", "event_timestamp").alias("close"),
+            F.count("*").alias("n_trades"),
+            F.sum(vol_milli).alias("vol_milli"),
+        )
+    )
+
+
 QUERIES = {
     "source_trade_feed": feed_ingest,
     "source_trade_feed_stream": feed_ingest_streaming,
     "trade_vwap": trade_vwap,
     "streaming_trade_vwap": streaming_trade_vwap,
+    "trade_ohlc_bars": trade_ohlc_bars,
 }
 
 _H32 = "(('0x' || substr(md5('{tag}|' || i::VARCHAR), 1, 8))::UBIGINT::BIGINT)"
@@ -388,4 +418,16 @@ ORACLES = {
     # the streaming twin drains the same deterministic feed into the same
     # integer ledger — one oracle serves both forms
     "streaming_trade_vwap": _VWAP_ORACLE,
+    "trade_ohlc_bars": f"""
+        WITH feed AS ({_FEED_ORACLE})
+        SELECT symbol,
+               date_trunc('minute', event_timestamp)::TIMESTAMP AS bar_ts,
+               arg_min(price, event_timestamp) AS open,
+               max(price) AS high,
+               min(price) AS low,
+               arg_max(price, event_timestamp) AS close,
+               count(*) AS n_trades,
+               sum(CAST(round(volume * 1000) AS BIGINT))::BIGINT AS vol_milli
+        FROM feed GROUP BY 1, 2
+    """,
 }
