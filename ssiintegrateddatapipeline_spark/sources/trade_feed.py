@@ -368,12 +368,44 @@ def trade_ohlc_bars(spark, sf_dir: str):
     )
 
 
+def trade_tick_direction(spark, sf_dir: str):
+    """Tick-rule order-flow imbalance per symbol: classify each trade as
+    uptick/downtick/zerotick against the previous trade's price and
+    aggregate the counts and net direction. The lag window partitions by
+    symbol — the RIGHT partitioning for market data, because per-symbol
+    tick sequence is inherently sequential state: a production feed
+    shards by symbol (state per key is one float) and the per-symbol
+    stream is processed in event order; the analogue here is one window
+    over the bounded replay. Prices are exact two-decimal constructions,
+    so the comparisons carry no float hazard."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    t = feed_ingest(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("event_timestamp")
+    prev = F.lag("price").over(w)
+    tick = F.when(prev.isNull(), F.lit(0)).otherwise(
+        F.signum(F.col("price") - prev).cast("int")
+    )
+    return (
+        t.withColumn("tick", tick)
+        .groupBy("symbol")
+        .agg(
+            F.sum((F.col("tick") == 1).cast("long")).alias("n_upticks"),
+            F.sum((F.col("tick") == -1).cast("long")).alias("n_downticks"),
+            F.sum((F.col("tick") == 0).cast("long")).alias("n_zeroticks"),
+            F.sum("tick").cast("long").alias("net_ticks"),
+        )
+    )
+
+
 QUERIES = {
     "source_trade_feed": feed_ingest,
     "source_trade_feed_stream": feed_ingest_streaming,
     "trade_vwap": trade_vwap,
     "streaming_trade_vwap": streaming_trade_vwap,
     "trade_ohlc_bars": trade_ohlc_bars,
+    "trade_tick_direction": trade_tick_direction,
 }
 
 _H32 = "(('0x' || substr(md5('{tag}|' || i::VARCHAR), 1, 8))::UBIGINT::BIGINT)"
@@ -429,5 +461,23 @@ ORACLES = {
                count(*) AS n_trades,
                sum(CAST(round(volume * 1000) AS BIGINT))::BIGINT AS vol_milli
         FROM feed GROUP BY 1, 2
+    """,
+    "trade_tick_direction": f"""
+        WITH feed AS ({_FEED_ORACLE}),
+        ticks AS (
+            SELECT symbol,
+                   CASE WHEN lag(price) OVER w IS NULL THEN 0
+                        ELSE sign(price - lag(price) OVER w)::INT END AS tick
+            FROM feed
+            WINDOW w AS (PARTITION BY symbol ORDER BY event_timestamp)
+        )
+        SELECT symbol,
+               sum(CASE WHEN tick = 1 THEN 1 ELSE 0 END)::BIGINT AS n_upticks,
+               sum(CASE WHEN tick = -1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_downticks,
+               sum(CASE WHEN tick = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_zeroticks,
+               sum(tick)::BIGINT AS net_ticks
+        FROM ticks GROUP BY symbol
     """,
 }
