@@ -1001,7 +1001,100 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCENTER_K = 8
+
+
+def kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point) DIVERSITY sample — the
+    coreset-selection step of a training-data pipeline: pick K vectors
+    whose pairwise spread 2-approximates the optimal k-center cover, so a
+    small sample represents the embedding space's extremes rather than
+    its densest cluster (the failure mode of random sampling).
+
+    Distances are FULLY integer: each float component quantizes to
+    floor(x*2^20) (exact power-of-two scaling, the module's codebook
+    device), so squared L2 sums are exact int64 (<= dims*2^42) and the
+    per-round argmax — where a last-ulp double difference would CASCADE
+    through every later selection — has no float in it at all; ties break
+    on vec_id in both engines. The oracle unrolls the same K greedy
+    rounds as materialized CTEs.
+
+    Scale shape: K passes over the corpus, each a narrow zip_with/fold
+    projection into a TakeOrderedAndProject(1) — no shuffle wider than
+    one row per pass; the selected centers travel as CSV-split literal
+    arrays (ONE py4j literal each, not 64). At 100 TB this is the
+    standard distributed Gonzalez sweep (k linear scans)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * QUANT).cast("long"),
+        ).alias("q"),
+    )
+
+    def d2_to(center_csv: str):
+        c = F.split(F.lit(center_csv), ",").cast("array<long>")
+        diffs = F.zip_with(F.col("q"), c, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diffs, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    seed = base.orderBy("vec_id").first()
+    picked = [(1, int(seed["vec_id"]), 0)]
+    cur = base.withColumn(
+        "min_d2", d2_to(",".join(str(int(v)) for v in seed["q"]))
+    )
+    for rank in range(2, KCENTER_K + 1):
+        far = cur.orderBy(F.desc("min_d2"), "vec_id").first()
+        picked.append((rank, int(far["vec_id"]), int(far["min_d2"])))
+        cur = cur.withColumn(
+            "min_d2",
+            F.least(
+                "min_d2", d2_to(",".join(str(int(v)) for v in far["q"]))
+            ),
+        )
+    return spark.createDataFrame(
+        picked, "sel_rank int, vec_id long, d2_to_set long"
+    )
+
+
+def _kcenter_oracle() -> str:
+    """The same K greedy rounds unrolled as materialized CTEs."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))::BIGINT"
+        )
+
+    parts = [
+        "q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q "
+        "FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT vec_id, q FROM q "
+        "WHERE vec_id = (SELECT min(vec_id) FROM q))",
+        "d1 AS MATERIALIZED (SELECT v.vec_id, v.q, "
+        + d2("v.q", "c.q")
+        + " AS min_d2 FROM q v, c1 c)",
+    ]
+    selects = ["SELECT 1 AS sel_rank, vec_id, 0::BIGINT AS d2_to_set FROM c1"]
+    for s in range(2, KCENTER_K + 1):
+        parts.append(
+            f"c{s} AS MATERIALIZED (SELECT vec_id, q, min_d2 FROM d{s - 1} "
+            "ORDER BY min_d2 DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"d{s} AS MATERIALIZED (SELECT v.vec_id, v.q, "
+            f"least(v.min_d2, {d2('v.q', 'c.q')}) AS min_d2 "
+            f"FROM d{s - 1} v, c{s} c)"
+        )
+        selects.append(
+            f"SELECT {s} AS sel_rank, vec_id, min_d2 AS d2_to_set FROM c{s}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 QUERIES = {
+    "similarity_kcenter_sample": kcenter_sample,
     "similarity_pq_topk": pq_topk,
     "similarity_pq_recall": pq_recall,
     "similarity_ivfpq_topk": ivfpq_topk,
@@ -1359,6 +1452,7 @@ def _build_ivfpq_topk_oracle() -> str:
 
 
 ORACLES = {
+    "similarity_kcenter_sample": _kcenter_oracle(),
     "similarity_pq_topk": _build_pq_topk_oracle(),
     "similarity_ivfpq_topk": _build_ivfpq_topk_oracle(),
     "similarity_embedding_drift": """

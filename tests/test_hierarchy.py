@@ -109,3 +109,4 @@ def test_probe_mode_closes_unknown_hierarchy(spark):
     # doubling join and returned chains of length <= 2 — probe mode ran
     # ceil(log2(120)) = 7 and closed the full path
     assert len(rows[n - 1]) == n - 1
+
