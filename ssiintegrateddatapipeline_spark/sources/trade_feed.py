@@ -288,14 +288,13 @@ def _vwap_finalize(agg):
     )
 
 
-def streaming_trade_vwap(spark, sf_dir: str):
-    """The VWAP ledger maintained as STREAMING complete-mode state over
-    the offset-tracked feed reader: 500-row micro-batches advance the
-    running per-symbol sums (5 rows of state — the bounded metrics-
-    counter footprint) and the final snapshot must equal the batch
-    aggregate exactly. Drain detection polls the ledger's trade count
-    against the known feed size (the memory sink row count is always 5,
-    so the count itself is the progress signal)."""
+def _run_feed_complete(spark, plan_builder):
+    """Drain the offset-tracked feed through a complete-mode aggregate:
+    500-row micro-batches advance the running state and the final memory-
+    sink snapshot is returned as a batch DataFrame. Drain detection polls
+    the aggregate's total trade count against the known feed size (the
+    sink row count is fixed by the group-key domain, so the COUNT COLUMN
+    is the progress signal). Shared by the streaming VWAP and OHLC twins."""
     import shutil
     import tempfile
     import time
@@ -311,8 +310,8 @@ def streaming_trade_vwap(spark, sf_dir: str):
         .option("numPartitions", 4)
         .load()
     )
-    plan = _vwap_ledger(_ingest_projection(raw))
-    name = f"feed_vwap_{uuid.uuid4().hex[:8]}"
+    plan = plan_builder(_ingest_projection(raw))
+    name = f"feed_agg_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ssi_feed_ckpt_")
     expected = FEED_N - len(range(0, FEED_N, PING_EVERY))
     try:
@@ -333,10 +332,17 @@ def streaming_trade_vwap(spark, sf_dir: str):
         q.stop()
         q.awaitTermination()
         out = spark.table(name)
-        snap = spark.createDataFrame(out.toPandas(), out.schema)
-        return _vwap_finalize(snap)
+        return spark.createDataFrame(out.toPandas(), out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def streaming_trade_vwap(spark, sf_dir: str):
+    """The VWAP ledger maintained as STREAMING complete-mode state over
+    the offset-tracked feed reader (5 rows of state — the bounded
+    metrics-counter footprint); the snapshot must equal the batch
+    aggregate exactly."""
+    return _vwap_finalize(_run_feed_complete(spark, _vwap_ledger))
 
 
 def trade_ohlc_bars(spark, sf_dir: str):
@@ -348,9 +354,15 @@ def trade_ohlc_bars(spark, sf_dir: str):
     with map-side partials — the always-on bar builder shape; the
     streaming twin would be the same expression under a 1-minute
     event-time window + watermark."""
+    return _ohlc_plan(feed_ingest(spark, sf_dir))
+
+
+def _ohlc_plan(t):
+    """The (symbol, minute) OHLC aggregate — min_by/max_by/min/max/count/
+    int-ledger sum are all order-insensitive, so the SAME expression runs
+    as a batch hash agg and as streaming complete-mode state."""
     from pyspark.sql import functions as F
 
-    t = feed_ingest(spark, sf_dir)
     vol_milli = F.round(F.col("volume") * 1000).cast("long")
     return (
         t.groupBy(
@@ -366,6 +378,15 @@ def trade_ohlc_bars(spark, sf_dir: str):
             F.sum(vol_milli).alias("vol_milli"),
         )
     )
+
+
+def streaming_trade_ohlc(spark, sf_dir: str):
+    """OHLC bars as streaming complete-mode state over the offset-tracked
+    feed: bar state is bounded by the (symbol, minute) domain of the
+    replay span; the snapshot must equal the batch bars exactly (min_by/
+    max_by resolve identically because (symbol, event_timestamp) is
+    unique by the feed's construction)."""
+    return _run_feed_complete(spark, _ohlc_plan)
 
 
 def trade_tick_direction(spark, sf_dir: str):
@@ -406,6 +427,7 @@ QUERIES = {
     "streaming_trade_vwap": streaming_trade_vwap,
     "trade_ohlc_bars": trade_ohlc_bars,
     "trade_tick_direction": trade_tick_direction,
+    "streaming_trade_ohlc": streaming_trade_ohlc,
 }
 
 _H32 = "(('0x' || substr(md5('{tag}|' || i::VARCHAR), 1, 8))::UBIGINT::BIGINT)"
@@ -451,6 +473,18 @@ ORACLES = {
     # integer ledger — one oracle serves both forms
     "streaming_trade_vwap": _VWAP_ORACLE,
     "trade_ohlc_bars": f"""
+        WITH feed AS ({_FEED_ORACLE})
+        SELECT symbol,
+               date_trunc('minute', event_timestamp)::TIMESTAMP AS bar_ts,
+               arg_min(price, event_timestamp) AS open,
+               max(price) AS high,
+               min(price) AS low,
+               arg_max(price, event_timestamp) AS close,
+               count(*) AS n_trades,
+               sum(CAST(round(volume * 1000) AS BIGINT))::BIGINT AS vol_milli
+        FROM feed GROUP BY 1, 2
+    """,
+    "streaming_trade_ohlc": f"""
         WITH feed AS ({_FEED_ORACLE})
         SELECT symbol,
                date_trunc('minute', event_timestamp)::TIMESTAMP AS bar_ts,
