@@ -436,11 +436,19 @@ def prefix_filtered_jaccard(
     # membership — cost is |cand| * |doc|, never corpus x corpus. Both
     # shingle streams are first semi-joined down to docs that appear in
     # some candidate (the containment_pairs device), so the membership
-    # join shuffles the candidate sliver, not the whole corpus.
+    # join shuffles the candidate sliver, not the whole corpus. The
+    # candidate table is persisted (it feeds three consumers) and the
+    # semi-joins carry NO broadcast hint: the candidate doc set is
+    # data-dependent and unbounded — on a near-dup-rich corpus a forced
+    # broadcast would blow the driver; Catalyst/AQE picks broadcast
+    # itself whenever the set is actually small.
+    from ssiintegrateddatapipeline_spark.caches import track as _track
+
+    cand = _track(cand.persist())
     cand_a = cand.select(F.col("doc_id_a").alias("doc_id")).distinct()
     cand_b = cand.select(F.col("doc_id_b").alias("doc_id")).distinct()
-    sh_a = sh.join(F.broadcast(cand_a), "doc_id", "leftsemi")
-    sh_b = sh.join(F.broadcast(cand_b), "doc_id", "leftsemi")
+    sh_a = sh.join(cand_a, "doc_id", "leftsemi")
+    sh_b = sh.join(cand_b, "doc_id", "leftsemi")
     ta = cand.join(
         sh_a.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a"
     )

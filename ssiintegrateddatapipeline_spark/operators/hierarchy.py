@@ -101,9 +101,12 @@ def _closed_chains(base: DataFrame, max_depth: int | None = None) -> DataFrame:
     probing = max_depth is None
     for _ in range(min(iters, _MAX_DOUBLING_ITERS)):
         if probing:
+            # persist BEFORE the probe so the isEmpty action itself
+            # materializes the cache the next join reads — probing an
+            # uncached plan would re-derive every prior doubling twice
+            state = track(state.persist())
             if state.where(F.col("jump").isNotNull()).isEmpty():
                 break
-            state = track(state.persist())
         other = state.select(
             F.col("k").alias("jk"),
             F.col("chain").alias("jchain"),

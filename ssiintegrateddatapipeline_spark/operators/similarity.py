@@ -1024,13 +1024,20 @@ def kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per pass; the selected centers travel as CSV-split literal
     arrays (ONE py4j literal each, not 64). At 100 TB this is the
     standard distributed Gonzalez sweep (k linear scans)."""
+    from ssiintegrateddatapipeline_spark.caches import track as _track
+
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * QUANT).cast("long"),
-        ).alias("q"),
+    # persist the quantized vectors: every one of the K argmax actions
+    # scans this frame — cached, each round reads columnar ints instead
+    # of re-reading parquet and re-quantizing (the module's pq/ivf pattern)
+    base = _track(
+        emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * QUANT).cast("long"),
+            ).alias("q"),
+        ).persist()
     )
 
     def d2_to(center_csv: str):
@@ -1044,7 +1051,15 @@ def kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_d2", d2_to(",".join(str(int(v)) for v in seed["q"]))
     )
     for rank in range(2, KCENTER_K + 1):
-        far = cur.orderBy(F.desc("min_d2"), "vec_id").first()
+        # exclude already-picked ids: on a corpus with < K distinct
+        # vectors every residual distance is 0 and the argmax would
+        # otherwise re-pick the smallest id forever (mirrored in the
+        # oracle's NOT IN) — the duplicate-free contract must hold on
+        # degenerate corpora too
+        cand = cur.where(
+            ~F.col("vec_id").isin([vid for _, vid, _ in picked])
+        )
+        far = cand.orderBy(F.desc("min_d2"), "vec_id").first()
         picked.append((rank, int(far["vec_id"]), int(far["min_d2"])))
         cur = cur.withColumn(
             "min_d2",
@@ -1078,8 +1093,12 @@ def _kcenter_oracle() -> str:
     ]
     selects = ["SELECT 1 AS sel_rank, vec_id, 0::BIGINT AS d2_to_set FROM c1"]
     for s in range(2, KCENTER_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{t}" for t in range(1, s)
+        )
         parts.append(
             f"c{s} AS MATERIALIZED (SELECT vec_id, q, min_d2 FROM d{s - 1} "
+            f"WHERE vec_id NOT IN ({prev}) "
             "ORDER BY min_d2 DESC, vec_id LIMIT 1)"
         )
         parts.append(

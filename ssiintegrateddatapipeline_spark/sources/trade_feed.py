@@ -193,46 +193,11 @@ def feed_ingest_streaming(spark, sf_dir: str):
     rows_per_batch advance the offset until the feed is drained (real
     multi-batch offset progression — availableNow would snapshot
     latestOffset once and stop after one batch). Result must equal the
-    batch read exactly."""
-    import shutil
-    import tempfile
-    import time
-    import uuid
-
-    register(spark)
-    raw = (
-        spark.readStream.format("trade_feed")
-        .option("n", FEED_N)
-        .option("rowsPerBatch", 500)
-        .option("numPartitions", 4)
-        .load()
-    )
-    plan = _ingest_projection(raw)
-    name = f"feed_out_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ssi_feed_ckpt_")
-    expected = FEED_N - len(range(0, FEED_N, PING_EVERY))
-    try:
-        q = (
-            plan.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(processingTime="0 seconds")
-            .start()
-        )
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table(name).count() >= expected:
-                break
-            time.sleep(0.3)
-        q.stop()
-        q.awaitTermination()
-        # Materialize the memory-sink snapshot via Arrow (toPandas), not
-        # row-at-a-time Py4J collect — same shape as streaming/pipeline.py.
-        out = spark.table(name)
-        return spark.createDataFrame(out.toPandas(), out.schema)
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    batch read exactly. Uses the shared drain runner (append mode, sink
+    row count as the progress predicate)."""
+    expected = _expected_trades()
+    plan = _ingest_projection(_feed_stream(spark))
+    return _run_feed(spark, plan, "append", lambda df: df.count() >= expected)
 
 
 def trade_vwap(spark, sf_dir: str):
@@ -288,53 +253,78 @@ def _vwap_finalize(agg):
     )
 
 
-def _run_feed_complete(spark, plan_builder):
-    """Drain the offset-tracked feed through a complete-mode aggregate:
-    500-row micro-batches advance the running state and the final memory-
-    sink snapshot is returned as a batch DataFrame. Drain detection polls
-    the aggregate's total trade count against the known feed size (the
-    sink row count is fixed by the group-key domain, so the COUNT COLUMN
-    is the progress signal). Shared by the streaming VWAP and OHLC twins."""
+def _run_feed(spark, plan, output_mode, drained, timeout_s=120):
+    """Drain the offset-tracked feed stream into a memory sink and return
+    the final snapshot as a batch DataFrame. ``drained(df)`` is the
+    progress predicate over the sink (row count for append projections,
+    the aggregate's total trade count for complete-mode state — the sink
+    row count there is fixed by the group-key domain). Raises on timeout
+    rather than returning a silently partial snapshot (a stalled drain
+    would otherwise surface as a baffling value diff downstream)."""
     import shutil
     import tempfile
     import time
     import uuid
 
-    from pyspark.sql import functions as F
+    name = f"feed_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ssi_feed_ckpt_")
+    try:
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + timeout_s
+        ok = False
+        while time.time() < deadline:
+            if drained(spark.table(name)):
+                ok = True
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+        if not ok:
+            raise TimeoutError(
+                f"trade feed drain incomplete after {timeout_s}s "
+                f"(query {name}) — refusing to return a partial snapshot"
+            )
+        out = spark.table(name)
+        # Materialize via Arrow (toPandas), not row-at-a-time Py4J collect.
+        return spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
+
+def _feed_stream(spark):
     register(spark)
-    raw = (
+    return (
         spark.readStream.format("trade_feed")
         .option("n", FEED_N)
         .option("rowsPerBatch", 500)
         .option("numPartitions", 4)
         .load()
     )
-    plan = plan_builder(_ingest_projection(raw))
-    name = f"feed_agg_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ssi_feed_ckpt_")
-    expected = FEED_N - len(range(0, FEED_N, PING_EVERY))
-    try:
-        q = (
-            plan.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(processingTime="0 seconds")
-            .start()
-        )
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            row = spark.table(name).agg(F.sum("n_trades")).first()
-            if row[0] is not None and row[0] >= expected:
-                break
-            time.sleep(0.3)
-        q.stop()
-        q.awaitTermination()
-        out = spark.table(name)
-        return spark.createDataFrame(out.toPandas(), out.schema)
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _expected_trades() -> int:
+    return FEED_N - len(range(0, FEED_N, PING_EVERY))
+
+
+def _run_feed_complete(spark, plan_builder):
+    """Complete-mode aggregate drain (streaming VWAP / OHLC twins)."""
+    from pyspark.sql import functions as F
+
+    expected = _expected_trades()
+
+    def drained(df) -> bool:
+        row = df.agg(F.sum("n_trades")).first()
+        return row[0] is not None and row[0] >= expected
+
+    plan = plan_builder(_ingest_projection(_feed_stream(spark)))
+    return _run_feed(spark, plan, "complete", drained)
 
 
 def streaming_trade_vwap(spark, sf_dir: str):
@@ -445,6 +435,19 @@ _FEED_ORACLE = f"""
     WHERE i % {PING_EVERY} != 0
 """
 
+_OHLC_ORACLE = f"""
+        WITH feed AS ({_FEED_ORACLE})
+        SELECT symbol,
+               date_trunc('minute', event_timestamp)::TIMESTAMP AS bar_ts,
+               arg_min(price, event_timestamp) AS open,
+               max(price) AS high,
+               min(price) AS low,
+               arg_max(price, event_timestamp) AS close,
+               count(*) AS n_trades,
+               sum(CAST(round(volume * 1000) AS BIGINT))::BIGINT AS vol_milli
+        FROM feed GROUP BY 1, 2
+    """
+
 _VWAP_ORACLE = f"""
     WITH feed AS ({_FEED_ORACLE}),
     cents AS (
@@ -472,30 +475,8 @@ ORACLES = {
     # the streaming twin drains the same deterministic feed into the same
     # integer ledger — one oracle serves both forms
     "streaming_trade_vwap": _VWAP_ORACLE,
-    "trade_ohlc_bars": f"""
-        WITH feed AS ({_FEED_ORACLE})
-        SELECT symbol,
-               date_trunc('minute', event_timestamp)::TIMESTAMP AS bar_ts,
-               arg_min(price, event_timestamp) AS open,
-               max(price) AS high,
-               min(price) AS low,
-               arg_max(price, event_timestamp) AS close,
-               count(*) AS n_trades,
-               sum(CAST(round(volume * 1000) AS BIGINT))::BIGINT AS vol_milli
-        FROM feed GROUP BY 1, 2
-    """,
-    "streaming_trade_ohlc": f"""
-        WITH feed AS ({_FEED_ORACLE})
-        SELECT symbol,
-               date_trunc('minute', event_timestamp)::TIMESTAMP AS bar_ts,
-               arg_min(price, event_timestamp) AS open,
-               max(price) AS high,
-               min(price) AS low,
-               arg_max(price, event_timestamp) AS close,
-               count(*) AS n_trades,
-               sum(CAST(round(volume * 1000) AS BIGINT))::BIGINT AS vol_milli
-        FROM feed GROUP BY 1, 2
-    """,
+    "trade_ohlc_bars": _OHLC_ORACLE,
+    "streaming_trade_ohlc": _OHLC_ORACLE,
     "trade_tick_direction": f"""
         WITH feed AS ({_FEED_ORACLE}),
         ticks AS (
