@@ -17,6 +17,7 @@ from ssiintegrateddatapipeline_spark.operators import (
     asof,
     credstore,
     dedup,
+    frontier,
     hierarchy,
     metrics,
     multimodal,
@@ -42,6 +43,7 @@ _MODULES = [
     trade_pipeline,
     text,
     dedup,
+    frontier,
     hierarchy,
     similarity,
     multimodal,

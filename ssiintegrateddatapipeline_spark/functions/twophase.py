@@ -194,6 +194,67 @@ def two_phase_prefix_sum(
     return b.withColumn(out, run.cast("long")).drop("__tpb", "__tpv")
 
 
+# Sentinel for "no preceding value" in the folded prefix-max literal: the
+# lookup array is a CSV of longs, so None must round-trip as a number. Any
+# value below every real data value works; LONG_MIN/4 keeps greatest()
+# arithmetic far from overflow while being unmistakable in a plan dump.
+_PREFIX_MAX_NONE = -(2**62)
+
+
+def two_phase_prefix_max(
+    df: DataFrame,
+    bucket: Column,
+    order_by: Sequence[Column],
+    val: Column,
+    out: str = "prev_max",
+) -> DataFrame:
+    """Append the running max of ``val`` over the STRICTLY-PRECEDING rows of
+    the global ``order_by`` total order (frame ``unboundedPreceding .. -1``;
+    null where no row precedes) — the sweep-line primitive behind sort-based
+    skyline/Pareto-frontier computation and high-watermark scans.
+
+    Same contract and shape as :func:`two_phase_prefix_sum`: ``bucket``
+    non-null, integer, monotone non-decreasing along ``order_by``; ``val``
+    integer (cast to long). The offset pass collects ``max(val)`` per bucket
+    (one row per bucket, bounded by construction), the fold turns it into an
+    EXCLUSIVE per-bucket prefix max (max over all earlier buckets, None for
+    the first), and the global value is ``greatest(within-bucket exclusive
+    running max, bucket prefix)`` — ``greatest`` skips nulls, so empty
+    frames and first-bucket rows compose correctly. No
+    ``Exchange SinglePartition`` anywhere.
+    """
+    b = df.withColumn("__tpb", bucket).withColumn("__tpv", val.cast("long"))
+
+    def fold(rows):
+        pre: dict[int, int | None] = {}
+        run: int | None = None
+        for r in sorted(rows, key=lambda r: r["__tpb"]):
+            pre[r["__tpb"]] = run
+            m = r["__n"]
+            if m is not None and (run is None or m > run):
+                run = m
+        return pre
+
+    pre = _memoized_offset_pass(
+        b, ["__tpb"], [F.max("__tpv").alias("__n")], "two_phase_prefix_max", fold
+    )
+    w = (
+        Window.partitionBy("__tpb")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.max("__tpv").over(w)
+    if pre:
+        look = _offset_lookup(
+            {k: (_PREFIX_MAX_NONE if v is None else v) for k, v in pre.items()}
+        )
+        prefix = F.when(look != F.lit(_PREFIX_MAX_NONE), look)
+        run_col = F.greatest(within, prefix)
+    else:  # empty input: keep the schema
+        run_col = within
+    return b.withColumn(out, run_col.cast("long")).drop("__tpb", "__tpv")
+
+
 def two_phase_grouped_row_number(
     df: DataFrame,
     bucket: Column,
