@@ -17,6 +17,7 @@ from ssiintegrateddatapipeline_spark.operators import (
     asof,
     credstore,
     dedup,
+    experiment,
     frontier,
     hierarchy,
     metrics,
@@ -43,6 +44,7 @@ _MODULES = [
     trade_pipeline,
     text,
     dedup,
+    experiment,
     frontier,
     hierarchy,
     similarity,
