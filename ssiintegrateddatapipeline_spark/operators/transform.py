@@ -404,6 +404,90 @@ def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", "shard", "global_pos", "shard_pos")
 
 
+ZONE_ORDERS = 256  # orders per simulated file (zone) under ingest order
+PRUNE_LO = "1997-01-01"  # the probe predicate: one quarter of shipdates
+PRUNE_HI = "1997-04-01"  # half-open [lo, hi)
+
+
+def zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file min/max) pruning effectiveness under two physical
+    layouts — the data-skipping design tool behind every 100 TB sort-order
+    decision. Parquet scans skip whole files/row-groups whose column
+    min/max cannot satisfy a pushed predicate; how much that saves is
+    purely a property of the LAYOUT. This operator simulates both ends:
+
+    - ``insert_order``: files hold consecutive order keys (the natural
+      ingest layout) — ship dates scatter across every file, so a date
+      band overlaps nearly all zones and skipping buys nothing;
+    - ``shipdate_sorted``: files hold consecutive ship-date ranges (the
+      layout a ``repartitionByRange(shipdate)`` write produces, here one
+      zone per calendar month) — the same band touches only the zones it
+      intersects.
+
+    One scan feeds both layouts (each row contributes a (layout, zone)
+    pair via an exploded 2-element array), then two nested map-side-
+    combined hash aggs: per-zone min/max/counts, then the per-layout
+    census of zones/rows a zone-map-aware scan would read vs. the rows
+    the predicate actually matches. Everything is exact integers; the
+    scan fraction is one deterministic division, rounded in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    month_zone = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("long")
+    pair = F.explode(
+        F.array(
+            F.struct(
+                F.lit("insert_order").alias("layout"),
+                (F.col("l_orderkey") / ZONE_ORDERS)
+                .cast("long")
+                .alias("zone"),
+            ),
+            F.struct(F.lit("shipdate_sorted").alias("layout"), month_zone.alias("zone")),
+        )
+    )
+    lo = F.lit(PRUNE_LO).cast("timestamp")
+    hi = F.lit(PRUNE_HI).cast("timestamp")
+    rows = li.select(
+        "l_shipdate",
+        ((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .cast("long")
+        .alias("hit"),
+        pair.alias("lz"),
+    )
+    zones = rows.groupBy("lz").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("hit").alias("n_match"),
+        F.min("l_shipdate").alias("zmin"),
+        F.max("l_shipdate").alias("zmax"),
+    )
+    scanned = (F.col("zmin") < hi) & (F.col("zmax") >= lo)
+    return (
+        zones.groupBy(F.col("lz.layout").alias("layout"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("zones_total"),
+            F.sum(scanned.cast("long")).cast("long").alias("zones_scanned"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matched"),
+        )
+        .select(
+            "layout",
+            "zones_total",
+            "zones_scanned",
+            "rows_total",
+            "rows_scanned",
+            "rows_matched",
+            F.round(
+                100.0
+                * F.col("rows_scanned").cast("double")
+                / F.col("rows_total").cast("double"),
+                6,
+            ).alias("scan_pct"),
+        )
+    )
+
+
 QUERIES = {
     "transform_training_shuffle": training_shuffle,
     "transform_normalize_roundtrip": normalize_roundtrip,
@@ -413,6 +497,7 @@ QUERIES = {
     "transform_pseudonymize": pseudonymize_users,
     "transform_sequence_pack": sequence_pack,
     "transform_length_batches": length_batches,
+    "transform_zonemap_pruning": zonemap_pruning,
 }
 
 _Z_SQL = " | ".join(
@@ -542,5 +627,46 @@ ORACLES = {
                'vc:doc:' || doc_id::VARCHAR AS cred_id,
                true AS roundtrip_ok
         FROM documents
+    """,
+    "transform_zonemap_pruning": f"""
+        WITH pairs AS (
+            SELECT layout, zone, l_shipdate,
+                   CASE WHEN l_shipdate >= TIMESTAMP '{PRUNE_LO}'
+                         AND l_shipdate <  TIMESTAMP '{PRUNE_HI}'
+                        THEN 1 ELSE 0 END AS hit
+            FROM (
+                SELECT l_shipdate,
+                       'insert_order' AS layout,
+                       (l_orderkey // {ZONE_ORDERS})::BIGINT AS zone
+                FROM lineitem
+                UNION ALL
+                SELECT l_shipdate,
+                       'shipdate_sorted' AS layout,
+                       (year(l_shipdate) * 12 + month(l_shipdate))::BIGINT
+                           AS zone
+                FROM lineitem
+            )
+        ), zones AS (
+            SELECT layout, zone,
+                   count(*) AS n_rows, sum(hit) AS n_match,
+                   min(l_shipdate) AS zmin, max(l_shipdate) AS zmax
+            FROM pairs GROUP BY layout, zone
+        )
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS zones_total,
+               CAST(sum(CASE WHEN zmin < TIMESTAMP '{PRUNE_HI}'
+                              AND zmax >= TIMESTAMP '{PRUNE_LO}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned,
+               CAST(sum(n_rows) AS BIGINT) AS rows_total,
+               CAST(sum(CASE WHEN zmin < TIMESTAMP '{PRUNE_HI}'
+                              AND zmax >= TIMESTAMP '{PRUNE_LO}'
+                             THEN n_rows ELSE 0 END) AS BIGINT)
+                   AS rows_scanned,
+               CAST(sum(n_match) AS BIGINT) AS rows_matched,
+               round(100.0 * CAST(sum(CASE WHEN zmin < TIMESTAMP '{PRUNE_HI}'
+                                            AND zmax >= TIMESTAMP '{PRUNE_LO}'
+                                           THEN n_rows ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(n_rows) AS DOUBLE), 6) AS scan_pct
+        FROM zones GROUP BY layout
     """,
 }
