@@ -25,6 +25,10 @@ HEADLINE = [
     "graph_hierarchy_rollup",
     "dedup_prefix_jaccard_pairs",
     "sampling_weighted_reservoir",
+    "analytics_pareto_skyline",
+    "analytics_ab_cuped",
+    "transform_zonemap_pruning",
+    "graph_bfs_reach",
     "tpch_bucketed_join",
     "analytics_quantile_rollup",
     "analytics_set_algebra",

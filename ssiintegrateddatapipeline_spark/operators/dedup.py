@@ -741,6 +741,60 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
 
 
+BFS_SEED_SOURCE = "src0"  # seed set: one crawl source's documents
+BFS_MAX_HOPS = 3  # contamination horizon: transitive near-dup reach
+
+
+def bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the undirected near-duplicate graph: minimum
+    hop distance (capped at ``BFS_MAX_HOPS``) from one source's documents
+    to everything their text transitively echoes — the "contamination
+    horizon" walk run when one corpus slice is found tainted and the
+    question is how far the taint propagates through near-dup chains.
+
+    The frontier-expansion (Pregel-style) iterative pattern, complementing
+    the hierarchy module's pointer doubling: per hop, one equi-join of the
+    current frontier against the cached edge list, a distinct, and an
+    anti-join against the visited set — all keyed shuffles on uniformly
+    hashed doc ids, ``BFS_MAX_HOPS`` bounded iterations, nothing collected.
+    First-visit hop = minimum distance, so the anti-join IS the min().
+
+    Scale notes (100 TB): per-hop cost is |frontier ⋈ E| — bounded by the
+    LSH graph's degree (band-blocked, never all-pairs); the visited set
+    carries (node, dist) only. At extreme fan-out the frontier join is a
+    broadcast candidate; here it stays a hash join. DuckDB oracle: the
+    literal recursive walk with a depth cap, min(dist) per node.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = track(
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    seeds = docs.where(F.col("source") == BFS_SEED_SOURCE).select(
+        F.col("doc_id").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    visited = track(seeds.persist())
+    frontier = visited
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+        )
+        nxt = track(nxt.persist())
+        visited = track(visited.union(nxt).persist())
+        frontier = nxt
+    return visited
+
+
 def quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: after near-dup clustering, keep
     the BEST document per cluster (highest quality score, doc_id
@@ -869,6 +923,7 @@ QUERIES = {
     "dedup_cross_source_matrix": cross_source_matrix,
     "graph_pagerank_neardup": pagerank_near_dup,
     "graph_triangle_count": triangle_count,
+    "graph_bfs_reach": bfs_reach,
     "dedup_fuzzy_name_pairs": fuzzy_name_pairs,
     "dedup_containment_pairs": containment_pairs,
     "dedup_incremental": incremental_dedup,
@@ -1105,6 +1160,24 @@ ORACLES = {
     )
     + f"""
         SELECT node, round(rank, 6) AS pagerank FROM r{PAGERANK_ITERS}
+    """,
+    "graph_bfs_reach": f"""
+        WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE},
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        walk AS (
+            SELECT doc_id AS node, 0 AS dist
+            FROM documents WHERE source = '{BFS_SEED_SOURCE}'
+            UNION ALL
+            SELECT e.dst, w.dist + 1
+            FROM walk w JOIN edges e ON w.node = e.src
+            WHERE w.dist < {BFS_MAX_HOPS}
+        )
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY node
     """,
     "dedup_near_dup_clusters": f"""
         WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE},
