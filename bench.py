@@ -29,6 +29,8 @@ HEADLINE = [
     "analytics_ab_cuped",
     "transform_zonemap_pruning",
     "graph_bfs_reach",
+    "sampling_neyman_allocation",
+    "analytics_ab_srm",
     "tpch_bucketed_join",
     "analytics_quantile_rollup",
     "analytics_set_algebra",

@@ -143,11 +143,74 @@ def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# chi-square(1 df) critical value at alpha = 0.05: the SRM alarm line
+SRM_CHI2_CRIT = 3.841458820694124
+
+
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: a chi-square goodness-of-fit test
+    of the realized arm split against the designed 50/50. SRM is the
+    canonical "your experiment is broken" alarm — assignment bugs, bot
+    filtering, and logging loss all surface here before any metric is
+    worth reading. One row: arm counts, the chi-square statistic, and the
+    alarm flag at the 0.05 critical value (no p-value — that would need
+    erf, a libm parity hazard; the flag against the exact critical
+    constant is the decision anyway).
+    """
+    users = _user_frame(spark, sf_dir)
+    g = users.agg(
+        F.sum((F.col("arm") == "treatment").cast("long")).alias("n_treatment"),
+        F.sum((F.col("arm") == "control").cast("long")).alias("n_control"),
+    )
+    dt = F.col("n_treatment").cast("double")
+    dc = F.col("n_control").cast("double")
+    exp = (dt + dc) / 2.0
+    chi2 = (dt - exp) * (dt - exp) / exp + (dc - exp) * (dc - exp) / exp
+    return g.select(
+        F.col("n_treatment").cast("long").alias("n_treatment"),
+        F.col("n_control").cast("long").alias("n_control"),
+        F.round(chi2, 6).alias("chi2"),
+        (F.round(chi2, 6) > SRM_CHI2_CRIT).alias("srm_alarm"),
+    )
+
+
 QUERIES = {
     "analytics_ab_cuped": ab_cuped,
+    "analytics_ab_srm": ab_srm_check,
 }
 
 ORACLES = {
+    "analytics_ab_srm": f"""
+        WITH users AS (
+            SELECT user_id,
+                   CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '|{ARM_SALT}'), 1, 1) < '8'
+                        THEN 'treatment' ELSE 'control' END AS arm
+            FROM events GROUP BY user_id
+        ), g AS (
+            SELECT CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_treatment,
+                   CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_control
+            FROM users
+        ), c AS (
+            SELECT n_treatment, n_control,
+                   (CAST(n_treatment AS DOUBLE)
+                    + CAST(n_control AS DOUBLE)) / 2.0 AS expected
+            FROM g
+        )
+        SELECT n_treatment, n_control,
+               round((CAST(n_treatment AS DOUBLE) - expected)
+                     * (CAST(n_treatment AS DOUBLE) - expected) / expected
+                     + (CAST(n_control AS DOUBLE) - expected)
+                       * (CAST(n_control AS DOUBLE) - expected) / expected, 6)
+                   AS chi2,
+               round((CAST(n_treatment AS DOUBLE) - expected)
+                     * (CAST(n_treatment AS DOUBLE) - expected) / expected
+                     + (CAST(n_control AS DOUBLE) - expected)
+                       * (CAST(n_control AS DOUBLE) - expected) / expected, 6)
+                   > {SRM_CHI2_CRIT} AS srm_alarm
+        FROM c
+    """,
     "analytics_ab_cuped": f"""
         WITH users AS (
             SELECT user_id,

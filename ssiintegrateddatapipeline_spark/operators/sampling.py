@@ -376,6 +376,87 @@ def weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("priority", "sample_rank", "orderkey", "weight", "es_key")
 
 
+NEYMAN_BUDGET = 10_000  # total sample rows to allocate across strata
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: split a fixed sample
+    budget across strata proportionally to ``N_h * sigma_h`` — the
+    allocation that minimizes the variance of the stratified mean
+    estimator (Neyman 1934), the principled answer to "how many rows of
+    each event type should the QA sample contain".
+
+    Exactness device: per-stratum moments are exact integers (micro-unit
+    value sums, decimal38/HUGEINT squares), sigma uses only ``sqrt`` —
+    IEEE-correctly-rounded, unlike ``ln``/``pow``, so no snap grid is
+    needed before the weight ratio. The integer allocation is largest-
+    remainder (Hamilton) rounding: floor shares plus one extra row for
+    the R largest fractional remainders — computed WINDOW-FREE as a
+    pairwise rank join over the 5-row stratum table (25 comparisons;
+    Spark and DuckDB agree bit-for-bit on the double remainders because
+    the expression structure is identical).
+
+    Scale notes (100 TB): one map-side-combined hash agg over the fact
+    table into |strata| rows; everything after operates on that bounded
+    table (broadcast joins, no windows, no collect). The allocation
+    output then drives any of the module's hash-samplers per stratum.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1e6).cast("long")
+    dmic = micro.cast("decimal(38,0)")
+    strata = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dmic).cast("double").alias("s1"),
+        F.sum(dmic * dmic).cast("double").alias("s2"),
+    )
+    dn = F.col("n_rows").cast("double")
+    sd_micro = F.sqrt(F.col("s2") / dn - (F.col("s1") / dn) * (F.col("s1") / dn))
+    strata = strata.select(
+        "event_type", "n_rows", (dn * sd_micro).alias("w")
+    )
+    w_tot = strata.agg(F.sum("w").alias("w_tot"))
+    shared = strata.crossJoin(F.broadcast(w_tot)).select(
+        "event_type",
+        "n_rows",
+        "w",
+        "w_tot",
+        (F.lit(float(NEYMAN_BUDGET)) * F.col("w") / F.col("w_tot")).alias("share"),
+    )
+    shared = shared.withColumn("base_n", F.floor(F.col("share")).cast("long"))
+    shared = shared.withColumn("rem", F.col("share") - F.col("base_n"))
+    spare = shared.agg(
+        (F.lit(NEYMAN_BUDGET) - F.sum("base_n")).cast("long").alias("n_spare")
+    )
+    other = shared.select(
+        F.col("event_type").alias("o_type"), F.col("rem").alias("o_rem")
+    )
+    rank = (
+        shared.join(
+            other,
+            (F.col("o_rem") > F.col("rem"))
+            | ((F.col("o_rem") == F.col("rem")) & (F.col("o_type") < F.col("event_type"))),
+            "left",
+        )
+        .groupBy("event_type", "n_rows", "w", "w_tot", "share", "base_n")
+        .agg(F.count("o_type").alias("n_ahead"))
+    )
+    return (
+        rank.crossJoin(F.broadcast(spare))
+        .select(
+            "event_type",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("w") / dn / 1e6, 6).alias("sd_value"),
+            F.round(100.0 * F.col("w") / F.col("w_tot"), 6).alias("share_pct"),
+            (
+                F.col("base_n")
+                + F.when(F.col("n_ahead") < F.col("n_spare"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_n"),
+        )
+    )
+
+
 QUERIES = {
     "sampling_reservoir": reservoir_per_source,
     "sampling_weighted_reservoir": weighted_reservoir,
@@ -386,6 +467,7 @@ QUERIES = {
     "sampling_stratified": stratified_sample,
     "sampling_train_split": train_split_stats,
     "sampling_weighted": weighted_sample_stats,
+    "sampling_neyman_allocation": neyman_allocation,
 }
 
 _RATE_CASE = " ".join(
@@ -393,6 +475,48 @@ _RATE_CASE = " ".join(
 )
 
 ORACLES = {
+    "sampling_neyman_allocation": f"""
+        WITH m AS (
+            SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS micro
+            FROM events
+        ), strata AS (
+            SELECT event_type, count(*) AS n_rows,
+                   CAST(sum(CAST(micro AS HUGEINT)) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(micro AS HUGEINT) * micro) AS DOUBLE) AS s2
+            FROM m GROUP BY event_type
+        ), ws AS (
+            SELECT event_type, n_rows,
+                   CAST(n_rows AS DOUBLE)
+                   * sqrt(s2 / CAST(n_rows AS DOUBLE)
+                          - (s1 / CAST(n_rows AS DOUBLE))
+                            * (s1 / CAST(n_rows AS DOUBLE))) AS w
+            FROM strata
+        ), tot AS (SELECT sum(w) AS w_tot FROM ws),
+        based AS (
+            SELECT event_type, n_rows, w, w_tot,
+                   CAST(floor({float(NEYMAN_BUDGET)} * w / w_tot) AS BIGINT)
+                       AS base_n,
+                   {float(NEYMAN_BUDGET)} * w / w_tot
+                   - floor({float(NEYMAN_BUDGET)} * w / w_tot) AS rem
+            FROM ws CROSS JOIN tot
+        ), spare AS (
+            SELECT {NEYMAN_BUDGET} - sum(base_n) AS n_spare FROM based
+        ), ranked AS (
+            SELECT b.event_type, b.n_rows, b.w, b.w_tot, b.base_n,
+                   count(o.event_type) AS n_ahead
+            FROM based b LEFT JOIN based o
+              ON o.rem > b.rem
+                 OR (o.rem = b.rem AND o.event_type < b.event_type)
+            GROUP BY b.event_type, b.n_rows, b.w, b.w_tot, b.base_n
+        )
+        SELECT event_type,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               round(w / CAST(n_rows AS DOUBLE) / 1e6, 6) AS sd_value,
+               round(100.0 * w / w_tot, 6) AS share_pct,
+               CAST(base_n + CASE WHEN n_ahead < n_spare THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_n
+        FROM ranked CROSS JOIN spare
+    """,
     "sampling_weighted_reservoir": f"""
         SELECT priority, sample_rank, orderkey, weight, es_key
         FROM (

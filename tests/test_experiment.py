@@ -44,6 +44,37 @@ def test_variance_reduction_nonnegative(spark, sf_dir):
         assert r["var_reduction_pct"] <= 100.0
 
 
+def test_srm_counts_and_flag(spark, sf_dir):
+    r = experiment.ab_srm_check(spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    rows = experiment.ab_cuped(spark, sf_dir).collect()
+    by_arm = {x["arm"]: x["n_users"] for x in rows}
+    assert r["n_treatment"] == by_arm["treatment"]
+    assert r["n_control"] == by_arm["control"]
+    n_t, n_c = r["n_treatment"], r["n_control"]
+    exp = (n_t + n_c) / 2
+    chi2 = (n_t - exp) ** 2 / exp + (n_c - exp) ** 2 / exp
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-6)
+    assert r["srm_alarm"] == (round(chi2, 6) > experiment.SRM_CHI2_CRIT)
+
+
+def test_neyman_allocation_exact_budget(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import sampling
+
+    rows = sampling.neyman_allocation(spark, sf_dir).collect()
+    assert sum(r["alloc_n"] for r in rows) == sampling.NEYMAN_BUDGET
+    # Neyman shares follow N_h * sigma_h exactly
+    w = {r["event_type"]: r["n_rows"] * r["sd_value"] for r in rows}
+    tot = sum(w.values())
+    for r in rows:
+        assert r["share_pct"] == pytest.approx(
+            100.0 * w[r["event_type"]] / tot, rel=1e-4
+        )
+        # largest-remainder rounding stays within 1 of the real share
+        assert abs(r["alloc_n"] - sampling.NEYMAN_BUDGET * w[r["event_type"]] / tot) <= 1
+
+
 def test_arms_partition_users(spark, sf_dir):
     x, _, arm = _user_xy(spark, sf_dir)
     rows = experiment.ab_cuped(spark, sf_dir).collect()
