@@ -127,6 +127,7 @@ HEADLINE = [
     "streaming_ivf_ingest",
     "streaming_curation_gate",
     "streaming_online_dedup",
+    "streaming_ab_monitor",
 ]
 
 

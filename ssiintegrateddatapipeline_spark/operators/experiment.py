@@ -49,15 +49,25 @@ CUPED_SPLIT_TS = "2024-01-16 00:00:00"
 ARM_SALT = "ab"  # md5(user_id|'|'|salt) first hex < '8' -> treatment
 
 
+def arm_col(user=None):
+    """Deterministic 50/50 arm assignment for a user-id column (default
+    ``user_id``) — shared by the batch readouts and the streaming traffic
+    monitor. (The default is resolved lazily: building a Column at import
+    time would require a live SparkContext.)"""
+    if user is None:
+        user = F.col("user_id")
+    return F.when(
+        F.substring(_hash_hex(user, ARM_SALT), 1, 1) < "8",
+        F.lit("treatment"),
+    ).otherwise(F.lit("control"))
+
+
 def _user_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user_id, arm, x_micro, y_micro): exact-integer pre/post activity."""
     ev = load_table(spark, sf_dir, "events")
     micro = F.round(F.col("value") * 1e6).cast("long")
     pre = F.col("ts") < F.lit(CUPED_SPLIT_TS).cast("timestamp")
-    arm = F.when(
-        F.substring(_hash_hex(F.col("user_id"), ARM_SALT), 1, 1) < "8",
-        F.lit("treatment"),
-    ).otherwise(F.lit("control"))
+    arm = arm_col()
     return (
         ev.groupBy("user_id")
         .agg(

@@ -828,6 +828,42 @@ def streaming_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live experiment traffic monitor: the stream maintains per-arm event
+    tallies (complete-mode counter state, exactly 2 rows — the arm domain),
+    and the traffic-split health readout — share and the chi-square
+    50/50 test on EVENT volume — computes at read time over the final
+    2-row snapshot. This is the streaming twin of the batch SRM guardrail
+    (``analytics_ab_srm`` counts users; live traffic monitoring watches
+    event volume, which needs no per-user state): assignment bugs and
+    one-armed logging loss page from the stream before any readout runs.
+    """
+    from ssiintegrateddatapipeline_spark.operators.experiment import arm_col
+
+    micro = F.round(F.col("value") * 1e6).cast("long")
+    counters = run_available_now(
+        events_stream(spark, sf_dir)
+        .groupBy(arm_col().alias("arm"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micro).alias("sum_value_micro"),
+        ),
+        state_partitions=2,
+    )
+    tot = counters.agg(F.sum("n_events").cast("long").alias("n_total"))
+    d = F.col("n_events").cast("double")
+    e = F.col("n_total").cast("double") / 2.0
+    return counters.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value_micro").cast("long").alias("sum_value_micro"),
+        F.round(100.0 * d / F.col("n_total").cast("double"), 6).alias(
+            "traffic_share_pct"
+        ),
+        F.round((d - e) * (d - e) / e, 6).alias("chi2_contrib"),
+    )
+
+
 def streaming_payload_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssiintegrateddatapipeline_spark.operators.analytics import PAYLOAD_BUCKETS
 
@@ -1418,7 +1454,34 @@ QUERIES = {
     "streaming_user_stats": streaming_user_stats,
     "streaming_user_profile": streaming_user_profile,
     "streaming_cms_grid": streaming_cms_grid,
+    "streaming_ab_monitor": streaming_ab_monitor,
 }
+
+
+def _ab_monitor_oracle() -> str:
+    from ssiintegrateddatapipeline_spark.operators.experiment import ARM_SALT
+
+    return f"""
+        WITH counters AS (
+            SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '|{ARM_SALT}'), 1, 1) < '8'
+                        THEN 'treatment' ELSE 'control' END AS arm,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+                       AS sum_value_micro
+            FROM events GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM counters
+        )
+        SELECT arm,
+               CAST(n_events AS BIGINT) AS n_events,
+               sum_value_micro,
+               round(100.0 * CAST(n_events AS DOUBLE)
+                     / CAST(n_total AS DOUBLE), 6) AS traffic_share_pct,
+               round((CAST(n_events AS DOUBLE) - CAST(n_total AS DOUBLE) / 2.0)
+                     * (CAST(n_events AS DOUBLE) - CAST(n_total AS DOUBLE) / 2.0)
+                     / (CAST(n_total AS DOUBLE) / 2.0), 6) AS chi2_contrib
+        FROM counters CROSS JOIN tot
+    """
 
 def _neardup_gate_oracle() -> str:
     from ssiintegrateddatapipeline_spark.operators.dedup import (
@@ -1835,3 +1898,5 @@ ORACLES["streaming_cms_grid"] = f"""
     SELECT row_i, col_j, count(*) AS cell
     FROM hashed GROUP BY row_i, col_j
 """
+
+ORACLES["streaming_ab_monitor"] = _ab_monitor_oracle()

@@ -97,6 +97,7 @@ _STATE_BOUNDS = {
     "streaming_cms_grid": lambda s, n: CMS_DEPTH * CMS_WIDTH + 8,
     "streaming_sign_verify": lambda s, n: 8,  # 5 symbols
     "streaming_provider_matrix": lambda s, n: 16,  # 6 configs
+    "streaming_ab_monitor": lambda s, n: 8,  # 2 arms
     # documented O(|users|) metrics-counter footprint (keyed on a DOMAIN
     # entity, not on arrivals; the same footprint Prometheus counters have)
     "streaming_top_users": lambda s, n: s["n_users"] + 8,

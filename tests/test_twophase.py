@@ -137,3 +137,52 @@ def test_grouped_rank_matches_global_and_per_group(spark, values, n_groups, dens
         seen[g] = seen.get(g, 0) + 1
         want_sub[i] = seen[g]
     assert got == {i: (want_g[i], want_sub[i]) for i in range(len(values))}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=rows_strategy, n_buckets=st.integers(1, 8), desc=st.booleans())
+def test_two_phase_prefix_max_matches_global_window(
+    spark, values, n_buckets, desc
+):
+    """prefix max over strictly-preceding rows == the driver-side sweep,
+    for any order direction, bucket count, duplicates, and negatives."""
+    from ssiintegrateddatapipeline_spark.functions.twophase import (
+        two_phase_prefix_max,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id int, value int"
+    ).repartition(4)
+    bucket = quantile_buckets(df, F.col("value"), n_buckets, descending=desc)
+    order = (
+        [F.col("value").desc(), F.col("id")]
+        if desc
+        else [F.col("value"), F.col("id")]
+    )
+    # running max of id over strictly-preceding rows in the chosen order
+    out = two_phase_prefix_max(df, bucket, order, F.col("id"), out="pm")
+    got = {r.id: r.pm for r in out.collect()}
+    key = (lambda iv: (-iv[1], iv[0])) if desc else (lambda iv: (iv[1], iv[0]))
+    expect = {}
+    run = None
+    for i, _v in sorted(enumerate(values), key=key):
+        expect[i] = run
+        run = i if run is None or i > run else run
+    assert got == expect
+
+
+def test_two_phase_prefix_max_empty(spark):
+    from ssiintegrateddatapipeline_spark.functions.twophase import (
+        two_phase_prefix_max,
+    )
+
+    df = spark.createDataFrame([], "id int, value int")
+    out = two_phase_prefix_max(
+        df, F.col("value"), [F.col("value"), F.col("id")], F.col("id")
+    )
+    assert out.count() == 0
+    assert "prev_max" in out.columns
