@@ -31,6 +31,9 @@ HEADLINE = [
     "graph_bfs_reach",
     "sampling_neyman_allocation",
     "analytics_ab_srm",
+    "analytics_ab_did",
+    "transform_compaction_plan",
+    "profile_mutual_information",
     "tpch_bucketed_join",
     "analytics_quantile_rollup",
     "analytics_set_algebra",

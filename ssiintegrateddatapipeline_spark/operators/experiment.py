@@ -184,12 +184,101 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout over the same pre/post split and
+    arm assignment as CUPED: the 2x2 (arm x period) table of per-user
+    mean activity plus the DiD effect
+    ``(treat_post - treat_pre) - (ctrl_post - ctrl_pre)`` — the estimator
+    that nets out both the arms' baseline offset and the common temporal
+    trend, the standard readout when assignment is suspected non-random.
+
+    Same exactness device as the rest of the module: per-arm integer sums
+    over the user frame, one cast to double, identical expression
+    structure in both engines. Single row out.
+    """
+    users = _user_frame(spark, sf_dir)
+    g = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_micro").alias("sx"),
+        F.sum("y_micro").alias("sy"),
+    )
+    t = (F.col("arm") == "treatment").cast("long")
+    row = g.agg(
+        F.sum(F.col("n") * t).alias("n_treatment"),
+        F.sum(F.col("n") * (1 - t)).alias("n_control"),
+        F.sum(F.col("sx") * t).cast("double").alias("txs"),
+        F.sum(F.col("sy") * t).cast("double").alias("tys"),
+        F.sum(F.col("sx") * (1 - t)).cast("double").alias("cxs"),
+        F.sum(F.col("sy") * (1 - t)).cast("double").alias("cys"),
+    )
+    dt = F.col("n_treatment").cast("double")
+    dc = F.col("n_control").cast("double")
+    mean = lambda s, n: s / n / 1e6  # noqa: E731 — shared shape, both engines
+    return row.select(
+        F.col("n_treatment").cast("long").alias("n_treatment"),
+        F.col("n_control").cast("long").alias("n_control"),
+        F.round(mean(F.col("txs"), dt), 6).alias("treat_pre"),
+        F.round(mean(F.col("tys"), dt), 6).alias("treat_post"),
+        F.round(mean(F.col("cxs"), dc), 6).alias("ctrl_pre"),
+        F.round(mean(F.col("cys"), dc), 6).alias("ctrl_post"),
+        F.round(
+            (mean(F.col("tys"), dt) - mean(F.col("txs"), dt))
+            - (mean(F.col("cys"), dc) - mean(F.col("cxs"), dc)),
+            6,
+        ).alias("did_effect"),
+    )
+
+
 QUERIES = {
     "analytics_ab_cuped": ab_cuped,
     "analytics_ab_srm": ab_srm_check,
+    "analytics_ab_did": ab_diff_in_diff,
 }
 
+_USERS_CTE = f"""
+        users AS (
+            SELECT user_id,
+                   CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '|{ARM_SALT}'), 1, 1) < '8'
+                        THEN 'treatment' ELSE 'control' END AS arm,
+                   coalesce(sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT_TS}'
+                       THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END), 0)
+                       AS x_micro,
+                   coalesce(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT_TS}'
+                       THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END), 0)
+                       AS y_micro
+            FROM events GROUP BY user_id
+        )
+"""
+
 ORACLES = {
+    "analytics_ab_did": f"""
+        WITH {_USERS_CTE}, g AS (
+            SELECT CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_treatment,
+                   CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_control,
+                   CAST(sum(CASE WHEN arm = 'treatment' THEN x_micro
+                            ELSE 0 END) AS DOUBLE) AS txs,
+                   CAST(sum(CASE WHEN arm = 'treatment' THEN y_micro
+                            ELSE 0 END) AS DOUBLE) AS tys,
+                   CAST(sum(CASE WHEN arm = 'control' THEN x_micro
+                            ELSE 0 END) AS DOUBLE) AS cxs,
+                   CAST(sum(CASE WHEN arm = 'control' THEN y_micro
+                            ELSE 0 END) AS DOUBLE) AS cys
+            FROM users
+        )
+        SELECT n_treatment, n_control,
+               round(txs / CAST(n_treatment AS DOUBLE) / 1e6, 6) AS treat_pre,
+               round(tys / CAST(n_treatment AS DOUBLE) / 1e6, 6) AS treat_post,
+               round(cxs / CAST(n_control AS DOUBLE) / 1e6, 6) AS ctrl_pre,
+               round(cys / CAST(n_control AS DOUBLE) / 1e6, 6) AS ctrl_post,
+               round((tys / CAST(n_treatment AS DOUBLE) / 1e6
+                      - txs / CAST(n_treatment AS DOUBLE) / 1e6)
+                     - (cys / CAST(n_control AS DOUBLE) / 1e6
+                        - cxs / CAST(n_control AS DOUBLE) / 1e6), 6)
+                   AS did_effect
+        FROM g
+    """,
     "analytics_ab_srm": f"""
         WITH users AS (
             SELECT user_id,

@@ -354,7 +354,80 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MI_BIN_W = 50.0  # equi-width value bins for the MI probe
+MI_MAX_BIN = 9  # values >= 450 collapse into the top bin
+
+
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the event type and the (binned) value —
+    the model-agnostic feature-relevance / label-leakage probe a feature
+    store runs before training: MI ~ 0 means the column carries nothing
+    about the label; MI ~ H(label) means it IS the label. Exact
+    cell/marginal counts from two-level hash aggs over a bounded
+    (type x bin) grid; each cell's ``p * ln`` term is snapped to the
+    12-decimal grid before summing (the BM25-idf device — ``ln`` is the
+    one libm call, and per-term snapping makes the 65-term sum immune to
+    both last-ulp ``ln`` differences and addition order), then the sum
+    reports at 6 decimals alongside the marginal entropies and the
+    min-normalized NMI.
+
+    Scale notes (100 TB): one scan into a |types| x |bins| cell table;
+    marginals are broadcast re-aggregations of the cells, not re-scans.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / MI_BIN_W), F.lit(MI_MAX_BIN)).alias(
+            "bin"
+        ),
+    ).groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    mt = cells.groupBy("event_type").agg(F.sum("c").alias("ct"))
+    mb = cells.groupBy("bin").agg(F.sum("c").alias("cb"))
+    nrow = cells.agg(F.sum("c").cast("double").alias("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    joined = (
+        cells.join(F.broadcast(mt), "event_type")
+        .join(F.broadcast(mb), "bin")
+        .crossJoin(F.broadcast(nrow))
+    )
+    mi = joined.agg(
+        F.sum(
+            F.round(
+                d("c")
+                / F.col("n")
+                * F.log(F.col("n") * d("c") / (d("ct") * d("cb"))),
+                12,
+            )
+        ).alias("mi"),
+        F.first(F.col("n")).alias("n"),
+    )
+    ht = mt.crossJoin(F.broadcast(nrow)).agg(
+        F.sum(
+            F.round(-(d("ct") / F.col("n")) * F.log(d("ct") / F.col("n")), 12)
+        ).alias("h_type")
+    )
+    hb = mb.crossJoin(F.broadcast(nrow)).agg(
+        F.sum(
+            F.round(-(d("cb") / F.col("n")) * F.log(d("cb") / F.col("n")), 12)
+        ).alias("h_bin")
+    )
+    return (
+        mi.crossJoin(F.broadcast(ht))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(F.col("mi"), 6).alias("mi_nats"),
+            F.round(F.col("h_type"), 6).alias("h_type"),
+            F.round(F.col("h_bin"), 6).alias("h_bin"),
+            F.round(
+                F.col("mi") / F.least(F.col("h_type"), F.col("h_bin")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
 QUERIES = {
+    "profile_mutual_information": mutual_information,
     "profile_cms_heavy_hitters": cms_heavy_hitters,
     "profile_quality_checks": profile_quality_checks,
     "profile_correlations": profile_correlations,
@@ -431,6 +504,44 @@ _CMS_COL_J = (
 )
 
 ORACLES = {
+    "profile_mutual_information": f"""
+        WITH cells AS (
+            SELECT event_type,
+                   least(CAST(floor(value / {MI_BIN_W}) AS BIGINT),
+                         {MI_MAX_BIN}) AS bin,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), mt AS (
+            SELECT event_type, CAST(sum(c) AS BIGINT) AS ct
+            FROM cells GROUP BY 1
+        ), mb AS (
+            SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1
+        ), nrow AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cells),
+        mi AS (
+            SELECT sum(round(
+                       CAST(c AS DOUBLE) / n
+                       * ln(n * CAST(c AS DOUBLE)
+                            / (CAST(ct AS DOUBLE) * CAST(cb AS DOUBLE))),
+                       12)) AS mi,
+                   max(n) AS n
+            FROM cells
+            JOIN mt USING (event_type) JOIN mb USING (bin) CROSS JOIN nrow
+        ), ht AS (
+            SELECT sum(round(-(CAST(ct AS DOUBLE) / n)
+                             * ln(CAST(ct AS DOUBLE) / n), 12)) AS h_type
+            FROM mt CROSS JOIN nrow
+        ), hb AS (
+            SELECT sum(round(-(CAST(cb AS DOUBLE) / n)
+                             * ln(CAST(cb AS DOUBLE) / n), 12)) AS h_bin
+            FROM mb CROSS JOIN nrow
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               round(mi, 6) AS mi_nats,
+               round(h_type, 6) AS h_type,
+               round(h_bin, 6) AS h_bin,
+               round(mi / least(h_type, h_bin), 6) AS nmi
+        FROM mi CROSS JOIN ht CROSS JOIN hb
+    """,
     "profile_cms_heavy_hitters": f"""
         WITH keys AS (SELECT user_id::VARCHAR AS key FROM events),
         rows_d AS (

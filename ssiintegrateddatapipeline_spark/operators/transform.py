@@ -488,6 +488,56 @@ def zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMPACT_ROW_BYTES = 100  # manifest row-width proxy for the zone files
+COMPACT_TARGET_BYTES = 4 * 1024 * 1024  # compaction bin target (4 MiB here;
+# 128 MiB-1 GiB on a real cluster — only the constant changes)
+
+
+def compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan — the OPTIMIZE/rewriteDataFiles shape:
+    given the table's file census (the zone-map zones standing in for the
+    manifest), assign files to target-sized compaction bins by running
+    byte sum in key order, and emit the per-bin work summary a compaction
+    job would execute. Key-ordered next-fit is what keeps the rewritten
+    files CLUSTERED (each bin spans a contiguous key range, preserving
+    zone-map effectiveness — see ``zonemap_pruning``), unlike
+    first-fit-decreasing, which shreds the clustering for a marginally
+    tighter pack.
+
+    The running sum is the engine's two-phase prefix sum (quantile range
+    buckets + per-bucket offsets as plan-time literals) — no
+    single-partition window over what is, at warehouse scale, a manifest
+    of millions of files. Everything is exact integers.
+    """
+    from ssiintegrateddatapipeline_spark.functions.twophase import (
+        quantile_buckets,
+        two_phase_prefix_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        (F.col("l_orderkey") / ZONE_ORDERS).cast("long").alias("zone")
+    ).agg((F.count(F.lit(1)) * COMPACT_ROW_BYTES).alias("bytes"))
+    bucket = quantile_buckets(files, F.col("zone"))
+    cum = two_phase_prefix_sum(
+        files, bucket, [F.col("zone")], F.col("bytes"), out="cum_bytes"
+    )
+    # exclusive prefix -> next-fit bin id: a file opens a new bin iff the
+    # bytes before it already filled the current target multiple
+    binned = cum.withColumn(
+        "bin_id",
+        F.floor(
+            (F.col("cum_bytes") - F.col("bytes")) / F.lit(COMPACT_TARGET_BYTES)
+        ).cast("long"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.min("zone").cast("long").alias("min_zone"),
+        F.max("zone").cast("long").alias("max_zone"),
+    )
+
+
 QUERIES = {
     "transform_training_shuffle": training_shuffle,
     "transform_normalize_roundtrip": normalize_roundtrip,
@@ -498,6 +548,7 @@ QUERIES = {
     "transform_sequence_pack": sequence_pack,
     "transform_length_batches": length_batches,
     "transform_zonemap_pruning": zonemap_pruning,
+    "transform_compaction_plan": compaction_planner,
 }
 
 _Z_SQL = " | ".join(
@@ -627,6 +678,26 @@ ORACLES = {
                'vc:doc:' || doc_id::VARCHAR AS cred_id,
                true AS roundtrip_ok
         FROM documents
+    """,
+    "transform_compaction_plan": f"""
+        WITH files AS (
+            SELECT (l_orderkey // {ZONE_ORDERS})::BIGINT AS zone,
+                   count(*) * {COMPACT_ROW_BYTES} AS bytes
+            FROM lineitem GROUP BY 1
+        ), cum AS (
+            SELECT zone, bytes,
+                   sum(bytes) OVER (ORDER BY zone
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_bytes
+            FROM files
+        )
+        SELECT CAST((cum_bytes - bytes) // {COMPACT_TARGET_BYTES} AS BIGINT)
+                   AS bin_id,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(bytes) AS BIGINT) AS total_bytes,
+               CAST(min(zone) AS BIGINT) AS min_zone,
+               CAST(max(zone) AS BIGINT) AS max_zone
+        FROM cum GROUP BY 1
     """,
     "transform_zonemap_pruning": f"""
         WITH pairs AS (
