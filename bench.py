@@ -115,6 +115,7 @@ HEADLINE = [
     "similarity_pq_topk",
     "similarity_pq_recall",
     "text_bm25_search",
+    "text_hybrid_rrf",
     "profile_cms_heavy_hitters",
     "similarity_ivfpq_topk",
     "wire_schema_evolution",

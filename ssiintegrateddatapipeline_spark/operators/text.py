@@ -841,6 +841,73 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_TOP_K = 10  # fused results kept per query
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al., SIGIR
+    2009): each query's BM25 candidate list is re-ranked by
+    ``1/(k + bm25_rank) + 1/(k + quality_rank)`` — the score-free fusion
+    rule hybrid RAG stacks use to blend heterogeneous rankers without
+    calibrating their scores. Here the second ranker is the global
+    document-quality prior (``quality_score``), so the fusion prefers
+    documents that are both relevant AND well-formed — the hard-negative
+    / eval-set construction shape.
+
+    RRF works on RANKS, which is exactly what makes it parity-exact: the
+    fused score is a two-term rational from integers, computed in one
+    fixed order and rounded at 9 decimals in both engines, and ranking
+    happens ON the rounded value with a doc_id tiebreak. The global
+    quality rank uses the two-phase machinery (no single-partition
+    window over the corpus); the per-query fusion window runs over the
+    <= BM25_TOP_K candidates only.
+    """
+    from ssiintegrateddatapipeline_spark.functions.twophase import (
+        quantile_buckets,
+    )
+
+    bm = bm25_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    _, _, score = quality_terms(F.col("text"))
+    scored = d.select("doc_id", score.alias("q"))
+    bucket = quantile_buckets(scored, F.col("q"), descending=True)
+    ranked, _ = two_phase_row_number(
+        scored,
+        bucket,
+        [F.col("q").desc(), F.col("doc_id")],
+        out="quality_rank",
+    )
+    fused = bm.join(ranked.select("doc_id", "quality_rank"), "doc_id").select(
+        "query_id",
+        "doc_id",
+        "bm25_rank",
+        "quality_rank",
+        F.round(
+            1.0 / (F.lit(RRF_K) + F.col("bm25_rank"))
+            + 1.0 / (F.lit(RRF_K) + F.col("quality_rank")),
+            9,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), "doc_id"
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= RRF_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "fused_rank",
+            "rrf_score",
+            "bm25_rank",
+            "quality_rank",
+        )
+    )
+
+
 # BPE vocabulary training: number of merge steps and the end-of-word marker
 BPE_MERGES = 8
 BPE_EOW = "$"  # not in the corpus alphabet (lowercase words)
@@ -1011,6 +1078,7 @@ QUERIES = {
     "text_dup_ngrams": dup_ngrams,
     "text_bpe_train": bpe_train,
     "text_bm25_search": bm25_search,
+    "text_hybrid_rrf": hybrid_rrf_search,
     "text_chunk_windows": chunk_windows,
     "text_char_entropy": char_entropy,
     "text_bigram_lm_score": bigram_lm_score,
@@ -1215,46 +1283,40 @@ ORACLES = {
     """,
     "text_bpe_train": _bpe_oracle(),
     # query VALUES + k1/b literals derive from the module constants — one
-    # source of truth with bm25_search (same device as the quality CTEs)
+    # source of truth with bm25_search (same device as the quality CTEs);
+    # the ranked CTE chain is shared with the RRF fusion oracle below
     "text_bm25_search": f"""
-        WITH q(query_id, term) AS (VALUES {", ".join(
-            f"('{qid}', '{t}')"
-            for qid, ts in sorted(BM25_QUERIES.items()) for t in ts)}),
-        dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
-        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-        toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-        tf AS (
-            SELECT doc_id, term, count(*) AS tf FROM toks
-            WHERE term IN (SELECT DISTINCT term FROM q)
-            GROUP BY doc_id, term
-        ),
-        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        scored AS (
-            SELECT q.query_id, tf.doc_id,
-                   CAST(round(
-                       round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)), 12)
-                       * ((tf.tf * {BM25_K1 + 1}) /
-                          (tf.tf + {BM25_K1} * ({1 - BM25_B} +
-                               ({BM25_B} * dl.dl) / s.avgdl)))
-                       * 1000000) AS BIGINT) AS micro
-            FROM q
-            JOIN tf USING (term)
-            JOIN df USING (term)
-            JOIN dl ON dl.doc_id = tf.doc_id
-            CROSS JOIN stats s
-        ),
-        per_doc AS (
-            SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS micro,
-                   count(*) AS n_terms_matched
-            FROM scored GROUP BY query_id, doc_id
-        )
+        WITH {{bm25_cte}}
         SELECT query_id, doc_id, round(micro / 1000000, 6) AS bm25,
                n_terms_matched, rank
+        FROM bm
+    """,
+    "text_hybrid_rrf": f"""
+        WITH {{bm25_cte}},
+        t AS (SELECT doc_id, {{quality_terms}} FROM documents),
+        qual AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY {QUALITY_FORMULA_SQL} DESC,
+                                      doc_id) AS quality_rank
+            FROM t
+        ),
+        fused AS (
+            SELECT bm.query_id, bm.doc_id,
+                   bm.rank AS bm25_rank, qual.quality_rank,
+                   round(1.0 / ({RRF_K} + bm.rank)
+                         + 1.0 / ({RRF_K} + qual.quality_rank), 9)
+                       AS rrf_score
+            FROM bm JOIN qual USING (doc_id)
+        )
+        SELECT query_id, doc_id, CAST(fused_rank AS BIGINT) AS fused_rank,
+               rrf_score, bm25_rank, CAST(quality_rank AS BIGINT)
+                   AS quality_rank
         FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
-                                         ORDER BY micro DESC, doc_id) AS rank
-            FROM per_doc
-        ) WHERE rank <= {BM25_TOP_K}
+                                         ORDER BY rrf_score DESC, doc_id)
+                          AS fused_rank
+            FROM fused
+        ) WHERE fused_rank <= {RRF_TOP_K}
     """,
     "text_dup_ngrams": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -1588,3 +1650,58 @@ ORACLES = {
         FROM t
     """,
 }
+
+# Shared BM25 ranked-candidate CTE chain (ends in `bm`): one source of
+# truth for the lexical oracle and the RRF fusion oracle.
+_BM25_CTE = (
+    "q(query_id, term) AS (VALUES "
+    + ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, ts in sorted(BM25_QUERIES.items())
+        for t in ts
+    )
+    + f"""),
+        dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks
+            WHERE term IN (SELECT DISTINCT term FROM q)
+            GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(round(
+                       round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)), 12)
+                       * ((tf.tf * {BM25_K1 + 1}) /
+                          (tf.tf + {BM25_K1} * ({1 - BM25_B} +
+                               ({BM25_B} * dl.dl) / s.avgdl)))
+                       * 1000000) AS BIGINT) AS micro
+            FROM q
+            JOIN tf USING (term)
+            JOIN df USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats s
+        ),
+        per_doc AS (
+            SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS micro,
+                   count(*) AS n_terms_matched
+            FROM scored GROUP BY query_id, doc_id
+        ),
+        bm AS (
+            SELECT query_id, doc_id, micro, n_terms_matched, rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY micro DESC, doc_id)
+                              AS rank
+                FROM per_doc
+            ) WHERE rank <= {BM25_TOP_K}
+        )"""
+)
+
+for _k in ("text_bm25_search", "text_hybrid_rrf"):
+    ORACLES[_k] = ORACLES[_k].format(
+        bm25_cte=_BM25_CTE, quality_terms=quality_terms_sql()
+    )
+del _k
