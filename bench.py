@@ -116,6 +116,8 @@ HEADLINE = [
     "similarity_pq_recall",
     "text_bm25_search",
     "text_hybrid_rrf",
+    "similarity_mmr_rerank",
+    "profile_benford_audit",
     "profile_cms_heavy_hitters",
     "similarity_ivfpq_topk",
     "wire_schema_evolution",

@@ -426,8 +426,51 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import math as _math
+
+# Benford expected first-digit shares, folded at plan time (no runtime
+# libm): log10(1 + 1/d) for d = 1..9
+BENFORD_EXPECTED = {
+    d: round(_math.log10(1.0 + 1.0 / d), 12) for d in range(1, 10)
+}
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals — the
+    classic fabricated-data / unit-mixing tripwire finance pipelines run
+    on money columns. The digit is extracted EXACTLY (first character of
+    the integer cents — no runtime log10 on data), the expected shares
+    are plan-time literals, and the chi-square statistic folds from exact
+    counts; one hash agg over 9 groups, everything else is a 9-row
+    read-time computation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    per = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(F.sum("n").cast("double").alias("n_tot"))
+    exp_share = F.element_at(
+        F.split(
+            F.lit(",".join(str(BENFORD_EXPECTED[d]) for d in range(1, 10))),
+            ",",
+        ),
+        F.col("digit").cast("int"),
+    ).cast("double")
+    d_n = F.col("n").cast("double")
+    e_n = exp_share * F.col("n_tot")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(100.0 * d_n / F.col("n_tot"), 6).alias("obs_pct"),
+        F.round(100.0 * exp_share, 6).alias("exp_pct"),
+        F.round((d_n - e_n) * (d_n - e_n) / e_n, 6).alias("chi2_contrib"),
+    )
+
+
 QUERIES = {
     "profile_mutual_information": mutual_information,
+    "profile_benford_audit": benford_audit,
     "profile_cms_heavy_hitters": cms_heavy_hitters,
     "profile_quality_checks": profile_quality_checks,
     "profile_correlations": profile_correlations,
@@ -503,7 +546,33 @@ _CMS_COL_J = (
     f"::UBIGINT::BIGINT % {CMS_WIDTH})"
 )
 
+_BENFORD_CASE = " ".join(
+    # explicit DOUBLE per branch: a bare decimal literal is DECIMAL in
+    # DuckDB, and decimal arithmetic would diverge from the double path
+    f"WHEN {d} THEN CAST({BENFORD_EXPECTED[d]} AS DOUBLE)"
+    for d in range(1, 10)
+)
+
 ORACLES = {
+    "profile_benford_audit": f"""
+        WITH per AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        ), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_tot FROM per)
+        SELECT digit,
+               CAST(n AS BIGINT) AS n,
+               round(100.0 * CAST(n AS DOUBLE) / n_tot, 6) AS obs_pct,
+               round(100.0 * (CASE digit {_BENFORD_CASE} END), 6) AS exp_pct,
+               round((CAST(n AS DOUBLE)
+                      - (CASE digit {_BENFORD_CASE} END) * n_tot)
+                     * (CAST(n AS DOUBLE)
+                        - (CASE digit {_BENFORD_CASE} END) * n_tot)
+                     / ((CASE digit {_BENFORD_CASE} END) * n_tot), 6)
+                   AS chi2_contrib
+        FROM per CROSS JOIN tot
+    """,
     "profile_mutual_information": f"""
         WITH cells AS (
             SELECT event_type,

@@ -57,6 +57,133 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_LAMBDA = 0.7  # relevance weight; (1 - lambda) weights redundancy
+MMR_SELECT = 5  # diversified picks per query
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    SIGIR 1998) of each query's exact top-k: greedily pick the candidate
+    maximizing ``lambda*rel - (1-lambda)*max_sim_to_already_picked`` — the
+    standard redundancy-suppressing rerank between retrieval and a RAG
+    context window (k near-duplicate passages waste the whole budget).
+
+    The greedy loop is inherently sequential but bounded by MMR_SELECT:
+    each step is one anti-join (drop picked), one left join against the
+    picked set + candidate-pair sims, and a per-query ``max(struct)``
+    argmax — all over the <= TOP_K-per-query candidate table, never the
+    corpus. Candidate relevances and pairwise sims are round-6 cosines
+    (the module's cross-engine-stable currency), the MMR score is one
+    fixed-shape expression rounded at 12 decimals before the argmax, and
+    ties break on neighbor_id — bit-identical picks in any engine. The
+    ``max(struct)`` trick keeps the per-step argmax a hash aggregation
+    (no per-step window shuffle). DuckDB oracle: the loop unrolled into
+    MATERIALIZED step CTEs with the identical join-aggregate shape.
+
+    Scale notes (100 TB): candidate generation is the scale path (ANN
+    top-k); this operates on |queries| x TOP_K rows. Everything here is
+    proportional to the query workload, not the corpus.
+    """
+    from ssiintegrateddatapipeline_spark.caches import track
+
+    cand = brute_force_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("rel")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    cemb = cand.join(
+        emb, cand["neighbor_id"] == emb["vec_id"]
+    ).select("query_id", "neighbor_id", "rel", "embedding")
+    x = cemb.select(
+        "query_id",
+        F.col("neighbor_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    y = cemb.select(
+        "query_id",
+        F.col("neighbor_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    sims = track(
+        x.join(y, "query_id")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("sim"),
+        )
+        .persist()
+    )
+    pool = track(cand.persist())
+    sel = None  # (query_id, sid)
+    picks = []
+    mu = 1.0 - MMR_LAMBDA
+    for step in range(1, MMR_SELECT + 1):
+        if sel is None:
+            avail = pool
+            joined = avail.withColumn("sim", F.lit(None).cast("double"))
+        else:
+            avail = pool.join(
+                sel.withColumnRenamed("sid", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            joined = (
+                avail.join(sel, "query_id", "left")
+                .join(
+                    sims,
+                    (sims["query_id"] == avail["query_id"])
+                    & (sims["id_a"] == F.col("neighbor_id"))
+                    & (sims["id_b"] == F.col("sid")),
+                    "left",
+                )
+                .select(avail["query_id"], "neighbor_id", "rel", "sim")
+            )
+        scored = joined.groupBy("query_id", "neighbor_id", "rel").agg(
+            F.round(
+                F.lit(MMR_LAMBDA) * F.col("rel")
+                - F.lit(mu) * F.coalesce(F.max("sim"), F.lit(0.0)),
+                12,
+            ).alias("mmr")
+        )
+        pick = (
+            scored.groupBy("query_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("mmr"),
+                        (-F.col("neighbor_id")).alias("negid"),
+                        F.col("neighbor_id").alias("id"),
+                        F.col("rel").alias("r"),
+                    )
+                ).alias("s")
+            )
+            .select(
+                "query_id",
+                F.col("s.id").alias("neighbor_id"),
+                F.col("s.r").alias("relevance"),
+                # no second rounding: 0.7 x a 6-decimal cosine lands
+                # exactly on .5 at the 7th decimal, where the engines'
+                # half-up vs half-even double rounding disagree — the
+                # 12-decimal ranking value is already deterministic
+                F.col("s.mmr").alias("mmr_score"),
+                F.lit(step).cast("long").alias("pick_rank"),
+            )
+        )
+        pick = track(pick.persist())
+        picks.append(pick)
+        new_sel = pick.select(
+            "query_id", F.col("neighbor_id").alias("sid")
+        )
+        sel = new_sel if sel is None else track(sel.union(new_sel).persist())
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out.select(
+        "query_id", "pick_rank", "neighbor_id", "relevance", "mmr_score"
+    )
+
+
 def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — BOUNDED-SUBSET BASELINE.
 
@@ -1127,6 +1254,7 @@ QUERIES = {
     "similarity_cross_modal": cross_modal_agreement,
     "similarity_kmeans_refine": kmeans_refine,
     "similarity_brute_topk": brute_force_topk,
+    "similarity_mmr_rerank": mmr_rerank,
     "similarity_cosine_near_dup": cosine_near_dup_pairs,
     "similarity_lsh_buckets": lsh_bucket_stats,
     "similarity_ivf_topk": ivf_topk,
@@ -1700,3 +1828,68 @@ ORACLES["similarity_ivf_near_dup"] = f"""
     WHERE round({_COS.format(a="a.embedding", b="b.embedding")}, 6)
           >= {NEAR_DUP_THRESHOLD}
 """
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: step CTEs with the same join-aggregate shape
+    as the engine loop (MATERIALIZED — the step chain re-references prior
+    steps, see the verify-skill gotcha on iterative oracles)."""
+    lam, mu = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    parts = [
+        f"cand AS MATERIALIZED ({ORACLES['similarity_brute_topk']})",
+        f"""cemb AS MATERIALIZED (
+            SELECT c.query_id, c.neighbor_id, c.cosine_sim AS rel,
+                   e.embedding
+            FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+        )""",
+        f"""sims AS MATERIALIZED (
+            SELECT x.query_id, x.neighbor_id AS id_a, y.neighbor_id AS id_b,
+                   round({_COS.format(a="x.embedding", b="y.embedding")}, 6)
+                       AS sim
+            FROM cemb x JOIN cemb y
+              ON x.query_id = y.query_id
+             AND x.neighbor_id != y.neighbor_id
+        )""",
+        """sel0 AS (SELECT CAST(NULL AS BIGINT) AS query_id,
+                           CAST(NULL AS BIGINT) AS sid WHERE false)""",
+    ]
+    for i in range(1, MMR_SELECT + 1):
+        parts.append(f"""avail{i} AS MATERIALIZED (
+            SELECT c.query_id, c.neighbor_id, c.rel FROM cemb c
+            LEFT JOIN sel{i - 1} z
+              ON c.query_id = z.query_id AND c.neighbor_id = z.sid
+            WHERE z.sid IS NULL
+        )""")
+        parts.append(f"""scored{i} AS MATERIALIZED (
+            SELECT a.query_id, a.neighbor_id, a.rel,
+                   round({lam} * a.rel - {mu} * coalesce(max(s.sim), 0.0), 12)
+                       AS mmr
+            FROM avail{i} a
+            LEFT JOIN sel{i - 1} z ON a.query_id = z.query_id
+            LEFT JOIN sims s ON s.query_id = a.query_id
+                             AND s.id_a = a.neighbor_id AND s.id_b = z.sid
+            GROUP BY a.query_id, a.neighbor_id, a.rel
+        )""")
+        parts.append(f"""pick{i} AS MATERIALIZED (
+            SELECT query_id, neighbor_id, rel, mmr
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY mmr DESC, neighbor_id) AS rn
+                FROM scored{i}
+            ) WHERE rn = 1
+        )""")
+        parts.append(f"""sel{i} AS MATERIALIZED (
+            SELECT query_id, sid FROM sel{i - 1}
+            UNION ALL
+            SELECT query_id, neighbor_id FROM pick{i}
+        )""")
+    final = "\nUNION ALL\n".join(
+        f"""SELECT query_id, CAST({i} AS BIGINT) AS pick_rank, neighbor_id,
+                   rel AS relevance, mmr AS mmr_score
+            FROM pick{i}"""
+        for i in range(1, MMR_SELECT + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+ORACLES["similarity_mmr_rerank"] = _mmr_oracle()
