@@ -84,8 +84,6 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k); this operates on |queries| x TOP_K rows. Everything here is
     proportional to the query workload, not the corpus.
     """
-    from ssiintegrateddatapipeline_spark.caches import track
-
     cand = brute_force_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("cosine_sim").alias("rel")
     )
@@ -103,7 +101,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
     )
-    sims = track(
+    sims = (
         x.join(y, "query_id")
         .where(F.col("id_a") != F.col("id_b"))
         .select(
@@ -112,9 +110,20 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("sim"),
         )
-        .persist()
     )
-    pool = track(cand.persist())
+    # cut lineage on the two step inputs (|queries| x TOP_K rows each):
+    # each greedy step's LOGICAL plan otherwise embeds the full candidate
+    # generation — and since step i also embeds step i-1's whole tree via
+    # the picked set, the analyzer's work doubles per step (measured:
+    # step 5 alone cost 10 s on 50 rows). localCheckpoint materializes
+    # the rows and hands later steps a leaf relation.
+    # single-partition step frames: the greedy operates on |queries| x
+    # TOP_K rows, so letting each step's joins/aggs inherit the session's
+    # shuffle width just schedules empty tasks (32 tasks x ~10 stages for
+    # 50 rows). With a large query workload, size this to
+    # |queries| / cores instead of 1.
+    sims = sims.coalesce(1).localCheckpoint()
+    pool = cand.coalesce(1).localCheckpoint()
     sel = None  # (query_id, sid)
     picks = []
     mu = 1.0 - MMR_LAMBDA
@@ -170,12 +179,14 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(step).cast("long").alias("pick_rank"),
             )
         )
-        pick = track(pick.persist())
+        # eager lineage cut per step (|queries| rows): keeps every step's
+        # analyzed plan two joins deep instead of doubling per step
+        pick = pick.localCheckpoint()
         picks.append(pick)
         new_sel = pick.select(
             "query_id", F.col("neighbor_id").alias("sid")
         )
-        sel = new_sel if sel is None else track(sel.union(new_sel).persist())
+        sel = new_sel if sel is None else sel.union(new_sel)
     out = picks[0]
     for p in picks[1:]:
         out = out.union(p)
