@@ -117,6 +117,7 @@ HEADLINE = [
     "text_bm25_search",
     "text_hybrid_rrf",
     "similarity_mmr_rerank",
+    "similarity_truncated_recall",
     "profile_benford_audit",
     "profile_cms_heavy_hitters",
     "similarity_ivfpq_topk",

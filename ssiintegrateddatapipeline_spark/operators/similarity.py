@@ -195,6 +195,67 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_DIMS = 16  # serving prefix of the 64-dim embeddings (4x cheaper)
+
+
+def truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k under PREFIX-truncated embeddings (the Matryoshka /
+    MRL serving trick: rank with the first ``MRL_DIMS`` components only,
+    4x less memory and bandwidth). Same brute-force shape as
+    :func:`brute_force_topk` with both sides sliced."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding"), 1, MRL_DIMS).alias("emb_t")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("emb_t").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_emb"), F.col("emb_t")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the truncated-prefix ranking against the full-dimension
+    ground truth — the quality/cost readout that decides how small the
+    serving prefix can go (the MRL eval every embedding-serving migration
+    runs). Same join-audit shape as ``ivf_recall``: ground-truth top-k
+    left-joined against the approximate top-k per query."""
+    truth = brute_force_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = truncated_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("found_id")
+    )
+    j = truth.join(
+        F.broadcast(approx),
+        (truth["query_id"] == approx["query_id"])
+        & (truth["neighbor_id"] == approx["found_id"]),
+        "left",
+    ).select(truth["query_id"], "neighbor_id", "found_id")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("found_id").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_found"),
+        F.round(
+            F.sum(F.col("found_id").isNotNull().cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("recall_at_k"),
+    )
+
+
 def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — BOUNDED-SUBSET BASELINE.
 
@@ -1266,6 +1327,7 @@ QUERIES = {
     "similarity_kmeans_refine": kmeans_refine,
     "similarity_brute_topk": brute_force_topk,
     "similarity_mmr_rerank": mmr_rerank,
+    "similarity_truncated_recall": truncated_recall,
     "similarity_cosine_near_dup": cosine_near_dup_pairs,
     "similarity_lsh_buckets": lsh_bucket_stats,
     "similarity_ivf_topk": ivf_topk,
@@ -1904,3 +1966,29 @@ def _mmr_oracle() -> str:
 
 
 ORACLES["similarity_mmr_rerank"] = _mmr_oracle()
+
+_TRUNC_COS = _COS.format(a="(e.emb_t)", b="(q.emb_t)")
+
+ORACLES["similarity_truncated_recall"] = f"""
+    WITH truth AS ({ORACLES["similarity_brute_topk"]}),
+    te AS (SELECT vec_id, embedding[1:{MRL_DIMS}] AS emb_t FROM embeddings),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_TRUNC_COS}, 6) DESC, e.vec_id
+                   ) AS rank
+            FROM te e CROSS JOIN (SELECT * FROM te WHERE vec_id < {N_QUERY_VECS}) q
+            WHERE e.vec_id != q.vec_id
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT t.query_id, count(*) AS k,
+           sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_found,
+           round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS recall_at_k
+    FROM truth t LEFT JOIN approx a
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+    GROUP BY t.query_id
+"""
