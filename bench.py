@@ -119,6 +119,7 @@ HEADLINE = [
     "similarity_mmr_rerank",
     "similarity_truncated_recall",
     "profile_benford_audit",
+    "trade_realized_vol",
     "profile_cms_heavy_hitters",
     "similarity_ivfpq_topk",
     "wire_schema_evolution",

@@ -410,6 +410,41 @@ def trade_tick_direction(spark, sf_dir: str):
     )
 
 
+def trade_realized_vol(spark, sf_dir: str):
+    """Per-symbol realized volatility over the replayed feed: tick-to-tick
+    price changes in exact integer cents, realized variance as the
+    sample variance of the deltas, volatility as its square root — the
+    risk stat every market dashboard pairs with VWAP. Same per-symbol lag
+    window as the tick rule (per-symbol sequence is inherently sequential
+    state; a production feed shards by symbol); the only non-integer step
+    is one ``sqrt`` — IEEE-correctly-rounded, so no snap grid, just the
+    display rounding."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    t = feed_ingest(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("event_timestamp")
+    pc = F.round(F.col("price") * 100).cast("long")
+    d = pc - F.lag(pc).over(w)
+    agg = (
+        t.select("symbol", d.alias("d"))
+        .groupBy("symbol")
+        .agg(
+            F.count("d").cast("long").alias("n_deltas"),
+            F.sum(F.col("d") * F.col("d")).alias("ss"),
+        )
+    )
+    rv = (
+        F.sqrt(
+            F.col("ss").cast("double") / (F.col("n_deltas") - 1).cast("double")
+        )
+        / 100.0
+    )
+    return agg.select(
+        "symbol", "n_deltas", F.round(rv, 6).alias("realized_vol")
+    )
+
+
 QUERIES = {
     "source_trade_feed": feed_ingest,
     "source_trade_feed_stream": feed_ingest_streaming,
@@ -418,6 +453,7 @@ QUERIES = {
     "trade_ohlc_bars": trade_ohlc_bars,
     "trade_tick_direction": trade_tick_direction,
     "streaming_trade_ohlc": streaming_trade_ohlc,
+    "trade_realized_vol": trade_realized_vol,
 }
 
 _H32 = "(('0x' || substr(md5('{tag}|' || i::VARCHAR), 1, 8))::UBIGINT::BIGINT)"
@@ -494,5 +530,24 @@ ORACLES = {
                    AS n_zeroticks,
                sum(tick)::BIGINT AS net_ticks
         FROM ticks GROUP BY symbol
+    """,
+    "trade_realized_vol": f"""
+        WITH feed AS ({_FEED_ORACLE}),
+        seq AS (
+            SELECT symbol,
+                   CAST(round(price * 100) AS BIGINT) AS pc,
+                   lag(CAST(round(price * 100) AS BIGINT)) OVER (
+                       PARTITION BY symbol ORDER BY event_timestamp) AS prev
+            FROM feed
+        ),
+        d AS (
+            SELECT symbol, pc - prev AS d FROM seq WHERE prev IS NOT NULL
+        )
+        SELECT symbol,
+               CAST(count(*) AS BIGINT) AS n_deltas,
+               round(sqrt(CAST(sum(d * d) AS DOUBLE)
+                          / CAST(count(*) - 1 AS DOUBLE)) / 100.0, 6)
+                   AS realized_vol
+        FROM d GROUP BY symbol
     """,
 }
