@@ -784,8 +784,91 @@ def asymmetric_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value within a supplier-nation
+    group exceeds a global threshold — the HAVING-against-global-scalar
+    pattern, decorrelated into a 1-row aggregate broadcast cross join.
+
+    No partsupp table in this schema, so "stock value" is emulated as the
+    shipped value sum(l_extendedprice * (1 - l_discount)) of line items from
+    NATION-GROUP suppliers (s_nationkey < 5, a broadcast dim filter). The
+    threshold is scale-invariant (value > 2x the mean per-part value), and
+    the comparison is exact-integer cross-multiplied
+    (value_m * n_parts > 2 * total_m over decimal(38,0) micro-units) so
+    float summation order can never flip a borderline part across engines.
+
+    100 TB: one lineitem scan builds the per-part partial aggregate
+    (map-side combine, shuffle only (partkey, value_m)); the global
+    total/count reduce over that bounded aggregate; decimal(38,0) sums keep
+    the arithmetic exact far past int64 (~1e19 micro-unit) volumes.
+    """
+    nat_supp = F.broadcast(
+        _t(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 5).select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    micros = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
+    ).cast("decimal(38,0)")
+    per_part = (
+        li.join(nat_supp, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(micros).alias("value_m"))
+    )
+    totals = per_part.agg(
+        F.sum("value_m").alias("total_m"), F.count("*").alias("n_parts")
+    )
+    # Display value via exact integer half-up division to cents: a double
+    # round() would sit on ties like x.xx5 that the two engines break
+    # differently; ((value_m + 50) div 100) / 100.0 is tie-free and
+    # bit-identical in both engines (exact-int floor div, then one IEEE
+    # division).
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .where(F.col("value_m") * F.col("n_parts") > F.lit(2) * F.col("total_m"))
+        .select(
+            "partkey",
+            (F.expr("(value_m + 50) div 100").cast("double") / 100.0).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high- vs low-priority line counts per shipping mode.
+
+    No l_shipmode / commit / receipt columns in this schema, so the mode is
+    derived as a ship-latency class — datediff(l_shipdate, o_orderdate)
+    bucketed <30 FAST, <90 REGULAR, else SLOW — which preserves Q12's exact
+    shape (orders-lineitem join, CASE on o_orderpriority, group by a
+    line-level shipping attribute). Counts are pure integers: hash-safe.
+
+    100 TB: the date filter pushes into the lineitem scan; the join shuffles
+    only (orderkey, shipdate vs orderdate, priority); the output is 3 rows.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    ship_class = (
+        F.when(lag_days < 30, "FAST").when(lag_days < 90, "REGULAR").otherwise("SLOW")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(ship_class.alias("ship_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
 QUERIES = {
     "tpch_sql_market_pulse": sql_surface_market_pulse,
+    "tpch_important_parts": important_parts,
+    "tpch_shipmode_priority": shipmode_priority,
     "tpch_bucketed_join": bucketed_revenue_by_month,
     "tpch_grouping_sets": asymmetric_grouping_sets,
     "tpch_bloom_filter_join": bloom_filter_join,
@@ -817,6 +900,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_important_parts": """
+        WITH per_part AS (
+            SELECT l_partkey AS partkey,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS value_m
+            FROM lineitem
+            JOIN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5) ns
+              ON l_suppkey = ns.s_suppkey
+            GROUP BY l_partkey
+        ),
+        totals AS (
+            SELECT sum(value_m) AS total_m, count(*) AS n_parts FROM per_part
+        )
+        SELECT partkey,
+               CAST((value_m + 50) // 100 AS DOUBLE) / 100.0 AS part_value
+        FROM per_part, totals
+        WHERE value_m * n_parts > 2 * total_m
+        ORDER BY part_value DESC, partkey
+    """,
+    "tpch_shipmode_priority": """
+        SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'FAST'
+                    WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'REGULAR'
+                    ELSE 'SLOW' END AS ship_class,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """,
     "tpch_bucketed_join": """
         SELECT year(o_orderdate) AS o_year,
                month(o_orderdate) AS o_month,
