@@ -374,6 +374,58 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: cumulative purchase revenue per
+    signup cohort over cohort age, normalized per cohort user — the
+    companion economics view to ``weekly_retention``'s activity triangle.
+
+    Scale shape: the per-user first-activity dim broadcasts onto the
+    purchase fact (same pattern as weekly_retention); revenue aggregates to
+    exact int64 cents over (cohort_week, age_week) — a calendar-bounded
+    grid (#weeks x #weeks rows) — so the cumulative window partitions by
+    cohort_week over at most #calendar-weeks rows per key, never over raw
+    events. ltv_per_user is one IEEE double division of exact integers
+    (bit-identical across engines, no round() tie to break).
+    """
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = first.groupBy("cohort_week").agg(F.count("*").alias("cohort_users"))
+    weekly = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(first), "user_id")
+        .withColumn(
+            "age_week",
+            (
+                (F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                 - F.unix_timestamp(F.col("cohort_week"))) / F.lit(604800)
+            ).cast("int"),
+        )
+        .groupBy("cohort_week", "age_week")
+        .agg(F.sum(_cents(F.col("value"))).alias("week_rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "cohort_users",
+            "week_rev_cents",
+            F.sum("week_rev_cents").over(w).alias("ltv_cents"),
+        )
+        .withColumn(
+            "ltv_per_user_cents",
+            F.col("ltv_cents").cast("double") / F.col("cohort_users"),
+        )
+    )
+
+
 def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull ``k`` out of the JSON props column
     (JVM-side get_json_object, no Python), bucket by tens, aggregate."""
@@ -1499,6 +1551,7 @@ QUERIES = {
     "analytics_p95_approx": p95_approx,
     "analytics_event_funnel": event_funnel,
     "analytics_weekly_retention": weekly_retention,
+    "analytics_cohort_ltv": cohort_ltv,
     "analytics_props_json": props_json_stats,
     "analytics_session_windows": session_windows,
     "analytics_salted_counts": salted_label_counts,
@@ -2101,6 +2154,36 @@ ORACLES = {
                count(DISTINCT e.user_id) AS active_users
         FROM events e JOIN first f ON e.user_id = f.user_id
         GROUP BY 1, 2
+    """,
+    "analytics_cohort_ltv": """
+        WITH first AS (
+            SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort_week, count(*) AS cohort_users FROM first GROUP BY 1
+        ),
+        weekly AS (
+            SELECT f.cohort_week,
+                   ((epoch(date_trunc('week', e.ts)) - epoch(f.cohort_week))
+                    / 604800)::INT AS age_week,
+                   sum(CAST(round(e.value * 100) AS BIGINT))::BIGINT
+                       AS week_rev_cents
+            FROM events e JOIN first f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT w.cohort_week, w.age_week, s.cohort_users, w.week_rev_cents,
+                   (sum(w.week_rev_cents) OVER (
+                        PARTITION BY w.cohort_week ORDER BY w.age_week
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ))::BIGINT AS ltv_cents
+            FROM weekly w JOIN sizes s ON w.cohort_week = s.cohort_week
+        )
+        SELECT cohort_week, age_week, cohort_users, week_rev_cents, ltv_cents,
+               CAST(ltv_cents AS DOUBLE) / cohort_users AS ltv_per_user_cents
+        FROM cum
     """,
     "analytics_props_json": """
         SELECT (floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) * 10)::INT

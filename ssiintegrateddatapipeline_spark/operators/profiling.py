@@ -468,7 +468,85 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 32
+_KMV_M = float(1 << 60)  # hash space: 15 hex chars = 60 bits
+_KMV_SALTS = 16
+
+
+def kmv_set_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / theta-sketch) distinct estimates with set algebra:
+    distinct users per event type ('click', 'purchase'), their union via
+    the merged sketch, and their intersection by inclusion-exclusion — the
+    MERGEABLE-sketch twin of the exact ``analytics_set_algebra`` rollup.
+
+    Estimator (Bar-Yossef et al. 2002): keep the k smallest 60-bit hashes
+    of each set; distinct ~= (k-1) * M / h_k (h_k = k-th smallest, M = hash
+    space). Sketches merge by unioning value lists and re-taking the k
+    smallest, which is exactly how partial aggregates combine — so at
+    100 TB each executor ships k longs per set, never the distinct values.
+
+    Plan shape: one scan builds DISTINCT (type, hash) pairs (a hash-agg
+    dedup); the bottom-k per type runs through the shared hierarchical
+    ``two_level_topk`` (no window partitioned by a 2-value column); all
+    sketch algebra then operates on two array rows. Cross-engine parity:
+    the hash is the md5-prefix integer idiom, and the estimate is a single
+    IEEE multiply+divide of exactly-representable doubles, floored — no
+    round() tie to break.
+    """
+    from ssiintegrateddatapipeline_spark.operators.sampling import two_level_topk
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pairs = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    smallest = two_level_topk(
+        pairs.withColumn("salt", F.pmod(F.col("h"), F.lit(_KMV_SALTS))),
+        ["event_type"],
+        ["h"],
+        KMV_K,
+    )
+    sketches = smallest.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("h")).alias("ks")
+    )
+    one = sketches.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ks"))).alias("ka"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ks"))).alias("kb"),
+    ).withColumn(
+        "ku",
+        F.slice(
+            F.array_sort(F.array_distinct(F.concat(F.col("ka"), F.col("kb")))),
+            1,
+            KMV_K,
+        ),
+    )
+
+    def _est(arr: Column) -> Column:
+        kth = F.element_at(arr, KMV_K).cast("double")
+        return F.floor(
+            F.when(F.size(arr) < KMV_K, F.size(arr).cast("double")).otherwise(
+                F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / kth
+            )
+        ).cast("long")
+
+    return one.select(
+        _est(F.col("ka")).alias("click_distinct_est"),
+        _est(F.col("kb")).alias("purchase_distinct_est"),
+        _est(F.col("ku")).alias("union_distinct_est"),
+    ).withColumn(
+        "intersect_distinct_est",
+        F.col("click_distinct_est")
+        + F.col("purchase_distinct_est")
+        - F.col("union_distinct_est"),
+    )
+
+
 QUERIES = {
+    "profile_kmv_sets": kmv_set_sketches,
     "profile_mutual_information": mutual_information,
     "profile_benford_audit": benford_audit,
     "profile_cms_heavy_hitters": cms_heavy_hitters,
@@ -554,6 +632,39 @@ _BENFORD_CASE = " ".join(
 )
 
 ORACLES = {
+    "profile_kmv_sets": f"""
+        WITH pairs AS (
+            SELECT DISTINCT event_type,
+                   (('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+                    ::UBIGINT)::BIGINT AS h
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        ka AS (SELECT h FROM pairs WHERE event_type = 'click'
+               ORDER BY h LIMIT {KMV_K}),
+        kb AS (SELECT h FROM pairs WHERE event_type = 'purchase'
+               ORDER BY h LIMIT {KMV_K}),
+        ku AS (SELECT DISTINCT h FROM
+                   (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+               ORDER BY h LIMIT {KMV_K}),
+        est AS (
+            SELECT
+                (SELECT CASE WHEN count(*) < {KMV_K} THEN count(*)::DOUBLE
+                             ELSE {KMV_K - 1}.0 * {1 << 60}.0
+                                  / max(h)::DOUBLE END FROM ka) AS ea,
+                (SELECT CASE WHEN count(*) < {KMV_K} THEN count(*)::DOUBLE
+                             ELSE {KMV_K - 1}.0 * {1 << 60}.0
+                                  / max(h)::DOUBLE END FROM kb) AS eb,
+                (SELECT CASE WHEN count(*) < {KMV_K} THEN count(*)::DOUBLE
+                             ELSE {KMV_K - 1}.0 * {1 << 60}.0
+                                  / max(h)::DOUBLE END FROM ku) AS eu
+        )
+        SELECT floor(ea)::BIGINT AS click_distinct_est,
+               floor(eb)::BIGINT AS purchase_distinct_est,
+               floor(eu)::BIGINT AS union_distinct_est,
+               floor(ea)::BIGINT + floor(eb)::BIGINT - floor(eu)::BIGINT
+                   AS intersect_distinct_est
+        FROM est
+    """,
     "profile_benford_audit": f"""
         WITH per AS (
             SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
