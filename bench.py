@@ -19,6 +19,10 @@ import sys
 import time
 
 HEADLINE = [
+    "text_dsir_weights",
+    "profile_kmv_sets",
+    "tpch_important_parts",
+    "analytics_cohort_ltv",
     "text_substring_scrub",
     "analytics_incremental_join_mv",
     "tpch_grouping_sets",

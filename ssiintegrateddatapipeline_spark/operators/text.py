@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.functions.text_funcs import (
+    md5_int32,
     minhash_signature,
     tokens,
     word_shingles,
@@ -712,6 +713,82 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 4096  # hashed feature space (2^12 buckets)
+DSIR_SELECT_K = 100  # selection budget (documents kept)
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every document by how much
+    more likely its hashed-bigram features are under a TARGET distribution
+    (here: the English subset, the in-domain proxy) than under the RAW
+    corpus, then select documents with positive log-ratio. This is the
+    standard pretraining-mix curation step between dedup and sampling.
+
+    weight(doc) = Σ_bigrams [log2 p_tgt(f) - log2 p_raw(f)] over hashed
+    features f (add-1 smoothing across DSIR_BUCKETS buckets).
+
+    Scale shape: one explode builds the feature stream (linear in corpus
+    tokens, spread across cores before the per-row bigram materialization);
+    both hashed-feature LMs fold in ONE map-side-combined aggregate keyed
+    on f (≤ DSIR_BUCKETS groups); the scoring join broadcasts the ≤4096-row
+    log-ratio table back onto the stream — no shuffle of the corpus beyond
+    the per-doc reduce. The feature hash is the md5-prefix integer idiom,
+    identical in the oracle.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    feats = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (md5_int32(F.col("bg")) % DSIR_BUCKETS).alias("f"),
+    )
+    per_f = feats.groupBy("f").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = per_f.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    table = per_f.crossJoin(F.broadcast(totals)).select(
+        "f",
+        (
+            F.log2((F.col("c_tgt") + 1) / (F.col("n_tgt") + DSIR_BUCKETS))
+            - F.log2((F.col("c_raw") + 1) / (F.col("n_raw") + DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    scored = (
+        feats.join(F.broadcast(table), "f")
+        .groupBy("doc_id")
+        .agg(
+            (F.max(F.when(F.col("is_target"), 1).otherwise(0)) == 1).alias("is_target"),
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("lr"), 6).alias("dsir_logratio"),
+            F.round(F.sum("lr") / F.count("*"), 6).alias("logratio_per_tok"),
+        )
+    )
+    # Importance resampling selects a fixed BUDGET, not a zero-threshold:
+    # the raw-corpus expectation of the log-ratio is a negative KL offset,
+    # so "score > 0" selects nothing. Rank on the length-normalized score
+    # (rounded first, so a 1e-13 summation-order wobble can't flip the
+    # boundary rank between engines) — orderBy().limit() compiles to
+    # TakeOrderedAndProject, a per-partition top-K + single merge.
+    return scored.orderBy(
+        F.col("logratio_per_tok").desc(), F.col("doc_id").asc()
+    ).limit(DSIR_SELECT_K)
+
+
 DUP_NGRAM_N = 8  # the classic memorization-audit window
 DUP_NGRAM_TOP_K = 50
 
@@ -1082,6 +1159,7 @@ QUERIES = {
     "text_chunk_windows": chunk_windows,
     "text_char_entropy": char_entropy,
     "text_bigram_lm_score": bigram_lm_score,
+    "text_dsir_weights": dsir_weights,
     "text_perplexity_buckets": perplexity_buckets,
     "text_boilerplate_scrub": boilerplate_scrub,
     "text_tfidf_top_terms": tfidf_top_terms,
@@ -1367,6 +1445,43 @@ ORACLES = {
     "text_bigram_lm_score": f"""
         WITH {_BIGRAM_CTES}
         SELECT doc_id, n_bigrams, bits_per_bigram FROM perdoc
+    """,
+    "text_dsir_weights": f"""
+        WITH t AS (
+            SELECT doc_id, lang = 'en' AS is_target, {_TOKS} AS toks
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, is_target, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t
+        ),
+        feats AS (
+            SELECT doc_id, is_target,
+                   (('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 8))
+                    ::UBIGINT::BIGINT % {DSIR_BUCKETS}) AS f
+            FROM idx
+        ),
+        per_f AS (
+            SELECT f, count(*) AS c_raw,
+                   sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+            FROM feats GROUP BY f
+        ),
+        totals AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM per_f),
+        tbl AS (
+            SELECT f, log2((c_tgt + 1) / (n_tgt + {DSIR_BUCKETS}))
+                      - log2((c_raw + 1) / (n_raw + {DSIR_BUCKETS})) AS lr
+            FROM per_f CROSS JOIN totals
+        )
+        SELECT doc_id,
+               max(CASE WHEN is_target THEN 1 ELSE 0 END) = 1 AS is_target,
+               count(*) AS n_feats,
+               round(sum(lr), 6) AS dsir_logratio,
+               round(sum(lr) / count(*), 6) AS logratio_per_tok
+        FROM feats JOIN tbl USING (f)
+        GROUP BY doc_id
+        ORDER BY logratio_per_tok DESC, doc_id ASC
+        LIMIT {DSIR_SELECT_K}
     """,
     "text_perplexity_buckets": f"""
         WITH {_BIGRAM_CTES},
