@@ -445,6 +445,127 @@ def trade_realized_vol(spark, sf_dir: str):
     )
 
 
+GAP_MS = 2000  # silence threshold: regular per-symbol cadence is 1250 ms
+
+
+def trade_silence_gaps(spark, sf_dir: str):
+    """Heartbeat monitor over the replayed feed: intervals where a symbol
+    went silent longer than GAP_MS between consecutive trades — exactly
+    the dropped-keepalive slots (every PING_EVERY-th frame is a ping the
+    type filter discards, leaving a 2500 ms hole in that symbol's 1250 ms
+    cadence). The reference's liveness story is the WS read deadline
+    (finnhub.go:134-169); this is the same absence-detection semantics as
+    a query. Same per-symbol lag window as the tick rule; gap arithmetic
+    is exact integer milliseconds."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = feed_ingest(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("event_timestamp")
+    prev = F.lag("event_timestamp").over(w)
+    return (
+        t.select(
+            "symbol",
+            prev.alias("gap_start"),
+            F.col("event_timestamp").alias("gap_end"),
+        )
+        .withColumn(
+            "gap_ms", F.unix_millis("gap_end") - F.unix_millis("gap_start")
+        )
+        .where(F.col("gap_start").isNotNull() & (F.col("gap_ms") > GAP_MS))
+    )
+
+
+def _expected_gap_count() -> int:
+    """Deterministic replay of the slot grid: per symbol (slot % 5), count
+    consecutive trade pairs more than GAP_MS apart (slots are 250 ms)."""
+    gaps = 0
+    last: dict[int, int] = {}
+    for i in range(FEED_N):
+        if i % PING_EVERY == 0:
+            continue  # ping frame, dropped by the type filter
+        s = i % 5
+        if s in last and (i - last[s]) * 250 > GAP_MS:
+            gaps += 1
+        last[s] = i
+    return gaps
+
+
+def streaming_trade_gaps(spark, sf_dir: str):
+    """The heartbeat monitor as a STREAMING stateful operator: per-symbol
+    last-seen timestamps held in ``applyInPandasWithState`` (state = ONE
+    int64 per symbol — the O(|symbols|) footprint a production feed
+    monitor keeps), emitting silence intervals append-only as they close.
+    Cross-batch correctness: the offset-tracked reader replays frames in
+    slot order, so each micro-batch's per-symbol minimum joins the carried
+    last-seen state exactly like the batch twin's lag window; the drained
+    snapshot must equal ``trade_silence_gaps`` row-for-row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401  (plan helpers)
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("gap_start", T.TimestampType()),
+            T.StructField("gap_end", T.TimestampType()),
+            T.StructField("gap_ms", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_us", T.LongType())])
+
+    def _detect(key, pdf_iter, state: GroupState):
+        last = state.get[0] if state.exists else None
+        starts: list[int] = []
+        ends: list[int] = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            us = np.sort(pdf["event_timestamp"].values.astype("int64")) // 1000
+            prevs = np.concatenate(
+                ([last if last is not None else 0], us[:-1])
+            )
+            mask = (us - prevs) > GAP_MS * 1000
+            if last is None:
+                mask[0] = False  # first-ever trade has no predecessor
+            starts.extend(prevs[mask].tolist())
+            ends.extend(us[mask].tolist())
+            last = int(us[-1])
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame(
+            {
+                "symbol": [key[0]] * len(starts),
+                "gap_start": pd.to_datetime(
+                    np.array(starts, dtype="int64"), unit="us"
+                ),
+                "gap_end": pd.to_datetime(
+                    np.array(ends, dtype="int64"), unit="us"
+                ),
+                "gap_ms": np.array(
+                    [(e - s) // 1000 for s, e in zip(starts, ends)],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    plan = (
+        _ingest_projection(_feed_stream(spark))
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _detect,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    expected = _expected_gap_count()
+    return _run_feed(spark, plan, "append", lambda df: df.count() >= expected)
+
+
 QUERIES = {
     "source_trade_feed": feed_ingest,
     "source_trade_feed_stream": feed_ingest_streaming,
@@ -454,6 +575,8 @@ QUERIES = {
     "trade_tick_direction": trade_tick_direction,
     "streaming_trade_ohlc": streaming_trade_ohlc,
     "trade_realized_vol": trade_realized_vol,
+    "trade_silence_gaps": trade_silence_gaps,
+    "streaming_trade_gaps": streaming_trade_gaps,
 }
 
 _H32 = "(('0x' || substr(md5('{tag}|' || i::VARCHAR), 1, 8))::UBIGINT::BIGINT)"
@@ -504,6 +627,22 @@ _VWAP_ORACLE = f"""
     FROM agg
 """
 
+_GAPS_ORACLE = f"""
+    WITH feed AS ({_FEED_ORACLE}),
+    seq AS (
+        SELECT symbol,
+               lag(event_timestamp) OVER w AS gap_start,
+               event_timestamp AS gap_end
+        FROM feed
+        WINDOW w AS (PARTITION BY symbol ORDER BY event_timestamp)
+    )
+    SELECT symbol, gap_start, gap_end,
+           (epoch_ms(gap_end) - epoch_ms(gap_start))::BIGINT AS gap_ms
+    FROM seq
+    WHERE gap_start IS NOT NULL
+      AND epoch_ms(gap_end) - epoch_ms(gap_start) > {GAP_MS}
+"""
+
 ORACLES = {
     "source_trade_feed": _FEED_ORACLE,
     "source_trade_feed_stream": _FEED_ORACLE,
@@ -550,4 +689,8 @@ ORACLES = {
                    AS realized_vol
         FROM d GROUP BY symbol
     """,
+    "trade_silence_gaps": _GAPS_ORACLE,
+    # the streaming twin drains the same deterministic feed through the
+    # per-symbol last-seen state — one oracle serves both forms
+    "streaming_trade_gaps": _GAPS_ORACLE,
 }

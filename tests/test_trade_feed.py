@@ -51,3 +51,20 @@ def test_stream_progresses_in_micro_batches(spark):
     parts = reader.partitions({"index": 300}, {"index": 600})
     covered = sorted((p.start, p.end) for p in parts)
     assert covered[0][0] == 300 and covered[-1][1] == 600
+
+
+def test_gap_monitor_finds_exactly_the_ping_holes(spark):
+    """Every dropped keepalive slot (except slot 0, which has no
+    predecessor for its symbol) is a 2500 ms hole in a 1250 ms cadence."""
+    gaps = TF.trade_silence_gaps(spark, "").collect()
+    n_pings = len(range(0, TF.FEED_N, TF.PING_EVERY))
+    assert len(gaps) == n_pings - 1 == TF._expected_gap_count()
+    assert all(g.gap_ms == 2500 for g in gaps)
+
+
+def test_streaming_gaps_equal_batch_twin(spark):
+    """The per-symbol last-seen state must reconstruct the batch lag window
+    exactly across micro-batch boundaries."""
+    got = sorted(map(tuple, TF.streaming_trade_gaps(spark, "").collect()))
+    want = sorted(map(tuple, TF.trade_silence_gaps(spark, "").collect()))
+    assert got == want
