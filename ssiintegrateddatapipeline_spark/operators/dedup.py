@@ -919,6 +919,38 @@ def cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates, every document gets
+    sampling weight 1/|its cluster| (1.0 outside any cluster), so each
+    near-dup cluster contributes ~one document's worth of probability mass
+    to the training mix — the suppression alternative to hard removal
+    (keeps coverage, kills over-representation). Reported per source:
+    raw vs effective document counts.
+
+    Exactness: the weight is integer micro-units via the repo's half-up
+    integer division ((2e6 + size) div (2*size)), so the per-source sums
+    are exact int64 — no float summation order to diverge. Scale shape:
+    cluster sizes are one count over the (bounded) cluster map; the map
+    joins back to the corpus on doc_id (uniform key) and the report is a
+    20-key hash aggregate with map-side partials.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = near_dup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("csize"))
+    member = clusters.join(sizes, "cluster_id").select("doc_id", "csize")
+    joined = docs.join(member, "doc_id", "left").withColumn(
+        "w_micro",
+        F.when(F.col("csize").isNull(), F.lit(1_000_000)).otherwise(
+            F.expr("(2000000 + csize) div (2 * csize)")
+        ),
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("csize").isNotNull(), 1).otherwise(0)).alias("n_duped"),
+        (F.sum("w_micro").cast("double") / F.lit(1e6)).alias("effective_docs"),
+    )
+
+
 QUERIES = {
     "dedup_cross_source_matrix": cross_source_matrix,
     "graph_pagerank_neardup": pagerank_near_dup,
@@ -939,6 +971,7 @@ QUERIES = {
     "dedup_prefix_jaccard_pairs": prefix_jaccard_pairs,
     "dedup_quality_canonical": quality_canonical,
     "dedup_decontaminated_split": decontaminated_split,
+    "dedup_soft_weights": soft_dedup_weights,
 }
 
 _TOKS = TOKS_SQL
@@ -992,6 +1025,44 @@ _PAIRS_CTE = f"""
 """
 
 ORACLES = {
+    "dedup_soft_weights": f"""
+        WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE},
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        reach(doc_id, root) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.root
+            FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        clusters AS (
+            SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        sizes AS (
+            SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY 1
+        ),
+        member AS (
+            SELECT c.doc_id, s.csize
+            FROM clusters c JOIN sizes s USING (cluster_id)
+        ),
+        weighted AS (
+            SELECT d.source, m.csize,
+                   CASE WHEN m.csize IS NULL THEN 1000000
+                        ELSE (2000000 + m.csize) // (2 * m.csize)
+                   END AS w_micro
+            FROM documents d LEFT JOIN member m USING (doc_id)
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               sum(CASE WHEN csize IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_duped,
+               sum(w_micro)::DOUBLE / 1000000.0 AS effective_docs
+        FROM weighted
+        GROUP BY source
+    """,
     "dedup_fuzzy_name_pairs": f"""
         WITH names AS (
             SELECT DISTINCT p_name AS name,
