@@ -360,7 +360,88 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_chunks(multimodal_table(spark, sf_dir))
 
 
+AHASH_SEGMENTS = 32  # signature width (bits); 8-bit prefix blocks pairs
+AHASH_MAX_HAMMING = 8  # well below the ~16 mean of unrelated 32-bit hashes
+
+
+def ahash_signatures(mm: DataFrame) -> DataFrame:
+    """Average-hash perceptual signature over the image payload BYTES:
+    fold the byte stream round-robin into AHASH_SEGMENTS accumulators,
+    bit_k = (segment-k mean > global mean) — the 1-D form of the classic
+    8x8 aHash (with a real pixel decoder the segments would be luma
+    blocks; the byte-stream form is the same plumbing and is what the
+    deterministic fake-decode path exposes). All pure JVM expressions:
+    hex() the payload once, explode positions, two hash aggregations;
+    the mean comparison is cross-multiplied exact integers (no float)."""
+    img = mm.where(F.col("meta.media_type") == "image/png").select(
+        "doc_id",
+        F.hex(F.col("payload")).alias("hx"),
+        F.octet_length(F.col("payload")).alias("n"),
+    )
+    b = img.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("p"),
+        "hx",
+    ).select(
+        "doc_id",
+        (F.col("p") % AHASH_SEGMENTS).alias("seg"),
+        F.conv(F.expr("substring(hx, p * 2 + 1, 2)"), 16, 10)
+        .cast("long")
+        .alias("val"),
+    )
+    per_seg = b.groupBy("doc_id", "seg").agg(
+        F.sum("val").alias("s"), F.count("*").alias("c")
+    )
+    tot = per_seg.groupBy("doc_id").agg(
+        F.sum("s").alias("gs"), F.sum("c").alias("gn")
+    )
+    bit = F.when(
+        F.col("s") * F.col("gn") > F.col("gs") * F.col("c"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(seg AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        per_seg.join(tot, "doc_id")
+        .select("doc_id", bit.alias("bit"))
+        .groupBy("doc_id")
+        .agg(F.sum("bit").cast("long").alias("ahash"))
+        .withColumn(
+            "ahash_prefix", F.shiftright(F.col("ahash"), AHASH_SEGMENTS - 8)
+        )
+    )
+
+
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicates by perceptual-hash hamming distance — the
+    multimodal face of the dedup layer (same blocking discipline as
+    ``dedup_simhash_pairs``: candidates only form inside an 8-bit prefix
+    bucket, turning n^2 into a sum of bucket^2; hamming is bit_count of
+    the XOR). Signatures persist before the self-join so the explode +
+    double aggregation isn't inlined into both branches."""
+    from ssiintegrateddatapipeline_spark.caches import track
+
+    sigs = track(ahash_signatures(multimodal_table(spark, sf_dir)).persist())
+    a = sigs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("ahash").alias("ah_a"),
+        "ahash_prefix",
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("ahash").alias("ah_b"),
+        "ahash_prefix",
+    )
+    hamming = F.bit_count(F.col("ah_a").bitwiseXOR(F.col("ah_b")))
+    return (
+        a.join(b, "ahash_prefix")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= AHASH_MAX_HAMMING)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
 QUERIES = {
+    "multimodal_phash_pairs": multimodal_phash_pairs,
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
@@ -381,6 +462,48 @@ _DECODED = """
 """
 
 ORACLES = {
+    "multimodal_phash_pairs": f"""
+        WITH img AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        pos AS (
+            SELECT doc_id, hx,
+                   unnest(generate_series(0, n - 1)) AS p
+            FROM img
+        ),
+        b AS (
+            SELECT doc_id, p % {AHASH_SEGMENTS} AS seg,
+                   ('0x' || substr(hx, p * 2 + 1, 2))::INT AS val
+            FROM pos
+        ),
+        per_seg AS (
+            SELECT doc_id, seg, sum(val) AS s, count(*) AS c
+            FROM b GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT doc_id, sum(s) AS gs, sum(c) AS gn
+            FROM per_seg GROUP BY 1
+        ),
+        sigs AS (
+            SELECT p.doc_id,
+                   sum(CASE WHEN p.s * t.gn > t.gs * p.c
+                            THEN (1::BIGINT << p.seg) ELSE 0 END)::BIGINT
+                       AS ahash
+            FROM per_seg p JOIN tot t USING (doc_id)
+            GROUP BY p.doc_id
+        ),
+        blocked AS (
+            SELECT doc_id, ahash, ahash >> {AHASH_SEGMENTS - 8} AS pre
+            FROM sigs
+        )
+        SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+               bit_count(xor(x.ahash, y.ahash))::BIGINT AS hamming
+        FROM blocked x JOIN blocked y ON x.pre = y.pre
+        WHERE x.doc_id < y.doc_id
+          AND bit_count(xor(x.ahash, y.ahash)) <= {AHASH_MAX_HAMMING}
+    """,
     "multimodal_meta": """
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image/png'

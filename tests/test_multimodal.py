@@ -131,3 +131,27 @@ def test_wav_real_decode(tmp_path):
     # a text payload routes to the fake path
     with pytest.raises(NotImplementedError):
         M._audio_features_real(b"definitely not audio")
+
+
+def test_phash_pairs_cover_minhash_image_dups(spark, sf_dir):
+    """The perceptual-hash blocking must recover every MinHash-LSH image
+    near-dup pair (byte-stream aHash is coarser, so extra low-hamming
+    pairs are allowed — missing true dups are not)."""
+    from ssiintegrateddatapipeline_spark.operators.dedup import minhash_lsh_pairs
+    from ssiintegrateddatapipeline_spark.operators.multimodal import (
+        AHASH_MAX_HAMMING,
+        multimodal_phash_pairs,
+    )
+
+    ph = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in multimodal_phash_pairs(spark, sf_dir).collect()
+    }
+    assert all(h <= AHASH_MAX_HAMMING for _, _, h in ph)
+    assert all(a < b for a, b, _ in ph)
+    mh_img = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_lsh_pairs(spark, sf_dir).collect()
+        if r.doc_id_a % 3 == 0 and r.doc_id_b % 3 == 0
+    }
+    assert mh_img <= {(a, b) for a, b, _ in ph}
