@@ -431,11 +431,63 @@ def nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACTIVITY_WINDOW_US = 300_000_000  # each event opens a 5-minute window
+
+
+def interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged interval coverage per user (the gaps-and-islands problem) —
+    the third leg of the interval toolkit next to the binned overlap join
+    and the sweep-line concurrency count: every event opens a 5-minute
+    activity window, overlapping windows merge into islands via the
+    running-max-end sweep, and the report is each user's island count,
+    total covered time and longest unbroken stretch.
+
+    Island detection: a row starts a new island iff its start exceeds the
+    max end among ALL its predecessors (not just the previous row — an
+    earlier long interval can swallow several later ones); the island id
+    is the running sum of those flags. Per-user sequence windows are the
+    sessionization shape (cf. analytics_user_streaks): partitioned by a
+    key whose per-key row count is bounded by activity, not corpus size.
+    All arithmetic is exact integer microseconds — no float anywhere.
+    Tied timestamps are order-invariant: a tied row always lands in the
+    tie-opener's island (its window end covers the twin's start), so no
+    tiebreak column is needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + ACTIVITY_WINDOW_US).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0)
+    islands = (
+        t.withColumn("flag", flag)
+        .withColumn(
+            "island",
+            F.sum("flag").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "island")
+        .agg(F.min("s").alias("st"), F.max("e").alias("en"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("en") - F.col("st")).alias("covered_us"),
+        F.max(F.col("en") - F.col("st")).alias("max_island_us"),
+    )
+
+
 QUERIES = {
     "asof_last_touch": last_touch,
     "asof_nearest_event": nearest_event,
     "range_band_pricing": range_band_pricing,
     "range_session_overlap": session_overlap,
+    "range_interval_union": interval_union,
     "analytics_peak_concurrency": peak_concurrency,
 }
 
@@ -509,6 +561,36 @@ ORACLES = {
     """,
     # the oracle states overlap DECLARATIVELY (plain inequality self-join)
     # — the binned equi-join must reproduce it exactly
+    "range_interval_union": f"""
+        WITH t AS (
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {ACTIVITY_WINDOW_US} AS e
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw
+                        THEN 1 ELSE 0 END AS flag
+            FROM t
+            WINDOW pw AS (PARTITION BY user_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   sum(flag) OVER (PARTITION BY user_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM flagged
+        ),
+        merged AS (
+            SELECT user_id, island, min(s) AS st, max(e) AS en
+            FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_islands,
+               sum(en - st)::BIGINT AS covered_us,
+               max(en - st)::BIGINT AS max_island_us
+        FROM merged GROUP BY user_id
+    """,
     "range_session_overlap": _SESSIONS_CTE + """
         , pairs AS (
             SELECT a.user_id AS u1, b.user_id AS u2,
