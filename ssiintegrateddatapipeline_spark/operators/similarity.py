@@ -1176,6 +1176,54 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k of the IVF-PQ search vs the exact ranking — the
+    position-sensitive companion to recall@k: recall only counts set
+    overlap, nDCG penalizes the approximate index for returning true
+    neighbors in the wrong ORDER (graded relevance = k+1-exact_rank,
+    log2-position discount, normalized by the ideal DCG).
+
+    Both sides are the k-row-per-query outputs of the cached index
+    pipelines, so the eval is a broadcast-scale join; the ideal DCG is
+    computed as the SAME in-engine fold expression in Spark and the
+    oracle (not a Python literal), so the one libm surface (log2) runs
+    through identical expression trees on both sides.
+    """
+    truth = brute_force_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("t_rank")
+    )
+    approx = ivfpq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("a_rank")
+    )
+    gains = approx.join(truth, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "a_rank",
+        F.coalesce(
+            F.lit(TOP_K + 1) - F.col("t_rank"), F.lit(0)
+        ).cast("double").alias("rel"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.lit(TOP_K)),
+        F.lit(0.0),
+        lambda s, j: s
+        + (F.lit(float(TOP_K + 1)) - j) / F.log2(j.cast("double") + 1.0),
+    )
+    return (
+        gains.groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(
+                F.col("rel") / F.log2(F.col("a_rank").cast("double") + 1.0)
+            ).alias("dcg"),
+        )
+        .select(
+            "query_id",
+            "k",
+            F.round(F.col("dcg") / idcg, 6).alias("ndcg_at_k"),
+        )
+    )
+
+
 def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of PQ-ADC search vs exact brute-force ground truth — the
     compression-loss metric that decides PQ_M/PQ_K before the code table
@@ -1317,6 +1365,7 @@ QUERIES = {
     "similarity_pq_recall": pq_recall,
     "similarity_ivfpq_topk": ivfpq_topk,
     "similarity_ivfpq_recall": ivfpq_recall,
+    "similarity_ivfpq_ndcg": ivfpq_ndcg,
     "similarity_semantic_contamination": semantic_contamination,
     "similarity_embedding_drift": embedding_drift,
     "similarity_ivf_near_dup": ivf_near_dup_pairs,
@@ -1872,6 +1921,20 @@ ORACLES["similarity_ivfpq_recall"] = f"""
     FROM truth t LEFT JOIN approx a
       ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
     GROUP BY t.query_id
+"""
+
+ORACLES["similarity_ivfpq_ndcg"] = f"""
+    WITH truth AS ({ORACLES["similarity_brute_topk"]}),
+         approx AS ({ORACLES["similarity_ivfpq_topk"]})
+    SELECT a.query_id, count(*) AS k,
+           round(sum(coalesce({TOP_K} + 1 - t.rank, 0)::DOUBLE
+                     / log2(a.rank::DOUBLE + 1.0))
+                 / list_sum(list_transform(generate_series(1, {TOP_K}),
+                       j -> ({TOP_K + 1}.0 - j) / log2(j::DOUBLE + 1.0))),
+                 6) AS ndcg_at_k
+    FROM approx a LEFT JOIN truth t
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY a.query_id
 """
 
 ORACLES["similarity_semantic_contamination"] = f"""
