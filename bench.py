@@ -23,6 +23,9 @@ HEADLINE = [
     "profile_kmv_sets",
     "tpch_important_parts",
     "analytics_cohort_ltv",
+    "range_interval_union",
+    "multimodal_phash_pairs",
+    "dedup_soft_weights",
     "text_substring_scrub",
     "analytics_incremental_join_mv",
     "tpch_grouping_sets",

@@ -713,6 +713,45 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard rule filters (Rae et al. 2021 §A1.1 adapted to
+    this corpus's signals): the per-rule rejection-rate report a curation
+    pipeline monitors before applying the gate. Rules: token count in
+    [50, 100k]; mean token length in [3, 10]; >= 2 stopwords; >= 80%
+    alphabetic tokens; type-token ratio >= 0.2 (the repetition proxy).
+
+    Every rule is an exact integer cross-multiplied comparison (mean
+    length >= 3 <=> sum_len >= 3n, etc.), so the whole report is
+    float-free and hash-exact. One corpus scan: per-doc flags fold in a
+    single zero-key aggregate with map-side partials.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    sum_len = F.aggregate(
+        t, F.lit(0).cast("long"), lambda s, x: s + F.length(x)
+    )
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    n_distinct = F.size(F.array_distinct(t))
+    fails = {
+        "fail_len": (n < 50) | (n > 100_000),
+        "fail_word_len": (sum_len < 3 * n) | (sum_len > 10 * n),
+        "fail_stopwords": n_stop < 2,
+        "fail_alpha": 5 * n_alpha < 4 * n,
+        "fail_ttr": 5 * n_distinct < n,
+    }
+    flagged = d.select(
+        *[F.when(c, 1).otherwise(0).alias(k) for k, c in fails.items()]
+    )
+    any_fail = sum(F.col(k) for k in fails) > 0
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(k).alias(k) for k in fails],
+        F.sum(F.when(any_fail, 0).otherwise(1)).alias("pass_all"),
+    )
+
+
 DSIR_BUCKETS = 4096  # hashed feature space (2^12 buckets)
 DSIR_SELECT_K = 100  # selection budget (documents kept)
 
@@ -1159,6 +1198,7 @@ QUERIES = {
     "text_chunk_windows": chunk_windows,
     "text_char_entropy": char_entropy,
     "text_bigram_lm_score": bigram_lm_score,
+    "text_gopher_rules": gopher_rules,
     "text_dsir_weights": dsir_weights,
     "text_perplexity_buckets": perplexity_buckets,
     "text_boilerplate_scrub": boilerplate_scrub,
@@ -1445,6 +1485,36 @@ ORACLES = {
     "text_bigram_lm_score": f"""
         WITH {_BIGRAM_CTES}
         SELECT doc_id, n_bigrams, bits_per_bigram FROM perdoc
+    """,
+    "text_gopher_rules": f"""
+        WITH terms AS (
+            SELECT len({_TOKS}) AS n,
+                   list_sum(list_transform({_TOKS}, t -> len(t))) AS sum_len,
+                   len(list_filter({_TOKS},
+                       t -> t IN ({_STOPWORDS_SQL_SHARED}))) AS ns,
+                   len(list_filter({_TOKS},
+                       t -> regexp_matches(t, '[A-Za-z]'))) AS na,
+                   len(list_distinct({_TOKS})) AS nd
+            FROM documents
+        ),
+        flags AS (
+            SELECT CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS f1,
+                   CASE WHEN sum_len < 3 * n OR sum_len > 10 * n
+                        THEN 1 ELSE 0 END AS f2,
+                   CASE WHEN ns < 2 THEN 1 ELSE 0 END AS f3,
+                   CASE WHEN 5 * na < 4 * n THEN 1 ELSE 0 END AS f4,
+                   CASE WHEN 5 * nd < n THEN 1 ELSE 0 END AS f5
+            FROM terms
+        )
+        SELECT count(*) AS n_docs,
+               sum(f1)::BIGINT AS fail_len,
+               sum(f2)::BIGINT AS fail_word_len,
+               sum(f3)::BIGINT AS fail_stopwords,
+               sum(f4)::BIGINT AS fail_alpha,
+               sum(f5)::BIGINT AS fail_ttr,
+               sum(CASE WHEN f1 + f2 + f3 + f4 + f5 > 0 THEN 0 ELSE 1 END)
+                   ::BIGINT AS pass_all
+        FROM flags
     """,
     "text_dsir_weights": f"""
         WITH t AS (
