@@ -33,6 +33,7 @@ from ssiintegrateddatapipeline_spark.operators import (
 )
 from ssiintegrateddatapipeline_spark.plans import pipeline as pipeline_plans
 from ssiintegrateddatapipeline_spark.plans import relational
+from ssiintegrateddatapipeline_spark.sources import files as file_sources
 from ssiintegrateddatapipeline_spark.sources import trade_feed
 from ssiintegrateddatapipeline_spark.streaming import pipeline as streaming_pipeline
 
@@ -57,6 +58,7 @@ _MODULES = [
     metrics,
     credstore,
     trade_feed,
+    file_sources,
     streaming_pipeline,
 ]
 
