@@ -445,6 +445,97 @@ def trade_realized_vol(spark, sf_dir: str):
     )
 
 
+def streaming_trade_realized_vol(spark, sf_dir: str):
+    """Realized volatility as STREAMING per-symbol state: the batch twin's
+    lag window is inherently sequential, so the streaming form carries
+    (last price, n_deltas, Σd²) per symbol in ``applyInPandasWithState``
+    — three int64s per symbol, the exact state a per-symbol-sharded
+    production feed keeps. Each micro-batch extends the delta ledger from
+    the carried last price; the drained snapshot must equal
+    ``trade_realized_vol`` exactly (integer ledger, one final sqrt)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("n_deltas", T.LongType()),
+            T.StructField("ss", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_pc", T.LongType()),
+            T.StructField("n_deltas", T.LongType()),
+            T.StructField("ss", T.LongType()),
+        ]
+    )
+
+    def _update(key, pdf_iter, state: GroupState):
+        last_pc, n, ss = state.get if state.exists else (None, 0, 0)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("event_timestamp")
+            pc = np.round(pdf["price"].values * 100).astype("int64")
+            prev = (
+                np.concatenate(([last_pc], pc[:-1]))
+                if last_pc is not None
+                else pc[:-1]
+            )
+            cur = pc if last_pc is not None else pc[1:]
+            d = cur - prev
+            n += len(d)
+            ss += int((d * d).sum())
+            last_pc = int(pc[-1])
+        state.update((last_pc, n, ss))
+        yield pd.DataFrame(
+            {"symbol": [key[0]], "n_deltas": [n], "ss": [ss]}
+        )
+
+    plan = (
+        _ingest_projection(_feed_stream(spark))
+        .select("symbol", "price", "event_timestamp")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    expected_deltas = _expected_trades() - 5  # first trade per symbol: no lag
+
+    def drained(df) -> bool:
+        row = (
+            df.groupBy("symbol")
+            .agg(F.max("n_deltas").alias("n"))
+            .agg(F.sum("n"))
+            .first()
+        )
+        return row[0] is not None and row[0] >= expected_deltas
+
+    snap = _run_feed(spark, plan, "update", drained)
+    final = (
+        snap.groupBy("symbol")
+        .agg(F.max_by(F.struct("n_deltas", "ss"), "n_deltas").alias("s"))
+        .select("symbol", "s.n_deltas", "s.ss")
+    )
+    rv = (
+        F.sqrt(
+            F.col("ss").cast("double") / (F.col("n_deltas") - 1).cast("double")
+        )
+        / 100.0
+    )
+    return final.select(
+        "symbol", "n_deltas", F.round(rv, 6).alias("realized_vol")
+    )
+
+
 GAP_MS = 2000  # silence threshold: regular per-symbol cadence is 1250 ms
 
 
@@ -577,6 +668,7 @@ QUERIES = {
     "trade_realized_vol": trade_realized_vol,
     "trade_silence_gaps": trade_silence_gaps,
     "streaming_trade_gaps": streaming_trade_gaps,
+    "streaming_trade_realized_vol": streaming_trade_realized_vol,
 }
 
 _H32 = "(('0x' || substr(md5('{tag}|' || i::VARCHAR), 1, 8))::UBIGINT::BIGINT)"
@@ -694,3 +786,7 @@ ORACLES = {
     # per-symbol last-seen state — one oracle serves both forms
     "streaming_trade_gaps": _GAPS_ORACLE,
 }
+
+# per-symbol delta ledger carried as streaming state reproduces the batch
+# lag window exactly — one oracle serves both forms
+ORACLES["streaming_trade_realized_vol"] = ORACLES["trade_realized_vol"]

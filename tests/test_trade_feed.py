@@ -68,3 +68,12 @@ def test_streaming_gaps_equal_batch_twin(spark):
     got = sorted(map(tuple, TF.streaming_trade_gaps(spark, "").collect()))
     want = sorted(map(tuple, TF.trade_silence_gaps(spark, "").collect()))
     assert got == want
+
+
+def test_streaming_realized_vol_equals_batch_twin(spark):
+    """The per-symbol (last price, n, sum-of-squares) state must extend the
+    delta ledger across micro-batch boundaries exactly like the batch lag
+    window."""
+    got = sorted(map(tuple, TF.streaming_trade_realized_vol(spark, "").collect()))
+    want = sorted(map(tuple, TF.trade_realized_vol(spark, "").collect()))
+    assert got == want
