@@ -137,14 +137,99 @@ def counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COARSE_BUCKETS = [5.0, 25.0, 100.0, 300.0]
+
+
+def histogram_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram downsampling — the Prometheus recording-rule / federation
+    op: merge the per-type value histograms into ONE global histogram,
+    re-grid it to a coarse 4-bucket grid, and report the p95 each grid
+    yields, quantifying the quantile-precision cost of keeping fewer
+    buckets at the aggregation tier.
+
+    Rebucketing CUMULATIVE buckets to a sub-grid is exact — drop the
+    non-retained `le` rows (each kept row already counts everything <= le)
+    — which is precisely why Prometheus histograms are cumulative: any
+    coarsening is a filter, never a re-scan. One corpus pass builds the
+    fine cumulative counts; everything downstream operates on
+    |buckets|-row aggregates through the shared
+    ``quantile_from_bucket_counts`` interpolation.
+    """
+    from ssiintegrateddatapipeline_spark.operators.analytics import (
+        quantile_from_bucket_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(F.col("value").alias("v"))
+    fine_b = spark.createDataFrame([(b,) for b in VALUE_BUCKETS], "le double")
+    fcum = (
+        obs.join(F.broadcast(fine_b), F.col("v") <= F.col("le"))
+        .groupBy("le")
+        .agg(F.count("*").alias("cum"))
+    )
+    tot = obs.agg(F.count("*").alias("total"))
+    grids = spark.createDataFrame([("fine",), ("coarse",)], "grid string")
+    totals = grids.crossJoin(F.broadcast(tot))
+
+    def _one(grid: str, buckets: list[float]) -> DataFrame:
+        cum = fcum if grid == "fine" else fcum.where(F.col("le").isin(buckets))
+        q = quantile_from_bucket_counts(
+            cum.select(F.lit(grid).alias("grid"), "le", "cum"),
+            totals.where(F.col("grid") == grid),
+            "grid",
+            buckets,
+            0.95,
+        )
+        return q.select("grid", F.lit(len(buckets)).alias("n_buckets"), "p95")
+
+    return _one("fine", VALUE_BUCKETS).unionByName(
+        _one("coarse", COARSE_BUCKETS)
+    )
+
+
 QUERIES = {
     "metrics_scrape_table": metrics_table,
     "metrics_counter_increase": counter_increase,
+    "metrics_histogram_rebucket": histogram_rebucket,
 }
 
 _BUCKETS_SQL = "(VALUES (1.0),(2.0),(5.0),(10.0),(25.0),(50.0),(100.0),(150.0),(200.0),(300.0))"
 
 ORACLES = {
+    "metrics_histogram_rebucket": f"""
+        WITH obs AS (SELECT value AS v FROM events),
+        tot AS (SELECT count(*)::DOUBLE AS total FROM obs),
+        fine(le) AS {_BUCKETS_SQL},
+        fcum AS (
+            SELECT f.le, count(*) AS cum
+            FROM fine f JOIN obs ON v <= le GROUP BY f.le
+        ),
+        grid_cum AS (
+            SELECT 'fine' AS grid, le, cum FROM fcum
+            UNION ALL
+            SELECT 'coarse', le, cum FROM fcum
+            WHERE le IN (5.0, 25.0, 100.0, 300.0)
+        ),
+        w AS (
+            SELECT grid, le, cum,
+                   coalesce(lag(cum) OVER pw, 0) AS prev_cum,
+                   coalesce(lag(le) OVER pw, 0.0) AS prev_le
+            FROM grid_cum
+            WINDOW pw AS (PARTITION BY grid ORDER BY le)
+        ),
+        hit AS (
+            SELECT grid,
+                   prev_le + (le - prev_le) * (t.total * 0.95 - prev_cum)
+                       / (cum - prev_cum) AS q
+            FROM w, tot t
+            WHERE cum >= t.total * 0.95
+            QUALIFY row_number() OVER (PARTITION BY grid ORDER BY le) = 1
+        )
+        SELECT grid,
+               (CASE grid WHEN 'fine' THEN 10 ELSE 4 END)::INT AS n_buckets,
+               round(q, 6) AS p95
+        FROM hit
+    """,
     "metrics_counter_increase": f"""
         WITH per_min AS (
             SELECT event_type, date_trunc('minute', ts)::TIMESTAMP AS minute,
