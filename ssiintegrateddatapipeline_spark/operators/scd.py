@@ -44,11 +44,8 @@ def _yearly_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def customer_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the SCD2 history of each customer's annual spend tier:
-    consecutive years with the same tier compress into one row, each row
-    carries [valid_from_year, valid_to_year) and an is_current flag."""
-    tiers = _yearly_tiers(spark, sf_dir)
+def _scd2_from(tiers: DataFrame) -> DataFrame:
+    """Change-compress a (custkey, year, tier) stream into SCD2 rows."""
     w = Window.partitionBy("custkey").orderBy("year")
     changes = tiers.withColumn("prev_tier", F.lag("tier").over(w)).where(
         F.col("prev_tier").isNull() | (F.col("prev_tier") != F.col("tier"))
@@ -61,6 +58,47 @@ def customer_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tier",
         F.lead("year").over(w2).isNull().alias("is_current"),
     )
+
+
+def customer_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the SCD2 history of each customer's annual spend tier:
+    consecutive years with the same tier compress into one row, each row
+    carries [valid_from_year, valid_to_year) and an is_current flag."""
+    return _scd2_from(_yearly_tiers(spark, sf_dir))
+
+
+SCD2_CUTOFF_YEAR = 2000  # change-feed boundary for the apply-changes op
+
+
+def apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance — the MERGE / apply-changes op: the
+    dimension built from pre-cutoff history receives the post-cutoff
+    years as an append-only change feed. Affected keys re-compress ONLY
+    their open row plus their delta years (the open row either extends —
+    same tier — or closes at the first differing year); closed history
+    and untouched keys pass through verbatim. The applied result must
+    equal a FULL REBUILD bit-for-bit — the oracle is the full-rebuild
+    SQL, so the equivalence is what the hash check proves.
+
+    Assumes the standard warehouse load discipline: the feed is
+    append-only in event time (every delta year >= every base year) —
+    late-arriving history would require reopening closed rows (a
+    different, rarer op). Scale shape: the delta and the open-row slice
+    are both small next to the history; untouched history moves through
+    an anti join (keys only), never a window.
+    """
+    tiers = _yearly_tiers(spark, sf_dir)
+    base = _scd2_from(tiers.where(F.col("year") < SCD2_CUTOFF_YEAR))
+    delta = tiers.where(F.col("year") >= SCD2_CUTOFF_YEAR)
+    affected = delta.select("custkey").distinct()
+    untouched = base.join(affected, "custkey", "left_anti")
+    aff_base = base.join(affected, "custkey", "left_semi")
+    closed = aff_base.where(~F.col("is_current"))
+    open_rows = aff_base.where(F.col("is_current")).select(
+        "custkey", F.col("valid_from_year").alias("year"), "tier"
+    )
+    rebuilt_tail = _scd2_from(open_rows.unionByName(delta))
+    return untouched.unionByName(closed).unionByName(rebuilt_tail)
 
 
 def tier_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,6 +128,7 @@ def tier_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "scd2_customer_tiers": customer_tier_scd2,
     "scd2_pit_lookup": tier_pit_lookup,
+    "scd2_apply_changes": apply_changes,
 }
 
 _TIER_SQL = """
@@ -122,6 +161,9 @@ _SCD2_SQL = f"""
 
 ORACLES = {
     "scd2_customer_tiers": _SCD2_SQL,
+    # the incremental apply must equal the full rebuild bit-for-bit —
+    # the full-rebuild SQL IS the oracle for the apply path
+    "scd2_apply_changes": _SCD2_SQL,
     "scd2_pit_lookup": f"""
         WITH dim AS ({_SCD2_SQL})
         SELECT coalesce(d.tier, 'new') AS prior_tier,
