@@ -26,6 +26,12 @@ HEADLINE = [
     "range_interval_union",
     "multimodal_phash_pairs",
     "dedup_soft_weights",
+    "text_gopher_rules",
+    "similarity_ivfpq_ndcg",
+    "scd2_apply_changes",
+    "metrics_histogram_rebucket",
+    "source_jsonl_roundtrip",
+    "tpch_shipmode_priority",
     "text_substring_scrub",
     "analytics_incremental_join_mv",
     "tpch_grouping_sets",
