@@ -253,14 +253,23 @@ def _vwap_finalize(agg):
     )
 
 
-def _run_feed(spark, plan, output_mode, drained, timeout_s=120):
+def _run_feed(spark, plan, output_mode, drained, timeout_s=120,
+              state_partitions=None):
     """Drain the offset-tracked feed stream into a memory sink and return
     the final snapshot as a batch DataFrame. ``drained(df)`` is the
     progress predicate over the sink (row count for append projections,
     the aggregate's total trade count for complete-mode state — the sink
     row count there is fixed by the group-key domain). Raises on timeout
     rather than returning a silently partial snapshot (a stalled drain
-    would otherwise surface as a baffling value diff downstream)."""
+    would otherwise surface as a baffling value diff downstream).
+
+    ``state_partitions``: stateful plans instantiate one state store per
+    shuffle partition, frozen into the checkpoint at first start; for the
+    5-symbol feed domain, 32 stores are pure per-micro-batch setup/commit
+    overhead (measured ~20% of the drain). Pass a small count to pin the
+    state layout — same contract (and same session-conf mutate/restore
+    caveat, single-threaded runners) as streaming.pipeline's
+    run_available_now."""
     import shutil
     import tempfile
     import time
@@ -268,7 +277,13 @@ def _run_feed(spark, plan, output_mode, drained, timeout_s=120):
 
     name = f"feed_out_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ssi_feed_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # hold the pin through the whole drain: the first micro-batch is
+        # planned asynchronously after start(), and that's where the
+        # state-partition count is frozen into the checkpoint
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         q = (
             plan.writeStream.format("memory")
             .queryName(name)
@@ -295,6 +310,7 @@ def _run_feed(spark, plan, output_mode, drained, timeout_s=120):
         # Materialize via Arrow (toPandas), not row-at-a-time Py4J collect.
         return spark.createDataFrame(out.toPandas(), out.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -324,7 +340,8 @@ def _run_feed_complete(spark, plan_builder):
         return row[0] is not None and row[0] >= expected
 
     plan = plan_builder(_ingest_projection(_feed_stream(spark)))
-    return _run_feed(spark, plan, "complete", drained)
+    # 5-symbol (or symbol-x-minute) state domain: 8 state stores, not 32
+    return _run_feed(spark, plan, "complete", drained, state_partitions=8)
 
 
 def streaming_trade_vwap(spark, sf_dir: str):
@@ -519,7 +536,7 @@ def streaming_trade_realized_vol(spark, sf_dir: str):
         )
         return row[0] is not None and row[0] >= expected_deltas
 
-    snap = _run_feed(spark, plan, "update", drained)
+    snap = _run_feed(spark, plan, "update", drained, state_partitions=8)
     final = (
         snap.groupBy("symbol")
         .agg(F.max_by(F.struct("n_deltas", "ss"), "n_deltas").alias("s"))
@@ -654,7 +671,10 @@ def streaming_trade_gaps(spark, sf_dir: str):
         )
     )
     expected = _expected_gap_count()
-    return _run_feed(spark, plan, "append", lambda df: df.count() >= expected)
+    return _run_feed(
+        spark, plan, "append", lambda df: df.count() >= expected,
+        state_partitions=8,
+    )
 
 
 QUERIES = {
