@@ -396,6 +396,53 @@ def streaming_trade_ohlc(spark, sf_dir: str):
     return _run_feed_complete(spark, _ohlc_plan)
 
 
+BB_WINDOW = 5  # bars in the rolling band (short replay span)
+
+
+def trade_bollinger_bands(spark, sf_dir: str):
+    """Bollinger bands over the per-symbol minute bars: rolling mean ±2
+    population-σ of the close over the trailing BB_WINDOW bars, emitted
+    once the window is full. The rolling sums run in exact integer cents
+    (Σc, Σc²) over a per-symbol ROWS window — the bar series per symbol
+    is calendar-bounded, so the window partitioning carries the same
+    scale argument as the OHLC aggregate feeding it. The only floats are
+    the final mean division and one sqrt (display-rounded)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bars = _ohlc_plan(feed_ingest(spark, sf_dir)).select(
+        "symbol", "bar_ts", F.round(F.col("close") * 100).cast("long").alias("cc")
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(-(BB_WINDOW - 1), Window.currentRow)
+    )
+    stats = bars.select(
+        "symbol",
+        "bar_ts",
+        F.count("cc").over(w).alias("n"),
+        F.sum("cc").over(w).alias("s"),
+        F.sum(F.col("cc") * F.col("cc")).over(w).alias("ss"),
+        "cc",
+    ).where(F.col("n") == BB_WINDOW)
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double") / F.col("n")
+        - (F.col("s").cast("double") / F.col("n"))
+        * (F.col("s").cast("double") / F.col("n"))
+    )
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return stats.select(
+        "symbol",
+        "bar_ts",
+        (F.col("cc").cast("double") / 100.0).alias("close"),
+        F.round(mean / 100.0, 6).alias("mid"),
+        F.round((mean - 2 * sd) / 100.0, 6).alias("lower"),
+        F.round((mean + 2 * sd) / 100.0, 6).alias("upper"),
+    )
+
+
 def trade_tick_direction(spark, sf_dir: str):
     """Tick-rule order-flow imbalance per symbol: classify each trade as
     uptick/downtick/zerotick against the previous trade's price and
@@ -683,6 +730,7 @@ QUERIES = {
     "trade_vwap": trade_vwap,
     "streaming_trade_vwap": streaming_trade_vwap,
     "trade_ohlc_bars": trade_ohlc_bars,
+    "trade_bollinger_bands": trade_bollinger_bands,
     "trade_tick_direction": trade_tick_direction,
     "streaming_trade_ohlc": streaming_trade_ohlc,
     "trade_realized_vol": trade_realized_vol,
@@ -763,6 +811,35 @@ ORACLES = {
     # integer ledger — one oracle serves both forms
     "streaming_trade_vwap": _VWAP_ORACLE,
     "trade_ohlc_bars": _OHLC_ORACLE,
+    "trade_bollinger_bands": f"""
+        WITH bars AS (
+            SELECT symbol, bar_ts,
+                   CAST(round(close * 100) AS BIGINT) AS cc
+            FROM ({_OHLC_ORACLE})
+        ),
+        stats AS (
+            SELECT symbol, bar_ts, cc,
+                   count(cc) OVER pw AS n,
+                   sum(cc) OVER pw AS s,
+                   sum(cc * cc) OVER pw AS ss
+            FROM bars
+            WINDOW pw AS (PARTITION BY symbol ORDER BY bar_ts
+                          ROWS BETWEEN {BB_WINDOW - 1} PRECEDING
+                          AND CURRENT ROW)
+        )
+        SELECT symbol, bar_ts,
+               CAST(cc AS DOUBLE) / 100.0 AS close,
+               round((CAST(s AS DOUBLE) / n) / 100.0, 6) AS mid,
+               round((CAST(s AS DOUBLE) / n
+                      - 2 * sqrt(greatest(CAST(ss AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                          0.0))) / 100.0, 6) AS lower,
+               round((CAST(s AS DOUBLE) / n
+                      + 2 * sqrt(greatest(CAST(ss AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                          0.0))) / 100.0, 6) AS upper
+        FROM stats WHERE n = {BB_WINDOW}
+    """,
     "streaming_trade_ohlc": _OHLC_ORACLE,
     "trade_tick_direction": f"""
         WITH feed AS ({_FEED_ORACLE}),
