@@ -374,6 +374,62 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on hourly event rates: per event type,
+    the hour where the cumulative deviation from the series mean peaks —
+    the offline form of the drift alarm that pages when a producer's rate
+    regime shifts (companion to hourly_anomaly's z-scores, which flag
+    single outliers; CUSUM finds sustained level changes).
+
+    Exactness: with S_t the running count sum over t hours, n hours total
+    and T the grand total, the CUSUM statistic scaled by n is
+    n*S_t - t*T — pure int64 (|stat| <= n*T), so the argmax and its
+    location carry no float hazard. The running sum windows over the
+    HOURLY aggregate (calendar-bounded rows per type), never raw events.
+    """
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hourly.select(
+        "event_type",
+        "hour",
+        F.sum("x").over(w).alias("s"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hour"))
+        .alias("t"),
+    )
+    totals = hourly.groupBy("event_type").agg(
+        F.sum("x").alias("total"), F.count("*").alias("n_hours")
+    )
+    stat = cum.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "hour",
+        (F.col("n_hours") * F.col("s") - F.col("t") * F.col("total")).alias(
+            "stat"
+        ),
+        "n_hours",
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("stat")).desc(), F.col("hour").asc()
+    )
+    return (
+        stat.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("cp_hour"),
+            F.abs(F.col("stat")).alias("max_abs_stat"),
+            "n_hours",
+        )
+    )
+
+
 def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value triangle: cumulative purchase revenue per
     signup cohort over cohort age, normalized per cohort user — the
@@ -1552,6 +1608,7 @@ QUERIES = {
     "analytics_event_funnel": event_funnel,
     "analytics_weekly_retention": weekly_retention,
     "analytics_cohort_ltv": cohort_ltv,
+    "analytics_cusum_changepoint": cusum_changepoint,
     "analytics_props_json": props_json_stats,
     "analytics_session_windows": session_windows,
     "analytics_salted_counts": salted_label_counts,
@@ -2154,6 +2211,37 @@ ORACLES = {
                count(DISTINCT e.user_id) AS active_users
         FROM events e JOIN first f ON e.user_id = f.user_id
         GROUP BY 1, 2
+    """,
+    "analytics_cusum_changepoint": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hour,
+                   count(*) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, hour,
+                   sum(x) OVER pw AS s,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY hour) AS t
+            FROM hourly
+            WINDOW pw AS (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        totals AS (
+            SELECT event_type, sum(x) AS total, count(*) AS n_hours
+            FROM hourly GROUP BY 1
+        ),
+        stat AS (
+            SELECT c.event_type, c.hour,
+                   (t.n_hours * c.s - c.t * t.total)::BIGINT AS stat,
+                   t.n_hours
+            FROM cum c JOIN totals t USING (event_type)
+        )
+        SELECT event_type, hour AS cp_hour,
+               abs(stat)::BIGINT AS max_abs_stat, n_hours
+        FROM stat
+        QUALIFY row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(stat) DESC, hour ASC) = 1
     """,
     "analytics_cohort_ltv": """
         WITH first AS (

@@ -919,6 +919,43 @@ def cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def soft_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the soft-dedup weight distribution per
+    source — ESS = (Σw)²/Σw², the standard diagnostic for any weighted
+    sample: how many equally-weighted documents the down-weighted corpus
+    is statistically worth (ESS == n means no duplication; heavy clusters
+    pull it down). Weight sums accumulate in exact integer micro-units;
+    the two final divisions run on exact-int-derived doubles.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = near_dup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("csize"))
+    member = clusters.join(sizes, "cluster_id").select("doc_id", "csize")
+    w_micro = F.when(F.col("csize").isNull(), F.lit(1_000_000)).otherwise(
+        F.expr("(2000000 + csize) div (2 * csize)")
+    )
+    agg = (
+        docs.join(member, "doc_id", "left")
+        .select("source", w_micro.alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("w")).alias("sww"),
+        )
+    )
+    ess = (
+        F.col("sw").cast("double") * F.col("sw").cast("double")
+        / F.col("sww").cast("double")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n_docs"), 6).alias("ess_ratio"),
+    )
+
+
 def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft dedup: instead of DROPPING near-duplicates, every document gets
     sampling weight 1/|its cluster| (1.0 outside any cluster), so each
@@ -972,6 +1009,7 @@ QUERIES = {
     "dedup_quality_canonical": quality_canonical,
     "dedup_decontaminated_split": decontaminated_split,
     "dedup_soft_weights": soft_dedup_weights,
+    "dedup_soft_weight_ess": soft_weight_ess,
 }
 
 _TOKS = TOKS_SQL
@@ -1062,6 +1100,47 @@ ORACLES = {
                sum(w_micro)::DOUBLE / 1000000.0 AS effective_docs
         FROM weighted
         GROUP BY source
+    """,
+    "dedup_soft_weight_ess": f"""
+        WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE},
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        reach(doc_id, root) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.root
+            FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        clusters AS (
+            SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        sizes AS (
+            SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY 1
+        ),
+        member AS (
+            SELECT c.doc_id, s.csize
+            FROM clusters c JOIN sizes s USING (cluster_id)
+        ),
+        weighted AS (
+            SELECT d.source,
+                   CASE WHEN m.csize IS NULL THEN 1000000
+                        ELSE (2000000 + m.csize) // (2 * m.csize)
+                   END AS w
+            FROM documents d LEFT JOIN member m USING (doc_id)
+        ),
+        agg AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(w) AS sw, sum(w * w) AS sww
+            FROM weighted GROUP BY source
+        )
+        SELECT source, n_docs,
+               round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE, 6) AS ess,
+               round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE / n_docs, 6)
+                   AS ess_ratio
+        FROM agg
     """,
     "dedup_fuzzy_name_pairs": f"""
         WITH names AS (
