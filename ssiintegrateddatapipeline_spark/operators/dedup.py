@@ -919,6 +919,75 @@ def cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit of the MinHash layer: for every LSH candidate
+    pair, the 8-permutation signature estimate vs the EXACT 3-shingle
+    Jaccard, with the absolute error — the number that justifies (or
+    indicts) the signature width before the dedup gate is trusted at
+    corpus scale. Companion to the recall/nDCG audits of the vector
+    indexes and the KMV-vs-exact distinct check.
+
+    Scale shape: exact Jaccard is computed ONLY for the LSH candidates
+    (the pair graph is orders of magnitude smaller than the corpus): the
+    shingle explode is semi-joined down to the candidate documents first,
+    and the shingle self-join's output inner-joins back to the candidate
+    pairs. All counts integer; both jaccards are the same round-6 values
+    in both engines, so the error column is a difference of identical
+    doubles.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", "est_jaccard"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    docs_in = (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = d.join(docs_in, "doc_id", "left_semi").select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens(F.col("text"))))).alias(
+            "shingle"
+        ),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    exact_j = F.round(
+        F.col("n_common")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        6,
+    )
+    return (
+        pairs.join(inter, ["doc_id_a", "doc_id_b"], "left")
+        .join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "est_jaccard",
+            F.coalesce(exact_j, F.lit(0.0)).alias("exact_jaccard"),
+            F.round(
+                F.abs(
+                    F.col("est_jaccard")
+                    - F.coalesce(exact_j, F.lit(0.0))
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+    )
+
+
 def soft_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Effective sample size of the soft-dedup weight distribution per
     source — ESS = (Σw)²/Σw², the standard diagnostic for any weighted
@@ -1010,6 +1079,7 @@ QUERIES = {
     "dedup_decontaminated_split": decontaminated_split,
     "dedup_soft_weights": soft_dedup_weights,
     "dedup_soft_weight_ess": soft_weight_ess,
+    "dedup_minhash_accuracy": minhash_accuracy,
 }
 
 _TOKS = TOKS_SQL
@@ -1100,6 +1170,49 @@ ORACLES = {
                sum(w_micro)::DOUBLE / 1000000.0 AS effective_docs
         FROM weighted
         GROUP BY source
+    """,
+    "dedup_minhash_accuracy": f"""
+        WITH {_SIG_CTE}, {_PAIRS_CTE},
+        est AS (
+            SELECT doc_id_a, doc_id_b,
+                   round(n_matching_minhashes / {N_MINHASH}.0, 6)
+                       AS est_jaccard
+            FROM pairs
+        ),
+        docs_in AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id_a AS doc_id FROM est
+                UNION ALL SELECT doc_id_b FROM est
+            )
+        ),
+        ctoks AS (
+            SELECT d.doc_id, {_TOKS} AS toks
+            FROM documents d JOIN docs_in USING (doc_id)
+        ),
+        cshing AS (
+            SELECT doc_id, list_distinct({_SHINGLES}) AS shingles FROM ctoks
+        ),
+        csh AS (SELECT doc_id, unnest(shingles) AS shingle FROM cshing),
+        csizes AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
+        cinter AS (
+            SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+                   count(*) AS n_common
+            FROM csh x JOIN csh y ON x.shingle = y.shingle
+                                  AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT e.doc_id_a, e.doc_id_b, e.est_jaccard,
+               coalesce(round(i.n_common
+                              / (a.n_sh + b.n_sh - i.n_common), 6), 0.0)
+                   AS exact_jaccard,
+               round(abs(e.est_jaccard
+                         - coalesce(round(i.n_common
+                             / (a.n_sh + b.n_sh - i.n_common), 6), 0.0)), 6)
+                   AS abs_err
+        FROM est e
+        LEFT JOIN cinter i USING (doc_id_a, doc_id_b)
+        JOIN csizes a ON e.doc_id_a = a.doc_id
+        JOIN csizes b ON e.doc_id_b = b.doc_id
     """,
     "dedup_soft_weight_ess": f"""
         WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE},
