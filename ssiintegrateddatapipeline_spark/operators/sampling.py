@@ -457,7 +457,105 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOT_B = 64  # bootstrap replicas
+BOOT_LO_RANK = 4  # 4th / 61st order statistics of 64 ≈ a 90% interval
+BOOT_HI_RANK = 61
+
+
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value per
+    type — THE distributed bootstrap (Chamandy et al., Google 2012):
+    classic resampling needs n draws coordinated across the cluster, but
+    giving every row an independent ~Poisson(1) weight per replica needs
+    no coordination at all, so all B replicas fold in ONE aggregation
+    pass over an exploded (row x replica) stream.
+
+    Determinism: the weight is Binomial(8, 1/8) — count of hex digits of
+    md5(event_id|replica) in {0,1} — mean 1, variance 7/8 (a documented
+    stand-in for Poisson(1), identical in both engines since md5 of the
+    decimal key rendering matches). The CI is a pair of exact order
+    statistics of the 64 replica means (ranks 4/61 ~ 90%), selected with
+    a (mean, replica) tie-ordered rank — no percentile interpolation to
+    diverge.
+
+    Scale shape: replicas explode 64x but reduce through map-side
+    partials to |types| x 64 rows; the order-statistic window runs over
+    64 rows per type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    rep = rows.select(
+        "event_type",
+        "vc",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "event_type",
+        "b",
+        "vc",
+        F.size(
+            F.filter(
+                F.split(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col("event_id").cast("string"),
+                                F.lit("boot"),
+                                F.col("b").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    "",
+                ),
+                lambda c: (c == "0") | (c == "1"),
+            )
+        ).alias("w"),
+    )
+    per_rep = (
+        rep.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("vc")).alias("swv"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            (F.col("swv").cast("double") / (100.0 * F.col("sw"))).alias("m"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("m", "b")
+    )
+    ranked = per_rep.withColumn("rn", rn)
+    point = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("vc").cast("double") / (100.0 * F.count(F.lit(1)))).alias(
+            "pm"
+        ),
+    )
+    ci = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == BOOT_LO_RANK, F.col("m"))).alias("lo"),
+        F.min(F.when(F.col("rn") == BOOT_HI_RANK, F.col("m"))).alias("hi"),
+    )
+    return point.join(ci, "event_type").select(
+        "event_type",
+        "n",
+        F.round(F.col("pm"), 6).alias("mean_value"),
+        F.round(F.col("lo"), 6).alias("ci_lo"),
+        F.round(F.col("hi"), 6).alias("ci_hi"),
+    )
+
+
 QUERIES = {
+    "sampling_bootstrap_ci": bootstrap_ci,
     "sampling_reservoir": reservoir_per_source,
     "sampling_weighted_reservoir": weighted_reservoir,
     "sampling_temperature_mix": temperature_mix,
@@ -475,6 +573,51 @@ _RATE_CASE = " ".join(
 )
 
 ORACLES = {
+    "sampling_bootstrap_ci": f"""
+        WITH rows_ AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS vc
+            FROM events
+        ),
+        rep AS (
+            SELECT event_type, b.b, vc,
+                   len(list_filter(
+                       regexp_extract_all(
+                           substr(md5(event_id::VARCHAR || '|boot|'
+                                      || b.b::VARCHAR), 1, 8), '.'),
+                       c -> c IN ('0', '1'))) AS w
+            FROM rows_
+            CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b
+        ),
+        per_rep AS (
+            SELECT event_type, b,
+                   CAST(sum(w * vc) AS DOUBLE) / (100.0 * sum(w)) AS m
+            FROM rep GROUP BY 1, 2
+            HAVING sum(w) > 0
+        ),
+        ranked AS (
+            SELECT event_type, m,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY m, b) AS rn
+            FROM per_rep
+        ),
+        point AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(vc) AS DOUBLE) / (100.0 * count(*)) AS pm
+            FROM rows_ GROUP BY 1
+        ),
+        ci AS (
+            SELECT event_type,
+                   min(CASE WHEN rn = {BOOT_LO_RANK} THEN m END) AS lo,
+                   min(CASE WHEN rn = {BOOT_HI_RANK} THEN m END) AS hi
+            FROM ranked GROUP BY 1
+        )
+        SELECT p.event_type, p.n,
+               round(p.pm, 6) AS mean_value,
+               round(c.lo, 6) AS ci_lo,
+               round(c.hi, 6) AS ci_hi
+        FROM point p JOIN ci c USING (event_type)
+    """,
     "sampling_neyman_allocation": f"""
         WITH m AS (
             SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS micro
