@@ -374,6 +374,71 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def survival_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curve: S(d) = Π_{d' <= d} (1 - churned_d'/at_risk_d')
+    over activity-span durations, with right-censoring (users still active
+    on the window's final day are censored, not churned) — the survival
+    analysis a retention team runs next to the retention triangle.
+
+    Engine shape: the per-duration life table is calendar-bounded
+    (≤ span-days rows), so both global cumulative passes — at-risk
+    (reverse cumulative total) and the survival product — ride
+    ``two_phase_prefix_sum`` (no ``Exchange SinglePartition``). The
+    product is computed as exp of a running sum of ln terms SNAPPED to an
+    integer nano grid before summing: the snap makes the one libm surface
+    identical in both engines, and the running sum stays exact int64.
+    """
+    from ssiintegrateddatapipeline_spark.functions.twophase import (
+        two_phase_prefix_sum,
+    )
+
+    ev = _events(spark, sf_dir)
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("f"),
+        F.max(F.date_trunc("day", "ts")).alias("l"),
+    )
+    gmax = pu.agg(F.max("l").alias("gmax"))
+    per = pu.crossJoin(F.broadcast(gmax)).select(
+        F.datediff("l", "f").alias("duration"),
+        (F.col("l") < F.col("gmax")).cast("int").alias("churned"),
+    )
+    per_dur = per.groupBy("duration").agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("churned").alias("n_churned")
+    )
+    total = per_dur.agg(F.sum("n_total").alias("total_users"))
+    base = per_dur.crossJoin(F.broadcast(total))
+    bucket = F.expr("duration div 8")
+    s1 = two_phase_prefix_sum(
+        base, bucket, [F.col("duration").asc()], F.col("n_total"),
+        out="cum_total",
+    ).withColumn(
+        "n_at_risk",
+        F.col("total_users") - F.col("cum_total") + F.col("n_total"),
+    )
+    term = F.round(
+        F.log(
+            F.greatest(
+                F.lit(1.0) - F.col("n_churned") / F.col("n_at_risk"),
+                F.lit(1e-18),
+            )
+        )
+        * 1e9
+    ).cast("long")
+    s2 = two_phase_prefix_sum(
+        s1.withColumn("term_nano", term),
+        bucket,
+        [F.col("duration").asc()],
+        F.col("term_nano"),
+        out="cum_nano",
+    )
+    return s2.select(
+        "duration",
+        "n_at_risk",
+        "n_churned",
+        F.round(F.exp(F.col("cum_nano") / 1e9), 6).alias("survival"),
+    )
+
+
 def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detection on hourly event rates: per event type,
     the hour where the cumulative deviation from the series mean peaks —
@@ -1609,6 +1674,7 @@ QUERIES = {
     "analytics_weekly_retention": weekly_retention,
     "analytics_cohort_ltv": cohort_ltv,
     "analytics_cusum_changepoint": cusum_changepoint,
+    "analytics_survival_churn": survival_churn,
     "analytics_props_json": props_json_stats,
     "analytics_session_windows": session_windows,
     "analytics_salted_counts": salted_label_counts,
@@ -2211,6 +2277,45 @@ ORACLES = {
                count(DISTINCT e.user_id) AS active_users
         FROM events e JOIN first f ON e.user_id = f.user_id
         GROUP BY 1, 2
+    """,
+    "analytics_survival_churn": """
+        WITH pu AS (
+            SELECT user_id,
+                   min(date_trunc('day', ts))::TIMESTAMP AS f,
+                   max(date_trunc('day', ts))::TIMESTAMP AS l
+            FROM events GROUP BY 1
+        ),
+        g AS (SELECT max(l) AS gmax FROM pu),
+        per AS (
+            SELECT date_diff('day', f, l) AS duration,
+                   CASE WHEN l < g.gmax THEN 1 ELSE 0 END AS churned
+            FROM pu, g
+        ),
+        per_dur AS (
+            SELECT duration, count(*) AS n_total, sum(churned) AS n_churned
+            FROM per GROUP BY 1
+        ),
+        tot AS (SELECT sum(n_total) AS total_users FROM per_dur),
+        s1 AS (
+            SELECT duration, n_total, n_churned,
+                   (t.total_users
+                    - sum(n_total) OVER (ORDER BY duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    + n_total)::BIGINT AS n_at_risk
+            FROM per_dur, tot t
+        ),
+        s2 AS (
+            SELECT duration, n_at_risk, n_churned,
+                   CAST(round(ln(greatest(1.0 - n_churned / n_at_risk,
+                                          1e-18)) * 1e9) AS BIGINT) AS term
+            FROM s1
+        )
+        SELECT duration::INT AS duration, n_at_risk,
+               n_churned::BIGINT AS n_churned,
+               round(exp(sum(term) OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / 1e9), 6) AS survival
+        FROM s2
     """,
     "analytics_cusum_changepoint": """
         WITH hourly AS (
