@@ -713,6 +713,60 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language classifier against the
+    corpus labels — the eval every heuristic filter needs before its
+    verdicts drive curation: per (labeled, predicted) cell count plus
+    the label's recall. Exact-integer half-up recall (no float ratio to
+    tie-break); one classifier scan, two nested hash aggregates.
+
+    On THIS corpus the matrix collapses to one predicted column: the
+    synthetic documents draw words from an English pool regardless of
+    their ``lang`` label, so the classifier (correctly) reads them all as
+    'en' — which is precisely the label-vs-content disagreement a
+    confusion matrix exists to surface before anyone filters on either.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cnt = lang_marker_counts(F.col("text"))
+    cells = (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            predicted_lang_col(cnt).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").alias("n_labeled"),
+        F.sum(
+            F.when(
+                F.col("predicted_lang") == F.col("labeled_lang"),
+                F.col("n_docs"),
+            ).otherwise(0)
+        ).alias("n_correct"),
+    )
+    recall = _round_half_up_ratio_text(
+        F.col("n_correct"), F.col("n_labeled"), 6
+    )
+    return cells.join(F.broadcast(totals), "labeled_lang").select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        recall.alias("label_recall"),
+    )
+
+
+def _round_half_up_ratio_text(numer, denom, scale: int):
+    """Exact half-up round(numer/denom, scale) in int64 (the analytics
+    module's device, re-stated here to keep the text module import-light):
+    floor((numer*2*10^s + denom) / (2*denom)) / 10^s."""
+    p = 10**scale
+    big = numer * F.lit(2 * p) + denom
+    d2 = denom * F.lit(2)
+    q = F.round((big - big % d2) / d2).cast("long")
+    return q / F.lit(float(p))
+
+
 def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style hard rule filters (Rae et al. 2021 §A1.1 adapted to
     this corpus's signals): the per-rule rejection-rate report a curation
@@ -1213,6 +1267,7 @@ QUERIES = {
     "text_bpe_tokens": bpe_token_stats,
     "text_quality_score": quality_score,
     "text_language_id": language_id,
+    "text_language_confusion": language_confusion,
     "text_fingerprint": fingerprint,
     "text_winnowing_fingerprints": winnowing_fingerprints,
 }
@@ -1767,6 +1822,42 @@ ORACLES = {
                round(ns / n, 6) AS stopword_ratio,
                {QUALITY_FORMULA_SQL} AS quality_score
         FROM t
+    """,
+    "text_language_confusion": f"""
+        WITH t AS (
+            SELECT lang AS labeled_lang,
+                   {_markers_sql("en")} AS en_markers,
+                   {_markers_sql("de")} AS de_markers,
+                   {_markers_sql("es")} AS es_markers,
+                   {_markers_sql("fr")} AS fr_markers
+            FROM documents
+        ),
+        pred AS (
+            SELECT labeled_lang,
+                   CASE WHEN en_markers >= de_markers
+                             AND en_markers >= es_markers
+                             AND en_markers >= fr_markers THEN 'en'
+                        WHEN de_markers >= es_markers
+                             AND de_markers >= fr_markers THEN 'de'
+                        WHEN es_markers >= fr_markers THEN 'es'
+                        ELSE 'fr' END AS predicted_lang
+            FROM t
+        ),
+        cells AS (
+            SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+            FROM pred GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT labeled_lang,
+                   sum(n_docs) AS n_labeled,
+                   sum(CASE WHEN predicted_lang = labeled_lang
+                            THEN n_docs ELSE 0 END) AS n_correct
+            FROM cells GROUP BY 1
+        )
+        SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+               ((t.n_correct * 2000000 + t.n_labeled)
+                // (t.n_labeled * 2)) / 1000000.0 AS label_recall
+        FROM cells c JOIN totals t USING (labeled_lang)
     """,
     "text_language_id": f"""
         WITH t AS (
