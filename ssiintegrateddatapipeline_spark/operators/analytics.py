@@ -374,6 +374,65 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini) per market segment over per-customer
+    spend — the inequality readout behind every "top-x% of customers"
+    slide, from the rank form G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with
+    x sorted ascending.
+
+    The within-segment rank is the skew-trap case (5 partition values),
+    so it rides ``two_phase_grouped_row_number``: one hash exchange on a
+    spend-range bucket yields BOTH ranks; only the within-segment one is
+    consumed. Σ i·x accumulates as decimal(38,0) (rank times cents
+    overflows int64 at warehouse row counts); the final ratio is one
+    double division of two exactly-derived integers.
+    """
+    from ssiintegrateddatapipeline_spark.functions.twophase import (
+        two_phase_grouped_row_number,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("spend_cents"))
+    )
+    seg_idx = F.array_position(
+        F.split(F.lit(",".join(_SEGMENTS)), ","), F.col("c_mktsegment")
+    ).cast("int")
+    bucket = F.expr("cast(spend_cents div 50000000 as int)")
+    ranked, _ = two_phase_grouped_row_number(
+        spend.withColumn("gix", seg_idx),
+        bucket,
+        F.col("gix"),
+        [F.col("spend_cents").asc(), F.col("c_custkey").asc()],
+    )
+    d38 = "decimal(38,0)"
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("spend_cents").cast(d38)).alias("sx"),
+        F.sum(
+            (F.col("group_pos").cast(d38) * F.col("spend_cents").cast(d38))
+        ).alias("six"),
+    )
+    gini = (
+        (2 * F.col("six") - (F.col("n_customers") + 1) * F.col("sx")).cast(
+            "double"
+        )
+        / (F.col("n_customers") * F.col("sx")).cast("double")
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        F.round(F.col("sx").cast("double") / 100.0, 2).alias("total_spend"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
 def survival_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier churn curve: S(d) = Π_{d' <= d} (1 - churned_d'/at_risk_d')
     over activity-span durations, with right-censoring (users still active
@@ -1675,6 +1734,7 @@ QUERIES = {
     "analytics_cohort_ltv": cohort_ltv,
     "analytics_cusum_changepoint": cusum_changepoint,
     "analytics_survival_churn": survival_churn,
+    "analytics_gini_concentration": gini_concentration,
     "analytics_props_json": props_json_stats,
     "analytics_session_windows": session_windows,
     "analytics_salted_counts": salted_label_counts,
@@ -2277,6 +2337,31 @@ ORACLES = {
                count(DISTINCT e.user_id) AS active_users
         FROM events e JOIN first f ON e.user_id = f.user_id
         GROUP BY 1, 2
+    """,
+    "analytics_gini_concentration": """
+        WITH spend AS (
+            SELECT c_custkey, c_mktsegment,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT c_mktsegment, spend_cents,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY spend_cents ASC, c_custkey ASC) AS i
+            FROM spend
+        ),
+        agg AS (
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   sum(spend_cents) AS sx,
+                   sum(i * spend_cents) AS six
+            FROM ranked GROUP BY 1
+        )
+        SELECT c_mktsegment, n_customers,
+               round(sx::DOUBLE / 100.0, 2) AS total_spend,
+               round((2 * six - (n_customers + 1) * sx)::DOUBLE
+                     / (n_customers * sx)::DOUBLE, 6) AS gini
+        FROM agg
     """,
     "analytics_survival_churn": """
         WITH pu AS (
