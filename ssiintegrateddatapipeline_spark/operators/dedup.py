@@ -919,6 +919,22 @@ def cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup pair graph: how many documents
+    have 1, 2, 3… near-duplicates — the shape check run before trusting
+    cluster-based dedup (a heavy-tailed degree histogram means a few
+    templates dominate; cluster sizes and dedup savings follow from it).
+    Two hash aggregations over the (already session-cached) pair graph;
+    pure integer counts.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    ends = pairs.select(F.col("doc_id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_id_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy audit of the MinHash layer: for every LSH candidate
     pair, the 8-permutation signature estimate vs the EXACT 3-shingle
@@ -1080,6 +1096,7 @@ QUERIES = {
     "dedup_soft_weights": soft_dedup_weights,
     "dedup_soft_weight_ess": soft_weight_ess,
     "dedup_minhash_accuracy": minhash_accuracy,
+    "graph_neardup_degree_hist": neardup_degree_hist,
 }
 
 _TOKS = TOKS_SQL
@@ -1170,6 +1187,16 @@ ORACLES = {
                sum(w_micro)::DOUBLE / 1000000.0 AS effective_docs
         FROM weighted
         GROUP BY source
+    """,
+    "graph_neardup_degree_hist": f"""
+        WITH {_SIG_CTE}, {_PAIRS_CTE},
+        ends AS (
+            SELECT doc_id_a AS doc_id FROM pairs
+            UNION ALL
+            SELECT doc_id_b FROM pairs
+        ),
+        deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY 1)
+        SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
     """,
     "dedup_minhash_accuracy": f"""
         WITH {_SIG_CTE}, {_PAIRS_CTE},
