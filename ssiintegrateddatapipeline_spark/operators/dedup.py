@@ -967,14 +967,23 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # intersect THROUGH the pair list, not via a shingle self-join: the
+    # self-join counts every co-shingled doc pair among the candidate
+    # docs (quadratic in a near-dup-dense corpus — the replica-twin probe
+    # measured 23x work on 3x data); fanning each pair out to its left
+    # doc's shingles and hash-probing (shingle, right doc) is linear in
+    # Σ_pairs |shingles(a)|.
     inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_id_a"),
-            F.col("y.doc_id").alias("doc_id_b"),
+        pairs.select("doc_id_a", "doc_id_b")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"),
+            "doc_id_a",
         )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            ["doc_id_b", "shingle"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
@@ -1222,10 +1231,10 @@ ORACLES = {
         csh AS (SELECT doc_id, unnest(shingles) AS shingle FROM cshing),
         csizes AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
         cinter AS (
-            SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
-                   count(*) AS n_common
-            FROM csh x JOIN csh y ON x.shingle = y.shingle
-                                  AND x.doc_id < y.doc_id
+            SELECT e.doc_id_a, e.doc_id_b, count(*) AS n_common
+            FROM est e
+            JOIN csh x ON x.doc_id = e.doc_id_a
+            JOIN csh y ON y.doc_id = e.doc_id_b AND y.shingle = x.shingle
             GROUP BY 1, 2
         )
         SELECT e.doc_id_a, e.doc_id_b, e.est_jaccard,

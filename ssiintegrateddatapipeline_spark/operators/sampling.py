@@ -488,36 +488,35 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("vc"),
     )
+    # weight = count of 4-bit nibbles < 2 among the hash's first 32 bits —
+    # integer shift/mask arithmetic on ONE conv() (the string-array form
+    # (split + filter per row) measured ~2x slower across the 64x stream)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_id").cast("string"),
+                    F.lit("boot"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = sum(
+        (F.shiftright(h, 4 * g).bitwiseAND(F.lit(15)) < 2).cast("int")
+        for g in range(8)
+    )
     rep = rows.select(
         "event_type",
         "vc",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
         F.col("event_id"),
-    ).select(
-        "event_type",
-        "b",
-        "vc",
-        F.size(
-            F.filter(
-                F.split(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                F.col("event_id").cast("string"),
-                                F.lit("boot"),
-                                F.col("b").cast("string"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    "",
-                ),
-                lambda c: (c == "0") | (c == "1"),
-            )
-        ).alias("w"),
-    )
+    ).select("event_type", "b", "vc", w.alias("w"))
     per_rep = (
         rep.groupBy("event_type", "b")
         .agg(
@@ -579,15 +578,18 @@ ORACLES = {
                    CAST(round(value * 100) AS BIGINT) AS vc
             FROM events
         ),
-        rep AS (
+        hashed AS (
             SELECT event_type, b.b, vc,
-                   len(list_filter(
-                       regexp_extract_all(
-                           substr(md5(event_id::VARCHAR || '|boot|'
-                                      || b.b::VARCHAR), 1, 8), '.'),
-                       c -> c IN ('0', '1'))) AS w
+                   ('0x' || substr(md5(event_id::VARCHAR || '|boot|'
+                                       || b.b::VARCHAR), 1, 8))
+                       ::UBIGINT::BIGINT AS h
             FROM rows_
             CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b
+        ),
+        rep AS (
+            SELECT event_type, b, vc,
+                   (CASE WHEN (h >> 0) & 15 < 2 THEN 1 ELSE 0 END + CASE WHEN (h >> 4) & 15 < 2 THEN 1 ELSE 0 END + CASE WHEN (h >> 8) & 15 < 2 THEN 1 ELSE 0 END + CASE WHEN (h >> 12) & 15 < 2 THEN 1 ELSE 0 END + CASE WHEN (h >> 16) & 15 < 2 THEN 1 ELSE 0 END + CASE WHEN (h >> 20) & 15 < 2 THEN 1 ELSE 0 END + CASE WHEN (h >> 24) & 15 < 2 THEN 1 ELSE 0 END + CASE WHEN (h >> 28) & 15 < 2 THEN 1 ELSE 0 END) AS w
+            FROM hashed
         ),
         per_rep AS (
             SELECT event_type, b,
