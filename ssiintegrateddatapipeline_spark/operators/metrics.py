@@ -155,35 +155,41 @@ def histogram_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     |buckets|-row aggregates through the shared
     ``quantile_from_bucket_counts`` interpolation.
     """
-    from ssiintegrateddatapipeline_spark.operators.analytics import (
-        quantile_from_bucket_counts,
-    )
-
     ev = load_table(spark, sf_dir, "events")
     obs = ev.select(F.col("value").alias("v"))
-    fine_b = spark.createDataFrame([(b,) for b in VALUE_BUCKETS], "le double")
-    fcum = (
-        obs.join(F.broadcast(fine_b), F.col("v") <= F.col("le"))
-        .groupBy("le")
-        .agg(F.count("*").alias("cum"))
-    )
-    tot = obs.agg(F.count("*").alias("total"))
-    grids = spark.createDataFrame([("fine",), ("coarse",)], "grid string")
-    totals = grids.crossJoin(F.broadcast(tot))
+    # ONE corpus scan, ZERO joins: all cumulative bucket counts plus the
+    # grand total fold as conditional sums in a single aggregate; the
+    # <= |buckets|+1 result values re-emit as a local relation so the fine
+    # and coarse grid branches don't each re-run the scan lineage
+    # (the bucket-join + per-branch recompute form measured 2x this).
+    row = obs.agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.sum((F.col("v") <= F.lit(b)).cast("long")).alias(f"c{i}")
+            for i, b in enumerate(VALUE_BUCKETS)
+        ],
+    ).collect()[0]
+    cum_by_le = {b: row[f"c{i}"] for i, b in enumerate(VALUE_BUCKETS)}
+    target = 0.95 * row["total"]
 
-    def _one(grid: str, buckets: list[float]) -> DataFrame:
-        cum = fcum if grid == "fine" else fcum.where(F.col("le").isin(buckets))
-        q = quantile_from_bucket_counts(
-            cum.select(F.lit(grid).alias("grid"), "le", "cum"),
-            totals.where(F.col("grid") == grid),
-            "grid",
-            buckets,
-            0.95,
-        )
-        return q.select("grid", F.lit(len(buckets)).alias("n_buckets"), "p95")
+    def _interp(buckets: list[float]) -> tuple:
+        # same interpolation as analytics.quantile_from_bucket_counts,
+        # evaluated over the collected (bounded: |buckets|-row) table —
+        # driver arithmetic on exact integers, no per-grid Spark stages
+        prev_le, prev_cum = 0.0, 0
+        for b in buckets:
+            c = cum_by_le[b]
+            if c >= target:
+                q = prev_le + (b - prev_le) * (target - prev_cum) / (c - prev_cum)
+                return len(buckets), round(q, 6)
+            prev_le, prev_cum = b, c
+        return len(buckets), round(float(buckets[-1]), 6)
 
-    return _one("fine", VALUE_BUCKETS).unionByName(
-        _one("coarse", COARSE_BUCKETS)
+    nf, qf = _interp(VALUE_BUCKETS)
+    nc, qc = _interp(COARSE_BUCKETS)
+    return spark.createDataFrame(
+        [("fine", nf, qf), ("coarse", nc, qc)],
+        "grid string, n_buckets int, p95 double",
     )
 
 
