@@ -919,6 +919,85 @@ def cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve table: for each (bands x rows) configuration of
+    the 8 minhashes — 8x1, 4x2 (the production gate), 2x4 — the candidate
+    count it generates and its capture rate of high-similarity pairs
+    (>= NEAR_DUP_MIN_MATCHES matching hashes). This is the table that
+    tunes b/r before a corpus-scale run: r=1 floods (any single matching
+    hash makes a candidate — quadratic in random collisions, measured
+    90x pairs on 10x docs), r=4 starves recall, r=2 sits on the knee.
+
+    Evaluated over a bounded doc_id subset (same device as the exact
+    Jaccard verifier): the widest net (8x1) is inherently quadratic —
+    the flooding is the finding, so the probe input is capped, not the
+    plan. Ground truth = every wide-net pair; capture flags are pure
+    signature-array expressions.
+    """
+    sigs = _signatures(spark, sf_dir).where(F.col("doc_id") < 500)
+    ex = sigs.select(
+        "doc_id", "sig", F.posexplode(F.col("sig")).alias("pos", "mh")
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"),
+        "pos", "mh",
+    )
+    pairs = (
+        ex.join(b, ["pos", "mh"])
+        .where(F.col("doc_id") < F.col("doc_id_b"))
+        .select("doc_id", "doc_id_b", "sig", "sig_b")
+        .dropDuplicates(["doc_id", "doc_id_b"])
+    )
+    m = F.zip_with("sig", "sig_b", lambda x, y: (x == y).cast("int"))
+    scored = pairs.select(
+        F.aggregate(m, F.lit(0), lambda s, x: s + x).alias("n_match"),
+        F.exists(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda i: (F.element_at(m, (2 * i + 1).cast("int")) == 1)
+            & (F.element_at(m, (2 * i + 2).cast("int")) == 1),
+        ).alias("cap_b4r2"),
+        F.exists(
+            F.sequence(F.lit(0), F.lit(1)),
+            lambda i: F.aggregate(
+                F.slice(m, (4 * i + 1).cast("int"), 4),
+                F.lit(0),
+                lambda s, x: s + x,
+            )
+            == 4,
+        ).alias("cap_b2r4"),
+    )
+    high = F.col("n_match") >= NEAR_DUP_MIN_MATCHES
+    cfg = scored.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("b8_r1").alias("config"), F.lit(True).alias("cap")),
+                F.struct(F.lit("b4_r2").alias("config"), F.col("cap_b4r2").alias("cap")),
+                F.struct(F.lit("b2_r4").alias("config"), F.col("cap_b2r4").alias("cap")),
+            )
+        ).alias("c"),
+        high.alias("high"),
+    ).select("c.config", "c.cap", "high")
+    totals = scored.agg(
+        F.sum(high.cast("long")).alias("n_high_total")
+    )
+    return (
+        cfg.groupBy("config")
+        .agg(
+            F.sum(F.col("cap").cast("long")).alias("n_candidates"),
+            F.sum((F.col("cap") & F.col("high")).cast("long")).alias(
+                "n_high_captured"
+            ),
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "capture_rate",
+            F.round(
+                F.col("n_high_captured") / F.col("n_high_total"), 6
+            ),
+        )
+    )
+
+
 def neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram of the near-dup pair graph: how many documents
     have 1, 2, 3… near-duplicates — the shape check run before trusting
@@ -1106,6 +1185,7 @@ QUERIES = {
     "dedup_soft_weight_ess": soft_weight_ess,
     "dedup_minhash_accuracy": minhash_accuracy,
     "graph_neardup_degree_hist": neardup_degree_hist,
+    "dedup_lsh_tuning": lsh_tuning,
 }
 
 _TOKS = TOKS_SQL
@@ -1196,6 +1276,59 @@ ORACLES = {
                sum(w_micro)::DOUBLE / 1000000.0 AS effective_docs
         FROM weighted
         GROUP BY source
+    """,
+    "dedup_lsh_tuning": f"""
+        WITH {_SIG_CTE},
+        small AS (SELECT doc_id, sig FROM sigs WHERE doc_id < 500),
+        ex AS (
+            SELECT doc_id, sig, sig[p.pos] AS mh, p.pos
+            FROM small,
+                 (SELECT unnest(generate_series(1, {N_MINHASH})) AS pos) p
+        ),
+        wide AS (
+            SELECT DISTINCT x.doc_id, x.sig AS sig_a,
+                            y.doc_id AS doc_id_b, y.sig AS sig_b
+            FROM ex x JOIN ex y ON x.pos = y.pos AND x.mh = y.mh
+                               AND x.doc_id < y.doc_id
+        ),
+        scored AS (
+            SELECT
+                len(list_filter(list_zip(sig_a, sig_b),
+                                p -> p[1] = p[2])) AS n_match,
+                len(list_filter(generate_series(0, 3),
+                    i -> sig_a[2*i + 1] = sig_b[2*i + 1]
+                     AND sig_a[2*i + 2] = sig_b[2*i + 2])) > 0 AS cap_b4r2,
+                len(list_filter(generate_series(0, 1),
+                    i -> sig_a[4*i + 1] = sig_b[4*i + 1]
+                     AND sig_a[4*i + 2] = sig_b[4*i + 2]
+                     AND sig_a[4*i + 3] = sig_b[4*i + 3]
+                     AND sig_a[4*i + 4] = sig_b[4*i + 4])) > 0 AS cap_b2r4
+            FROM wide
+        ),
+        cfg AS (
+            SELECT 'b8_r1' AS config, TRUE AS cap,
+                   n_match >= {NEAR_DUP_MIN_MATCHES} AS high FROM scored
+            UNION ALL
+            SELECT 'b4_r2', cap_b4r2,
+                   n_match >= {NEAR_DUP_MIN_MATCHES} FROM scored
+            UNION ALL
+            SELECT 'b2_r4', cap_b2r4,
+                   n_match >= {NEAR_DUP_MIN_MATCHES} FROM scored
+        ),
+        tot AS (
+            SELECT sum(CASE WHEN n_match >= {NEAR_DUP_MIN_MATCHES}
+                            THEN 1 ELSE 0 END)::BIGINT AS n_high_total
+            FROM scored
+        )
+        SELECT config,
+               sum(CASE WHEN cap THEN 1 ELSE 0 END)::BIGINT AS n_candidates,
+               sum(CASE WHEN cap AND high THEN 1 ELSE 0 END)::BIGINT
+                   AS n_high_captured,
+               t.n_high_total,
+               round(sum(CASE WHEN cap AND high THEN 1 ELSE 0 END)
+                     / t.n_high_total, 6) AS capture_rate
+        FROM cfg, tot t
+        GROUP BY config, t.n_high_total
     """,
     "graph_neardup_degree_hist": f"""
         WITH {_SIG_CTE}, {_PAIRS_CTE},
