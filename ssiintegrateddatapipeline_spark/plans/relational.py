@@ -865,8 +865,46 @@ def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation: how
+    concentrated each nation's supply revenue is across its suppliers —
+    the market-concentration companion to the per-segment Gini. Exact
+    rational form: HHI = Σ rev_i² / (Σ rev_i)² over integer cents, both
+    sums in decimal(38,0) (cents² overflows int64 at warehouse volumes);
+    one IEEE division at the end. Supplier and nation dims broadcast; the
+    lineitem scan reduces through a (suppkey) partial aggregate first so
+    the squared term sees one row per supplier.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_supp = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(rev_cents).alias("rev"))
+    )
+    d38 = "decimal(38,0)"
+    agg = per_supp.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("rev").cast(d38)).alias("s"),
+        F.sum((F.col("rev").cast(d38) * F.col("rev").cast(d38))).alias("ss"),
+    )
+    hhi = F.col("ss").cast("double") / (F.col("s") * F.col("s")).cast("double")
+    return agg.select(
+        "n_name",
+        "n_suppliers",
+        F.round(F.col("s").cast("double") / 100.0, 2).alias("total_revenue"),
+        F.round(hhi, 6).alias("hhi"),
+    )
+
+
 QUERIES = {
     "tpch_sql_market_pulse": sql_surface_market_pulse,
+    "tpch_supplier_hhi": supplier_hhi,
     "tpch_important_parts": important_parts,
     "tpch_shipmode_priority": shipmode_priority,
     "tpch_bucketed_join": bucketed_revenue_by_month,
@@ -900,6 +938,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_supplier_hhi": """
+        WITH per_supp AS (
+            SELECT n_name, s_suppkey,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS rev
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT n_name, count(*) AS n_suppliers,
+                   sum(rev) AS s, sum(rev * rev) AS ss
+            FROM per_supp GROUP BY 1
+        )
+        SELECT n_name, n_suppliers,
+               round(s::DOUBLE / 100.0, 2) AS total_revenue,
+               round(ss::DOUBLE / (s * s)::DOUBLE, 6) AS hhi
+        FROM agg
+    """,
     "tpch_important_parts": """
         WITH per_part AS (
             SELECT l_partkey AS partkey,
