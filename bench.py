@@ -32,6 +32,17 @@ HEADLINE = [
     "metrics_histogram_rebucket",
     "source_jsonl_roundtrip",
     "tpch_shipmode_priority",
+    "analytics_cusum_changepoint",
+    "analytics_gini_concentration",
+    "analytics_survival_churn",
+    "tpch_supplier_hhi",
+    "dedup_lsh_tuning",
+    "dedup_minhash_accuracy",
+    "dedup_soft_weight_ess",
+    "graph_neardup_degree_hist",
+    "text_language_confusion",
+    "trade_bollinger_bands",
+    "sampling_bootstrap_ci",
     "text_substring_scrub",
     "analytics_incremental_join_mv",
     "tpch_grouping_sets",
