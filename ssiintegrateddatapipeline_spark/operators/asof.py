@@ -431,6 +431,30 @@ def nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_S = 3600  # attribution window: 1 hour
+
+
+def tolerance_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (the pandas ``merge_asof(tolerance=...)``
+    semantic): a purchase is attributed to the user's most recent view
+    only if it happened within the last hour — staler matches become
+    organic (NULL attribution) instead of silently claiming credit.
+    Post-filters the plain as-of join's rows, so the join plan is
+    unchanged; the tolerance test runs on the already-rounded gap column
+    in both engines (no fresh float boundary).
+    """
+    lt = last_touch(spark, sf_dir)
+    within = F.col("gap_secs") <= ASOF_TOLERANCE_S
+    return lt.select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        F.when(within, F.col("last_view_id")).alias("attributed_view_id"),
+        F.when(within, F.col("gap_secs")).alias("gap_secs"),
+        F.coalesce(within, F.lit(False)).alias("attributed"),
+    )
+
+
 ACTIVITY_WINDOW_US = 300_000_000  # each event opens a 5-minute window
 
 
@@ -484,6 +508,7 @@ def interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "asof_last_touch": last_touch,
+    "asof_tolerance_touch": tolerance_last_touch,
     "asof_nearest_event": nearest_event,
     "range_band_pricing": range_band_pricing,
     "range_session_overlap": session_overlap,
@@ -523,10 +548,7 @@ _SESSIONS_CTE = """
     )
 """
 
-ORACLES = {
-    # same union+window formulation in DuckDB (not its native ASOF JOIN, so
-    # tie-breaking semantics are pinned identically on both sides)
-    "asof_last_touch": """
+_LAST_TOUCH_SQL = """
         WITH purchases AS (
             SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
             FROM events WHERE event_type = 'purchase'
@@ -558,6 +580,20 @@ ORACLES = {
                    AS gap_secs
         FROM carried
         WHERE _side = 1
+    """
+
+ORACLES = {
+    # same union+window formulation in DuckDB (not its native ASOF JOIN, so
+    # tie-breaking semantics are pinned identically on both sides)
+    "asof_last_touch": _LAST_TOUCH_SQL,
+    "asof_tolerance_touch": f"""
+        WITH base AS ({_LAST_TOUCH_SQL})
+        SELECT user_id, purchase_id, purchase_ts,
+               CASE WHEN gap_secs <= {ASOF_TOLERANCE_S} THEN last_view_id END
+                   AS attributed_view_id,
+               CASE WHEN gap_secs <= {ASOF_TOLERANCE_S} THEN gap_secs END AS gap_secs,
+               coalesce(gap_secs <= {ASOF_TOLERANCE_S}, FALSE) AS attributed
+        FROM base
     """,
     # the oracle states overlap DECLARATIVELY (plain inequality self-join)
     # — the binned equi-join must reproduce it exactly
