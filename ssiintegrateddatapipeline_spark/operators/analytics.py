@@ -433,6 +433,61 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz top-decile share per market segment: what fraction of a
+    segment's revenue its top 10% of customers hold — the slide-ready
+    point statistic the Gini curve summarizes. Same one-exchange grouped
+    two-phase rank as the Gini (ascending spend, so the top decile is the
+    HIGHEST ranks: pos > n - ceil(n/10), with ceil as exact integer
+    (n+9) div 10); the share is one double division of exact cent sums.
+    """
+    from ssiintegrateddatapipeline_spark.functions.twophase import (
+        two_phase_grouped_row_number,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("spend_cents"))
+    )
+    seg_idx = F.array_position(
+        F.split(F.lit(",".join(_SEGMENTS)), ","), F.col("c_mktsegment")
+    ).cast("int")
+    bucket = F.expr("cast(spend_cents div 50000000 as int)")
+    ranked, _ = two_phase_grouped_row_number(
+        spend.withColumn("gix", seg_idx),
+        bucket,
+        F.col("gix"),
+        [F.col("spend_cents").asc(), F.col("c_custkey").asc()],
+    )
+    sizes = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("spend_cents").alias("total")
+    )
+    j = ranked.join(F.broadcast(sizes), "c_mktsegment")
+    top_k = F.expr("(n + 9) div 10")
+    in_top = F.col("group_pos") > (F.col("n") - top_k)
+    agg = j.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n_customers"),
+        F.max(top_k).alias("top_customers"),
+        F.sum(F.when(in_top, F.col("spend_cents")).otherwise(0)).alias(
+            "top_cents"
+        ),
+        F.max("total").alias("total_cents"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        "top_customers",
+        F.round(
+            F.col("top_cents").cast("double")
+            / F.col("total_cents").cast("double"),
+            6,
+        ).alias("top_decile_share"),
+    )
+
+
 def survival_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier churn curve: S(d) = Π_{d' <= d} (1 - churned_d'/at_risk_d')
     over activity-span durations, with right-censoring (users still active
@@ -1735,6 +1790,7 @@ QUERIES = {
     "analytics_cusum_changepoint": cusum_changepoint,
     "analytics_survival_churn": survival_churn,
     "analytics_gini_concentration": gini_concentration,
+    "analytics_top_decile_share": top_decile_share,
     "analytics_props_json": props_json_stats,
     "analytics_session_windows": session_windows,
     "analytics_salted_counts": salted_label_counts,
@@ -2337,6 +2393,30 @@ ORACLES = {
                count(DISTINCT e.user_id) AS active_users
         FROM events e JOIN first f ON e.user_id = f.user_id
         GROUP BY 1, 2
+    """,
+    "analytics_top_decile_share": """
+        WITH spend AS (
+            SELECT c_custkey, c_mktsegment,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT c_mktsegment, spend_cents,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY spend_cents ASC, c_custkey ASC) AS i,
+                   count(*) OVER (PARTITION BY c_mktsegment) AS n,
+                   sum(spend_cents) OVER (PARTITION BY c_mktsegment) AS total
+            FROM spend
+        )
+        SELECT c_mktsegment,
+               max(n)::BIGINT AS n_customers,
+               max((n + 9) // 10)::BIGINT AS top_customers,
+               round(sum(CASE WHEN i > n - (n + 9) // 10
+                              THEN spend_cents ELSE 0 END)::DOUBLE
+                     / max(total)::DOUBLE, 6) AS top_decile_share
+        FROM ranked
+        GROUP BY c_mktsegment
     """,
     "analytics_gini_concentration": """
         WITH spend AS (
