@@ -919,6 +919,68 @@ def cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level savings report per dedup tier: how many documents and
+    whitespace tokens each method would drop — 'exact_dup' (non-minimal
+    members of identical-text groups) and 'near_dup' (non-canonical
+    members of the MinHash-LSH clusters) against the corpus total. The
+    budget slide of the curation pipeline: dedup is justified in tokens,
+    not documents. Tiers are measured independently (potential savings
+    per method, not a sequenced pipeline). Pure integer counts; the pct
+    is one double division, half-up-free.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    total = toks.agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_toks").alias("tok")
+    )
+    exact_dropped = (
+        toks.withColumn(
+            "keep",
+            F.row_number().over(
+                Window.partitionBy("h").orderBy("doc_id")
+            )
+            == 1,
+        )
+        .where(~F.col("keep"))
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_toks").alias("tok"))
+    )
+    clusters = near_dup_clusters(spark, sf_dir)
+    canon = clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("canon_id")
+    )
+    near_dropped = (
+        clusters.join(canon, "cluster_id")
+        .where(F.col("doc_id") != F.col("canon_id"))
+        .join(toks, "doc_id")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_toks").alias("tok"))
+    )
+    rows = (
+        total.select(F.lit("corpus").alias("tier"), "docs", "tok")
+        .unionByName(
+            exact_dropped.select(F.lit("exact_dup").alias("tier"), "docs", "tok")
+        )
+        .unionByName(
+            near_dropped.select(F.lit("near_dup").alias("tier"), "docs", "tok")
+        )
+    )
+    return rows.crossJoin(
+        F.broadcast(total.select(F.col("tok").alias("corpus_tok")))
+    ).select(
+        "tier",
+        F.coalesce("docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("tok", F.lit(0)).alias("n_tokens"),
+        F.round(
+            F.coalesce("tok", F.lit(0)).cast("double")
+            / F.col("corpus_tok").cast("double"),
+            6,
+        ).alias("pct_of_corpus_tokens"),
+    )
+
+
 def lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding S-curve table: for each (bands x rows) configuration of
     the 8 minhashes — 8x1, 4x2 (the production gate), 2x4 — the candidate
@@ -1186,6 +1248,7 @@ QUERIES = {
     "dedup_minhash_accuracy": minhash_accuracy,
     "graph_neardup_degree_hist": neardup_degree_hist,
     "dedup_lsh_tuning": lsh_tuning,
+    "dedup_savings_report": dedup_savings,
 }
 
 _TOKS = TOKS_SQL
@@ -1276,6 +1339,60 @@ ORACLES = {
                sum(w_micro)::DOUBLE / 1000000.0 AS effective_docs
         FROM weighted
         GROUP BY source
+    """,
+    "dedup_savings_report": f"""
+        WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE},
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        reach(doc_id, root) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.root
+            FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        clusters AS (
+            SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        tk AS (
+            SELECT doc_id, len({TOKS_SQL}) AS n_toks, md5(text) AS h
+            FROM documents
+        ),
+        total AS (
+            SELECT count(*) AS docs, sum(n_toks) AS tok FROM tk
+        ),
+        exact_dropped AS (
+            SELECT count(*) AS docs, sum(n_toks) AS tok FROM (
+                SELECT n_toks,
+                       row_number() OVER (PARTITION BY h ORDER BY doc_id)
+                           AS rn
+                FROM tk
+            ) WHERE rn > 1
+        ),
+        canon AS (
+            SELECT cluster_id, min(doc_id) AS canon_id
+            FROM clusters GROUP BY 1
+        ),
+        near_dropped AS (
+            SELECT count(*) AS docs, sum(t.n_toks) AS tok
+            FROM clusters c
+            JOIN canon n USING (cluster_id)
+            JOIN tk t USING (doc_id)
+            WHERE c.doc_id != n.canon_id
+        ),
+        rows_ AS (
+            SELECT 'corpus' AS tier, docs, tok FROM total
+            UNION ALL SELECT 'exact_dup', docs, tok FROM exact_dropped
+            UNION ALL SELECT 'near_dup', docs, tok FROM near_dropped
+        )
+        SELECT r.tier,
+               coalesce(r.docs, 0)::BIGINT AS n_docs,
+               coalesce(r.tok, 0)::BIGINT AS n_tokens,
+               round(coalesce(r.tok, 0)::DOUBLE / t.tok::DOUBLE, 6)
+                   AS pct_of_corpus_tokens
+        FROM rows_ r, total t
     """,
     "dedup_lsh_tuning": f"""
         WITH {_SIG_CTE},
