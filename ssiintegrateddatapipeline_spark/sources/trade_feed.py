@@ -396,6 +396,33 @@ def streaming_trade_ohlc(spark, sf_dir: str):
     return _run_feed_complete(spark, _ohlc_plan)
 
 
+def trade_max_drawdown(spark, sf_dir: str):
+    """Maximum drawdown per symbol over the replayed feed: the largest
+    peak-to-trough price drop (running-max price minus current price,
+    maximized) — the risk stat quoted next to realized volatility. Same
+    per-symbol sequence window as the tick rule; all arithmetic exact
+    integer cents with one display division."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = feed_ingest(spark, sf_dir)
+    pc = F.round(F.col("price") * 100).cast("long")
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("event_timestamp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runmax = F.max(pc).over(w)
+    return (
+        t.select("symbol", (runmax - pc).alias("dd"), pc.alias("pc"))
+        .groupBy("symbol")
+        .agg(
+            (F.max("dd").cast("double") / 100.0).alias("max_drawdown"),
+            (F.max("pc").cast("double") / 100.0).alias("peak_price"),
+        )
+    )
+
+
 BB_WINDOW = 5  # bars in the rolling band (short replay span)
 
 
@@ -731,6 +758,7 @@ QUERIES = {
     "streaming_trade_vwap": streaming_trade_vwap,
     "trade_ohlc_bars": trade_ohlc_bars,
     "trade_bollinger_bands": trade_bollinger_bands,
+    "trade_max_drawdown": trade_max_drawdown,
     "trade_tick_direction": trade_tick_direction,
     "streaming_trade_ohlc": streaming_trade_ohlc,
     "trade_realized_vol": trade_realized_vol,
@@ -877,6 +905,22 @@ ORACLES = {
                           / CAST(count(*) - 1 AS DOUBLE)) / 100.0, 6)
                    AS realized_vol
         FROM d GROUP BY symbol
+    """,
+    "trade_max_drawdown": f"""
+        WITH feed AS ({_FEED_ORACLE}),
+        seq AS (
+            SELECT symbol,
+                   CAST(round(price * 100) AS BIGINT) AS pc,
+                   max(CAST(round(price * 100) AS BIGINT)) OVER (
+                       PARTITION BY symbol ORDER BY event_timestamp
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS runmax
+            FROM feed
+        )
+        SELECT symbol,
+               max(runmax - pc)::DOUBLE / 100.0 AS max_drawdown,
+               max(pc)::DOUBLE / 100.0 AS peak_price
+        FROM seq GROUP BY symbol
     """,
     "trade_silence_gaps": _GAPS_ORACLE,
     # the streaming twin drains the same deterministic feed through the
