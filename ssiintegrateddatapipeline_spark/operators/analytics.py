@@ -778,25 +778,19 @@ def p50_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map normalization via ``applyInPandas``: each user's values
-    standardized against the group mean/std (ddof=0 to match SQL's
-    population stddev). The grouped-map API ships each whole group to one
-    Python worker as an Arrow batch — the right tool when the transform
-    needs the full group in memory (normalization, per-group model fit)."""
-    import pandas as pd
-
-    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
-        mean = pdf["value"].mean()
-        std = pdf["value"].std(ddof=0)
-        z = (pdf["value"] - mean) / std if std > 0 else pdf["value"] * 0.0
-        return pd.DataFrame(
-            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "zscore": z.round(6)}
-        )
-
+    """Per-user z-score normalization, fully JVM-side: ``avg``/``stddev_pop``
+    over ``Window.partitionBy("user_id")`` standardizes each value against
+    its group's population moments without ever crossing the Python
+    boundary. The window form streams each partition's rows instead of
+    materializing whole groups as Arrow batches, so a skewed user is just a
+    large sorted run — not a single oversized Python worker allocation —
+    which is what survives a 100 TB skewed key."""
+    w = Window.partitionBy("user_id")
     ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
-    return ev.groupBy("user_id").applyInPandas(
-        norm, "user_id long, event_id long, zscore double"
-    )
+    mean = F.avg("value").over(w)
+    std = F.stddev_pop("value").over(w)
+    z = F.when(std > 0, (F.col("value") - mean) / std).otherwise(F.lit(0.0))
+    return ev.select("user_id", "event_id", F.round(z, 6).alias("zscore"))
 
 
 # ---------------------------------------------------------------------------

@@ -112,6 +112,16 @@ def test_no_python_udfs_in_jvm_only_paths(spark, sf_dir):
         assert "Python" not in plan and "MapInPandas" not in plan, name
 
 
+def test_zscore_is_jvm_window_no_python(spark, sf_dir):
+    """Per-user z-score is avg/stddev_pop over a keyed window — a skewed
+    user must be a large sorted run, never a whole-group Arrow batch on
+    one Python worker. Any Python node here is a regression to the
+    grouped-map form."""
+    plan = _executed_plan(_QUERIES["analytics_zscore"](spark, sf_dir))
+    assert "Python" not in plan and "FlatMapGroupsInPandas" not in plan
+    assert "Window" in plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """Tables bucketed on the join key must join without any Exchange —
     the write-once-shuffle-never-again layout for the biggest fact joins."""
