@@ -134,15 +134,30 @@ def with_simhash32(df, toks: Column, out: str = "simhash"):
     )
 
 
+def arr_dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays in doubles, index order."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def arr_norm(a: Column) -> Column:
+    """L2 norm of a float array in doubles, index order — identical
+    arithmetic to the norm terms inside :func:`cosine`, split out so
+    all-pairs scorers can precompute it once per vector instead of once
+    per pair."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    return F.sqrt(
+        F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays, computed in doubles in index
     order (parity with the oracle's list_transform/list_sum)."""
-    ad = F.transform(a, lambda x: x.cast("double"))
-    bd = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    return dot / (na * nb)
+    return arr_dot(a, b) / (arr_norm(a) * arr_norm(b))
 
 
 # --- DuckDB spellings of the same primitives (oracle-side building blocks) --

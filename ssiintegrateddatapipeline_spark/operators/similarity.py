@@ -23,7 +23,7 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ssiintegrateddatapipeline_spark.functions.text_funcs import cosine
+from ssiintegrateddatapipeline_spark.functions.text_funcs import arr_dot, arr_norm, cosine
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
 
 TOP_K = 10
@@ -32,33 +32,79 @@ NEAR_DUP_THRESHOLD = 0.35  # calibrated to the testdata's cosine range
 N_PLANES = 8  # sign-LSH signature bits
 
 
-def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+TOPK_SALTS = 64  # first-level fanout for the two-level exact top-k
+
+
+def _brute_topk(spark: SparkSession, sf_dir: str, with_emb: bool = False) -> DataFrame:
     """Exact top-k cosine neighbors for the query vectors (vec_id < 5).
 
-    The query side is tiny -> broadcast; the corpus scan is a single pass.
+    The query side is tiny -> broadcast; the corpus scan is a single
+    pass. Top-k is the repo's two-level exact device: a window over only
+    |queries| keys is a |queries|-task skew trap at corpus scale, so a
+    per-(query, salt) local top-k cuts the corpus to |queries| x SALTS x
+    k rows before the final per-query window (any global top-k row is in
+    its salt's top-k under the same total order — exactly equal).
+
+    ``with_emb`` additionally carries the neighbor's embedding through
+    (for consumers like MMR that need candidate-pair sims) — the default
+    drops it before the windows so the contract query's sort stays
+    narrow.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        # norms once per corpus vector, not once per (query, vector) pair
+        "n_emb", arr_norm(F.col("embedding"))
+    )
     q = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n_emb").alias("n_q"),
     )
     pairs = emb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
-    scored = pairs.select(
+    cols = [
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine_sim"),
+        F.round(
+            arr_dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("n_q") * F.col("n_emb")),
+            6,
+        ).alias("cosine_sim"),
+    ]
+    if with_emb:
+        cols.append("embedding")
+    scored = pairs.select(*cols)
+    order = [F.col("cosine_sim").desc(), F.col("neighbor_id")]
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    local = (
+        scored.withColumn("salt", F.pmod(F.col("neighbor_id"), F.lit(TOPK_SALTS)))
+        .withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= TOP_K)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
-    )
+    out_cols = ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    if with_emb:
+        out_cols.append("embedding")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .select(*out_cols)
     )
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _brute_topk(spark, sf_dir)
 
 
 MMR_LAMBDA = 0.7  # relevance weight; (1 - lambda) weights redundancy
 MMR_SELECT = 5  # diversified picks per query
+MMR_ROWS_PER_TASK = 4096  # step-frame sizing: ~one task per 4k candidate rows
+
+
+def _step_parts(n_rows: int, cores: int) -> int:
+    """Partition count for the greedy step frames: one task per
+    MMR_ROWS_PER_TASK rows, clamped to [1, cores]. At the contract's 50
+    candidates this is 1 (no empty-task scheduling); at a 100x query
+    workload it grows so the per-step joins/aggs parallelize."""
+    return max(1, min(cores, -(-n_rows // MMR_ROWS_PER_TASK)))
 
 
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,29 +114,51 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard redundancy-suppressing rerank between retrieval and a RAG
     context window (k near-duplicate passages waste the whole budget).
 
-    The greedy loop is inherently sequential but bounded by MMR_SELECT:
-    each step is one anti-join (drop picked), one left join against the
-    picked set + candidate-pair sims, and a per-query ``max(struct)``
-    argmax — all over the <= TOP_K-per-query candidate table, never the
-    corpus. Candidate relevances and pairwise sims are round-6 cosines
+    The greedy loop is inherently sequential but bounded by MMR_SELECT.
+    The state is the candidate pool carrying a running
+    ``max_sim_to_picked`` column: each step is one per-query
+    ``max(struct)`` argmax (a hash aggregation, no window shuffle) and
+    one state update — drop the pick, fold its pairwise sims in with
+    ``greatest`` — so a step adds exactly one join to the analyzed plan.
+    ``greatest(NULL, sim) = sim`` preserves the no-picks-yet case
+    exactly (including negative cosines: the running max starts NULL,
+    not 0). Candidate relevances and pairwise sims are round-6 cosines
     (the module's cross-engine-stable currency), the MMR score is one
     fixed-shape expression rounded at 12 decimals before the argmax, and
-    ties break on neighbor_id — bit-identical picks in any engine. The
-    ``max(struct)`` trick keeps the per-step argmax a hash aggregation
-    (no per-step window shuffle). DuckDB oracle: the loop unrolled into
-    MATERIALIZED step CTEs with the identical join-aggregate shape.
+    ties break on neighbor_id — bit-identical picks in any engine.
+    DuckDB oracle: the loop unrolled into MATERIALIZED step CTEs with
+    the equivalent max-over-picked-set shape (a fold of pairwise
+    ``greatest`` equals the set max).
 
     Scale notes (100 TB): candidate generation is the scale path (ANN
     top-k); this operates on |queries| x TOP_K rows. Everything here is
     proportional to the query workload, not the corpus.
     """
-    cand = brute_force_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.col("cosine_sim").alias("rel")
+    cand = _brute_topk(spark, sf_dir, with_emb=True).select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("rel"), "embedding"
     )
-    emb = load_table(spark, sf_dir, "embeddings")
-    cemb = cand.join(
-        emb, cand["neighbor_id"] == emb["vec_id"]
-    ).select("query_id", "neighbor_id", "rel", "embedding")
+    return _mmr_greedy(spark, cand)
+
+
+def _mmr_greedy(spark: SparkSession, cand: DataFrame) -> DataFrame:
+    """The bounded greedy loop over a (query_id, neighbor_id, rel,
+    embedding) candidate table. Split out so scale probes can drive it
+    with a replicated query workload independent of candidate
+    generation. The embedding rides in on the candidate rows so the
+    pairwise-sim self-join never rescans the corpus."""
+    # checkpoint the pool FIRST: the pairwise-sim self-join then reads
+    # the materialized candidate rows instead of re-running candidate
+    # generation (previously the top-k executed once per checkpoint).
+    pool = cand.localCheckpoint()
+    cores = spark.sparkContext.defaultParallelism
+    # 1-row census over the checkpointed leaf sizes the step frames:
+    # |cand| rows -> ceil(|cand| / MMR_ROWS_PER_TASK) tasks, so the greedy
+    # steps run single-task at contract scale but parallelize when the
+    # query workload grows 100x.
+    n_cand = pool.count()
+    pool = pool.coalesce(_step_parts(n_cand, cores))
+    cemb = pool
+    pool = pool.drop("embedding")  # the greedy state stays narrow
     x = cemb.select(
         "query_id",
         F.col("neighbor_id").alias("id_a"),
@@ -111,87 +179,97 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("sim"),
         )
     )
-    # cut lineage on the two step inputs (|queries| x TOP_K rows each):
-    # each greedy step's LOGICAL plan otherwise embeds the full candidate
-    # generation — and since step i also embeds step i-1's whole tree via
-    # the picked set, the analyzer's work doubles per step (measured:
-    # step 5 alone cost 10 s on 50 rows). localCheckpoint materializes
-    # the rows and hands later steps a leaf relation.
-    # single-partition step frames: the greedy operates on |queries| x
-    # TOP_K rows, so letting each step's joins/aggs inherit the session's
-    # shuffle width just schedules empty tasks (32 tasks x ~10 stages for
-    # 50 rows). With a large query workload, size this to
-    # |queries| / cores instead of 1.
-    sims = sims.coalesce(1).localCheckpoint()
-    pool = cand.coalesce(1).localCheckpoint()
-    sel = None  # (query_id, sid)
-    picks = []
+    # the pair sims derive from the checkpointed pool leaf (a 2-op
+    # self-join subplan, never a corpus rescan); one checkpoint
+    # materializes the |cand| x (k-1) pair rows so the per-step join
+    # reads a leaf instead of recomputing the self-join 5x.
+    sims = sims.localCheckpoint()
+    #
+    # greedy state: ALL candidate rows, carrying a running
+    # max-sim-to-picked column (NULL until the first pick folds in —
+    # greatest() skips NULLs, so negative cosines are preserved, not
+    # clamped at 0) and the pick_rank/mmr_score assigned when a row is
+    # chosen. Each step is one per-query window argmax (the windows all
+    # partition by query_id, so the shuffle happens once) plus one left
+    # join folding the new pick's sims into the running max — the whole
+    # MMR_SELECT-step greedy is ONE lazy plan of ~3 ops per step and a
+    # single job at collect, instead of a driver-blocking checkpoint
+    # job per step.
+    w = Window.partitionBy("query_id")
     mu = 1.0 - MMR_LAMBDA
+    state = (
+        pool.withColumn("maxsim", F.lit(None).cast("double"))
+        .withColumn("pick_rank", F.lit(None).cast("long"))
+        .withColumn("mmr_score", F.lit(None).cast("double"))
+    )
     for step in range(1, MMR_SELECT + 1):
-        if sel is None:
-            avail = pool
-            joined = avail.withColumn("sim", F.lit(None).cast("double"))
-        else:
-            avail = pool.join(
-                sel.withColumnRenamed("sid", "neighbor_id"),
-                ["query_id", "neighbor_id"],
-                "left_anti",
+        mmr = F.round(
+            F.lit(MMR_LAMBDA) * F.col("rel")
+            - F.lit(mu) * F.coalesce(F.col("maxsim"), F.lit(0.0)),
+            12,
+        )
+        # argmax over the still-unpicked rows of this query: max() skips
+        # the NULL structs of already-picked rows; ties break on
+        # neighbor_id via the negated-id struct field. No second
+        # rounding on mmr: the 12-decimal ranking value is already
+        # deterministic across engines.
+        s = F.max(
+            F.when(
+                F.col("pick_rank").isNull(),
+                F.struct(
+                    mmr.alias("mmr"),
+                    (-F.col("neighbor_id")).alias("negid"),
+                    F.col("neighbor_id").alias("id"),
+                ),
             )
-            joined = (
-                avail.join(sel, "query_id", "left")
-                .join(
-                    sims,
-                    (sims["query_id"] == avail["query_id"])
-                    & (sims["id_a"] == F.col("neighbor_id"))
-                    & (sims["id_b"] == F.col("sid")),
+        ).over(w)
+        st = state.select(
+            "query_id", "neighbor_id", "rel", "maxsim", "pick_rank",
+            "mmr_score", s.alias("s"),
+        )
+        picked_now = F.col("pick_rank").isNull() & (
+            F.col("neighbor_id") == F.col("s.id")
+        )
+        st = st.select(
+            "query_id",
+            "neighbor_id",
+            "rel",
+            "maxsim",
+            F.when(picked_now, F.lit(step).cast("long"))
+            .otherwise(F.col("pick_rank"))
+            .alias("pick_rank"),
+            F.when(picked_now, F.col("s.mmr"))
+            .otherwise(F.col("mmr_score"))
+            .alias("mmr_score"),
+            F.col("s.id").alias("just_picked"),
+        )
+        if step < MMR_SELECT:
+            sm = sims.alias(f"sm{step}")
+            state = (
+                st.join(
+                    sm,
+                    (st["query_id"] == F.col(f"sm{step}.query_id"))
+                    & (F.col(f"sm{step}.id_a") == st["neighbor_id"])
+                    & (F.col(f"sm{step}.id_b") == st["just_picked"]),
                     "left",
                 )
-                .select(avail["query_id"], "neighbor_id", "rel", "sim")
+                .select(
+                    st["query_id"],
+                    "neighbor_id",
+                    "rel",
+                    "pick_rank",
+                    "mmr_score",
+                    F.greatest("maxsim", f"sm{step}.sim").alias("maxsim"),
+                )
             )
-        scored = joined.groupBy("query_id", "neighbor_id", "rel").agg(
-            F.round(
-                F.lit(MMR_LAMBDA) * F.col("rel")
-                - F.lit(mu) * F.coalesce(F.max("sim"), F.lit(0.0)),
-                12,
-            ).alias("mmr")
-        )
-        pick = (
-            scored.groupBy("query_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("mmr"),
-                        (-F.col("neighbor_id")).alias("negid"),
-                        F.col("neighbor_id").alias("id"),
-                        F.col("rel").alias("r"),
-                    )
-                ).alias("s")
-            )
-            .select(
-                "query_id",
-                F.col("s.id").alias("neighbor_id"),
-                F.col("s.r").alias("relevance"),
-                # no second rounding: 0.7 x a 6-decimal cosine lands
-                # exactly on .5 at the 7th decimal, where the engines'
-                # half-up vs half-even double rounding disagree — the
-                # 12-decimal ranking value is already deterministic
-                F.col("s.mmr").alias("mmr_score"),
-                F.lit(step).cast("long").alias("pick_rank"),
-            )
-        )
-        # eager lineage cut per step (|queries| rows): keeps every step's
-        # analyzed plan two joins deep instead of doubling per step
-        pick = pick.localCheckpoint()
-        picks.append(pick)
-        new_sel = pick.select(
-            "query_id", F.col("neighbor_id").alias("sid")
-        )
-        sel = new_sel if sel is None else sel.union(new_sel)
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.union(p)
-    return out.select(
-        "query_id", "pick_rank", "neighbor_id", "relevance", "mmr_score"
+        else:
+            state = st
+    return state.where(F.col("pick_rank").isNotNull()).select(
+        "query_id",
+        "pick_rank",
+        "neighbor_id",
+        F.col("rel").alias("relevance"),
+        "mmr_score",
     )
 
 

@@ -69,6 +69,36 @@ def test_mmr_picks_are_distinct_candidates(spark, sf_dir):
         seen.add(key)
 
 
+def test_mmr_step_frames_parallelize_at_100x(spark, sf_dir):
+    """Scale probe: at a 100x query workload the greedy step frames must
+    span multiple tasks (the census-derived coalesce), and every replica
+    must get the same picks as its base query — the greedy is per-query
+    independent, so replication changes parallelism, never results."""
+    base = similarity._brute_topk(spark, sf_dir, with_emb=True).select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("rel"), "embedding"
+    )
+    reps = spark.range(100).select((F.col("id") * 1000).alias("off"))
+    cand = base.crossJoin(F.broadcast(reps)).select(
+        (F.col("query_id") + F.col("off")).alias("query_id"),
+        "neighbor_id",
+        "rel",
+        "embedding",
+    )
+    n_cand = cand.count()
+    cores = spark.sparkContext.defaultParallelism
+    assert similarity._step_parts(n_cand, cores) > 1  # steps span tasks
+    assert similarity._step_parts(50, cores) == 1  # contract scale: 1 task
+    got = similarity._mmr_greedy(spark, cand).collect()
+    base_picks = {
+        (r["query_id"], r["pick_rank"]): (r["neighbor_id"], r["mmr_score"])
+        for r in similarity.mmr_rerank(spark, sf_dir).collect()
+    }
+    assert len(got) == 100 * len(base_picks)
+    for r in got:
+        key = (r["query_id"] % 1000, r["pick_rank"])
+        assert base_picks[key] == (r["neighbor_id"], r["mmr_score"])
+
+
 def test_benford_shares_and_counts(spark, sf_dir):
     rows = profiling.benford_audit(spark, sf_dir).collect()
     assert {r["digit"] for r in rows} <= set(range(1, 10))
