@@ -468,19 +468,27 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic resampling needs n draws coordinated across the cluster, but
     giving every row an independent ~Poisson(1) weight per replica needs
     no coordination at all, so all B replicas fold in ONE aggregation
-    pass over an exploded (row x replica) stream.
+    pass — 2B conditional sums (sum of w_b*value, sum of w_b per
+    replica) over the UN-exploded rows, then a |types|-row unpivot back
+    to (type, replica) means. No 64x row stream ever exists: the only
+    shuffle is |types| rows x 128 partial sums.
 
-    Determinism: the weight is Binomial(8, 1/8) — count of hex digits of
-    md5(event_id|replica) in {0,1} — mean 1, variance 7/8 (a documented
-    stand-in for Poisson(1), identical in both engines since md5 of the
-    decimal key rendering matches). The CI is a pair of exact order
-    statistics of the 64 replica means (ranks 4/61 ~ 90%), selected with
-    a (mean, replica) tie-ordered rank — no percentile interpolation to
-    diverge.
+    Determinism: the weight is Binomial(8, 1/8) — count of 4-bit nibbles
+    in {0,1} among an 8-nibble slice of md5(event_id|boot|k) — mean 1,
+    variance 7/8 (a documented stand-in for Poisson(1), identical in
+    both engines since md5 of the decimal key rendering matches). One
+    md5 is 32 nibbles, so each hash funds FOUR replicas (disjoint
+    8-nibble slices): B/4 hashes per row, not B. The CI is a pair of
+    exact order statistics of the 64 replica means (ranks 4/61 ~ 90%),
+    selected with a (mean, replica) tie-ordered rank — no percentile
+    interpolation to diverge.
 
-    Scale shape: replicas explode 64x but reduce through map-side
-    partials to |types| x 64 rows; the order-statistic window runs over
-    64 rows per type.
+    Scale shape: the map side evaluates B/4 md5s per row (the
+    irreducible bootstrap work) inside one whole-stage-codegen
+    projection — kept SEPARATE from the aggregate so the md5 forest
+    can't push the aggregate's generated code past the JIT limit;
+    partials reduce to |types| rows wide of 2B sums, the
+    order-statistic window runs over the 64 unpivoted rows per type.
     """
     ev = load_table(spark, sf_dir, "events")
     rows = ev.select(
@@ -488,44 +496,73 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("vc"),
     )
-    # weight = count of 4-bit nibbles < 2 among the hash's first 32 bits —
-    # integer shift/mask arithmetic on ONE conv() (the string-array form
-    # (split + filter per row) measured ~2x slower across the 64x stream)
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("event_id").cast("string"),
-                    F.lit("boot"),
-                    F.col("b").cast("string"),
-                )
-            ),
-            1,
-            8,
+    # the hashing below is the query's real compute; a small single-file
+    # scan would otherwise pin all of it on one task. At warehouse scale
+    # the scan has >= cores splits and this is a no-op.
+    cores = spark.sparkContext.defaultParallelism
+    if rows.rdd.getNumPartitions() < cores:
+        rows = rows.repartition(cores)
+
+    # weight = count of 4-bit nibbles < 2 among an 8-nibble hash slice —
+    # integer shift/mask arithmetic on ONE conv(). The whole weight
+    # vector is built with HIGHER-ORDER functions (transform/flatten):
+    # unrolling the md5 forest into 64 named columns generates >64 KB of
+    # bytecode per method and janino refuses to compile it, silently
+    # dropping the stage to interpreted mode (measured 2x SLOWER than
+    # the explode it replaced) — the array lambdas compile to loops.
+    harr = F.transform(
+        F.sequence(F.lit(0), F.lit(BOOT_B // 4 - 1)),
+        lambda k: F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.lit("boot"),
+                k.cast("string"),
+            )
         ),
-        16,
-        10,
-    ).cast("long")
-    w = sum(
-        (F.shiftright(h, 4 * g).bitwiseAND(F.lit(15)) < 2).cast("int")
-        for g in range(8)
     )
-    rep = rows.select(
-        "event_type",
-        "vc",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
-        F.col("event_id"),
-    ).select("event_type", "b", "vc", w.alias("w"))
+    hvarr = F.flatten(
+        F.transform(
+            harr,
+            lambda h: F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda j: F.conv(
+                    h.substr(j * F.lit(8) + F.lit(1), F.lit(8)), 16, 10
+                ).cast("long"),
+            ),
+        )
+    )
+    warr = F.transform(
+        hvarr,
+        lambda hv: sum(
+            (F.shiftright(hv, 4 * g).bitwiseAND(F.lit(15)) < 2).cast("int")
+            for g in range(8)
+        ),
+    )
+    wide = rows.select("event_type", "vc", warr.alias("ws"))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("svc"),
+    ]
+    for b in range(BOOT_B):
+        w = F.element_at("ws", b + 1)
+        aggs.append(F.sum(w * F.col("vc")).alias(f"swv{b}"))
+        aggs.append(F.sum(w).alias(f"sw{b}"))
+    base = wide.groupBy("event_type").agg(*aggs)
+    point_mean = (F.col("svc").cast("double") / (100.0 * F.col("n"))).alias("pm")
+    stacked = ", ".join(f"{b}, swv{b}, sw{b}" for b in range(BOOT_B))
     per_rep = (
-        rep.groupBy("event_type", "b")
-        .agg(
-            F.sum(F.col("w") * F.col("vc")).alias("swv"),
-            F.sum("w").alias("sw"),
+        base.select(
+            "event_type",
+            "n",
+            point_mean,
+            F.expr(f"stack({BOOT_B}, {stacked}) AS (b, swv, sw)"),
         )
         .where(F.col("sw") > 0)
         .select(
             "event_type",
+            "n",
+            "pm",
             "b",
             (F.col("swv").cast("double") / (100.0 * F.col("sw"))).alias("m"),
         )
@@ -534,22 +571,19 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("event_type").orderBy("m", "b")
     )
     ranked = per_rep.withColumn("rn", rn)
-    point = rows.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("vc").cast("double") / (100.0 * F.count(F.lit(1)))).alias(
-            "pm"
-        ),
-    )
-    ci = ranked.groupBy("event_type").agg(
-        F.min(F.when(F.col("rn") == BOOT_LO_RANK, F.col("m"))).alias("lo"),
-        F.min(F.when(F.col("rn") == BOOT_HI_RANK, F.col("m"))).alias("hi"),
-    )
-    return point.join(ci, "event_type").select(
-        "event_type",
-        "n",
-        F.round(F.col("pm"), 6).alias("mean_value"),
-        F.round(F.col("lo"), 6).alias("ci_lo"),
-        F.round(F.col("hi"), 6).alias("ci_hi"),
+    return (
+        ranked.groupBy("event_type", "n", "pm")
+        .agg(
+            F.min(F.when(F.col("rn") == BOOT_LO_RANK, F.col("m"))).alias("lo"),
+            F.min(F.when(F.col("rn") == BOOT_HI_RANK, F.col("m"))).alias("hi"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("pm"), 6).alias("mean_value"),
+            F.round(F.col("lo"), 6).alias("ci_lo"),
+            F.round(F.col("hi"), 6).alias("ci_hi"),
+        )
     )
 
 
@@ -579,9 +613,11 @@ ORACLES = {
             FROM events
         ),
         hashed AS (
+            -- one md5 funds four replicas: slice 8 nibbles per replica
             SELECT event_type, b.b, vc,
                    ('0x' || substr(md5(event_id::VARCHAR || '|boot|'
-                                       || b.b::VARCHAR), 1, 8))
+                                       || (b.b // 4)::VARCHAR),
+                                   8 * (b.b % 4) + 1, 8))
                        ::UBIGINT::BIGINT AS h
             FROM rows_
             CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b
