@@ -1222,34 +1222,22 @@ def _online_batch_of(n: int):
     return F.expr(f"((doc_id % {2 * n}) - 1) div 2").cast("int")
 
 
-def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Online SELF-MAINTAINING near-duplicate index — the full production
-    shape of ingest dedup: arrivals replay in ``ONLINE_DEDUP_BATCHES``
-    sequential micro-batches (staged one file per batch,
-    ``maxFilesPerTrigger=1``, mtime-ordered), each batch probes an index
-    TABLE seeded with the corpus band keys, and the band keys of ADMITTED
-    arrivals are APPENDED to that table before the next batch starts — so
-    later arrivals are near-dup-checked against earlier admissions, not
-    just the static corpus. The index lives in STORAGE (parquet appends;
-    at scale a bucketed/Delta table partitioned by band), never in the
-    state store: zero streaming state for any number of arrivals, and the
-    index survives restarts with the checkpoint. Consistency is
-    per-micro-batch: a batch sees the index as of batch start (intra-batch
-    arrivals do not block each other — documented choice, replayed by the
-    oracle's unrolled per-stage CTEs)."""
-    from ssiintegrateddatapipeline_spark.operators.dedup import (
-        NEAR_DUP_MIN_MATCHES,
-    )
+ONLINE_DEDUP_COMPACT_EVERY = 8  # merge index delta files once this many exist
+
+# per-batch triggerExecution millis of the most recent online-dedup drive
+LAST_RUN_BATCH_MS: list = []
+
+
+def _online_stage(spark: SparkSession, sf_dir: str, n: int) -> str:
+    """Stage arrivals: one parquet FILE per micro-batch, strictly
+    increasing mtimes so the file source replays them in batch order.
+    Memoized per (app, sf_dir) — the staged files are immutable."""
     from ssiintegrateddatapipeline_spark.sources.batch import load_table
 
-    n = ONLINE_DEDUP_BATCHES
-    docs = load_table(spark, sf_dir, "documents")
-
-    # --- stage arrivals: one parquet FILE per micro-batch, strictly
-    # increasing mtimes so the file source replays them in batch order
     skey = (spark.sparkContext.applicationId, sf_dir)
     arrivals_dir = _ONLINE_STAGE_CACHE.get(skey)
     if arrivals_dir is None:
+        docs = load_table(spark, sf_dir, "documents")
         stage_root = tempfile.mkdtemp(dir=_session_ckpt_root())
         arrivals_dir = os.path.join(stage_root, "arrivals")
         os.makedirs(arrivals_dir)
@@ -1270,15 +1258,35 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(part_file, dst)
             os.utime(dst, (base_t + k, base_t + k))
         _ONLINE_STAGE_CACHE[skey] = arrivals_dir
+    return arrivals_dir
 
-    # --- fresh index per run, seeded with the corpus band keys
-    run_root = tempfile.mkdtemp(dir=_session_ckpt_root())
-    index_dir = os.path.join(run_root, "index")
+
+def _online_dedup_drive(
+    spark: SparkSession, sf_dir: str, arrivals_dir: str, run_root: str
+) -> DataFrame:
+    """Drive (or RESUME) one online-dedup run rooted at ``run_root``:
+    checkpoint, seed index, per-batch index deltas and decision spool all
+    live under it, so calling this again with the same root after a stop
+    restarts from the checkpoint — offsets skip replayed files, the
+    storage-backed index picks up exactly where it was, and every batch
+    write is an idempotent per-batch-id overwrite (a replayed batch
+    rewrites its own directory, never double-appends)."""
+    from ssiintegrateddatapipeline_spark.operators.dedup import (
+        NEAR_DUP_MIN_MATCHES,
+    )
+
+    n = ONLINE_DEDUP_BATCHES
+    base_dir = os.path.join(run_root, "index_base")
+    delta_root = os.path.join(run_root, "index_delta")
     spool = os.path.join(run_root, "decisions")
-    # the corpus bucket index is the SAME frame the other gates persist —
-    # reuse the session cache instead of re-deriving the signatures
-    _gate_corpus(spark, sf_dir).write.parquet(index_dir)
-    idx_schema = spark.read.parquet(index_dir).schema
+    ckpt = os.path.join(run_root, "ckpt")
+    os.makedirs(delta_root, exist_ok=True)
+    os.makedirs(spool, exist_ok=True)
+    if not os.path.exists(os.path.join(base_dir, "_SUCCESS")):
+        # seed once with the corpus band keys — the SAME frame the other
+        # gates persist; reused from the session cache
+        _gate_corpus(spark, sf_dir).write.mode("overwrite").parquet(base_dir)
+    idx_schema = spark.read.parquet(base_dir).schema
 
     staged_schema = spark.read.parquet(arrivals_dir).schema
     stream = (
@@ -1289,13 +1297,15 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = _gate_band_keys(_gate_signatures(stream))
     n_match = _sig_match_count()
 
-    def _emit(bdf: DataFrame, _bid: int) -> None:
+    def _emit(bdf: DataFrame, bid: int) -> None:
         # persist both frames: each is consumed by two actions, and without
         # pinning, every action re-reads the batch file and re-runs the
         # band lineage (measured: 7.2 s -> 10.8 s per call without)
         b = bdf.persist()
-        # fresh read per batch: the listing must see last batch's appends
-        idx = spark.read.schema(idx_schema).parquet(index_dir)
+        # fresh listing per batch: base + current delta dirs (last
+        # batch's admissions included)
+        deltas = sorted(glob.glob(os.path.join(delta_root, "d*")))
+        idx = spark.read.schema(idx_schema).parquet(base_dir, *deltas)
         tally = (
             b.join(idx, ["band", "key"], "left")
             .select(
@@ -1312,23 +1322,40 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()  # reused by both writes; unpersisted below
         )
-        # coalesce(1): each append is a few thousand rows — one file per
-        # batch keeps the per-batch index re-listing O(batches), where a
-        # 32-partition append would grow it by 32 small files per batch
-        tally.coalesce(1).write.mode("append").parquet(spool)
+        # idempotent per-batch decision write (coalesce(1): a few
+        # thousand rows per batch)
+        tally.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(spool, f"b{bid}")
+        )
         # grow the index with the ADMITTED arrivals' band keys — the part
-        # the state store would otherwise hold, as a table append instead
+        # the state store would otherwise hold, as a per-batch delta dir
         (
             b.join(tally.where(F.col("admitted")).select("doc_id"), "doc_id")
             .select("band", "key", F.col("sig").alias("ref_sig"))
             .coalesce(1)
-            .write.mode("append")
-            .parquet(index_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(delta_root, f"d{bid:08d}"))
         )
         tally.unpersist()
         b.unpersist()
+        # leveled delta compaction: one dir per batch is right for a
+        # handful of batches, but a long-running ingest would grow the
+        # per-batch listing O(batches) — once COMPACT_EVERY deltas exist,
+        # merge them into one. Crash-ordering: the merged dir is renamed
+        # into place BEFORE the inputs are removed, so any interruption
+        # leaves duplicate band keys (harmless — the probe join feeds a
+        # max()), never missing ones. Production would level merged runs
+        # again (LSM-style); one level keeps this probe's listing flat.
+        cur = sorted(glob.glob(os.path.join(delta_root, "d*")))
+        if len(cur) >= ONLINE_DEDUP_COMPACT_EVERY:
+            tmp = os.path.join(run_root, f"merge_tmp_{bid}")
+            spark.read.schema(idx_schema).parquet(*cur).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, os.path.join(delta_root, f"d{bid:08d}m"))
+            for d in cur:
+                shutil.rmtree(d, ignore_errors=True)
 
-    ckpt = tempfile.mkdtemp(dir=_session_ckpt_root())
     # the per-batch joins/aggs move a few thousand rows: 32 shuffle
     # partitions are pure task overhead x (jobs x batches)
     with _pinned_shuffle(spark, 8):
@@ -1340,7 +1367,38 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         _record_progress(q)
-    return spark.read.parquet(spool)
+        # per-batch trigger durations for the long-ingest probe
+        # (tools/online_dedup_probe.py asserts they stay flat under
+        # delta compaction)
+        global LAST_RUN_BATCH_MS
+        LAST_RUN_BATCH_MS = [
+            p["durationMs"].get("triggerExecution")
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) or p.get("batchId") is not None
+        ]
+    return spark.read.parquet(os.path.join(spool, "b*"))
+
+
+def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online SELF-MAINTAINING near-duplicate index — the full production
+    shape of ingest dedup: arrivals replay in ``ONLINE_DEDUP_BATCHES``
+    sequential micro-batches (staged one file per batch,
+    ``maxFilesPerTrigger=1``, mtime-ordered), each batch probes an index
+    TABLE seeded with the corpus band keys, and the band keys of ADMITTED
+    arrivals are APPENDED to that table (one delta dir per batch id,
+    idempotent overwrite, leveled compaction every
+    ``ONLINE_DEDUP_COMPACT_EVERY`` batches) before the next batch starts
+    — so later arrivals are near-dup-checked against earlier admissions,
+    not just the static corpus. The index lives in STORAGE, never in the
+    state store: zero streaming state for any number of arrivals, and the
+    index + checkpoint survive restarts (tests/test_streaming_recovery.py
+    stops a run mid-replay and resumes it). Consistency is
+    per-micro-batch: a batch sees the index as of batch start
+    (intra-batch arrivals do not block each other — documented choice,
+    replayed by the oracle's unrolled per-stage CTEs)."""
+    arrivals_dir = _online_stage(spark, sf_dir, ONLINE_DEDUP_BATCHES)
+    run_root = tempfile.mkdtemp(dir=_session_ckpt_root())
+    return _online_dedup_drive(spark, sf_dir, arrivals_dir, run_root)
 
 
 def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

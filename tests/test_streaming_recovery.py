@@ -1,0 +1,159 @@
+"""Checkpoint restart recovery: SURVEY §2.7 claims
+exactly-once-to-idempotent-sinks via checkpointing. These tests actually
+exercise it — a streaming run is stopped after batch k and RESUMED from
+the same checkpoint, and the recovered run's final output must be
+hash-identical to an uninterrupted run of the same feed.
+
+Two recovery surfaces:
+- state-store recovery (`streaming_user_stats`'s applyInPandasWithState
+  counters must CONTINUE from checkpointed state, not restart at zero);
+- storage-backed-index recovery (`streaming_online_dedup`'s parquet
+  index + offsets must resume mid-replay without double-admitting).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssiintegrateddatapipeline_spark.sources.batch import load_table
+from ssiintegrateddatapipeline_spark.streaming import pipeline as SP
+
+
+def _stage_files(spark, sf_dir, root, n=4):
+    """Split events into n single-file micro-batches with increasing
+    mtimes (same staging device as the online-dedup feed)."""
+    os.makedirs(root)
+    ev = load_table(spark, sf_dir, "events")
+    base_t = 1_600_000_000
+    for k in range(n):
+        part_dir = os.path.join(os.path.dirname(root), f"w{k}")
+        (
+            ev.where(F.pmod(F.col("event_id"), F.lit(n)) == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        (part_file,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(root, f"b{k}.parquet")
+        shutil.move(part_file, dst)
+        os.utime(dst, (base_t + k, base_t + k))
+
+
+def _run_user_stats(spark, arrivals_dir, schema, ckpt, spool):
+    """One availableNow pass of user_stats_plan over whatever files are
+    visible in arrivals_dir, resuming from ckpt (the memory sink cannot
+    recover from a checkpoint, so the sink is an idempotent per-batch-id
+    parquet spool). Returns (all spooled rows so far, last batch_id)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+
+    def emit(bdf, bid):
+        bdf.coalesce(1).write.mode("overwrite").parquet(f"{spool}/b{bid}")
+
+    q = (
+        SP.user_stats_plan(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(emit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch_id = (q.lastProgress or {}).get("batchId")
+    rows = spark.read.parquet(f"{spool}/b*").collect()
+    return rows, batch_id
+
+
+def _final_per_user(rows):
+    """Update mode emits one row per (user, batch-it-appeared-in); the
+    final value per user is the row with the highest running count."""
+    best = {}
+    for r in rows:
+        cur = best.get(r["user_id"])
+        if cur is None or r["events"] > cur["events"]:
+            best[r["user_id"]] = r
+    return {
+        u: (r["events"], round(r["total_value"], 4), r["max_ts"])
+        for u, r in best.items()
+    }
+
+
+def test_user_stats_state_recovers_across_restart(spark, sf_dir, tmp_path):
+    full_dir = str(tmp_path / "full" / "arrivals")
+    _stage_files(spark, sf_dir, full_dir, n=4)
+    schema = spark.read.parquet(full_dir).schema
+
+    # uninterrupted reference run: all 4 micro-batches, one query
+    rows_full, last_full = _run_user_stats(
+        spark, full_dir, schema, str(tmp_path / "ckpt_full"),
+        str(tmp_path / "spool_full"),
+    )
+    assert last_full == 3  # 4 files -> batch ids 0..3
+    expect = _final_per_user(rows_full)
+
+    # interrupted run: only 2 files visible, stop, then reveal the rest
+    # and RESTART from the same checkpoint
+    part_dir = str(tmp_path / "part" / "arrivals")
+    os.makedirs(os.path.dirname(part_dir))
+    os.makedirs(part_dir)
+    for k in (0, 1):
+        shutil.copy2(f"{full_dir}/b{k}.parquet", f"{part_dir}/b{k}.parquet")
+    ckpt = str(tmp_path / "ckpt_recov")
+    spool = str(tmp_path / "spool_recov")
+    rows_a, last_a = _run_user_stats(spark, part_dir, schema, ckpt, spool)
+    assert last_a == 1  # stopped after batch 1
+    for k in (2, 3):
+        shutil.copy2(f"{full_dir}/b{k}.parquet", f"{part_dir}/b{k}.parquet")
+    rows_b, last_b = _run_user_stats(spark, part_dir, schema, ckpt, spool)
+    # offsets recovered: the restart continues at batch 2, never replays
+    assert last_b == 3
+    assert len(rows_b) > len(rows_a)
+    # state recovered: counters continued, so the latest row per user
+    # across the accumulated spool equals the uninterrupted run exactly
+    assert _final_per_user(rows_b) == expect
+
+
+def test_online_dedup_index_recovers_across_restart(spark, sf_dir, tmp_path):
+    arrivals_full = SP._online_stage(spark, sf_dir, SP.ONLINE_DEDUP_BATCHES)
+
+    def decisions(df):
+        return sorted(
+            (r["doc_id"], r["batch_id"], r["best_match"], r["admitted"])
+            for r in df.collect()
+        )
+
+    # uninterrupted reference run
+    full = decisions(
+        SP._online_dedup_drive(
+            spark, sf_dir, arrivals_full, str(tmp_path / "run_full")
+        )
+    )
+    assert full  # non-empty feed
+
+    # interrupted run: reveal half the feed, drive, then reveal the rest
+    # and RESUME the same run root (checkpoint + index + spool)
+    part_dir = str(tmp_path / "arrivals_part")
+    os.makedirs(part_dir)
+    files = sorted(glob.glob(os.path.join(arrivals_full, "b*.parquet")))
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy2(f, os.path.join(part_dir, os.path.basename(f)))
+    run_root = str(tmp_path / "run_recov")
+    os.makedirs(run_root)
+    first = SP._online_dedup_drive(spark, sf_dir, part_dir, run_root)
+    assert first.count() < len(full)  # genuinely stopped mid-replay
+    for f in files[half:]:
+        shutil.copy2(f, os.path.join(part_dir, os.path.basename(f)))
+    resumed = SP._online_dedup_drive(spark, sf_dir, part_dir, run_root)
+    # the resumed run must equal the uninterrupted one: same admissions,
+    # same best-match counts, no double-processed batch rows
+    assert decisions(resumed) == full
