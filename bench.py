@@ -237,6 +237,41 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Solo-rerun outlier pass (round-5 VERDICT task 6): suite contention
+    # can quadruple an untouched query's median (r5 saw four such). Any
+    # query whose median moved >2x in either direction vs the PREVIOUS
+    # bench_last.json gets one solo rerun after the suite, recorded
+    # alongside the suite median — a solo time near the old number says
+    # "contention", a solo time near the new one says "real change".
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
+    )
+    prev: dict[str, float] = {}
+    try:
+        with open(prev_path) as fh:
+            prev = json.load(fh).get("queries", {})
+    except Exception:
+        pass
+    flagged = [
+        name
+        for name, dt in per_query.items()
+        if name in prev
+        and prev[name] > 0
+        and (dt / prev[name] > 2.0 or dt / prev[name] < 0.5)
+    ]
+    for name in flagged:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).toPandas()
+        solo = round(time.perf_counter() - t0, 3)
+        detail[name]["solo"] = solo
+        detail[name]["prev"] = prev[name]
+        print(
+            f"# solo-rerun {name}: suite {per_query[name]:.3f}s, "
+            f"solo {solo:.3f}s, prev {prev[name]:.3f}s",
+            file=sys.stderr,
+        )
+
     # The driver captures only the last ~2.2 KB of stdout; the per-query
     # dict alone outgrew that in round 2 ("parsed": null). Robust layout:
     # (1) the full result is written to bench_last.json for human readers,
