@@ -28,6 +28,16 @@ Streaming queries are skipped: their plan only materializes inside the
 micro-batch runner (and several execute eagerly in their builder).
 
 Usage: python tools/plan_census.py [sf_dir] > /dev/null  (writes PLANS.md)
+
+``--bounds`` mode instead snapshots STATIC (pre-AQE) plan counts for the
+regression-relevant metrics (exchanges, single-partition exchanges,
+sort-merge / nested-loop joins, Python boundaries) into
+tests/fixtures/plan_bounds.json — the `_PLAN_BOUNDS` registry that
+tests/test_plan_bounds.py enforces: a lost broadcast, a new shuffle, or
+a new Python stage in ANY batch contract query fails CI the way state
+growth already does. Static plans are used on both sides (snapshot and
+test) so no query has to execute; AQE runtime improvements (e.g.
+SMJ->BHJ downgrades) stay out of scope by construction.
 """
 
 from __future__ import annotations
@@ -61,7 +71,43 @@ _PATTERNS = {
 _WSCG = re.compile(r"\*\((\d+)\)")
 
 
+BOUND_KEYS = ("exchanges", "single_part", "smj", "nlj", "py")
+
+
+def static_counts(df) -> dict:
+    """Regression-relevant counts from the STATIC (pre-AQE) plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    return {k: len(_PATTERNS[k].findall(plan)) for k in BOUND_KEYS}
+
+
+def write_bounds(sf_dir: str) -> None:
+    import json
+
+    spark = get_spark(app_name="plan-bounds")
+    queries = entry_mod.queries()
+    bounds = {}
+    for name in sorted(queries):
+        if name.startswith(_SKIP_PREFIXES) or name in _SKIP_EXACT:
+            continue
+        try:
+            bounds[name] = static_counts(queries[name](spark, sf_dir))
+        except Exception as exc:
+            print(f"# {name}: ERROR {exc}", file=sys.stderr)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "plan_bounds.json",
+    )
+    with open(out, "w") as fh:
+        json.dump(bounds, fh, indent=1, sort_keys=True)
+    print(f"{out} written: {len(bounds)} queries")
+
+
 def main() -> None:
+    if "--bounds" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--bounds"]
+        write_bounds(args[0] if args else "/root/testdata/sf0.01")
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plan-census")
     queries = entry_mod.queries()
