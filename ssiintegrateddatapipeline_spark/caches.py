@@ -36,8 +36,26 @@ def track(df):
     the returned plan may recompute from it lazily — so it cannot be
     unpersisted inline; without tracking, every invocation leaks one
     persisted DataFrame for the life of the session. ``track`` hands each
-    one to :func:`clear_caches`."""
-    _EPHEMERAL[next(_EPHEMERAL_SEQ)] = df
+    one to :func:`clear_caches`.
+
+    Entries key on (applicationId, analyzed-plan semanticHash): a
+    re-invocation of the same operator REPLACES — and unpersists — the
+    prior entry instead of appending, so a median-of-3 bench run holds
+    one persisted copy of each tracked frame, not three."""
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:  # fall back to append-only if plan access fails
+        key = ("seq", next(_EPHEMERAL_SEQ))
+    old = _EPHEMERAL.get(key)
+    if old is not None and old is not df:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _EPHEMERAL[key] = df
     return df
 
 

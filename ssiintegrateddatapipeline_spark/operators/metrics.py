@@ -172,6 +172,15 @@ def histogram_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_by_le = {b: row[f"c{i}"] for i, b in enumerate(VALUE_BUCKETS)}
     target = 0.95 * row["total"]
 
+    def _round6(x: float) -> float:
+        # the engines round() half-AWAY-from-zero; Python's round() is
+        # half-to-even. Snap to the 12-decimal grid first (kills float
+        # fuzz around a tie), then round half-up — the repo's standard
+        # tie-breaking device, here on the driver.
+        import math
+
+        return math.floor(round(x, 12) * 1e6 + 0.5) / 1e6
+
     def _interp(buckets: list[float]) -> tuple:
         # same interpolation as analytics.quantile_from_bucket_counts,
         # evaluated over the collected (bounded: |buckets|-row) table —
@@ -181,9 +190,9 @@ def histogram_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = cum_by_le[b]
             if c >= target:
                 q = prev_le + (b - prev_le) * (target - prev_cum) / (c - prev_cum)
-                return len(buckets), round(q, 6)
+                return len(buckets), _round6(q)
             prev_le, prev_cum = b, c
-        return len(buckets), round(float(buckets[-1]), 6)
+        return len(buckets), _round6(float(buckets[-1]))
 
     nf, qf = _interp(VALUE_BUCKETS)
     nc, qc = _interp(COARSE_BUCKETS)

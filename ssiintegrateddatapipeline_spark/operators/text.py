@@ -646,8 +646,11 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.zip_with(
-                F.slice(toks, 1, n - 1),
-                F.slice(toks, 2, n - 1),
+                # greatest(n-1, 0): slice raises on negative length, so a
+                # zero-token document would crash instead of yielding no
+                # bigrams (the oracle's generate_series(1, -1) is empty)
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bg"),
@@ -837,8 +840,12 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("is_target"),
         F.explode(
             F.zip_with(
-                F.slice(toks, 1, n - 1),
-                F.slice(toks, 2, n - 1),
+                # greatest(n-1, 0): Spark's slice RAISES on a negative
+                # length, so a zero-token document (n-1 = -1) would crash
+                # the job where the oracle's generate_series(1, -1) just
+                # yields empty
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
                 lambda a, b: F.concat_ws(" ", a, b),
             )
         ).alias("bg"),

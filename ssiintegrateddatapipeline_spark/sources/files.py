@@ -27,6 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ssiintegrateddatapipeline_spark.caches import register
 from ssiintegrateddatapipeline_spark.functions.text_funcs import md5_int32
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
 
@@ -34,7 +35,10 @@ from ssiintegrateddatapipeline_spark.sources.batch import load_table
 # writer format truncates to millis, which would silently corrupt ts
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
-_RT_CACHE: dict[tuple, str] = {}
+# staged roundtrip dirs keyed by (app, sf_dir, fmt) — registry-enrolled so
+# clear_caches evicts the entries with every other session memo (the temp
+# dirs themselves are removed at exit; sf_dir contents are immutable)
+_RT_CACHE: dict[tuple, str] = register({})
 
 
 def _staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
