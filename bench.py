@@ -129,6 +129,10 @@ HEADLINE = [
     "credstore_paginated",
     "credstore_identifiers",
     "similarity_ivf_recall",
+    "similarity_retrieval_mrr_map",
+    "analytics_trimmed_stats",
+    "analytics_hh_turnover",
+    "analytics_markov_kstep",
     "dedup_quality_canonical",
     "dedup_decontaminated_split",
     "sampling_token_budget_mix",

@@ -38,23 +38,32 @@ def track(df):
     persisted DataFrame for the life of the session. ``track`` hands each
     one to :func:`clear_caches`.
 
-    Entries key on (applicationId, analyzed-plan semanticHash): a
-    re-invocation of the same operator REPLACES — and unpersists — the
-    prior entry instead of appending, so a median-of-3 bench run holds
-    one persisted copy of each tracked frame, not three."""
+    Entries key on (applicationId, call site, analyzed-plan
+    semanticHash), so a re-invocation of the same operator (bench's
+    median-of-3) REPLACES its previous entry instead of appending — one
+    tracked reference per plan, not three. No unpersist on replacement:
+    Spark's CacheManager dedupes persists of semantically identical
+    plans to ONE shared entry, so unpersisting the old frame would evict
+    the storage under the new one too (observed as a suite-order
+    InMemoryTableScan pin failure). Distinct plans from the same site
+    (e.g. the BFS/pointer-doubling loops, whose per-iteration frames
+    must ALL stay alive within an invocation) get distinct keys and
+    coexist; clear_caches remains the eviction path for those."""
+    import sys
+
+    try:
+        caller = sys._getframe(1).f_code
+        site = (caller.co_filename, caller.co_qualname)
+    except Exception:
+        site = ("?", "?")
     try:
         key = (
             df.sparkSession.sparkContext.applicationId,
+            site,
             df._jdf.queryExecution().analyzed().semanticHash(),
         )
     except Exception:  # fall back to append-only if plan access fails
         key = ("seq", next(_EPHEMERAL_SEQ))
-    old = _EPHEMERAL.get(key)
-    if old is not None and old is not df:
-        try:
-            old.unpersist()
-        except Exception:
-            pass
     _EPHEMERAL[key] = df
     return df
 

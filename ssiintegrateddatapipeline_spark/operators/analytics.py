@@ -777,6 +777,127 @@ def p50_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_TURNOVER_K = 20  # top-k set size for the turnover report
+HH_TURNOVER_SALTS = 64  # first-level fanout of the two-level exact top-k
+
+
+def heavy_hitter_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter CHURN: the top-k users by event count in the first
+    half of the time range vs the second half — who entered, who exited,
+    and the Jaccard overlap of the two sets. The drift monitors (KS/PSI)
+    grade distribution shift; this grades IDENTITY shift, the signal a
+    pipeline watches for traffic-mix changes (a crawler cohort replacing
+    an organic one leaves the volume histogram intact).
+
+    Determinism: the split point is the integer midpoint of unix-micros
+    (1-row census broadcast, the bounded-fanout idiom); top-k ranks
+    break ties on user_id. Scale: per-(half, user) counts reduce
+    map-side; the top-k is the repo's TWO-LEVEL exact device (a window
+    over only 2 half-keys is a 2-task skew trap at corpus scale — the
+    per-(half, salt) local top-k cuts the rank input to 2 x SALTS x k
+    rows first). The set comparison is k-row vs k-row."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    # integer midpoint (div, not float-divide-then-cast: Spark's long
+    # cast truncates where DuckDB's rounds — div sidesteps the tie)
+    span = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).select(
+        F.expr("(lo + hi) div 2").alias("mid")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(span))
+        .select((F.col("us") <= F.col("mid")).alias("h1"), "user_id")
+        .groupBy("h1", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("user_id")]
+    w1 = Window.partitionBy("h1", "salt").orderBy(*order)
+    w2 = Window.partitionBy("h1").orderBy(*order)
+    top = (
+        counts.withColumn(
+            "salt", F.pmod(F.col("user_id"), F.lit(HH_TURNOVER_SALTS))
+        )
+        .withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= HH_TURNOVER_K)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= HH_TURNOVER_K)
+    )
+    a = top.where("h1").select(F.col("user_id").alias("u"), F.lit(1).alias("in1"))
+    b = top.where(~F.col("h1")).select(
+        F.col("user_id").alias("u"), F.lit(1).alias("in2")
+    )
+    return (
+        a.join(b, "u", "full_outer")
+        .agg(
+            F.sum(
+                (F.col("in1").isNotNull() & F.col("in2").isNotNull()).cast("long")
+            ).alias("n_stayed"),
+            F.sum(
+                (F.col("in1").isNull() & F.col("in2").isNotNull()).cast("long")
+            ).alias("n_entered"),
+            F.sum(
+                (F.col("in1").isNotNull() & F.col("in2").isNull()).cast("long")
+            ).alias("n_exited"),
+        )
+        .select(
+            "n_stayed",
+            "n_entered",
+            "n_exited",
+            F.round(
+                F.col("n_stayed")
+                / (F.col("n_stayed") + F.col("n_entered") + F.col("n_exited")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type means: 5% two-sided TRIMMED mean (drop everything
+    outside [p5, p95]) and WINSORIZED mean (clamp to the same bounds) —
+    the standard outlier-robust location estimates next to the MAD
+    outlier report. Exact-parity device: values go to integer cents, the
+    interpolated p5/p95 come from the same sorted-quantile definition in
+    both engines (`percentile` == `quantile_cont`, the p50_exact
+    precedent), the inside-the-bounds sum stays a BIGINT, and the
+    winsorized total is that integer plus count-below x p5 + count-above
+    x p95 (double x integer — one deterministic product per side, never
+    a float sum over clamped rows). One quantile pass + one broadcast
+    join + one aggregation; no per-row rank, no few-keys window skew."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    q = ev.groupBy("event_type").agg(
+        F.percentile("vc", 0.05).alias("p05"),
+        F.percentile("vc", 0.95).alias("p95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    inside = (F.col("vc") >= F.col("p05")) & (F.col("vc") <= F.col("p95"))
+    agg = j.groupBy("event_type", "p05", "p95", "n_events").agg(
+        F.sum(F.when(inside, F.col("vc")).otherwise(F.lit(0))).alias("s_in"),
+        F.sum(inside.cast("long")).alias("n_in"),
+        F.sum((F.col("vc") < F.col("p05")).cast("long")).alias("n_lo"),
+        F.sum((F.col("vc") > F.col("p95")).cast("long")).alias("n_hi"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("s_in") / (100.0 * F.col("n_in")), 6).alias(
+            "trimmed_mean"
+        ),
+        F.round(
+            (
+                F.col("s_in")
+                + F.col("n_lo") * F.col("p05")
+                + F.col("n_hi") * F.col("p95")
+            )
+            / (100.0 * F.col("n_events")),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
 def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score normalization, fully JVM-side: ``avg``/``stddev_pop``
     over ``Window.partitionBy("user_id")`` standardizes each value against
@@ -974,6 +1095,67 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "p_transition",
             F.round(F.col("transitions") / F.sum("transitions").over(total), 6),
+        )
+    )
+
+
+MARKOV_STEPS = 4  # k-step-ahead horizon for the fitted chain
+
+
+def markov_kstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-step-ahead event-type distribution under the fitted first-order
+    Markov chain — the forecasting twin of `event_transitions`: fit
+    P(to|from) from consecutive user events, take the start distribution
+    (each user's FIRST event type), and push it through the chain
+    MARKOV_STEPS times. The per-type delta between p_start and p_after_k
+    is what journey-attribution and mix-forecast dashboards read.
+
+    Determinism: transition probs are exact integer-ratio doubles; each
+    step's vector entry is a sum of <= |types| products snapped at 12
+    decimals (the repo's libm/fold discipline), so every step's input is
+    bit-identical in both engines; final report rounds at 6. Scale: the
+    only corpus-sized work is the lag window (keyed by user — even
+    shuffle) and the first-event argmin; every chain step is a join over
+    a <= |types|^2-row matrix."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("f"),
+        F.col("event_type").alias("t"),
+    ).where(F.col("f").isNotNull())
+    by_from = Window.partitionBy("f")
+    P = (
+        pairs.groupBy("f", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "f", "t", (F.col("cnt") / F.sum("cnt").over(by_from)).alias("p")
+        )
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("s")
+    )
+    n_users = firsts.agg(F.count(F.lit(1)).alias("n"))
+    p0 = (
+        firsts.groupBy(F.col("s.event_type").alias("t"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(n_users))
+        .select("t", (F.col("c") / F.col("n")).alias("p"))
+    )
+    vec = p0
+    for k in range(MARKOV_STEPS):
+        m = P.alias(f"m{k}")  # fresh alias per step: P appears K times
+        vec = (
+            vec.join(m, vec["t"] == F.col(f"m{k}.f"))
+            .groupBy(F.col(f"m{k}.t"))
+            .agg(F.round(F.sum(vec["p"] * F.col(f"m{k}.p")), 12).alias("p"))
+        )
+    return (
+        p0.withColumnRenamed("p", "ps")
+        .join(vec.withColumnRenamed("p", "pk"), "t", "full_outer")
+        .select(
+            F.col("t").alias("event_type"),
+            F.round(F.coalesce("ps", F.lit(0.0)), 6).alias("p_start"),
+            F.round(F.coalesce("pk", F.lit(0.0)), 6).alias("p_after_k"),
         )
     )
 
@@ -1774,6 +1956,9 @@ QUERIES = {
     "analytics_unpivot_measures": unpivot_lineitem_measures,
     "analytics_user_streaks": user_streaks,
     "analytics_p50_exact": p50_exact,
+    "analytics_trimmed_stats": trimmed_stats,
+    "analytics_hh_turnover": heavy_hitter_turnover,
+    "analytics_markov_kstep": markov_kstep,
     "analytics_zscore": zscore_normalize,
     "analytics_user_trend": user_trend,
     "analytics_salted_join": salted_join_enrich,
@@ -2310,6 +2495,116 @@ ORACLES = {
                count(*) AS n_events
         FROM events
         GROUP BY event_type
+    """,
+    "analytics_markov_kstep": """
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS f,
+                   event_type AS t
+            FROM events
+        ),
+        P AS MATERIALIZED (
+            SELECT f, t,
+                   count(*)::DOUBLE
+                       / sum(count(*)) OVER (PARTITION BY f) AS p
+            FROM pairs WHERE f IS NOT NULL GROUP BY f, t
+        ),
+        firsts AS (
+            SELECT event_type AS t FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) = 1
+        ),
+        p0 AS MATERIALIZED (
+            SELECT t, count(*)::DOUBLE / (SELECT count(*) FROM firsts) AS p
+            FROM firsts GROUP BY t
+        ),
+        s1 AS MATERIALIZED (
+            SELECT P.t, round(sum(p0.p * P.p), 12) AS p
+            FROM p0 JOIN P ON p0.t = P.f GROUP BY P.t
+        ),
+        s2 AS MATERIALIZED (
+            SELECT P.t, round(sum(s1.p * P.p), 12) AS p
+            FROM s1 JOIN P ON s1.t = P.f GROUP BY P.t
+        ),
+        s3 AS MATERIALIZED (
+            SELECT P.t, round(sum(s2.p * P.p), 12) AS p
+            FROM s2 JOIN P ON s2.t = P.f GROUP BY P.t
+        ),
+        s4 AS MATERIALIZED (
+            SELECT P.t, round(sum(s3.p * P.p), 12) AS p
+            FROM s3 JOIN P ON s3.t = P.f GROUP BY P.t
+        )
+        SELECT coalesce(p0.t, s4.t) AS event_type,
+               round(coalesce(p0.p, 0.0), 6) AS p_start,
+               round(coalesce(s4.p, 0.0), 6) AS p_after_k
+        FROM p0 FULL OUTER JOIN s4 ON p0.t = s4.t
+    """,
+    "analytics_hh_turnover": f"""
+        WITH ev AS (
+            SELECT user_id, epoch_us(ts) AS us FROM events
+        ),
+        span AS (
+            SELECT (min(us) + max(us)) // 2 AS mid FROM ev
+        ),
+        counts AS (
+            SELECT (us <= (SELECT mid FROM span)) AS h1, user_id,
+                   count(*) AS cnt
+            FROM ev GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT h1, user_id,
+                   row_number() OVER (PARTITION BY h1
+                                      ORDER BY cnt DESC, user_id) AS rank
+            FROM counts
+        ),
+        top AS (SELECT * FROM ranked WHERE rank <= {HH_TURNOVER_K}),
+        j AS (
+            SELECT coalesce(a.user_id, b.user_id) AS u,
+                   a.user_id IS NOT NULL AS in1,
+                   b.user_id IS NOT NULL AS in2
+            FROM (SELECT user_id FROM top WHERE h1) a
+            FULL OUTER JOIN (SELECT user_id FROM top WHERE NOT h1) b
+              ON a.user_id = b.user_id
+        )
+        SELECT sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_stayed,
+               sum(CASE WHEN NOT in1 AND in2 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_entered,
+               sum(CASE WHEN in1 AND NOT in2 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_exited,
+               round(sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS jaccard
+        FROM j
+    """,
+    "analytics_trimmed_stats": """
+        WITH c AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS vc
+            FROM events
+        ),
+        q AS (
+            SELECT event_type,
+                   quantile_cont(vc, 0.05) AS p05,
+                   quantile_cont(vc, 0.95) AS p95,
+                   count(*) AS n_events
+            FROM c GROUP BY event_type
+        ),
+        a AS (
+            SELECT c.event_type, q.p05, q.p95, q.n_events,
+                   sum(CASE WHEN vc >= p05 AND vc <= p95 THEN vc
+                            ELSE 0 END)::BIGINT AS s_in,
+                   sum(CASE WHEN vc >= p05 AND vc <= p95 THEN 1
+                            ELSE 0 END)::BIGINT AS n_in,
+                   sum(CASE WHEN vc < p05 THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+                   sum(CASE WHEN vc > p95 THEN 1 ELSE 0 END)::BIGINT AS n_hi
+            FROM c JOIN q USING (event_type)
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT event_type, n_events,
+               round(s_in / (100.0 * n_in), 6) AS trimmed_mean,
+               round((s_in + n_lo * p05 + n_hi * p95)
+                     / (100.0 * n_events), 6) AS winsorized_mean
+        FROM a
     """,
     "analytics_zscore": """
         WITH stats AS (

@@ -789,6 +789,50 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retrieval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and MAP@k of the IVF probe search against the exact
+    brute-force truth — the other two standard retrieval-eval metrics
+    next to recall@k (`ivf_recall`) and nDCG@k (`ivfpq_ndcg`): MRR grades
+    how early the FIRST relevant neighbor appears, AP@k averages
+    precision at each relevant position (order-sensitive where recall is
+    not). Both engines: hit flags from a (query, neighbor) join, one
+    running-sum window ordered by rank, exact integer cum/rank terms
+    rounded once at 6 decimals. Scale: |queries| x k rows end-to-end —
+    everything is proportional to the eval workload, never the corpus."""
+    truth = brute_force_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    ret = ivf_topk(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    j = ret.join(truth, ["query_id", "neighbor_id"], "left").select(
+        "query_id", "rank", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = j.withColumn("cum", F.sum("hit").over(w))
+    return scored.groupBy("query_id").agg(
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.min(F.when(F.col("hit") == 1, F.col("rank"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("reciprocal_rank"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("hit") == 1,
+                    F.col("cum").cast("double") / F.col("rank"),
+                ).otherwise(F.lit(0.0))
+            )
+            / F.lit(TOP_K),
+            6,
+        ).alias("avg_precision"),
+    )
+
+
 def ivf_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over the FULL corpus, IVF-bucketed: the
     self-join runs within centroid cells only, so the pair space is
@@ -1448,6 +1492,7 @@ QUERIES = {
     "similarity_embedding_drift": embedding_drift,
     "similarity_ivf_near_dup": ivf_near_dup_pairs,
     "similarity_ivf_recall": ivf_recall,
+    "similarity_retrieval_mrr_map": retrieval_mrr_map,
     "similarity_semantic_dedup": semantic_dedup,
     "similarity_embedding_quantize": embedding_quantize,
     "similarity_cross_modal": cross_modal_agreement,
@@ -1973,6 +2018,30 @@ ORACLES["similarity_ivf_recall"] = f"""
     FROM truth t LEFT JOIN approx a
       ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
     GROUP BY t.query_id
+"""
+
+ORACLES["similarity_retrieval_mrr_map"] = f"""
+    WITH truth AS ({ORACLES["similarity_brute_topk"]}),
+         approx AS ({ORACLES["similarity_ivf_topk"]}),
+    j AS (
+        SELECT a.query_id, a.rank,
+               CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM approx a LEFT JOIN truth t
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    ),
+    c AS (
+        SELECT query_id, rank, hit,
+               sum(hit) OVER (PARTITION BY query_id ORDER BY rank
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM j
+    )
+    SELECT query_id,
+           round(coalesce(1.0 / min(CASE WHEN hit = 1 THEN rank END), 0.0),
+                 6) AS reciprocal_rank,
+           round(sum(CASE WHEN hit = 1 THEN cum::DOUBLE / rank
+                          ELSE 0.0 END) / {TOP_K}, 6) AS avg_precision
+    FROM c GROUP BY query_id
 """
 
 ORACLES["similarity_pq_recall"] = f"""
