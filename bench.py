@@ -164,6 +164,7 @@ HEADLINE = [
     "streaming_curation_gate",
     "streaming_online_dedup",
     "streaming_ab_monitor",
+    "streaming_event_transitions",
 ]
 
 

@@ -352,6 +352,80 @@ def _update_user_stats(key, pdf_iter, state: GroupState):
     )
 
 
+_TRANS_SCHEMA = "from_type string, to_type string, transitions bigint"
+_TRANS_STATE = "last_us bigint, last_eid bigint, last_type string"
+
+
+def _update_transitions(key, pdf_iter, state: GroupState):
+    """Per-user consecutive-event pair counter: the state carries the
+    user's LAST event (time, id, type) so a transition spanning a
+    micro-batch boundary is still counted exactly once."""
+    import pandas as pd
+
+    last = state.get if state.exists else (None, None, None)
+    pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    types = list(pdf["event_type"])
+    seq = ([last[2]] if last[2] is not None else []) + types
+    counts: dict = {}
+    for f, t in zip(seq[:-1], seq[1:]):
+        counts[(f, t)] = counts.get((f, t), 0) + 1
+    if len(pdf):
+        tail = pdf.iloc[-1]
+        state.update(
+            (int(tail["ts"].value // 1000), int(tail["event_id"]), tail["event_type"])
+        )
+    yield pd.DataFrame(
+        {
+            "from_type": [k[0] for k in counts],
+            "to_type": [k[1] for k in counts],
+            "transitions": list(counts.values()),
+        }
+    )
+
+
+def transitions_plan(stream: DataFrame) -> DataFrame:
+    return (
+        stream.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions,
+            outputStructType=_TRANS_SCHEMA,
+            stateStructType=_TRANS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics_event_transitions`: the first-order
+    transition matrix maintained online. The lag that batch computes
+    with a keyed window becomes one small per-user state row (last
+    event's time/id/type) — a boundary-spanning transition is counted by
+    the batch that completes it, so the rolled-up matrix equals the
+    batch one exactly. State: |users| rows (the same domain-entity
+    footprint as the user-stats counters); per-batch emissions are
+    bounded by |users| x |types|^2."""
+    from pyspark.sql import Window
+
+    out = run_available_now(
+        transitions_plan(events_stream(spark, sf_dir)), output_mode="update"
+    )
+    c = out.groupBy("from_type", "to_type").agg(
+        F.sum("transitions").alias("transitions")
+    )
+    by_from = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "transitions",
+        F.round(
+            F.col("transitions") / F.sum("transitions").over(by_from), 6
+        ).alias("p_transition"),
+    )
+
+
 def user_stats_plan(stream: DataFrame) -> DataFrame:
     """Running per-user event count / value sum / last event time, held in
     partitioned operator state (update mode emits the latest row per user)."""
@@ -1511,6 +1585,7 @@ QUERIES = {
     "streaming_payload_hist": streaming_payload_hist,
     "streaming_user_stats": streaming_user_stats,
     "streaming_user_profile": streaming_user_profile,
+    "streaming_event_transitions": streaming_event_transitions,
     "streaming_cms_grid": streaming_cms_grid,
     "streaming_ab_monitor": streaming_ab_monitor,
 }
@@ -1918,6 +1993,26 @@ ORACLES = {
                max(ts) AS max_ts
         FROM events
         GROUP BY user_id
+    """,
+    # identical to the batch transitions oracle: the carried per-user
+    # state makes the streaming matrix equal the batch lag exactly
+    "streaming_event_transitions": """
+        WITH pairs AS (
+            SELECT user_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS from_type,
+                   event_type AS to_type
+            FROM events
+        ),
+        counts AS (
+            SELECT from_type, to_type, count(*) AS transitions
+            FROM pairs WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, transitions,
+               round(transitions * 1.0 / sum(transitions)
+                     OVER (PARTITION BY from_type), 6) AS p_transition
+        FROM counts
     """,
     # grid CTE shared with the batch CMS oracle (profiling._CMS_COL_J)
     "streaming_cms_grid": None,  # assigned below from profiling constants

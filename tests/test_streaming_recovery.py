@@ -122,6 +122,76 @@ def test_user_stats_state_recovers_across_restart(spark, sf_dir, tmp_path):
     assert _final_per_user(rows_b) == expect
 
 
+def test_transition_state_carries_across_batches(spark, sf_dir, tmp_path):
+    """The online transition matrix must count a transition whose two
+    events land in DIFFERENT micro-batches exactly once — that's what
+    the per-user last-event state is for. Replay events as 4 batches
+    split by event_id (so almost every user's sequence straddles
+    boundaries) and compare to the batch lag-window matrix."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    # stage by TIME quartile (not by id hash): the carry contract is for
+    # in-order replay — a feed delivers events in event-time order
+    stage_dir = str(tmp_path / "arrivals")
+    os.makedirs(stage_dir)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    base_t = 1_600_000_000
+    for k in range(4):
+        part_dir = str(tmp_path / f"tw{k}")
+        (
+            ev.where(F.col("_q") == k + 1)
+            .drop("_q")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        (part_file,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(stage_dir, f"b{k}.parquet")
+        shutil.move(part_file, dst)
+        os.utime(dst, (base_t + k, base_t + k))
+    schema = spark.read.parquet(stage_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    name = f"trans_{uuid.uuid4().hex[:8]}"
+    q = (
+        SP.transitions_plan(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert (q.lastProgress or {}).get("batchId") == 3  # genuinely 4 batches
+    got = {
+        (r["from_type"], r["to_type"]): r["transitions"]
+        for r in spark.table(name)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("transitions").alias("transitions"))
+        .collect()
+    }
+    spark.catalog.dropTempView(name)
+    from ssiintegrateddatapipeline_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    want = {
+        (r["from_type"], r["to_type"]): r["transitions"]
+        for r in event_transitions(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_online_dedup_index_recovers_across_restart(spark, sf_dir, tmp_path):
     arrivals_full = SP._online_stage(spark, sf_dir, SP.ONLINE_DEDUP_BATCHES)
 

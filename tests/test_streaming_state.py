@@ -103,6 +103,8 @@ _STATE_BOUNDS = {
     "streaming_top_users": lambda s, n: s["n_users"] + 8,
     "streaming_user_stats": lambda s, n: s["n_users"] + 8,
     "streaming_user_profile": lambda s, n: s["n_users"] + 8,
+    # last-event carry per user (the online transition matrix)
+    "streaming_event_transitions": lambda s, n: s["n_users"] + 8,
     # exact-history dedup semantics: state == distinct keys by definition;
     # the watermark twin below is the eviction/scale path
     "streaming_dedup": lambda s, n: s["n_events"] + 8,
