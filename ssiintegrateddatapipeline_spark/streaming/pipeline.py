@@ -1289,6 +1289,10 @@ ONLINE_DEDUP_BATCHES = 4
 # fresh per call)
 _ONLINE_STAGE_CACHE: dict[tuple[str, str], str] = register({})
 
+# immutable corpus seed index per (app, sf_dir) — run growth lives in
+# per-run delta dirs, so every run shares one seed write
+_ONLINE_BASE_CACHE: dict[tuple[str, str], str] = register({})
+
 
 def _online_batch_of(n: int):
     """Micro-batch index of an odd doc_id: ((doc_id % 2n) - 1) div 2 —
@@ -1350,16 +1354,24 @@ def _online_dedup_drive(
     )
 
     n = ONLINE_DEDUP_BATCHES
-    base_dir = os.path.join(run_root, "index_base")
+    # the corpus seed is IMMUTABLE (all growth goes to the run's delta
+    # dirs), so one parquet write per (app, sf_dir) serves every run —
+    # re-seeding per run cost ~1 s of each bench invocation
+    bkey = (spark.sparkContext.applicationId, sf_dir)
+    base_dir = _ONLINE_BASE_CACHE.get(bkey)
+    if base_dir is None or not os.path.exists(os.path.join(base_dir, "_SUCCESS")):
+        base_dir = os.path.join(
+            tempfile.mkdtemp(dir=_session_ckpt_root()), "index_base"
+        )
+        # the SAME frame the other gates persist; reused from the session
+        # cache
+        _gate_corpus(spark, sf_dir).write.mode("overwrite").parquet(base_dir)
+        _ONLINE_BASE_CACHE[bkey] = base_dir
     delta_root = os.path.join(run_root, "index_delta")
     spool = os.path.join(run_root, "decisions")
     ckpt = os.path.join(run_root, "ckpt")
     os.makedirs(delta_root, exist_ok=True)
     os.makedirs(spool, exist_ok=True)
-    if not os.path.exists(os.path.join(base_dir, "_SUCCESS")):
-        # seed once with the corpus band keys — the SAME frame the other
-        # gates persist; reused from the session cache
-        _gate_corpus(spark, sf_dir).write.mode("overwrite").parquet(base_dir)
     idx_schema = spark.read.parquet(base_dir).schema
 
     staged_schema = spark.read.parquet(arrivals_dir).schema
