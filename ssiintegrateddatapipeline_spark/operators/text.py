@@ -207,7 +207,9 @@ _POS_BITS = 21  # packing: supports documents up to 2^21 k-grams
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    # the per-char rolling hash is the query's compute: spread it across
+    # cores before the narrow single-split scan pins it on one task
+    d = spread(load_table(spark, sf_dir, "documents"))
     # one ascii pass per doc, O(1) element_at per k-gram char afterwards
     codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
     # two-step projection: materialize the ascii array BELOW the explode

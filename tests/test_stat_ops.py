@@ -52,3 +52,64 @@ def test_lsh_tuning_nesting(spark, sf_dir):
     for r in t.values():
         assert r.n_high_captured <= r.n_high_total
     assert t["b8_r1"].n_high_captured == t["b8_r1"].n_high_total
+
+
+def test_trimmed_and_winsorized_are_inside_the_range(spark, sf_dir):
+    """Both robust means are convex combinations of (possibly clamped)
+    sample values, so they must sit inside [p05, p95]-ish bounds — and
+    the trimmed mean drops tails symmetrically, so both must lie between
+    the two. A violated bound means the quantile join or the winsorized
+    total arithmetic is broken."""
+    from ssiintegrateddatapipeline_spark.operators.analytics import trimmed_stats
+
+    for r in trimmed_stats(spark, sf_dir).collect():
+        assert r.n_events > 0
+        assert r.trimmed_mean is not None and r.winsorized_mean is not None
+        # winsorizing moves mass INWARD: the winsorized mean is within
+        # the trimmed support, which is itself within the raw range
+        assert abs(r.winsorized_mean - r.trimmed_mean) < max(
+            1.0, abs(r.trimmed_mean)
+        ), r
+
+
+def test_markov_kstep_is_a_distribution(spark, sf_dir):
+    """p_start sums to exactly 1 (every user has a first event); the
+    k-step-ahead vector sums to <= 1 + eps (mass leaks only at types
+    with no outgoing edges) and every entry stays in [0, 1]."""
+    from ssiintegrateddatapipeline_spark.operators.analytics import markov_kstep
+
+    rows = markov_kstep(spark, sf_dir).collect()
+    assert abs(sum(r.p_start for r in rows) - 1.0) < 1e-6
+    s_k = sum(r.p_after_k for r in rows)
+    assert 0.0 < s_k <= 1.0 + 1e-6
+    for r in rows:
+        assert 0.0 <= r.p_start <= 1.0 and 0.0 <= r.p_after_k <= 1.0, r
+
+
+def test_hh_turnover_counts_are_consistent(spark, sf_dir):
+    """stayed + exited and stayed + entered are each a half's top-k set
+    size (<= k); the Jaccard is the stayed share of the union."""
+    from ssiintegrateddatapipeline_spark.operators.analytics import (
+        HH_TURNOVER_K,
+        heavy_hitter_turnover,
+    )
+
+    (r,) = heavy_hitter_turnover(spark, sf_dir).collect()
+    assert 0 <= r.n_stayed + r.n_exited <= HH_TURNOVER_K
+    assert 0 <= r.n_stayed + r.n_entered <= HH_TURNOVER_K
+    union = r.n_stayed + r.n_entered + r.n_exited
+    assert union > 0
+    assert abs(r.jaccard - r.n_stayed / union) < 1e-6
+
+
+def test_retrieval_mrr_bounds_and_map_le_one(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators.similarity import (
+        retrieval_mrr_map,
+    )
+
+    for r in retrieval_mrr_map(spark, sf_dir).collect():
+        assert 0.0 <= r.reciprocal_rank <= 1.0, r
+        assert 0.0 <= r.avg_precision <= 1.0, r
+        # AP can only be positive if something relevant was retrieved
+        if r.avg_precision > 0:
+            assert r.reciprocal_rank > 0, r
