@@ -822,21 +822,22 @@ def heavy_hitter_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= HH_TURNOVER_K)
     )
-    a = top.where("h1").select(F.col("user_id").alias("u"), F.lit(1).alias("in1"))
-    b = top.where(~F.col("h1")).select(
-        F.col("user_id").alias("u"), F.lit(1).alias("in2")
+    # set comparison as ONE tiny aggregation (a full-outer join of the
+    # two k-row sets cannot broadcast and would sort-merge)
+    flags = top.groupBy("user_id").agg(
+        F.max(F.col("h1").cast("int")).alias("in1"),
+        F.max((~F.col("h1")).cast("int")).alias("in2"),
     )
     return (
-        a.join(b, "u", "full_outer")
-        .agg(
+        flags.agg(
             F.sum(
-                (F.col("in1").isNotNull() & F.col("in2").isNotNull()).cast("long")
+                ((F.col("in1") == 1) & (F.col("in2") == 1)).cast("long")
             ).alias("n_stayed"),
             F.sum(
-                (F.col("in1").isNull() & F.col("in2").isNotNull()).cast("long")
+                ((F.col("in1") == 0) & (F.col("in2") == 1)).cast("long")
             ).alias("n_entered"),
             F.sum(
-                (F.col("in1").isNotNull() & F.col("in2").isNull()).cast("long")
+                ((F.col("in1") == 1) & (F.col("in2") == 0)).cast("long")
             ).alias("n_exited"),
         )
         .select(
@@ -1149,14 +1150,16 @@ def markov_kstep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col(f"m{k}.t"))
             .agg(F.round(F.sum(vec["p"] * F.col(f"m{k}.p")), 12).alias("p"))
         )
-    return (
-        p0.withColumnRenamed("p", "ps")
-        .join(vec.withColumnRenamed("p", "pk"), "t", "full_outer")
-        .select(
-            F.col("t").alias("event_type"),
-            F.round(F.coalesce("ps", F.lit(0.0)), 6).alias("p_start"),
-            F.round(F.coalesce("pk", F.lit(0.0)), 6).alias("p_after_k"),
-        )
+    # align the two tiny vectors by union+aggregate (a full-outer join
+    # cannot broadcast and would sort-merge over |types| rows)
+    tagged = p0.select(
+        "t", F.col("p").alias("ps"), F.lit(0.0).alias("pk")
+    ).unionByName(vec.select("t", F.lit(0.0).alias("ps"), F.col("p").alias("pk")))
+    return tagged.groupBy("t").agg(
+        F.round(F.sum("ps"), 6).alias("p_start"),
+        F.round(F.sum("pk"), 6).alias("p_after_k"),
+    ).select(
+        F.col("t").alias("event_type"), "p_start", "p_after_k"
     )
 
 
