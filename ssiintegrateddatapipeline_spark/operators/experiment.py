@@ -184,6 +184,78 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (z_{alpha/2} + z_beta)^2 for alpha=0.05 two-sided, 80% power — folded
+# to ONE Python-float literal so neither engine touches erf/libm
+POWER_Z2 = (1.959963984540054 + 0.8416212335729143) ** 2
+POWER_MDE_PCTS = (2, 5, 10)  # minimum detectable effects, % of control mean
+
+
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-size / power readout: for each candidate MDE (as a % of the
+    control mean), the required users PER ARM under the standard
+    two-sample normal approximation n = 2*s2_pooled*(z_a+z_b)^2/delta^2,
+    against the experiment's realized arm sizes — the "how much longer
+    must this run" table every experimentation platform serves next to
+    the readout.
+
+    Parity devices: per-arm moments come from exact decimal(38,0) sums
+    of the integer-micro user metric (the CUPED idiom); the pooled
+    sample variance and delta are snapped at 12 decimals before the
+    closed form; the z constant is a shared Python-float literal (no erf
+    in either engine); ceil-then-cast yields the integer requirement
+    identically. One aggregation over the user frame; the MDE grid is a
+    3-element literal explode."""
+    users = _user_frame(spark, sf_dir)
+    dy = F.col("y_micro").cast("decimal(38,0)")
+    is_t = F.col("arm") == "treatment"
+    g = users.agg(
+        F.sum(is_t.cast("long")).alias("n_t"),
+        F.sum((~is_t).cast("long")).alias("n_c"),
+        F.sum(F.when(is_t, dy).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("sy_t"),
+        F.sum(F.when(is_t, dy * dy).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("syy_t"),
+        F.sum(F.when(~is_t, dy).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("sy_c"),
+        F.sum(F.when(~is_t, dy * dy).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("syy_c"),
+    )
+    nt, nc = F.col("n_t").cast("double"), F.col("n_c").cast("double")
+    s2_t = (F.col("syy_t") - F.col("sy_t") * F.col("sy_t") / nt) / (nt - 1)
+    s2_c = (F.col("syy_c") - F.col("sy_c") * F.col("sy_c") / nc) / (nc - 1)
+    s2_pooled = F.round(
+        ((nt - 1) * s2_t + (nc - 1) * s2_c) / (nt + nc - 2), 12
+    )
+    mean_c = F.col("sy_c") / nc
+    base = g.select(
+        "n_t", "n_c", s2_pooled.alias("s2"), mean_c.alias("mc")
+    ).select(
+        "n_t",
+        "n_c",
+        "s2",
+        "mc",
+        F.explode(
+            F.array(*[F.lit(p) for p in POWER_MDE_PCTS])
+        ).alias("mde_pct"),
+    )
+    delta = F.round(F.col("mde_pct") / 100.0 * F.col("mc"), 12)
+    n_req = F.ceil(
+        2.0 * F.col("s2") * F.lit(POWER_Z2) / (delta * delta)
+    ).cast("long")
+    return base.select(
+        "mde_pct",
+        F.round(delta / 1e6, 6).alias("delta_value"),
+        n_req.alias("n_required_per_arm"),
+        F.col("n_t").alias("n_treatment"),
+        F.col("n_c").alias("n_control"),
+        (F.least("n_t", "n_c") >= n_req).alias("powered_now"),
+    )
+
+
 def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences readout over the same pre/post split and
     arm assignment as CUPED: the 2x2 (arm x period) table of per-user
@@ -233,6 +305,7 @@ QUERIES = {
     "analytics_ab_cuped": ab_cuped,
     "analytics_ab_srm": ab_srm_check,
     "analytics_ab_did": ab_diff_in_diff,
+    "analytics_ab_power": ab_power_analysis,
 }
 
 _USERS_CTE = f"""
@@ -278,6 +351,55 @@ ORACLES = {
                         - cxs / CAST(n_control AS DOUBLE) / 1e6), 6)
                    AS did_effect
         FROM g
+    """,
+    "analytics_ab_power": f"""
+        WITH {_USERS_CTE}, g AS (
+            SELECT CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_t,
+                   CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_c,
+                   CAST(sum(CASE WHEN arm = 'treatment' THEN y_micro::HUGEINT
+                            ELSE 0 END) AS DOUBLE) AS sy_t,
+                   CAST(sum(CASE WHEN arm = 'treatment'
+                            THEN y_micro::HUGEINT * y_micro::HUGEINT
+                            ELSE 0 END) AS DOUBLE) AS syy_t,
+                   CAST(sum(CASE WHEN arm = 'control' THEN y_micro::HUGEINT
+                            ELSE 0 END) AS DOUBLE) AS sy_c,
+                   CAST(sum(CASE WHEN arm = 'control'
+                            THEN y_micro::HUGEINT * y_micro::HUGEINT
+                            ELSE 0 END) AS DOUBLE) AS syy_c
+            FROM users
+        ), c AS (
+            SELECT n_t, n_c,
+                   round((
+                       (CAST(n_t AS DOUBLE) - 1)
+                           * ((syy_t - sy_t * sy_t / CAST(n_t AS DOUBLE))
+                              / (CAST(n_t AS DOUBLE) - 1))
+                       + (CAST(n_c AS DOUBLE) - 1)
+                           * ((syy_c - sy_c * sy_c / CAST(n_c AS DOUBLE))
+                              / (CAST(n_c AS DOUBLE) - 1))
+                   ) / (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE) - 2),
+                       12) AS s2,
+                   sy_c / CAST(n_c AS DOUBLE) AS mc
+            FROM g
+        ), grid AS (
+            SELECT c.*, m.mde_pct
+            FROM c CROSS JOIN (VALUES (2), (5), (10)) AS m(mde_pct)
+        ), d AS (
+            SELECT n_t, n_c, s2, mde_pct,
+                   round(mde_pct / 100.0 * mc, 12) AS delta
+            FROM grid
+        )
+        SELECT mde_pct,
+               round(delta / 1e6, 6) AS delta_value,
+               CAST(ceil(2.0 * s2 * {POWER_Z2!r} / (delta * delta))
+                    AS BIGINT) AS n_required_per_arm,
+               n_t AS n_treatment,
+               n_c AS n_control,
+               least(n_t, n_c) >= CAST(ceil(2.0 * s2 * {POWER_Z2!r}
+                                            / (delta * delta)) AS BIGINT)
+                   AS powered_now
+        FROM d
     """,
     "analytics_ab_srm": f"""
         WITH users AS (
