@@ -55,6 +55,7 @@ HEADLINE = [
     "graph_bfs_reach",
     "sampling_neyman_allocation",
     "analytics_ab_srm",
+    "analytics_ab_power",
     "analytics_ab_did",
     "transform_compaction_plan",
     "profile_mutual_information",

@@ -113,3 +113,25 @@ def test_retrieval_mrr_bounds_and_map_le_one(spark, sf_dir):
         # AP can only be positive if something relevant was retrieved
         if r.avg_precision > 0:
             assert r.reciprocal_rank > 0, r
+
+
+def test_power_requirement_shrinks_as_mde_grows(spark, sf_dir):
+    """A bigger detectable effect needs fewer users: n_required must be
+    strictly decreasing across the MDE grid, and every row must carry
+    the same realized arm sizes."""
+    from ssiintegrateddatapipeline_spark.operators.experiment import (
+        ab_power_analysis,
+    )
+
+    rows = sorted(
+        ab_power_analysis(spark, sf_dir).collect(), key=lambda r: r.mde_pct
+    )
+    assert [r.mde_pct for r in rows] == [2, 5, 10]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_required_per_arm > b.n_required_per_arm, (a, b)
+        assert (a.n_treatment, a.n_control) == (b.n_treatment, b.n_control)
+    for r in rows:
+        assert r.delta_value > 0
+        assert r.powered_now == (
+            min(r.n_treatment, r.n_control) >= r.n_required_per_arm
+        )
