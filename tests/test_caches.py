@@ -105,3 +105,22 @@ def test_twophase_rank_is_long(spark):
         df, F.col("value"), [F.col("value"), F.col("id")]
     )
     assert dict(ranked.dtypes)["global_pos"] == "bigint"
+
+
+def test_track_reinvocation_replaces_instead_of_appending(spark):
+    """A re-invocation of the same operator (bench's median-of-3) must
+    reuse ONE tracked entry per plan — not append a new reference per
+    run — while the returned plans keep reading live cached data (no
+    unpersist of the CacheManager-shared entry)."""
+    from ssiintegrateddatapipeline_spark import caches
+
+    clear_caches(spark)
+    dedup.simhash_near_dup_pairs(spark, SF_A).count()
+    n1 = len(caches._EPHEMERAL)
+    persisted1 = _n_persisted(spark)
+    for _ in range(2):  # two re-invocations of the identical plan
+        df = dedup.simhash_near_dup_pairs(spark, SF_A)
+        df.count()
+    assert len(caches._EPHEMERAL) == n1  # replaced, not appended
+    assert _n_persisted(spark) == persisted1  # one shared cache entry
+    clear_caches(spark)

@@ -18,7 +18,6 @@ import os
 import shutil
 import uuid
 
-import pytest
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
@@ -128,10 +127,6 @@ def test_transition_state_carries_across_batches(spark, sf_dir, tmp_path):
     the per-user last-event state is for. Replay events as 4 batches
     split by event_id (so almost every user's sequence straddles
     boundaries) and compare to the batch lag-window matrix."""
-    import uuid
-
-    from pyspark.sql import functions as F
-
     # stage by TIME quartile (not by id hash): the carry contract is for
     # in-order replay — a feed delivers events in event-time order
     stage_dir = str(tmp_path / "arrivals")
