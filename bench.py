@@ -131,6 +131,8 @@ HEADLINE = [
     "credstore_identifiers",
     "similarity_ivf_recall",
     "similarity_retrieval_mrr_map",
+    "similarity_late_interaction",
+    "profile_k_anonymity",
     "analytics_trimmed_stats",
     "analytics_hh_turnover",
     "analytics_markov_kstep",

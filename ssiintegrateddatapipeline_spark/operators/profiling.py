@@ -545,7 +545,71 @@ def kmv_set_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON_THRESHOLDS = (2, 5, 10)  # the k levels the audit reports against
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the event log's quasi-identifier tuple —
+    the governance gate a pipeline runs before releasing "anonymized"
+    data: group by the QI columns (event type, event date, value decile
+    — the classic generalization of a numeric QI), measure each
+    equivalence-class size k, and report how many classes and what share
+    of ROWS sit below each k threshold (rows in small classes are the
+    re-identifiable ones). One grouped pass builds the class sizes; the
+    threshold report is a 3-row conditional aggregate over the class
+    table. Exact integers end to end; the row share rounds at 6.
+
+    Scale: the QI groupBy is one map-side-combined shuffle on uniform
+    keys; the class table is |QI cardinality| rows, tiny forever."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.to_date("ts").alias("event_date"),
+        # value decile: a deterministic generalization (floor of value/
+        # overall-range-decile would need a census; fixed-width 100-unit
+        # bands are the documented public generalization here)
+        F.floor(F.col("value") / 100).cast("long").alias("value_band"),
+    )
+    classes = qi.groupBy("event_type", "event_date", "value_band").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("k").alias("n_rows"),
+    ]
+    for t in K_ANON_THRESHOLDS:
+        aggs.append(
+            F.sum((F.col("k") < t).cast("long")).alias(f"classes_lt_{t}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("k") < t, F.col("k")).otherwise(0)).alias(
+                f"rows_lt_{t}"
+            )
+        )
+    g = classes.agg(*aggs)
+    stacked = ", ".join(
+        f"{t}, classes_lt_{t}, rows_lt_{t}" for t in K_ANON_THRESHOLDS
+    )
+    return g.select(
+        "n_classes",
+        "n_rows",
+        F.expr(
+            f"stack({len(K_ANON_THRESHOLDS)}, {stacked})"
+            " AS (k_threshold, classes_below, rows_below)"
+        ),
+    ).select(
+        "k_threshold",
+        "n_classes",
+        "classes_below",
+        "rows_below",
+        F.round(F.col("rows_below") / F.col("n_rows"), 6).alias(
+            "row_share_below"
+        ),
+    )
+
+
 QUERIES = {
+    "profile_k_anonymity": k_anonymity_audit,
     "profile_kmv_sets": kmv_set_sketches,
     "profile_mutual_information": mutual_information,
     "profile_benford_audit": benford_audit,
@@ -631,7 +695,34 @@ _BENFORD_CASE = " ".join(
     for d in range(1, 10)
 )
 
+_K_ANON_ORACLE = f"""
+    WITH classes AS (
+        SELECT event_type, CAST(ts AS DATE) AS event_date,
+               CAST(floor(value / 100) AS BIGINT) AS value_band,
+               count(*) AS k
+        FROM events GROUP BY 1, 2, 3
+    ),
+    g AS (
+        SELECT count(*) AS n_classes, sum(k)::BIGINT AS n_rows,
+               {", ".join(
+                   f"sum(CASE WHEN k < {t} THEN 1 ELSE 0 END)::BIGINT"
+                   f" AS classes_lt_{t},"
+                   f" sum(CASE WHEN k < {t} THEN k ELSE 0 END)::BIGINT"
+                   f" AS rows_lt_{t}"
+                   for t in K_ANON_THRESHOLDS
+               )}
+        FROM classes
+    )
+    {" UNION ALL ".join(
+        f"SELECT {t} AS k_threshold, n_classes, classes_lt_{t}"
+        f" AS classes_below, rows_lt_{t} AS rows_below,"
+        f" round(rows_lt_{t}::DOUBLE / n_rows, 6) AS row_share_below FROM g"
+        for t in K_ANON_THRESHOLDS
+    )}
+"""
+
 ORACLES = {
+    "profile_k_anonymity": _K_ANON_ORACLE,
     "profile_kmv_sets": f"""
         WITH pairs AS (
             SELECT DISTINCT event_type,

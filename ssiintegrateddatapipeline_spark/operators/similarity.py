@@ -833,6 +833,70 @@ def retrieval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LI_VECS_PER_DOC = 4  # multi-vector granularity of the late-interaction view
+LI_N_QUERY_DOCS = 2  # pseudo query documents (vec_id div 4 < 2)
+LI_TOP_K = 3  # retrieved docs per query
+LI_SALTS = 64  # first-level fanout of the two-level exact top-k
+
+
+def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style LATE-INTERACTION retrieval (MaxSim): documents are
+    multi-vector — here the embedding table viewed as
+    ``LI_VECS_PER_DOC``-vector pseudo-docs (``vec_id div 4``) — and
+    score(q, d) = sum over q's vectors of max over d's vectors of the
+    cosine. This is the third retrieval geometry next to single-vector
+    ANN and BM25: token-level matching with document-level ranking,
+    what a production multi-vector index (ColBERT/PLAID) computes.
+
+    Parity: per-(q-vector, doc) MaxSim is a max of round-6 cosines (a
+    max is order-free); the per-doc score sums the MaxSims as exact
+    integer MICROS, so engine summation order cannot flip a rank. Top-k
+    per query is the two-level exact device. Scale: the only corpus-
+    sized work is |q-vectors| x |corpus vectors| cosines (the brute
+    baseline's shape — an IVF-blocked variant probes cells instead);
+    everything after the first reduce is |queries| x |docs| rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(f"vec_id div {LI_VECS_PER_DOC}").alias("mdoc"),
+        "embedding",
+        arr_norm(F.col("embedding")).alias("n_emb"),
+    )
+    qv = emb.where(F.col("mdoc") < LI_N_QUERY_DOCS).select(
+        F.col("mdoc").alias("qdoc"),
+        F.col("vec_id").alias("q_vec"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n_emb").alias("n_q"),
+    )
+    pairs = emb.crossJoin(F.broadcast(qv)).where(F.col("mdoc") != F.col("qdoc"))
+    cos = F.round(
+        arr_dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("n_q") * F.col("n_emb")),
+        6,
+    )
+    maxsim = pairs.groupBy("qdoc", "q_vec", "mdoc").agg(
+        F.max(cos).alias("ms")
+    )
+    scores = maxsim.groupBy("qdoc", "mdoc").agg(
+        F.sum(F.round(F.col("ms") * 1e6).cast("long")).alias("score_micro")
+    )
+    order = [F.col("score_micro").desc(), F.col("mdoc")]
+    w1 = Window.partitionBy("qdoc", "salt").orderBy(*order)
+    w2 = Window.partitionBy("qdoc").orderBy(*order)
+    return (
+        scores.withColumn("salt", F.pmod(F.col("mdoc"), F.lit(LI_SALTS)))
+        .withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= LI_TOP_K)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= LI_TOP_K)
+        .select(
+            F.col("qdoc").alias("query_doc"),
+            F.col("mdoc").alias("doc_id"),
+            F.round(F.col("score_micro") / 1e6, 6).alias("maxsim_score"),
+            "rank",
+        )
+    )
+
+
 def ivf_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over the FULL corpus, IVF-bucketed: the
     self-join runs within centroid cells only, so the pair space is
@@ -1493,6 +1557,7 @@ QUERIES = {
     "similarity_ivf_near_dup": ivf_near_dup_pairs,
     "similarity_ivf_recall": ivf_recall,
     "similarity_retrieval_mrr_map": retrieval_mrr_map,
+    "similarity_late_interaction": late_interaction_topk,
     "similarity_semantic_dedup": semantic_dedup,
     "similarity_embedding_quantize": embedding_quantize,
     "similarity_cross_modal": cross_modal_agreement,
@@ -2018,6 +2083,37 @@ ORACLES["similarity_ivf_recall"] = f"""
     FROM truth t LEFT JOIN approx a
       ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
     GROUP BY t.query_id
+"""
+
+ORACLES["similarity_late_interaction"] = f"""
+    WITH emb AS (
+        SELECT vec_id, vec_id // {LI_VECS_PER_DOC} AS mdoc, embedding
+        FROM embeddings
+    ),
+    qv AS (
+        SELECT mdoc AS qdoc, vec_id AS q_vec, embedding AS q_emb
+        FROM emb WHERE mdoc < {LI_N_QUERY_DOCS}
+    ),
+    maxsim AS (
+        SELECT q.qdoc, q.q_vec, e.mdoc,
+               max(round({_COS.format(a="q.q_emb", b="e.embedding")}, 6))
+                   AS ms
+        FROM emb e CROSS JOIN qv q
+        WHERE e.mdoc != q.qdoc
+        GROUP BY 1, 2, 3
+    ),
+    scores AS (
+        SELECT qdoc, mdoc,
+               sum(CAST(round(ms * 1e6) AS BIGINT))::BIGINT AS score_micro
+        FROM maxsim GROUP BY 1, 2
+    )
+    SELECT qdoc AS query_doc, mdoc AS doc_id,
+           round(score_micro / 1e6, 6) AS maxsim_score, rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY qdoc
+                   ORDER BY score_micro DESC, mdoc) AS rank
+        FROM scores
+    ) WHERE rank <= {LI_TOP_K}
 """
 
 ORACLES["similarity_retrieval_mrr_map"] = f"""
