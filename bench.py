@@ -168,6 +168,8 @@ HEADLINE = [
     "streaming_online_dedup",
     "streaming_ab_monitor",
     "streaming_event_transitions",
+    "streaming_burn_rate",
+    "metrics_burn_rate",
 ]
 
 

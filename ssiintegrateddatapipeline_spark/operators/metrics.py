@@ -202,7 +202,64 @@ def histogram_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLO_ERROR_BUDGET = 0.01  # 99% non-error SLO
+BURN_ALERT = 14.4  # Google SRE workbook: page at 14.4x on 5m AND 1h
+
+
+def burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window multi-burn-rate SLO alerting (the SRE workbook
+    pattern the reference's Prometheus/Grafana layer exists to serve):
+    the error-event rate per 5-minute window, expressed as a multiple of
+    the 1% error budget ("burn rate"), gated by the SAME multiple over
+    the enclosing 1-hour window — paging only when BOTH short and long
+    windows burn >= 14.4x, which filters blips without missing a real
+    budget-destroying incident.
+
+    Exact shape: integer error/total counts per aligned 5m bucket (one
+    map-side-combined groupBy of the event scan), hour totals as a
+    second tiny rollup of the 5m table (never a rescan) broadcast back
+    onto it. Burn rates are exact-integer ratios over the budget
+    constant, rounded at 6."""
+    ev = load_table(spark, sf_dir, "events")
+    by5 = (
+        ev.select(
+            F.expr("unix_seconds(ts) div 300").alias("w5"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("w5")
+        .agg(F.count(F.lit(1)).alias("n_5m"), F.sum("is_err").alias("err_5m"))
+    )
+    return burn_report(by5)
+
+
+def burn_report(by5: DataFrame) -> DataFrame:
+    """Shared tail of the batch query and its streaming twin: hour gate
+    + page flags over a (w5, n_5m, err_5m) bucket table."""
+    byh = (
+        by5.select(F.expr("w5 div 12").alias("wh"), "n_5m", "err_5m")
+        .groupBy("wh")
+        .agg(F.sum("n_5m").alias("n_1h"), F.sum("err_5m").alias("err_1h"))
+    )
+    j = by5.join(
+        F.broadcast(byh), F.expr("w5 div 12") == F.col("wh")
+    )
+    burn_s = F.col("err_5m") / F.col("n_5m") / SLO_ERROR_BUDGET
+    burn_l = F.col("err_1h") / F.col("n_1h") / SLO_ERROR_BUDGET
+    return j.select(
+        F.timestamp_seconds(F.col("w5") * 300).alias("window_start"),
+        "n_5m",
+        "err_5m",
+        F.round(burn_s, 6).alias("burn_5m"),
+        F.round(burn_l, 6).alias("burn_1h"),
+        (
+            (F.round(burn_s, 6) >= BURN_ALERT)
+            & (F.round(burn_l, 6) >= BURN_ALERT)
+        ).alias("page"),
+    )
+
+
 QUERIES = {
+    "metrics_burn_rate": burn_rate_alerts,
     "metrics_scrape_table": metrics_table,
     "metrics_counter_increase": counter_increase,
     "metrics_histogram_rebucket": histogram_rebucket,
@@ -211,6 +268,34 @@ QUERIES = {
 _BUCKETS_SQL = "(VALUES (1.0),(2.0),(5.0),(10.0),(25.0),(50.0),(100.0),(150.0),(200.0),(300.0))"
 
 ORACLES = {
+    "metrics_burn_rate": f"""
+        WITH by5 AS (
+            -- epoch_us floor-divided: epoch() is a fractional DOUBLE and
+            -- ::BIGINT would ROUND where Spark's unix_seconds truncates
+            SELECT epoch_us(ts) // 1000000 // 300 AS w5,
+                   count(*) AS n_5m,
+                   sum(CASE WHEN event_type = 'error' THEN 1
+                            ELSE 0 END)::BIGINT AS err_5m
+            FROM events GROUP BY 1
+        ),
+        byh AS (
+            SELECT w5 // 12 AS wh,
+                   sum(n_5m)::BIGINT AS n_1h,
+                   sum(err_5m)::BIGINT AS err_1h
+            FROM by5 GROUP BY 1
+        )
+        SELECT make_timestamp(w5 * 300 * 1000000) AS window_start,
+               n_5m, err_5m,
+               round(err_5m::DOUBLE / n_5m / {SLO_ERROR_BUDGET}, 6)
+                   AS burn_5m,
+               round(err_1h::DOUBLE / n_1h / {SLO_ERROR_BUDGET}, 6)
+                   AS burn_1h,
+               round(err_5m::DOUBLE / n_5m / {SLO_ERROR_BUDGET}, 6)
+                   >= {BURN_ALERT}
+               AND round(err_1h::DOUBLE / n_1h / {SLO_ERROR_BUDGET}, 6)
+                   >= {BURN_ALERT} AS page
+        FROM by5 JOIN byh ON by5.w5 // 12 = byh.wh
+    """,
     "metrics_histogram_rebucket": f"""
         WITH obs AS (SELECT value AS v FROM events),
         tot AS (SELECT count(*)::DOUBLE AS total FROM obs),

@@ -398,6 +398,33 @@ def transitions_plan(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `metrics_burn_rate` — SLO burn alerting is
+    inherently a streaming job: 5-minute event-time windows accumulate
+    error/total counts under a watermark (state = windows in span, the
+    throughput family's bound), and the multi-window page decision (5m
+    AND 1h both >= 14.4x budget) is a read-time rollup of the emitted
+    window counts — the hour gate never needs its own state."""
+    from ssiintegrateddatapipeline_spark.operators.metrics import burn_report
+
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_5m"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias(
+                "err_5m"
+            ),
+        )
+    )
+    out = run_available_now(agg, output_mode="complete")
+    by5 = out.select(
+        F.expr("unix_seconds(w.start) div 300").alias("w5"), "n_5m", "err_5m"
+    )
+    return burn_report(by5)
+
+
 def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `analytics_event_transitions`: the first-order
     transition matrix maintained online. The lag that batch computes
@@ -1598,6 +1625,7 @@ QUERIES = {
     "streaming_user_stats": streaming_user_stats,
     "streaming_user_profile": streaming_user_profile,
     "streaming_event_transitions": streaming_event_transitions,
+    "streaming_burn_rate": streaming_burn_rate,
     "streaming_cms_grid": streaming_cms_grid,
     "streaming_ab_monitor": streaming_ab_monitor,
 }
@@ -2006,6 +2034,9 @@ ORACLES = {
         FROM events
         GROUP BY user_id
     """,
+    # identical to the batch burn-rate oracle: windowed counts equal the
+    # batch bucketing exactly, and the page gate is read-time arithmetic
+    "streaming_burn_rate": None,  # assigned below from operators.metrics
     # identical to the batch transitions oracle: the carried per-user
     # state makes the streaming matrix equal the batch lag exactly
     "streaming_event_transitions": """
@@ -2054,6 +2085,12 @@ from ssiintegrateddatapipeline_spark.operators.profiling import (  # noqa: E402
     _CMS_COL_J as _CMS_COL_J_SQL,
     CMS_DEPTH as _CMS_DEPTH,
 )
+
+from ssiintegrateddatapipeline_spark.operators.metrics import (  # noqa: E402
+    ORACLES as _METRIC_ORACLES,
+)
+
+ORACLES["streaming_burn_rate"] = _METRIC_ORACLES["metrics_burn_rate"]
 
 ORACLES["streaming_cms_grid"] = f"""
     WITH keys AS (SELECT user_id::VARCHAR AS key FROM events),

@@ -87,6 +87,8 @@ from ssiintegrateddatapipeline_spark.sources.batch import load_table
 _STATE_BOUNDS = {
     # event-time windowed aggs: state == open/materialized windows (span)
     "streaming_throughput_30s": lambda s, n: 2 * n + 16,
+    # 5m windows in span (the hour gate is read-time arithmetic, 0 state)
+    "streaming_burn_rate": lambda s, n: 2 * n + 16,
     "streaming_sliding_rate": lambda s, n: 2 * n + 16,
     "streaming_session_windows": lambda s, n: 2 * n + 16,
     # domain-keyed tallies
