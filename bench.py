@@ -133,6 +133,8 @@ HEADLINE = [
     "similarity_retrieval_mrr_map",
     "similarity_late_interaction",
     "profile_k_anonymity",
+    "profile_referential_integrity",
+    "profile_partition_skew",
     "analytics_trimmed_stats",
     "analytics_hh_turnover",
     "analytics_markov_kstep",

@@ -608,8 +608,96 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's FK edges — the
+    data-contract check a warehouse runs after every load: for each
+    child->parent edge, the child row count, the count of orphan child
+    rows (FK value with no parent), and the count of childless parents
+    (left-anti both ways). Orphans use a LEFT ANTI join against the
+    parent's key projection (broadcast for the small dims, keyed shuffle
+    for orders<->lineitem — exactly the join the load itself does, so
+    the audit costs one extra pass, not a new shape)."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("part", "p_partkey", "part", "p_partkey"),  # identity: 0 orphans
+    ]
+    out = None
+    for child, ck, parent, pk in edges:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        row = (
+            c.agg(F.count(F.lit(1)).alias("child_rows"))
+            .crossJoin(
+                c.join(p, "k", "left_anti")
+                .agg(F.count(F.lit(1)).alias("orphan_rows"))
+            )
+            .crossJoin(
+                p.join(c, "k", "left_anti")
+                .agg(F.count(F.lit(1)).alias("childless_parents"))
+            )
+            .select(
+                F.lit(f"{child}.{ck} -> {parent}.{pk}").alias("fk_edge"),
+                "child_rows",
+                "orphan_rows",
+                "childless_parents",
+                (F.col("orphan_rows") == 0).alias("intact"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SKEW_KEYS = (  # candidate partition keys the layout advisor grades
+    ("event_type", "event_type"),
+    ("user_bucket", "pmod(user_id, 1024)"),
+    ("event_day", "CAST(ts AS DATE)"),
+)
+
+
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout advisor: for each CANDIDATE partition key, the partition
+    count and the skew shape of its row distribution — max/mean ratio
+    (straggler factor: the slowest task's load vs the average) and the
+    share of rows in the single largest partition. This is the number
+    that decides bucketing/partitioning at 100 TB: a key with max/mean
+    40x puts 40x the average on one task no matter how many executors
+    exist. One grouped count per candidate (map-side combined), then a
+    |partitions|-row reduce per key; exact integers, ratios rounded 6."""
+    ev = load_table(spark, sf_dir, "events")
+    out = None
+    for key_name, expr in SKEW_KEYS:
+        sizes = ev.groupBy(F.expr(expr).alias("k")).agg(
+            F.count(F.lit(1)).alias("rows")
+        )
+        row = sizes.agg(
+            F.lit(key_name).alias("candidate_key"),
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("rows").alias("n_rows"),
+            F.max("rows").alias("max_rows"),
+        ).select(
+            "candidate_key",
+            "n_partitions",
+            F.round(
+                F.col("max_rows")
+                / (F.col("n_rows") / F.col("n_partitions")),
+                6,
+            ).alias("max_over_mean"),
+            F.round(F.col("max_rows") / F.col("n_rows"), 6).alias(
+                "top_partition_share"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 QUERIES = {
     "profile_k_anonymity": k_anonymity_audit,
+    "profile_referential_integrity": referential_integrity,
+    "profile_partition_skew": partition_skew_report,
     "profile_kmv_sets": kmv_set_sketches,
     "profile_mutual_information": mutual_information,
     "profile_benford_audit": benford_audit,
@@ -721,8 +809,50 @@ _K_ANON_ORACLE = f"""
     )}
 """
 
+_RI_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("part", "p_partkey", "part", "p_partkey"),
+]
+
+_RI_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{c}.{ck} -> {p}.{pk}' AS fk_edge,
+           (SELECT count(*) FROM {c}) AS child_rows,
+           (SELECT count(*) FROM {c}
+            WHERE {ck} NOT IN (SELECT {pk} FROM {p})) AS orphan_rows,
+           (SELECT count(*) FROM {p}
+            WHERE {pk} NOT IN (SELECT {ck} FROM {c}))
+               AS childless_parents,
+           (SELECT count(*) FROM {c}
+            WHERE {ck} NOT IN (SELECT {pk} FROM {p})) = 0 AS intact
+    """
+    for c, ck, p, pk in _RI_EDGES
+)
+
+_SKEW_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{name}' AS candidate_key,
+           count(*) AS n_partitions,
+           round(max(rows)::DOUBLE
+                 / (sum(rows)::DOUBLE / count(*)), 6) AS max_over_mean,
+           round(max(rows)::DOUBLE / sum(rows), 6) AS top_partition_share
+    FROM (SELECT {expr} AS k, count(*) AS rows FROM events GROUP BY 1)
+    """
+    for name, expr in (
+        ("event_type", "event_type"),
+        ("user_bucket", "user_id % 1024"),
+        ("event_day", "CAST(ts AS DATE)"),
+    )
+)
+
 ORACLES = {
     "profile_k_anonymity": _K_ANON_ORACLE,
+    "profile_referential_integrity": _RI_ORACLE,
+    "profile_partition_skew": _SKEW_ORACLE,
     "profile_kmv_sets": f"""
         WITH pairs AS (
             SELECT DISTINCT event_type,
