@@ -549,7 +549,8 @@ K_ANON_THRESHOLDS = (2, 5, 10)  # the k levels the audit reports against
 
 
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit over the event log's quasi-identifier tuple —
+    """k-anonymity audit (Sweeney, IJUFKS 2002) over the event log's
+    quasi-identifier tuple —
     the governance gate a pipeline runs before releasing "anonymized"
     data: group by the QI columns (event type, event date, value decile
     — the classic generalization of a numeric QI), measure each

@@ -840,7 +840,8 @@ LI_SALTS = 64  # first-level fanout of the two-level exact top-k
 
 
 def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ColBERT-style LATE-INTERACTION retrieval (MaxSim): documents are
+    """ColBERT-style LATE-INTERACTION retrieval (MaxSim; Khattab &
+    Zaharia, SIGIR 2020): documents are
     multi-vector — here the embedding table viewed as
     ``LI_VECS_PER_DOC``-vector pseudo-docs (``vec_id div 4``) — and
     score(q, d) = sum over q's vectors of max over d's vectors of the
