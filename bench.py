@@ -132,6 +132,7 @@ HEADLINE = [
     "similarity_ivf_recall",
     "similarity_retrieval_mrr_map",
     "similarity_late_interaction",
+    "similarity_late_interaction_ivf",
     "profile_k_anonymity",
     "profile_referential_integrity",
     "profile_partition_skew",

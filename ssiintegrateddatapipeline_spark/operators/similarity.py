@@ -898,6 +898,94 @@ def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def late_interaction_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-blocked late interaction — the corpus-scale path the exact
+    `similarity_late_interaction` is the oracle for (PLAID-style): each
+    QUERY VECTOR probes its top-``N_PROBES`` centroids of the trained
+    codebook and MaxSim runs only over candidate vectors in those cells,
+    so the pair space is sum over probed cells of |cell|, never
+    |q-vectors| x |corpus|. A (q-vector, doc) pair with no doc vector in
+    the probed cells contributes 0 — the standard partial-MaxSim
+    approximation; the ``in_exact_topk`` flag joins each approximate
+    pick against the exact top-k so the recall cost of the blocking is
+    measured in the result itself."""
+    assigned = ivf_assignments(spark, sf_dir).select(
+        "vec_id",
+        F.expr(f"vec_id div {LI_VECS_PER_DOC}").alias("mdoc"),
+        "embedding",
+        arr_norm(F.col("embedding")).alias("n_emb"),
+        "centroid",
+    )
+    q_step = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.expr(f"vec_id div {LI_VECS_PER_DOC}") < LI_N_QUERY_DOCS)
+        .select(
+            F.expr(f"vec_id div {LI_VECS_PER_DOC}").alias("qdoc"),
+            F.col("vec_id").alias("q_vec"),
+            F.col("embedding").alias("q_emb"),
+            arr_norm(F.col("embedding")).alias("n_q"),
+            _memo_col(
+                spark,
+                (sf_dir, "ivf_dots"),
+                lambda: _dots_for(
+                    F.col("embedding"), _trained_centroids(spark, sf_dir)
+                ),
+            ).alias("dots"),
+        )
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.lit(N_CENTROIDS)),
+        lambda k: F.struct(F.element_at(F.col("dots"), k).alias("d"), k.alias("k")),
+    )
+    probes = F.slice(
+        F.transform(F.sort_array(pairs, asc=False), lambda s: s["k"]), 1, N_PROBES
+    )
+    q = q_step.select(
+        "qdoc", "q_vec", "q_emb", "n_q", F.explode(probes).alias("probe_raw")
+    ).select(
+        "qdoc", "q_vec", "q_emb", "n_q",
+        F.col("probe_raw").cast("int").alias("probe"),
+    )
+    cand = assigned.join(
+        F.broadcast(q), on=F.col("centroid") == F.col("probe")
+    ).where(F.col("mdoc") != F.col("qdoc"))
+    cos = F.round(
+        arr_dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("n_q") * F.col("n_emb")),
+        6,
+    )
+    maxsim = cand.groupBy("qdoc", "q_vec", "mdoc").agg(F.max(cos).alias("ms"))
+    scores = maxsim.groupBy("qdoc", "mdoc").agg(
+        F.sum(F.round(F.col("ms") * 1e6).cast("long")).alias("score_micro")
+    )
+    order = [F.col("score_micro").desc(), F.col("mdoc")]
+    w1 = Window.partitionBy("qdoc", "salt").orderBy(*order)
+    w2 = Window.partitionBy("qdoc").orderBy(*order)
+    approx = (
+        scores.withColumn("salt", F.pmod(F.col("mdoc"), F.lit(LI_SALTS)))
+        .withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= LI_TOP_K)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= LI_TOP_K)
+        .select(
+            F.col("qdoc").alias("query_doc"),
+            F.col("mdoc").alias("doc_id"),
+            F.round(F.col("score_micro") / 1e6, 6).alias("maxsim_score"),
+            "rank",
+        )
+    )
+    exact = late_interaction_topk(spark, sf_dir).select(
+        "query_doc", "doc_id", F.lit(1).alias("ex")
+    )
+    return approx.join(exact, ["query_doc", "doc_id"], "left").select(
+        "query_doc",
+        "doc_id",
+        "maxsim_score",
+        "rank",
+        F.col("ex").isNotNull().alias("in_exact_topk"),
+    )
+
+
 def ivf_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over the FULL corpus, IVF-bucketed: the
     self-join runs within centroid cells only, so the pair space is
@@ -1559,6 +1647,7 @@ QUERIES = {
     "similarity_ivf_recall": ivf_recall,
     "similarity_retrieval_mrr_map": retrieval_mrr_map,
     "similarity_late_interaction": late_interaction_topk,
+    "similarity_late_interaction_ivf": late_interaction_ivf,
     "similarity_semantic_dedup": semantic_dedup,
     "similarity_embedding_quantize": embedding_quantize,
     "similarity_cross_modal": cross_modal_agreement,
@@ -2115,6 +2204,60 @@ ORACLES["similarity_late_interaction"] = f"""
                    ORDER BY score_micro DESC, mdoc) AS rank
         FROM scores
     ) WHERE rank <= {LI_TOP_K}
+"""
+
+ORACLES["similarity_late_interaction_ivf"] = f"""
+    WITH {_trained_ctes()},
+    assigned AS (
+        SELECT vec_id, vec_id // {LI_VECS_PER_DOC} AS mdoc, embedding,
+               list_indexof(dots, list_max(dots))::INT AS centroid
+        FROM (SELECT vec_id, embedding,
+                     {_TRAINED_DOTS.format(emb="embedding")} AS dots
+              FROM embeddings CROSS JOIN trained_cl tc)
+    ),
+    qprobes AS (
+        SELECT qdoc, q_vec, q_emb, unnest(probes)::INT AS probe
+        FROM (
+            SELECT qdoc, q_vec, q_emb,
+                   list_transform(
+                       list_sort(
+                           list_transform(generate_series(1, {N_CENTROIDS}),
+                                          k -> {{d: dots[k], k: k}}))[-{N_PROBES}:],
+                       s -> s.k) AS probes
+            FROM (SELECT vec_id // {LI_VECS_PER_DOC} AS qdoc,
+                         vec_id AS q_vec, embedding AS q_emb,
+                         {_TRAINED_DOTS.format(emb="embedding")} AS dots
+                  FROM embeddings CROSS JOIN trained_cl tc
+                  WHERE vec_id // {LI_VECS_PER_DOC} < {LI_N_QUERY_DOCS})
+        )
+    ),
+    maxsim AS (
+        SELECT q.qdoc, q.q_vec, a.mdoc,
+               max(round({_COS.format(a="q.q_emb", b="a.embedding")}, 6))
+                   AS ms
+        FROM assigned a JOIN qprobes q ON a.centroid = q.probe
+        WHERE a.mdoc != q.qdoc
+        GROUP BY 1, 2, 3
+    ),
+    scores AS (
+        SELECT qdoc, mdoc,
+               sum(CAST(round(ms * 1e6) AS BIGINT))::BIGINT AS score_micro
+        FROM maxsim GROUP BY 1, 2
+    ),
+    approx AS (
+        SELECT qdoc AS query_doc, mdoc AS doc_id,
+               round(score_micro / 1e6, 6) AS maxsim_score, rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY qdoc
+                       ORDER BY score_micro DESC, mdoc) AS rank
+            FROM scores
+        ) WHERE rank <= {LI_TOP_K}
+    ),
+    exact AS ({ORACLES["similarity_late_interaction"]})
+    SELECT ap.query_doc, ap.doc_id, ap.maxsim_score, ap.rank,
+           ex.doc_id IS NOT NULL AS in_exact_topk
+    FROM approx ap LEFT JOIN exact ex
+      ON ap.query_doc = ex.query_doc AND ap.doc_id = ex.doc_id
 """
 
 ORACLES["similarity_retrieval_mrr_map"] = f"""
