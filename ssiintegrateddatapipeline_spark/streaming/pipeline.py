@@ -437,7 +437,12 @@ def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     out = run_available_now(
-        transitions_plan(events_stream(spark, sf_dir)), output_mode="update"
+        transitions_plan(events_stream(spark, sf_dir)),
+        output_mode="update",
+        # a few hundred user-keyed state rows: 32 stores are pure
+        # per-micro-batch setup/commit overhead (same pin as the feed
+        # twins); production sizes this to the key cardinality
+        state_partitions=8,
     )
     c = out.groupBy("from_type", "to_type").agg(
         F.sum("transitions").alias("transitions")
