@@ -134,6 +134,7 @@ HEADLINE = [
     "similarity_late_interaction",
     "similarity_late_interaction_ivf",
     "profile_k_anonymity",
+    "profile_l_diversity",
     "profile_referential_integrity",
     "profile_partition_skew",
     "analytics_trimmed_stats",

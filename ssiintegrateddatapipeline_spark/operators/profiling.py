@@ -609,6 +609,64 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIV_THRESHOLDS = (2, 3, 5)  # distinct-sensitive-values levels reported
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    companion to `profile_k_anonymity`: a large equivalence class is
+    still disclosive if everyone in it shares the SENSITIVE value, so
+    this measures, per QI class (same generalization as the k-audit),
+    the number of DISTINCT sensitive values (user identity here), and
+    reports classes and row share below each l level. Same one-grouped-
+    pass shape: the class table is (QI, l, k) from a single aggregate
+    with countDistinct over the uniform QI keys."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.to_date("ts").alias("event_date"),
+        F.floor(F.col("value") / 100).cast("long").alias("value_band"),
+        "user_id",
+    )
+    classes = qi.groupBy("event_type", "event_date", "value_band").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("user_id").alias("l"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("k").alias("n_rows"),
+    ]
+    for t in L_DIV_THRESHOLDS:
+        aggs.append(
+            F.sum((F.col("l") < t).cast("long")).alias(f"classes_lt_{t}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("l") < t, F.col("k")).otherwise(0)).alias(
+                f"rows_lt_{t}"
+            )
+        )
+    g = classes.agg(*aggs)
+    stacked = ", ".join(
+        f"{t}, classes_lt_{t}, rows_lt_{t}" for t in L_DIV_THRESHOLDS
+    )
+    return g.select(
+        "n_classes",
+        "n_rows",
+        F.expr(
+            f"stack({len(L_DIV_THRESHOLDS)}, {stacked})"
+            " AS (l_threshold, classes_below, rows_below)"
+        ),
+    ).select(
+        "l_threshold",
+        "n_classes",
+        "classes_below",
+        "rows_below",
+        F.round(F.col("rows_below") / F.col("n_rows"), 6).alias(
+            "row_share_below"
+        ),
+    )
+
+
 def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit over the star schema's FK edges — the
     data-contract check a warehouse runs after every load: for each
@@ -697,6 +755,7 @@ def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "profile_k_anonymity": k_anonymity_audit,
+    "profile_l_diversity": l_diversity_audit,
     "profile_referential_integrity": referential_integrity,
     "profile_partition_skew": partition_skew_report,
     "profile_kmv_sets": kmv_set_sketches,
@@ -850,7 +909,35 @@ _SKEW_ORACLE = " UNION ALL ".join(
     )
 )
 
+_L_DIV_ORACLE = f"""
+    WITH classes AS (
+        SELECT event_type, CAST(ts AS DATE) AS event_date,
+               CAST(floor(value / 100) AS BIGINT) AS value_band,
+               count(*) AS k,
+               count(DISTINCT user_id) AS l
+        FROM events GROUP BY 1, 2, 3
+    ),
+    g AS (
+        SELECT count(*) AS n_classes, sum(k)::BIGINT AS n_rows,
+               {", ".join(
+                   f"sum(CASE WHEN l < {t} THEN 1 ELSE 0 END)::BIGINT"
+                   f" AS classes_lt_{t},"
+                   f" sum(CASE WHEN l < {t} THEN k ELSE 0 END)::BIGINT"
+                   f" AS rows_lt_{t}"
+                   for t in L_DIV_THRESHOLDS
+               )}
+        FROM classes
+    )
+    {" UNION ALL ".join(
+        f"SELECT {t} AS l_threshold, n_classes, classes_lt_{t}"
+        f" AS classes_below, rows_lt_{t} AS rows_below,"
+        f" round(rows_lt_{t}::DOUBLE / n_rows, 6) AS row_share_below FROM g"
+        for t in L_DIV_THRESHOLDS
+    )}
+"""
+
 ORACLES = {
+    "profile_l_diversity": _L_DIV_ORACLE,
     "profile_k_anonymity": _K_ANON_ORACLE,
     "profile_referential_integrity": _RI_ORACLE,
     "profile_partition_skew": _SKEW_ORACLE,
