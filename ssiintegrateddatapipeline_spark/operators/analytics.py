@@ -810,17 +810,15 @@ def heavy_hitter_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h1", "user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    order = [F.col("cnt").desc(), F.col("user_id")]
-    w1 = Window.partitionBy("h1", "salt").orderBy(*order)
-    w2 = Window.partitionBy("h1").orderBy(*order)
-    top = (
-        counts.withColumn(
-            "salt", F.pmod(F.col("user_id"), F.lit(HH_TURNOVER_SALTS))
-        )
-        .withColumn("r1", F.row_number().over(w1))
-        .where(F.col("r1") <= HH_TURNOVER_K)
-        .withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= HH_TURNOVER_K)
+    from ssiintegrateddatapipeline_spark.functions.topk import two_level_topk
+
+    top = two_level_topk(
+        counts,
+        keys=["h1"],
+        order=[F.col("cnt").desc(), F.col("user_id")],
+        k=HH_TURNOVER_K,
+        salt=F.col("user_id"),
+        n_salts=HH_TURNOVER_SALTS,
     )
     # set comparison as ONE tiny aggregation (a full-outer join of the
     # two k-row sets cannot broadcast and would sort-merge)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.functions.text_funcs import arr_dot, arr_norm, cosine
+from ssiintegrateddatapipeline_spark.functions.topk import two_level_topk
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
 
 TOP_K = 10
@@ -72,22 +73,17 @@ def _brute_topk(spark: SparkSession, sf_dir: str, with_emb: bool = False) -> Dat
     if with_emb:
         cols.append("embedding")
     scored = pairs.select(*cols)
-    order = [F.col("cosine_sim").desc(), F.col("neighbor_id")]
-    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    local = (
-        scored.withColumn("salt", F.pmod(F.col("neighbor_id"), F.lit(TOPK_SALTS)))
-        .withColumn("r1", F.row_number().over(w1))
-        .where(F.col("r1") <= TOP_K)
-    )
     out_cols = ["query_id", "neighbor_id", "cosine_sim", "rank"]
     if with_emb:
         out_cols.append("embedding")
-    return (
-        local.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= TOP_K)
-        .select(*out_cols)
-    )
+    return two_level_topk(
+        scored,
+        keys=["query_id"],
+        order=[F.col("cosine_sim").desc(), F.col("neighbor_id")],
+        k=TOP_K,
+        salt=F.col("neighbor_id"),
+        n_salts=TOPK_SALTS,
+    ).select(*out_cols)
 
 
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,21 +876,18 @@ def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = maxsim.groupBy("qdoc", "mdoc").agg(
         F.sum(F.round(F.col("ms") * 1e6).cast("long")).alias("score_micro")
     )
-    order = [F.col("score_micro").desc(), F.col("mdoc")]
-    w1 = Window.partitionBy("qdoc", "salt").orderBy(*order)
-    w2 = Window.partitionBy("qdoc").orderBy(*order)
-    return (
-        scores.withColumn("salt", F.pmod(F.col("mdoc"), F.lit(LI_SALTS)))
-        .withColumn("r1", F.row_number().over(w1))
-        .where(F.col("r1") <= LI_TOP_K)
-        .withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= LI_TOP_K)
-        .select(
-            F.col("qdoc").alias("query_doc"),
-            F.col("mdoc").alias("doc_id"),
-            F.round(F.col("score_micro") / 1e6, 6).alias("maxsim_score"),
-            "rank",
-        )
+    return two_level_topk(
+        scores,
+        keys=["qdoc"],
+        order=[F.col("score_micro").desc(), F.col("mdoc")],
+        k=LI_TOP_K,
+        salt=F.col("mdoc"),
+        n_salts=LI_SALTS,
+    ).select(
+        F.col("qdoc").alias("query_doc"),
+        F.col("mdoc").alias("doc_id"),
+        F.round(F.col("score_micro") / 1e6, 6).alias("maxsim_score"),
+        "rank",
     )
 
 
@@ -958,21 +951,18 @@ def late_interaction_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = maxsim.groupBy("qdoc", "mdoc").agg(
         F.sum(F.round(F.col("ms") * 1e6).cast("long")).alias("score_micro")
     )
-    order = [F.col("score_micro").desc(), F.col("mdoc")]
-    w1 = Window.partitionBy("qdoc", "salt").orderBy(*order)
-    w2 = Window.partitionBy("qdoc").orderBy(*order)
-    approx = (
-        scores.withColumn("salt", F.pmod(F.col("mdoc"), F.lit(LI_SALTS)))
-        .withColumn("r1", F.row_number().over(w1))
-        .where(F.col("r1") <= LI_TOP_K)
-        .withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= LI_TOP_K)
-        .select(
-            F.col("qdoc").alias("query_doc"),
-            F.col("mdoc").alias("doc_id"),
-            F.round(F.col("score_micro") / 1e6, 6).alias("maxsim_score"),
-            "rank",
-        )
+    approx = two_level_topk(
+        scores,
+        keys=["qdoc"],
+        order=[F.col("score_micro").desc(), F.col("mdoc")],
+        k=LI_TOP_K,
+        salt=F.col("mdoc"),
+        n_salts=LI_SALTS,
+    ).select(
+        F.col("qdoc").alias("query_doc"),
+        F.col("mdoc").alias("doc_id"),
+        F.round(F.col("score_micro") / 1e6, 6).alias("maxsim_score"),
+        "rank",
     )
     exact = late_interaction_topk(spark, sf_dir).select(
         "query_doc", "doc_id", F.lit(1).alias("ex")
