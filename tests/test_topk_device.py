@@ -44,3 +44,18 @@ def test_two_level_topk_equals_single_window(spark):
     assert sorted(map(tuple, single.collect())) == sorted(
         map(tuple, two.collect())
     )
+    # and the SHARED helper (the form the operators actually call)
+    from ssiintegrateddatapipeline_spark.functions.topk import two_level_topk
+
+    helper = two_level_topk(
+        df,
+        keys=["q"],
+        order=[F.col("score").desc(), F.col("id")],
+        k=K,
+        salt=F.col("id"),
+        n_salts=SALTS,
+        rank_name="r",
+    ).select("q", "id", "r")
+    assert sorted(map(tuple, single.collect())) == sorted(
+        map(tuple, helper.collect())
+    )
