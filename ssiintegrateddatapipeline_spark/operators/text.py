@@ -641,7 +641,10 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc's bigrams against the model on the bigram key (uniform hash
     keys, even shuffle) with the unigram table and vocab size broadcast.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # the per-doc bigram explode is the query's compute: spread it
+    # across cores before the narrow single-split scan pins it on one
+    # task (no-op on production multi-split scans)
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     n = F.size(toks)
     bi = d.select(
