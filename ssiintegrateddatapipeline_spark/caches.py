@@ -57,10 +57,15 @@ def track(df):
     except Exception:
         site = ("?", "?")
     try:
+        # semanticHash is 32-bit; pair it with the schema string so a
+        # same-site hash collision between genuinely different plans
+        # (which would silently drop a tracked frame from eviction)
+        # requires colliding hash AND identical output schema
         key = (
             df.sparkSession.sparkContext.applicationId,
             site,
             df._jdf.queryExecution().analyzed().semanticHash(),
+            df.schema.simpleString(),
         )
     except Exception:  # fall back to append-only if plan access fails
         key = ("seq", next(_EPHEMERAL_SEQ))
@@ -79,7 +84,7 @@ def register(cache: dict, persisted: bool = False) -> dict:
 from itertools import count as _count
 
 _EPHEMERAL_SEQ = _count()
-_EPHEMERAL: dict[int, object] = register({}, persisted=True)
+_EPHEMERAL: dict[tuple, object] = register({}, persisted=True)
 
 
 def clear_caches(spark=None) -> int:

@@ -493,7 +493,7 @@ def kmv_set_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE multiply+divide of exactly-representable doubles, floored — no
     round() tie to break.
     """
-    from ssiintegrateddatapipeline_spark.operators.sampling import two_level_topk
+    from ssiintegrateddatapipeline_spark.functions.topk import two_level_topk
 
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
@@ -505,10 +505,13 @@ def kmv_set_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h"),
     ).distinct()
     smallest = two_level_topk(
-        pairs.withColumn("salt", F.pmod(F.col("h"), F.lit(_KMV_SALTS))),
-        ["event_type"],
-        ["h"],
-        KMV_K,
+        pairs,
+        keys=["event_type"],
+        order=["h"],
+        k=KMV_K,
+        salt=F.col("h"),
+        n_salts=_KMV_SALTS,
+        rank_name="sample_rank",
     )
     sketches = smallest.groupBy("event_type").agg(
         F.sort_array(F.collect_list("h")).alias("ks")
@@ -878,17 +881,24 @@ _RI_EDGES = [
     ("part", "p_partkey", "part", "p_partkey"),
 ]
 
+# NOT EXISTS, not NOT IN: a NULL in the referenced-key projection makes
+# NOT IN three-valued (zero rows reported) while the Spark side's
+# left_anti counts every non-matching row — NOT EXISTS is null-safe and
+# plans identically in DuckDB, so the parity holds even on a nullable FK
 _RI_ORACLE = " UNION ALL ".join(
     f"""
     SELECT '{c}.{ck} -> {p}.{pk}' AS fk_edge,
            (SELECT count(*) FROM {c}) AS child_rows,
-           (SELECT count(*) FROM {c}
-            WHERE {ck} NOT IN (SELECT {pk} FROM {p})) AS orphan_rows,
-           (SELECT count(*) FROM {p}
-            WHERE {pk} NOT IN (SELECT {ck} FROM {c}))
+           (SELECT count(*) FROM {c} ch
+            WHERE NOT EXISTS (SELECT 1 FROM {p} pa
+                              WHERE pa.{pk} = ch.{ck})) AS orphan_rows,
+           (SELECT count(*) FROM {p} pa
+            WHERE NOT EXISTS (SELECT 1 FROM {c} ch
+                              WHERE ch.{ck} = pa.{pk}))
                AS childless_parents,
-           (SELECT count(*) FROM {c}
-            WHERE {ck} NOT IN (SELECT {pk} FROM {p})) = 0 AS intact
+           (SELECT count(*) FROM {c} ch
+            WHERE NOT EXISTS (SELECT 1 FROM {p} pa
+                              WHERE pa.{pk} = ch.{ck})) = 0 AS intact
     """
     for c, ck, p, pk in _RI_EDGES
 )

@@ -25,6 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ssiintegrateddatapipeline_spark.functions.topk import (
+    two_level_topk as _shared_topk,
+)
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
 
 
@@ -275,28 +278,23 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def two_level_topk(
     df, stratum_cols: list[str], order_cols: list[str], k: int,
-    salt_col: str = "salt",
+    salt_col: str = "salt", n_salts: int = 16,
 ) -> "DataFrame":
-    """Exact top-k per stratum via the hierarchical two-level plan shared
-    by every sampler here: stage 1 ranks within (stratum, salt) cells and
-    keeps k (fan-out spreads the big sort over all cores; each cell is an
-    independent partition sort that spills fine), stage 2 re-ranks the
-    <= n_salts*k survivors per stratum. Any global top-k row's betters all
-    survive stage 1 too, so the stage-2 row_number IS the global rank —
-    exactly the single-window result, without a window partitioned by a
-    handful of stratum values (the 100 TB skew trap). Pinned equal to the
-    single-window form by tests/test_reservoir.py and
-    tests/test_weighted_reservoir.py."""
-    w1 = Window.partitionBy(*stratum_cols, salt_col).orderBy(*order_cols)
-    survivors = (
-        df.withColumn("__r1", F.row_number().over(w1))
-        .where(F.col("__r1") <= k)
-        .drop("__r1")
+    """Samplers' view of the repo-wide exact two-level top-k device: rank
+    column ``sample_rank``, salt taken from a precomputed column. The
+    actual plan lives in ``functions.topk.two_level_topk`` (one
+    definition, property-tested vs the single window in
+    tests/test_topk_device.py); pinned equal to the single-window form
+    by tests/test_reservoir.py and tests/test_weighted_reservoir.py."""
+    return _shared_topk(
+        df,
+        keys=list(stratum_cols),
+        order=list(order_cols),
+        k=k,
+        salt=F.col(salt_col),
+        n_salts=n_salts,
+        rank_name="sample_rank",
     )
-    w2 = Window.partitionBy(*stratum_cols).orderBy(*order_cols)
-    return survivors.withColumn(
-        "sample_rank", F.row_number().over(w2)
-    ).where(F.col("sample_rank") <= k)
 
 
 RESERVOIR_K = 10

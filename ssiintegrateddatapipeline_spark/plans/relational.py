@@ -684,16 +684,8 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         ):
             _BUCKETED_MEMO[key] = (li_name, o_name)
             return _BUCKETED_MEMO[key]
-        # a previous PROCESS may have left the warehouse directory behind
-        # (the in-memory catalog dies with the session, the files don't);
-        # saveAsTable refuses to adopt an existing location, so clear both
-        import shutil
-        from urllib.parse import urlparse
-
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        for name in (li_name, o_name):
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
-            shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+        # stale-location handling (orphaned warehouse dirs from interrupted
+        # processes) lives inside write_bucketed itself
         write_bucketed(
             _t(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_extendedprice", "l_discount"

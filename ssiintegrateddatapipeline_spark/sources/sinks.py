@@ -59,7 +59,20 @@ def write_bucketed(
     co-located buckets and skips its Exchange entirely — at 100 TB this is
     how the orders<->lineitem join loses its shuffle (both sides bucketed
     by the join key into the same bucket count). ``sort_cols`` additionally
-    pre-sorts within buckets so sort-merge joins skip their Sort."""
+    pre-sorts within buckets so sort-merge joins skip their Sort.
+
+    Stale-location safety: the in-memory catalog dies with the session but
+    the warehouse files don't, so an interrupted earlier PROCESS can leave
+    ``<warehouse>/<table>`` behind with no catalog entry. ``saveAsTable``
+    refuses to adopt such a location (LOCATION_ALREADY_EXISTS); clear both
+    the catalog entry and the orphaned directory before writing."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table_name}", ignore_errors=True)
     writer = (
         df.write.format("parquet")
         .mode(mode)

@@ -359,7 +359,18 @@ _TRANS_STATE = "last_us bigint, last_eid bigint, last_type string"
 def _update_transitions(key, pdf_iter, state: GroupState):
     """Per-user consecutive-event pair counter: the state carries the
     user's LAST event (time, id, type) so a transition spanning a
-    micro-batch boundary is still counted exactly once."""
+    micro-batch boundary is still counted exactly once.
+
+    PRECONDITION — in-event-time-order replay: each micro-batch is
+    sorted internally by (ts, event_id), but the carried state is
+    assumed to be OLDER than everything in the incoming batch. If a
+    later micro-batch delivers events older than the carried last
+    event (late/out-of-order arrivals), those transitions are counted
+    in ARRIVAL order and diverge from the batch lag-window oracle.
+    The staging in streaming_event_transitions satisfies this by
+    splitting arrivals into batches by event-TIME quartiles; any new
+    caller must stage the same way or add a watermark-style reorder
+    buffer upstream."""
     import pandas as pd
 
     last = state.get if state.exists else (None, None, None)
@@ -1319,7 +1330,7 @@ ONLINE_DEDUP_BATCHES = 4
 # staged arrival files are immutable per (app, sf_dir): memoized so repeat
 # calls skip the 4 little staging writes (the MUTATING index dir is always
 # fresh per call)
-_ONLINE_STAGE_CACHE: dict[tuple[str, str], str] = register({})
+_ONLINE_STAGE_CACHE: dict[tuple[str, str, int], str] = register({})
 
 # immutable corpus seed index per (app, sf_dir) — run growth lives in
 # per-run delta dirs, so every run shares one seed write
@@ -1341,10 +1352,12 @@ LAST_RUN_BATCH_MS: list = []
 def _online_stage(spark: SparkSession, sf_dir: str, n: int) -> str:
     """Stage arrivals: one parquet FILE per micro-batch, strictly
     increasing mtimes so the file source replays them in batch order.
-    Memoized per (app, sf_dir) — the staged files are immutable."""
+    Memoized per (app, sf_dir, n) — the staged files are immutable for a
+    given batch split, but a different ``n`` partitions the corpus into
+    different files, so it must key the cache too."""
     from ssiintegrateddatapipeline_spark.sources.batch import load_table
 
-    skey = (spark.sparkContext.applicationId, sf_dir)
+    skey = (spark.sparkContext.applicationId, sf_dir, n)
     arrivals_dir = _ONLINE_STAGE_CACHE.get(skey)
     if arrivals_dir is None:
         docs = load_table(spark, sf_dir, "documents")
