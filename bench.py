@@ -129,6 +129,8 @@ HEADLINE = [
     "credstore_vcs_by_claims",
     "credstore_paginated",
     "credstore_identifiers",
+    "credstore_messages",
+    "credstore_sdr_match",
     "similarity_ivf_recall",
     "similarity_retrieval_mrr_map",
     "similarity_late_interaction",
@@ -151,6 +153,7 @@ HEADLINE = [
     "similarity_pq_recall",
     "text_bm25_search",
     "text_hybrid_rrf",
+    "similarity_hybrid_rrf",
     "similarity_mmr_rerank",
     "similarity_truncated_recall",
     "profile_benford_audit",

@@ -26,7 +26,7 @@ from __future__ import annotations
 import hashlib
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.operators.identity import SYMBOLS
@@ -135,10 +135,12 @@ class FindArgs:
     take: int | None = None
 
 
-def orm_find(df: DataFrame, args: FindArgs) -> DataFrame:
-    """dataStoreORMGetVerifiableCredentials semantics: AND of where
-    conditions, multi-column order, skip/take pagination (ties broken by
-    credential_hash for determinism). skip+take plans as ONE
+def orm_find(
+    df: DataFrame, args: FindArgs, tiebreak: str = "credential_hash"
+) -> DataFrame:
+    """dataStoreORM* find semantics: AND of where conditions, multi-column
+    order, skip/take pagination (ties broken by ``tiebreak`` — the store's
+    unique id column — for determinism). skip+take plans as ONE
     TakeOrderedAndProject(limit=skip+take, offset=skip) — a distributed
     top-K, no global sort and no single-partition row_number window.
     skip without take is inherently unbounded ("everything past row N"):
@@ -152,7 +154,7 @@ def orm_find(df: DataFrame, args: FindArgs) -> DataFrame:
             F.col(c).desc() if d.upper() == "DESC" else F.col(c).asc()
             for c, d in args.order
         ]
-        order_cols.append(F.col("credential_hash").asc())
+        order_cols.append(F.col(tiebreak).asc())
         out = out.orderBy(*order_cols)
         if args.skip:
             out = out.offset(args.skip)
@@ -316,7 +318,126 @@ def presentations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# event_type -> Veramo message type: the message store records the agent's
+# DIDComm traffic; the engine models the three message kinds the reference's
+# flows produce (SDR requests, credential offers, presentations)
+_MSG_TYPE_SQL = """CASE event_type WHEN 'signup' THEN 'sdr'
+                           WHEN 'purchase' THEN 'w3c.vc'
+                           ELSE 'w3c.vp' END"""
+
+
+def messages_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's Veramo ``message`` table (IMessage subset: id, type,
+    from, to, thread, createdAt) — the store behind
+    dataStoreORMGetMessages(+Count), derived deterministically from events
+    the same way credentials_table derives the credential store."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array(*[F.lit(s) for s in SYMBOLS])
+    return ev.select(
+        F.md5(F.concat(F.lit("msg:"), F.col("event_id").cast("string"))).alias(
+            "message_id"
+        ),
+        F.when(F.col("event_type") == "signup", F.lit("sdr"))
+        .when(F.col("event_type") == "purchase", F.lit("w3c.vc"))
+        .otherwise(F.lit("w3c.vp"))
+        .alias("msg_type"),
+        F.concat(F.lit("did:example:user:"), F.col("user_id")).alias(
+            "from_did"
+        ),
+        F.concat(
+            F.lit("did:example:issuer:"),
+            F.element_at(arr, (F.col("user_id") % 5 + 1).cast("int")),
+        ).alias("to_did"),
+        F.concat(F.lit("thread-"), (F.col("user_id") % 50)).alias("thread_id"),
+        F.col("ts").alias("created_at"),
+    )
+
+
+_MESSAGES_SQL = f"""
+    SELECT md5('msg:' || event_id::VARCHAR) AS message_id,
+           {_MSG_TYPE_SQL} AS msg_type,
+           'did:example:user:' || user_id::VARCHAR AS from_did,
+           'did:example:issuer:' || {_SYMBOLS_SQL}[(user_id % 5 + 1)::INT]
+               AS to_did,
+           'thread-' || (user_id % 50)::VARCHAR AS thread_id,
+           ts AS created_at
+    FROM events
+"""
+
+
+def messages_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataStoreORMGetMessages: FindArgs over the message store — page 2
+    of a thread subset's credential-bearing messages, newest first
+    (where type In + thread Like, order createdAt DESC, skip/take). The
+    same translator as the credential finds; only the tiebreak column
+    differs (message_id is the store's unique id)."""
+    msgs = messages_table(spark, sf_dir)
+    return orm_find(
+        msgs,
+        FindArgs(
+            where=(
+                Where("msg_type", ("w3c.vc", "w3c.vp"), "In"),
+                Where("thread_id", ("thread-1%",), "Like"),
+            ),
+            order=(("created_at", "DESC"),),
+            skip=10,
+            take=10,
+        ),
+        tiebreak="message_id",
+    )
+
+
+# The SDR spec: createSelectiveDisclosureRequest's claims array — each entry
+# asks for a claim type, restricted to an issuer set and a minimum value.
+# A plan-time literal (a real agent receives it in the request body).
+_SDR_CLAIMS = (
+    ("proof_of_trade", "TradeCredential", ("AAPL", "MSFT"), 500.0),
+    ("proof_of_activity", "ActivityCredential", ("GOOG",), 800.0),
+)
+
+
+def sdr_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getVerifiableCredentialsForSdr: for each claim of a selective-
+    disclosure request, the matching credentials from the store (claim
+    type + issuer restriction + value floor), best-first — the reference's
+    SDR flow (veramo-methods.ts: createSelectiveDisclosureRequest /
+    getVerifiableCredentialsForSdr) as a broadcast-spec join: the SDR is a
+    k-row literal dim broadcast against the store scan, so at 100 TB the
+    cost is one pruned credential scan regardless of how many claims the
+    request carries. Top-5 per claim, ranked by claim_value then hash."""
+    creds = credentials_table(spark, sf_dir)
+    spec = spark.createDataFrame(
+        [
+            (name, ctype, f"did:example:issuer:{sym}", floor)
+            for name, ctype, syms, floor in _SDR_CLAIMS
+            for sym in syms
+        ],
+        "sdr_claim string, credential_type string, issuer_did string,"
+        " min_value double",
+    )
+    matched = creds.join(
+        F.broadcast(spec), ["credential_type", "issuer_did"]
+    ).where(F.col("claim_value") >= F.col("min_value"))
+    w = Window.partitionBy("sdr_claim").orderBy(
+        F.col("claim_value").desc(), F.col("credential_hash")
+    )
+    return (
+        matched.withColumn("match_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("match_rank") <= 5)
+        .select(
+            "sdr_claim",
+            "match_rank",
+            "credential_hash",
+            "issuer_did",
+            "subject_did",
+            "claim_value",
+        )
+    )
+
+
 QUERIES = {
+    "credstore_messages": messages_find,
+    "credstore_sdr_match": sdr_matches,
     "credstore_vcs_by_claims": vcs_by_claims,
     "credstore_count_by_issuer": vcs_count_by_issuer,
     "credstore_identifiers": identifiers,
@@ -326,7 +447,46 @@ QUERIES = {
     "credstore_presentations": presentations,
 }
 
+_SDR_SPEC_VALUES = ", ".join(
+    f"('{name}', '{ctype}', 'did:example:issuer:{sym}', {floor})"
+    for name, ctype, syms, floor in _SDR_CLAIMS
+    for sym in syms
+)
+
 ORACLES = {
+    "credstore_messages": f"""
+        WITH msgs AS ({_MESSAGES_SQL}),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       ORDER BY created_at DESC, message_id ASC
+                   ) AS rn
+            FROM msgs
+            WHERE msg_type IN ('w3c.vc', 'w3c.vp')
+              AND thread_id LIKE 'thread-1%'
+        )
+        SELECT message_id, msg_type, from_did, to_did, thread_id, created_at
+        FROM ranked WHERE rn > 10 AND rn <= 20
+    """,
+    "credstore_sdr_match": f"""
+        WITH creds AS ({_CREDENTIALS_SQL}),
+        spec(sdr_claim, credential_type, issuer_did, min_value)
+            AS (VALUES {_SDR_SPEC_VALUES}),
+        matched AS (
+            SELECT s.sdr_claim, c.credential_hash, c.issuer_did,
+                   c.subject_did, c.claim_value,
+                   row_number() OVER (
+                       PARTITION BY s.sdr_claim
+                       ORDER BY c.claim_value DESC, c.credential_hash
+                   ) AS match_rank
+            FROM creds c
+            JOIN spec s ON c.credential_type = s.credential_type
+                       AND c.issuer_did = s.issuer_did
+            WHERE c.claim_value >= s.min_value
+        )
+        SELECT sdr_claim, match_rank, credential_hash, issuer_did,
+               subject_did, claim_value
+        FROM matched WHERE match_rank <= 5
+    """,
     "credstore_vcs_by_claims": f"""
         WITH creds AS ({_CREDENTIALS_SQL})
         SELECT credential_hash, issuer_did, subject_did, issuance_date,

@@ -429,7 +429,9 @@ def streaming_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    out = run_available_now(agg, output_mode="complete")
+    # fixed 5m-window grid: O(span) state rows — 2 stores, not the
+    # session-wide 32 (each extra store is pure init/commit overhead)
+    out = run_available_now(agg, output_mode="complete", state_partitions=2)
     by5 = out.select(
         F.expr("unix_seconds(w.start) div 300").alias("w5"), "n_5m", "err_5m"
     )
@@ -452,7 +454,9 @@ def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
         # a few hundred user-keyed state rows: 32 stores are pure
         # per-micro-batch setup/commit overhead (same pin as the feed
-        # twins); production sizes this to the key cardinality
+        # twins); production sizes this to the key cardinality. NOT
+        # lower: partitions here are also the Arrow-stateful op's
+        # Python-worker parallelism (4 measured 1.5x slower than 8)
         state_partitions=8,
     )
     c = out.groupBy("from_type", "to_type").agg(
@@ -665,9 +669,19 @@ def _pinned_shuffle(spark: SparkSession, n: int | None):
 
 
 def _session_ckpt_root() -> str:
-    """One checkpoint root per process, removed at exit (not per-run)."""
+    """One checkpoint root per process, removed at exit (not per-run).
+
+    Prefers shared memory (/dev/shm) when present: the bounded local
+    replays don't need crash durability from the offset/commit/state
+    WALs, and a 30-micro-batch run commits hundreds of small files whose
+    disk fsyncs otherwise dominate its wall time (measured ~25% of the
+    online-dedup drive). On a cluster the checkpoint location is an
+    explicit durable path (see tests/test_streaming_recovery.py, which
+    passes its own run_root)."""
     if not _CKPT_ROOT:
-        root = tempfile.mkdtemp(prefix="ssi_spark_ckpt_root_")
+        shm = "/dev/shm"
+        base = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
+        root = tempfile.mkdtemp(prefix="ssi_spark_ckpt_root_", dir=base)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         _CKPT_ROOT.append(root)
     return _CKPT_ROOT[0]
@@ -799,7 +813,7 @@ def streaming_throughput_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
     # more data densifies windows without adding keys, so a small state
     # layout is safe at any volume for a fixed span
     return run_available_now(
-        throughput_plan(events_stream(spark, sf_dir)), state_partitions=8
+        throughput_plan(events_stream(spark, sf_dir)), state_partitions=2
     )
 
 
@@ -845,7 +859,7 @@ def streaming_sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rejected"),
     )
     # state = one row per symbol (5): O(1) state partitions
-    return run_available_now(tally, output_mode="complete", state_partitions=8)
+    return run_available_now(tally, output_mode="complete", state_partitions=2)
 
 
 def streaming_provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,13 +949,13 @@ def streaming_provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rejected"),
     )
     # state = one row per config (6): O(1) state partitions
-    return run_available_now(tally, output_mode="complete", state_partitions=8)
+    return run_available_now(tally, output_mode="complete", state_partitions=2)
 
 
 def streaming_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state = one gauge row per event type (5): O(1) state partitions
     return run_available_now(
-        last_seen_plan(events_stream(spark, sf_dir)), state_partitions=8
+        last_seen_plan(events_stream(spark, sf_dir)), state_partitions=2
     )
 
 
@@ -987,7 +1001,7 @@ def streaming_payload_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state = one row per (type, bucket) pair: O(1) state partitions
     return run_available_now(
         payload_hist_plan(events_stream(spark, sf_dir), PAYLOAD_BUCKETS),
-        state_partitions=8,
+        state_partitions=2,
     )
 
 
@@ -997,7 +1011,7 @@ def streaming_cms_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified end-to-end through the streaming engine."""
     # state = the fixed d x w counter grid: O(1) state partitions
     return run_available_now(
-        cms_grid_plan(events_stream(spark, sf_dir)), state_partitions=8
+        cms_grid_plan(events_stream(spark, sf_dir)), state_partitions=2
     )
 
 
@@ -1592,15 +1606,17 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state = overlapping (window, type) keys — O(span), not O(rows)
     return run_available_now(
-        sliding_rate_plan(events_stream(spark, sf_dir)), state_partitions=8
+        sliding_rate_plan(events_stream(spark, sf_dir)), state_partitions=2
     )
 
 
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # segments x types tally: O(1) state rows, 2 stores suffice
     return run_available_now(
         stream_static_enrich_plan(
             events_stream(spark, sf_dir), load_table(spark, sf_dir, "customer")
-        )
+        ),
+        state_partitions=2,
     )
 
 
