@@ -176,6 +176,7 @@ HEADLINE = [
     "streaming_ab_monitor",
     "streaming_event_transitions",
     "streaming_burn_rate",
+    "streaming_l_diversity",
     "metrics_burn_rate",
 ]
 

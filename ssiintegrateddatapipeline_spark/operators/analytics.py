@@ -1143,8 +1143,12 @@ def markov_kstep(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = p0
     for k in range(MARKOV_STEPS):
         m = P.alias(f"m{k}")  # fresh alias per step: P appears K times
+        # broadcast pinned: P is <= |types|^2 rows by construction, but
+        # its SIZE ESTIMATE inherits the corpus-scale lag-window input,
+        # so at 30x data AQE planned the chain joins as SMJs (30x probe
+        # caught 4 of them) — the hint keeps every step a BHJ at any SF
         vec = (
-            vec.join(m, vec["t"] == F.col(f"m{k}.f"))
+            vec.join(F.broadcast(m), vec["t"] == F.col(f"m{k}.f"))
             .groupBy(F.col(f"m{k}.t"))
             .agg(F.round(F.sum(vec["p"] * F.col(f"m{k}.p")), 12).alias("p"))
         )

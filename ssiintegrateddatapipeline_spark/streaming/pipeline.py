@@ -438,6 +438,76 @@ def streaming_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burn_report(by5)
 
 
+def streaming_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `profile_l_diversity` — the privacy audit run
+    continuously over the arriving event log instead of as a batch gate.
+
+    Structured Streaming supports neither countDistinct nor chained
+    aggregations, so the distinct-sensitive count is factored through the
+    ONE streaming aggregate the engine can maintain: complete-mode counts
+    keyed by (QI class, user) — each state row is one (class, sensitive
+    value) combination, so l per class is a plain row count downstream.
+    The threshold report (a read-time rollup of the tiny class table,
+    |QI| rows) runs as batch code on the drained result, exactly like the
+    burn-rate twin's hour gate. State: distinct (class, user) pairs —
+    bounded by the user x class domain, the same footprint precedent as
+    the user-stats counters; it never grows with re-arrivals of the same
+    pair. Oracle: shared with the batch audit (the availableNow drain
+    sees the whole table, so the final complete-mode answer IS the batch
+    answer)."""
+    from ssiintegrateddatapipeline_spark.operators.profiling import (
+        L_DIV_THRESHOLDS,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    per_pair = stream.select(
+        "event_type",
+        F.to_date("ts").alias("event_date"),
+        F.floor(F.col("value") / 100).cast("long").alias("value_band"),
+        "user_id",
+    ).groupBy("event_type", "event_date", "value_band", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    out = run_available_now(per_pair, output_mode="complete")
+    classes = out.groupBy("event_type", "event_date", "value_band").agg(
+        F.sum("cnt").alias("k"),
+        F.count(F.lit(1)).alias("l"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("k").alias("n_rows"),
+    ]
+    for t in L_DIV_THRESHOLDS:
+        aggs.append(
+            F.sum((F.col("l") < t).cast("long")).alias(f"classes_lt_{t}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("l") < t, F.col("k")).otherwise(0)).alias(
+                f"rows_lt_{t}"
+            )
+        )
+    g = classes.agg(*aggs)
+    stacked = ", ".join(
+        f"{t}, classes_lt_{t}, rows_lt_{t}" for t in L_DIV_THRESHOLDS
+    )
+    return g.select(
+        "n_classes",
+        "n_rows",
+        F.expr(
+            f"stack({len(L_DIV_THRESHOLDS)}, {stacked})"
+            " AS (l_threshold, classes_below, rows_below)"
+        ),
+    ).select(
+        "l_threshold",
+        "n_classes",
+        "classes_below",
+        "rows_below",
+        F.round(F.col("rows_below") / F.col("n_rows"), 6).alias(
+            "row_share_below"
+        ),
+    )
+
+
 def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `analytics_event_transitions`: the first-order
     transition matrix maintained online. The lag that batch computes
@@ -1659,6 +1729,7 @@ QUERIES = {
     "streaming_user_stats": streaming_user_stats,
     "streaming_user_profile": streaming_user_profile,
     "streaming_event_transitions": streaming_event_transitions,
+    "streaming_l_diversity": streaming_l_diversity,
     "streaming_burn_rate": streaming_burn_rate,
     "streaming_cms_grid": streaming_cms_grid,
     "streaming_ab_monitor": streaming_ab_monitor,
@@ -2125,6 +2196,14 @@ from ssiintegrateddatapipeline_spark.operators.metrics import (  # noqa: E402
 )
 
 ORACLES["streaming_burn_rate"] = _METRIC_ORACLES["metrics_burn_rate"]
+
+# the availableNow drain sees the whole events table, so the final
+# complete-mode answer equals the batch audit exactly — one oracle
+from ssiintegrateddatapipeline_spark.operators.profiling import (  # noqa: E402
+    ORACLES as _PROF_ORACLES,
+)
+
+ORACLES["streaming_l_diversity"] = _PROF_ORACLES["profile_l_diversity"]
 
 ORACLES["streaming_cms_grid"] = f"""
     WITH keys AS (SELECT user_id::VARCHAR AS key FROM events),

@@ -107,6 +107,10 @@ _STATE_BOUNDS = {
     "streaming_user_profile": lambda s, n: s["n_users"] + 8,
     # last-event carry per user (the online transition matrix)
     "streaming_event_transitions": lambda s, n: s["n_users"] + 8,
+    # one state row per distinct (QI class, user) pair — re-arrivals of a
+    # pair update in place, so the ceiling is the pair domain, bounded by
+    # n_events and in practice ~n_user x active-day combinations
+    "streaming_l_diversity": lambda s, n: s["n_events"] + 8,
     # exact-history dedup semantics: state == distinct keys by definition;
     # the watermark twin below is the eviction/scale path
     "streaming_dedup": lambda s, n: s["n_events"] + 8,
