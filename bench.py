@@ -131,6 +131,7 @@ HEADLINE = [
     "credstore_identifiers",
     "credstore_messages",
     "credstore_sdr_match",
+    "credstore_sdr_validate",
     "similarity_ivf_recall",
     "similarity_retrieval_mrr_map",
     "similarity_late_interaction",
@@ -177,6 +178,7 @@ HEADLINE = [
     "streaming_event_transitions",
     "streaming_burn_rate",
     "streaming_l_diversity",
+    "streaming_k_anonymity",
     "metrics_burn_rate",
 ]
 

@@ -435,9 +435,52 @@ def sdr_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sdr_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validatePresentationAgainstSdr: grade each presentation (the
+    holder-day credential bundles of `credstore_presentations`'s
+    definition, un-thresholded) against the SDR — a presentation
+    satisfies a claim if it contains at least one credential matching
+    that claim's (type, issuer, floor) spec, and is VALID iff every SDR
+    claim is satisfied. Shape: the per-credential spec match of
+    `credstore_sdr_match` aggregated twice — distinct claims satisfied
+    per presentation, compared against the request's claim count (a
+    broadcast 1-row literal). Only presentations satisfying >= 1 claim
+    are returned (the validator is called per presented bundle; bundles
+    matching nothing are the uninteresting complement)."""
+    creds = credentials_table(spark, sf_dir)
+    spec = spark.createDataFrame(
+        [
+            (name, ctype, f"did:example:issuer:{sym}", floor)
+            for name, ctype, syms, floor in _SDR_CLAIMS
+            for sym in syms
+        ],
+        "sdr_claim string, credential_type string, issuer_did string,"
+        " min_value double",
+    )
+    n_claims = len(_SDR_CLAIMS)
+    matched = creds.join(
+        F.broadcast(spec), ["credential_type", "issuer_did"]
+    ).where(F.col("claim_value") >= F.col("min_value"))
+    per_pres = matched.groupBy(
+        F.col("subject_did").alias("holder_did"),
+        F.to_date("issuance_date").alias("presentation_date"),
+    ).agg(
+        F.countDistinct("sdr_claim").alias("claims_satisfied"),
+        F.count(F.lit(1)).alias("n_matching_credentials"),
+    )
+    return per_pres.select(
+        "holder_did",
+        "presentation_date",
+        "claims_satisfied",
+        "n_matching_credentials",
+        (F.col("claims_satisfied") == n_claims).alias("sdr_valid"),
+    )
+
+
 QUERIES = {
     "credstore_messages": messages_find,
     "credstore_sdr_match": sdr_matches,
+    "credstore_sdr_validate": sdr_validate,
     "credstore_vcs_by_claims": vcs_by_claims,
     "credstore_count_by_issuer": vcs_count_by_issuer,
     "credstore_identifiers": identifiers,
@@ -486,6 +529,25 @@ ORACLES = {
         SELECT sdr_claim, match_rank, credential_hash, issuer_did,
                subject_did, claim_value
         FROM matched WHERE match_rank <= 5
+    """,
+    "credstore_sdr_validate": f"""
+        WITH creds AS ({_CREDENTIALS_SQL}),
+        spec(sdr_claim, credential_type, issuer_did, min_value)
+            AS (VALUES {_SDR_SPEC_VALUES}),
+        matched AS (
+            SELECT s.sdr_claim, c.subject_did, c.issuance_date
+            FROM creds c
+            JOIN spec s ON c.credential_type = s.credential_type
+                       AND c.issuer_did = s.issuer_did
+            WHERE c.claim_value >= s.min_value
+        )
+        SELECT subject_did AS holder_did,
+               issuance_date::DATE AS presentation_date,
+               count(DISTINCT sdr_claim) AS claims_satisfied,
+               count(*) AS n_matching_credentials,
+               count(DISTINCT sdr_claim) = {len(_SDR_CLAIMS)} AS sdr_valid
+        FROM matched
+        GROUP BY 1, 2
     """,
     "credstore_vcs_by_claims": f"""
         WITH creds AS ({_CREDENTIALS_SQL})

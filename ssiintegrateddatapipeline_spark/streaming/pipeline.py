@@ -468,7 +468,8 @@ def streaming_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("event_type", "event_date", "value_band", "user_id").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    out = run_available_now(per_pair, output_mode="complete")
+    # (class, user)-keyed state: thousands of rows, the user-stats pin
+    out = run_available_now(per_pair, output_mode="complete", state_partitions=8)
     classes = out.groupBy("event_type", "event_date", "value_band").agg(
         F.sum("cnt").alias("k"),
         F.count(F.lit(1)).alias("l"),
@@ -499,6 +500,64 @@ def streaming_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select(
         "l_threshold",
+        "n_classes",
+        "classes_below",
+        "rows_below",
+        F.round(F.col("rows_below") / F.col("n_rows"), 6).alias(
+            "row_share_below"
+        ),
+    )
+
+
+def streaming_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `profile_k_anonymity` — k only needs class SIZES,
+    so unlike the l-diversity twin the streaming aggregate is keyed by the
+    QI class alone: state is |QI classes| rows (O(1) in arrivals — the
+    same bounded-domain footprint as the throughput windows), and the
+    threshold report rolls up the drained class table as batch code.
+    Oracle shared with the batch audit."""
+    from ssiintegrateddatapipeline_spark.operators.profiling import (
+        K_ANON_THRESHOLDS,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    classes_s = stream.select(
+        "event_type",
+        F.to_date("ts").alias("event_date"),
+        F.floor(F.col("value") / 100).cast("long").alias("value_band"),
+    ).groupBy("event_type", "event_date", "value_band").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    # |QI classes| state rows: 2 stores suffice
+    classes = run_available_now(
+        classes_s, output_mode="complete", state_partitions=2
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("k").alias("n_rows"),
+    ]
+    for t in K_ANON_THRESHOLDS:
+        aggs.append(
+            F.sum((F.col("k") < t).cast("long")).alias(f"classes_lt_{t}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("k") < t, F.col("k")).otherwise(0)).alias(
+                f"rows_lt_{t}"
+            )
+        )
+    g = classes.agg(*aggs)
+    stacked = ", ".join(
+        f"{t}, classes_lt_{t}, rows_lt_{t}" for t in K_ANON_THRESHOLDS
+    )
+    return g.select(
+        "n_classes",
+        "n_rows",
+        F.expr(
+            f"stack({len(K_ANON_THRESHOLDS)}, {stacked})"
+            " AS (k_threshold, classes_below, rows_below)"
+        ),
+    ).select(
+        "k_threshold",
         "n_classes",
         "classes_below",
         "rows_below",
@@ -1730,6 +1789,7 @@ QUERIES = {
     "streaming_user_profile": streaming_user_profile,
     "streaming_event_transitions": streaming_event_transitions,
     "streaming_l_diversity": streaming_l_diversity,
+    "streaming_k_anonymity": streaming_k_anonymity,
     "streaming_burn_rate": streaming_burn_rate,
     "streaming_cms_grid": streaming_cms_grid,
     "streaming_ab_monitor": streaming_ab_monitor,
@@ -2204,6 +2264,7 @@ from ssiintegrateddatapipeline_spark.operators.profiling import (  # noqa: E402
 )
 
 ORACLES["streaming_l_diversity"] = _PROF_ORACLES["profile_l_diversity"]
+ORACLES["streaming_k_anonymity"] = _PROF_ORACLES["profile_k_anonymity"]
 
 ORACLES["streaming_cms_grid"] = f"""
     WITH keys AS (SELECT user_id::VARCHAR AS key FROM events),

@@ -111,6 +111,9 @@ _STATE_BOUNDS = {
     # pair update in place, so the ceiling is the pair domain, bounded by
     # n_events and in practice ~n_user x active-day combinations
     "streaming_l_diversity": lambda s, n: s["n_events"] + 8,
+    # one state row per QI equivalence class (types x dates x value
+    # bands) — O(domain), not O(arrivals); n_events is the safe ceiling
+    "streaming_k_anonymity": lambda s, n: s["n_events"] + 8,
     # exact-history dedup semantics: state == distinct keys by definition;
     # the watermark twin below is the eviction/scale path
     "streaming_dedup": lambda s, n: s["n_events"] + 8,
