@@ -56,6 +56,7 @@ HEADLINE = [
     "sampling_neyman_allocation",
     "analytics_ab_srm",
     "analytics_ab_power",
+    "analytics_mann_whitney",
     "analytics_ab_did",
     "transform_compaction_plan",
     "profile_mutual_information",
@@ -148,6 +149,7 @@ HEADLINE = [
     "sampling_token_budget_mix",
     "dedup_cross_source_matrix",
     "text_dup_ngrams",
+    "text_intra_repetition",
     "text_perplexity_buckets",
     "transform_length_batches",
     "similarity_pq_topk",

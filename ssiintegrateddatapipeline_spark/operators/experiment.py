@@ -301,11 +301,81 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the click and purchase
+    value distributions — the nonparametric location test an experiment
+    layer needs when values are heavy-tailed and the t-family (CUPED,
+    power) assumptions fail. Reports the exact doubled statistic
+    2·U_click (integer — ties make U half-integral, doubling keeps it
+    exact), the rank-biserial effect size, and the tie-corrected normal
+    z-score.
+
+    Exactness: average ranks never materialize as floats — for each
+    DISTINCT value, 2·rank_avg = 2·cnt_less + cnt_eq + 1 is an integer,
+    so 2·R_click is an exact BIGINT sum; the effect size and z divide
+    once at the end from exact integer operands (< 2^53, so the
+    double conversions are exact and the final expressions are
+    bit-identical cross-engine). Scale: ranking reduces to ONE
+    map-side-combined groupBy on distinct values plus the two-phase
+    prefix sum — no global window, no sort of the raw rows."""
+    from ssiintegrateddatapipeline_spark.functions.twophase import (
+        two_phase_prefix_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    per_val = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("t_a"),
+    )
+    ranked = two_phase_prefix_sum(
+        per_val,
+        bucket=F.floor(F.col("value")).cast("long"),
+        order_by=[F.col("value")],
+        val=F.col("t"),
+        out="cum_t",
+    )
+    # 2 x the average rank of every element tied at this value
+    r2 = 2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1
+    g = ranked.agg(
+        F.sum("t_a").alias("n_a"),
+        F.sum(F.col("t") - F.col("t_a")).alias("n_b"),
+        F.sum(F.col("t_a") * r2).alias("r2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_cubes"
+        ),
+    )
+    u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)  # = 2 x U_click
+    n = F.col("n_a") + F.col("n_b")
+    # tie-corrected variance of U: nA·nB/12 · ((N+1) − Σ(t³−t)/(N(N−1)))
+    var_u = (
+        F.col("n_a")
+        * F.col("n_b")
+        / F.lit(12.0)
+        * ((n + 1) - F.col("tie_cubes") / (n * (n - 1)))
+    )
+    return g.select(
+        F.col("n_a").cast("long").alias("n_click"),
+        F.col("n_b").cast("long").alias("n_purchase"),
+        u2.cast("long").alias("u2_click"),
+        F.round(
+            u2 / (F.col("n_a") * F.col("n_b")) - F.lit(1.0), 6
+        ).alias("rank_biserial"),
+        F.round(
+            (u2 - F.col("n_a") * F.col("n_b"))
+            / (F.lit(2.0) * F.sqrt(var_u)),
+            6,
+        ).alias("z_score"),
+    )
+
+
 QUERIES = {
     "analytics_ab_cuped": ab_cuped,
     "analytics_ab_srm": ab_srm_check,
     "analytics_ab_did": ab_diff_in_diff,
     "analytics_ab_power": ab_power_analysis,
+    "analytics_mann_whitney": mann_whitney_u,
 }
 
 _USERS_CTE = f"""
@@ -479,3 +549,38 @@ ORACLES = {
         FROM arms, gd
     """,
 }
+
+ORACLES["analytics_mann_whitney"] = """
+    WITH per_val AS (
+        SELECT value, count(*) AS t,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS t_a
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY value
+    ),
+    ranked AS (
+        SELECT *, sum(t) OVER (ORDER BY value
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_t
+        FROM per_val
+    ),
+    g AS (
+        SELECT CAST(sum(t_a) AS BIGINT) AS n_a,
+               CAST(sum(t - t_a) AS BIGINT) AS n_b,
+               CAST(sum(t_a * (2 * (cum_t - t) + t + 1)) AS BIGINT) AS r2_a,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie_cubes
+        FROM ranked
+    )
+    SELECT n_a AS n_click, n_b AS n_purchase,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_click,
+           round((r2_a - n_a * (n_a + 1))::DOUBLE / (n_a * n_b) - 1.0, 6)
+               AS rank_biserial,
+           round(((r2_a - n_a * (n_a + 1)) - n_a * n_b)::DOUBLE
+                 / (2.0 * sqrt(n_a * n_b / 12.0
+                     * ((n_a + n_b + 1)
+                        - tie_cubes::DOUBLE
+                          / ((n_a + n_b) * (n_a + n_b - 1))))), 6)
+               AS z_score
+    FROM g
+"""

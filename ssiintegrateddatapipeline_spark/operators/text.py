@@ -934,6 +934,62 @@ def dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(DUP_NGRAM_TOP_K)
 
 
+INTRA_DUP_N = 2  # intra-doc duplicate n-gram width (Gopher's 2-gram rule)
+
+
+def intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition audit — the Gopher duplicate-n-gram
+    filter (Rae et al. 2021 §A1.1) as a per-document report: the fraction
+    of a document's 2-gram occurrences (and of their characters) that
+    belong to 2-grams repeated WITHIN that document. The cross-doc
+    `text_dup_ngrams` finds corpus-level memorization spans; this is the
+    per-doc "loops and boilerplate" signal the repetition gate thresholds
+    on.
+
+    Exactness: occurrence and character counts are integers (a gram's
+    char weight is its string length); the two fractions divide once and
+    round at 6 — no floats before the final ratio. Scale: the explode is
+    linear in corpus tokens, the duplicate decision is a per-(doc, gram)
+    count — one map-side-combined shuffle keyed by doc+gram, then one
+    per-doc fold; nothing is quadratic and no window appears."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    n_spans = F.size(toks) - F.lit(INTRA_DUP_N - 1)
+    grams = F.when(
+        n_spans >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_spans),
+            lambda i: F.array_join(F.slice(toks, i, INTRA_DUP_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = d.select("doc_id", F.explode(grams).alias("ngram"))
+    per_gram = exploded.groupBy("doc_id", "ngram").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.length(F.first("ngram")).alias("glen"),
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+            "dup_grams"
+        ),
+        F.sum(F.col("c") * F.col("glen")).alias("n_gram_chars"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.col("glen")).otherwise(0)
+        ).alias("dup_gram_chars"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "dup_grams",
+        F.round(F.col("dup_grams") / F.col("n_grams"), 6).alias(
+            "dup_fraction"
+        ),
+        F.round(F.col("dup_gram_chars") / F.col("n_gram_chars"), 6).alias(
+            "dup_char_fraction"
+        ),
+    )
+
+
 # BM25 retrieval parameters (Robertson/Sparck-Jones defaults) and the
 # fixed query workload (literal terms, so the small query side is a
 # compile-time broadcast in BOTH engines)
@@ -1258,6 +1314,7 @@ def substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_substring_scrub": substring_scrub,
     "text_dup_ngrams": dup_ngrams,
+    "text_intra_repetition": intra_doc_repetition,
     "text_bpe_train": bpe_train,
     "text_bm25_search": bm25_search,
     "text_hybrid_rrf": hybrid_rrf_search,
@@ -1521,6 +1578,31 @@ ORACLES = {
         HAVING count(DISTINCT doc_id) >= 2
         ORDER BY n_docs DESC, n_occurrences DESC, ngram ASC
         LIMIT {DUP_NGRAM_TOP_K}
+    """,
+    "text_intra_repetition": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - {INTRA_DUP_N - 1}),
+                       i -> array_to_string(
+                           list_slice(t, i, i + {INTRA_DUP_N - 1}), ' ')))
+                       AS ngram
+            FROM toks
+        ),
+        per_gram AS (
+            SELECT doc_id, ngram, count(*) AS c, len(ngram) AS glen
+            FROM grams GROUP BY doc_id, ngram
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                   AS dup_grams,
+               round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE
+                     / sum(c), 6) AS dup_fraction,
+               round(sum(CASE WHEN c >= 2 THEN c * glen ELSE 0 END)::DOUBLE
+                     / sum(c * glen), 6) AS dup_char_fraction
+        FROM per_gram GROUP BY doc_id
     """,
     "text_chunk_windows": f"""
         WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
