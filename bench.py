@@ -92,6 +92,7 @@ HEADLINE = [
     "similarity_brute_topk",
     "similarity_lsh_buckets",
     "similarity_ivf_topk",
+    "similarity_ivf_probe_sweep",
     "multimodal_decode",
     "streaming_throughput_30s",
     "range_band_pricing",
@@ -106,6 +107,7 @@ HEADLINE = [
     "analytics_multigrain_rollup",
     "profile_columns",
     "graph_pagerank_neardup",
+    "graph_hits_purchase",
     "similarity_semantic_dedup",
     "analytics_mad_outliers",
     "analytics_ewma_smoothing",

@@ -745,6 +745,104 @@ BFS_SEED_SOURCE = "src0"  # seed set: one crawl source's documents
 BFS_MAX_HOPS = 3  # contamination horizon: transitive near-dup reach
 
 
+HITS_ITERS = 3
+HITS_TOP_K = 20
+
+
+def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg, JACM 1999) over the DIRECTED customer->supplier
+    purchase graph (distinct (o_custkey, l_suppkey) edges): hub scores
+    rank customers who buy broadly from strong suppliers, authority
+    scores rank suppliers bought by strong hubs — the mutual-
+    reinforcement ranking the undirected near-dup graph can't express
+    (on a symmetric adjacency hubs == authorities, so PageRank owns that
+    graph and HITS gets the bipartite one).
+
+    Exactness device: for a FIXED iteration count, per-step L1
+    normalization only divides by scalars, so the final normalized
+    scores equal the UN-normalized iteration divided once by its own L1
+    norm — and on an unweighted graph the un-normalized scores are exact
+    INTEGER alternating-path counts (a0 = 1, h_k/a_k = sums of
+    counterpart sums). The whole power iteration therefore runs in
+    decimal(38,0)/HUGEINT integers (order-independent, no float folds,
+    no per-step snap grids), with ONE double division rounded at 6 at
+    the end. This also keeps the plan LINEAR — a per-step normalizer
+    branches the lineage into (scores, total) and was measured replaying
+    the upstream 2^steps times; the integer form needs no mid-plan
+    materialization at all. Each iteration is one equi-join of the score
+    vector against the persisted edge list plus a sum-aggregate, both
+    shuffling on uniform keys. Top-K per role via the two-level device."""
+    from ssiintegrateddatapipeline_spark.functions.topk import (
+        two_level_topk,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = track(
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    dec = "decimal(38,0)"
+    # a0 = 1 per supplier => h1 = out-degree; alternate sum-joins from there
+    hub = edges.groupBy("c").agg(F.count(F.lit(1)).cast(dec).alias("h"))
+    auth = (
+        edges.join(hub, "c")
+        .groupBy("s")
+        .agg(F.sum("h").cast(dec).alias("a"))
+    )
+    for _ in range(HITS_ITERS - 1):
+        hub = (
+            edges.join(auth, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast(dec).alias("h"))
+        )
+        auth = (
+            edges.join(hub, "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast(dec).alias("a"))
+        )
+    # the final vectors feed BOTH the scores and their own L1 totals —
+    # persist each once so the linear chain isn't replayed per branch
+    hub = track(hub.persist())
+    hub.count()
+    auth = track(auth.persist())
+    auth.count()
+    h_tot = hub.agg(F.sum("h").cast(dec).alias("_tot"))
+    a_tot = auth.agg(F.sum("a").cast(dec).alias("_tot"))
+    tagged = (
+        hub.crossJoin(F.broadcast(h_tot))
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").alias("node_id"),
+            F.round(
+                F.col("h").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("score"),
+        )
+        .unionByName(
+            auth.crossJoin(F.broadcast(a_tot)).select(
+                F.lit("authority").alias("role"),
+                F.col("s").alias("node_id"),
+                F.round(
+                    F.col("a").cast("double") / F.col("_tot").cast("double"),
+                    6,
+                ).alias("score"),
+            )
+        )
+    )
+    return two_level_topk(
+        tagged,
+        keys=["role"],
+        order=[F.col("score").desc(), F.col("node_id")],
+        k=HITS_TOP_K,
+        salt=F.col("node_id"),
+        n_salts=16,
+    ).select("role", "rank", "node_id", "score")
+
+
 def bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS over the undirected near-duplicate graph: minimum
     hop distance (capped at ``BFS_MAX_HOPS``) from one source's documents
@@ -1228,6 +1326,7 @@ QUERIES = {
     "graph_pagerank_neardup": pagerank_near_dup,
     "graph_triangle_count": triangle_count,
     "graph_bfs_reach": bfs_reach,
+    "graph_hits_purchase": hits_customer_supplier,
     "dedup_fuzzy_name_pairs": fuzzy_name_pairs,
     "dedup_containment_pairs": containment_pairs,
     "dedup_incremental": incremental_dedup,
@@ -1905,3 +2004,36 @@ ORACLES = {
               >= (sa.n_sh + sb.n_sh - n_common) * {PREFIX_T_NUM}
     """,
 }
+
+
+ORACLES["graph_hits_purchase"] = """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    h1 AS MATERIALIZED (SELECT c, count(*) AS h FROM e GROUP BY c),
+    a1 AS MATERIALIZED (
+        SELECT s, sum(h) AS a FROM e JOIN h1 USING (c) GROUP BY s),
+    h2 AS MATERIALIZED (
+        SELECT c, sum(a) AS h FROM e JOIN a1 USING (s) GROUP BY c),
+    a2 AS MATERIALIZED (
+        SELECT s, sum(h) AS a FROM e JOIN h2 USING (c) GROUP BY s),
+    h3 AS MATERIALIZED (
+        SELECT c, sum(a) AS h FROM e JOIN a2 USING (s) GROUP BY c),
+    a3 AS MATERIALIZED (
+        SELECT s, sum(h) AS a FROM e JOIN h3 USING (c) GROUP BY s),
+    tagged AS (
+        SELECT 'hub' AS role, c AS node_id,
+               round(h::DOUBLE / (SELECT sum(h) FROM h3)::DOUBLE, 6) AS score
+        FROM h3
+        UNION ALL
+        SELECT 'authority', s,
+               round(a::DOUBLE / (SELECT sum(a) FROM a3)::DOUBLE, 6)
+        FROM a3
+    )
+    SELECT role, rank, node_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY role
+                   ORDER BY score DESC, node_id) AS rank
+        FROM tagged
+    ) WHERE rank <= 20
+"""

@@ -853,6 +853,111 @@ def retrieval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROBE_SWEEP = (1, 2, 4, 8)  # nprobe grid; 8 = all cells = exact by construction
+
+
+def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/nprobe TUNING TABLE — recall@k per query for every
+    probe count in the sweep grid, in one plan (the `dedup_lsh_tuning`
+    companion for the vector index: this table is how an operator picks
+    nprobe before trusting the index at corpus scale, and its last row —
+    nprobe = all cells — must read 1.0, a built-in self-check).
+
+    Shape: the query side explodes to (nprobe, probe-cell) pairs (a
+    |queries| x Σp row broadcast), candidates join on the cell id, and
+    the per-(nprobe, query) exact-cosine top-k runs through the two-level
+    device (a window over the 20-key grid would funnel each cell's
+    candidates through one task at corpus scale). Recall joins the
+    session's ground-truth fixture. Total candidate volume is
+    Σp/K x corpus cosines (~1.9x here) — the sweep costs about two plain
+    searches, not |grid| of them."""
+    assigned = ivf_assignments(spark, sf_dir)
+    q_step = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _memo_col(
+                spark,
+                (sf_dir, "ivf_dots"),
+                lambda: _dots_for(
+                    F.col("embedding"), _trained_centroids(spark, sf_dir)
+                ),
+            ).alias("dots"),
+        )
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.lit(N_CENTROIDS)),
+        lambda k: F.struct(
+            F.element_at(F.col("dots"), k).alias("d"), k.alias("k")
+        ),
+    )
+    ranked_cells = F.transform(F.sort_array(pairs, asc=False), lambda s: s["k"])
+    sweep = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("nprobe"),
+                    F.slice(ranked_cells, 1, p).alias("ps"),
+                )
+                for p in PROBE_SWEEP
+            ]
+        )
+    )
+    q = (
+        q_step.select("query_id", "q_emb", sweep.alias("s"))
+        .select(
+            "query_id", "q_emb", F.col("s.nprobe").alias("nprobe"),
+            F.explode("s.ps").alias("probe_raw"),
+        )
+        .select(
+            "query_id", "q_emb", "nprobe",
+            F.col("probe_raw").cast("int").alias("probe"),
+        )
+    )
+    cand = assigned.join(
+        F.broadcast(q), on=F.col("centroid") == F.col("probe")
+    ).where(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "nprobe",
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    topk = two_level_topk(
+        scored,
+        keys=["nprobe", "query_id"],
+        order=[F.col("cosine_sim").desc(), F.col("neighbor_id")],
+        k=TOP_K,
+        salt=F.col("neighbor_id"),
+        n_salts=TOPK_SALTS,
+    ).select("nprobe", "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    # denominate from the TRUTH side (k is fixed even when a sparse probe
+    # set retrieves fewer than k candidates): truth x nprobe grid, left
+    # join the retrieved lists
+    grid = spark.createDataFrame([(p,) for p in PROBE_SWEEP], "nprobe long")
+    truth = _truth_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        truth.crossJoin(F.broadcast(grid))
+        .join(topk, ["nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("nprobe", "query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"),
+        )
+        .select(
+            "nprobe",
+            "query_id",
+            "k",
+            "n_found",
+            F.round(F.col("n_found") / F.col("k"), 6).alias("recall_at_k"),
+        )
+    )
+
+
 RRF_FUSION_K = 60  # the standard RRF damping constant (Cormack et al.)
 HYBRID_TOP_K = 10  # fused results per query
 
@@ -1794,6 +1899,7 @@ QUERIES = {
     "similarity_cosine_near_dup": cosine_near_dup_pairs,
     "similarity_lsh_buckets": lsh_bucket_stats,
     "similarity_ivf_topk": ivf_topk,
+    "similarity_ivf_probe_sweep": ivf_probe_sweep,
     "similarity_ivf_centroids": ivf_centroid_stats,
 }
 
@@ -2309,6 +2415,53 @@ ORACLES["similarity_ivf_recall"] = f"""
     FROM truth t LEFT JOIN approx a
       ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
     GROUP BY t.query_id
+"""
+
+ORACLES["similarity_ivf_probe_sweep"] = f"""
+    WITH assigned AS ({_IVF_ASSIGNED}),
+    probe_lists AS (
+        WITH {_trained_ctes()}
+        SELECT vec_id AS query_id,
+               list_transform(
+                   list_sort(
+                       list_transform(generate_series(1, {N_CENTROIDS}),
+                                      k -> {{d: dots[k], k: k}})),
+                   s -> s.k) AS cells
+        FROM (SELECT vec_id, {_TRAINED_DOTS.format(emb="embedding")} AS dots
+              FROM embeddings CROSS JOIN trained_cl tc
+              WHERE vec_id < {N_QUERY_VECS})
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+    sweep AS (
+        SELECT g.nprobe, pl.query_id,
+               unnest(pl.cells[-g.nprobe:])::INT AS probe
+        FROM probe_lists pl CROSS JOIN (VALUES (1), (2), (4), (8)) g(nprobe)
+    ),
+    retrieved AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT s.nprobe, s.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY s.nprobe, s.query_id
+                       ORDER BY round({_COS.format(a="q.q_emb", b="a.embedding")}, 6)
+                                DESC, a.vec_id) AS rank
+            FROM sweep s
+            JOIN assigned a ON a.centroid = s.probe
+            JOIN q ON q.query_id = s.query_id
+            WHERE a.vec_id != s.query_id
+        ) WHERE rank <= {TOP_K}
+    ),
+    truth AS ({ORACLES["similarity_brute_topk"]})
+    SELECT g.nprobe::BIGINT AS nprobe, t.query_id, count(*) AS k,
+           CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_found,
+           round(sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 ::DOUBLE / count(*), 6) AS recall_at_k
+    FROM truth t CROSS JOIN (VALUES (1), (2), (4), (8)) g(nprobe)
+    LEFT JOIN retrieved r ON r.nprobe = g.nprobe
+                         AND r.query_id = t.query_id
+                         AND r.neighbor_id = t.neighbor_id
+    GROUP BY 1, 2
 """
 
 ORACLES["similarity_late_interaction"] = f"""
