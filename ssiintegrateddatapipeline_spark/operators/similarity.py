@@ -870,8 +870,13 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates through one task at corpus scale). Recall joins the
     session's ground-truth fixture. Total candidate volume is
     Σp/K x corpus cosines (~1.9x here) — the sweep costs about two plain
-    searches, not |grid| of them."""
-    assigned = ivf_assignments(spark, sf_dir)
+    searches, not |grid| of them. The corpus side is spread before the
+    cosine stage: the probe join is a BHJ (no shuffle), so without it
+    the heavy exact-cosine projection inherits the file scan's split
+    count (one straggler task per row group at 30x)."""
+    from ssiintegrateddatapipeline_spark.sources.batch import spread
+
+    assigned = spread(ivf_assignments(spark, sf_dir))
     q_step = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < N_QUERY_VECS)
