@@ -121,3 +121,185 @@ ORACLES = {
         GROUP BY event_type
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Avro OBJECT CONTAINER FILES (OCF): the at-rest form of the reference's
+# Avro wire format. wire.py covers the per-message binary payloads (what a
+# Kafka frame carries); this covers .avro FILES — header (magic, schema +
+# codec metadata map, sync marker) and sync-delimited blocks — written and
+# read entirely through functions/avro_codec (no spark-avro jar).
+# ---------------------------------------------------------------------------
+
+EVENT_OCF_SCHEMA = {
+    "type": "record",
+    "name": "EventRecord",
+    "namespace": "io.malmike.events.ocf",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {
+            "name": "ts_us",
+            "type": {"type": "long", "logicalType": "timestamp-micros"},
+        },
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+        {"name": "props", "type": "string"},
+    ],
+}
+
+_OCF_MAGIC = b"Obj\x01"
+OCF_PARTITIONS = 8  # one container file per write task
+
+
+def _ocf_write_partition(rows, path: str, schema: dict, sync: bytes) -> None:
+    """Serialize one partition as one OCF: header + a single data block.
+    (The spec allows any block split; one block per partition keeps the
+    writer a streaming append with O(1) state.)"""
+    import io
+    import json as _json
+
+    from ssiintegrateddatapipeline_spark.functions import avro_codec as ac
+
+    dumps = ac.compile_dumps(schema)
+    body = bytearray()
+    n = 0
+    for r in rows:
+        body += dumps(
+            {
+                "event_id": r["event_id"],
+                "ts_us": r["ts_us"],
+                "user_id": r["user_id"],
+                "event_type": r["event_type"],
+                "value": r["value"],
+                "props": r["props"],
+            }
+        )
+        n += 1
+    buf = io.BytesIO()
+    buf.write(_OCF_MAGIC)
+    meta = {
+        "avro.schema": _json.dumps(schema).encode(),
+        "avro.codec": b"null",
+    }
+    ac.write_long(buf, len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        ac.write_long(buf, len(kb))
+        buf.write(kb)
+        ac.write_long(buf, len(v))
+        buf.write(v)
+    ac.write_long(buf, 0)  # map terminator
+    buf.write(sync)
+    if n:
+        ac.write_long(buf, n)
+        ac.write_long(buf, len(body))
+        buf.write(bytes(body))
+        buf.write(sync)
+    with open(path, "wb") as fh:
+        fh.write(buf.getvalue())
+
+
+def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → Avro object container files (one per partition, null
+    codec, deterministic per-partition sync markers) → ``binaryFile``
+    scan + an Arrow-batched OCF parser → per-type checksums. The oracle
+    computes the same checksums from the ORIGINAL parquet, so equality
+    proves the full file cycle (header, metadata map, block framing,
+    record encoding, timestamp-micros logical type) is lossless.
+
+    Scale shape: the writer is one streaming pass per partition (O(1)
+    state, one container per task — the layout a Kafka-to-lake archiver
+    produces); the reader parallelizes per FILE via the binaryFile
+    source and decodes blocks inside ``mapInPandas`` (Arrow batches out,
+    one Python worker per file split). At 100 TB the same plan reads any
+    number of containers; per-file parallelism is the OCF contract
+    (blocks within a file are sync-seekable for finer splits — not
+    needed at one-block-per-partition)."""
+    import hashlib
+
+    key = (spark.sparkContext.applicationId, sf_dir, "avro_ocf")
+    base = _RT_CACHE.get(key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="ssi_rt_avro_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        schema = EVENT_OCF_SCHEMA
+        target = base
+
+        def _write(pi, rows):
+            sync = hashlib.md5(f"ocf-sync-{pi}".encode()).digest()
+            _ocf_write_partition(
+                rows, f"{target}/part-{pi:05d}.avro", schema, sync
+            )
+            return iter(())
+
+        (
+            ev.repartition(OCF_PARTITIONS, "event_id")
+            .rdd.mapPartitionsWithIndex(_write)
+            .count()
+        )
+        _RT_CACHE[key] = base
+    files = spark.read.format("binaryFile").load(f"{base}/*.avro")
+
+    def _parse(batches):
+        import pandas as pd
+
+        from ssiintegrateddatapipeline_spark.functions import avro_codec as ac
+
+        schema = EVENT_OCF_SCHEMA
+        import io as _io
+        import json as _json
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                buf = _io.BytesIO(bytes(content))
+                assert buf.read(4) == _OCF_MAGIC
+                n_meta = ac.read_long(buf)
+                while n_meta != 0:
+                    if n_meta < 0:
+                        ac.read_long(buf)
+                        n_meta = -n_meta
+                    for _ in range(n_meta):
+                        buf.read(ac.read_long(buf))
+                        buf.read(ac.read_long(buf))
+                    n_meta = ac.read_long(buf)
+                sync = buf.read(16)
+                cols = {f["name"]: [] for f in schema["fields"]}
+                while True:
+                    probe = buf.read(1)
+                    if not probe:
+                        break
+                    buf.seek(-1, 1)
+                    n = ac.read_long(buf)
+                    ac.read_long(buf)  # block byte size
+                    for _ in range(n):
+                        rec = ac.decode(schema, buf)
+                        for k, v in rec.items():
+                            cols[k].append(v)
+                    assert buf.read(16) == sync, "sync marker mismatch"
+                if cols["event_id"]:
+                    yield pd.DataFrame(cols)
+
+    out_schema = (
+        "event_id long, ts_us long, user_id long, event_type string,"
+        " value double, props string"
+    )
+    back = files.select("content").mapInPandas(_parse, schema=out_schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        F.sum(md5_int32(F.col("props"))).alias("props_checksum"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+
+
+QUERIES["source_avro_ocf_roundtrip"] = avro_ocf_roundtrip
+ORACLES["source_avro_ocf_roundtrip"] = ORACLES["source_csv_roundtrip"]
