@@ -152,12 +152,17 @@ _OCF_MAGIC = b"Obj\x01"
 OCF_PARTITIONS = 8  # one container file per write task
 
 
-def _ocf_write_partition(rows, path: str, schema: dict, sync: bytes) -> None:
+def _ocf_write_partition(
+    rows, path: str, schema: dict, sync: bytes, codec: str = "null"
+) -> None:
     """Serialize one partition as one OCF: header + a single data block.
     (The spec allows any block split; one block per partition keeps the
-    writer a streaming append with O(1) state.)"""
+    writer a streaming append with O(1) state.) ``codec`` is the Avro
+    container codec: "null" or "deflate" (raw DEFLATE, no zlib header,
+    per the spec)."""
     import io
     import json as _json
+    import zlib
 
     from ssiintegrateddatapipeline_spark.functions import avro_codec as ac
 
@@ -180,7 +185,7 @@ def _ocf_write_partition(rows, path: str, schema: dict, sync: bytes) -> None:
     buf.write(_OCF_MAGIC)
     meta = {
         "avro.schema": _json.dumps(schema).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     ac.write_long(buf, len(meta))
     for k, v in sorted(meta.items()):
@@ -192,9 +197,13 @@ def _ocf_write_partition(rows, path: str, schema: dict, sync: bytes) -> None:
     ac.write_long(buf, 0)  # map terminator
     buf.write(sync)
     if n:
+        block = bytes(body)
+        if codec == "deflate":
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            block = co.compress(block) + co.flush()
         ac.write_long(buf, n)
-        ac.write_long(buf, len(body))
-        buf.write(bytes(body))
+        ac.write_long(buf, len(block))
+        buf.write(block)
         buf.write(sync)
     with open(path, "wb") as fh:
         fh.write(buf.getvalue())
@@ -236,8 +245,11 @@ def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def _write(pi, rows):
             sync = hashlib.md5(f"ocf-sync-{pi}".encode()).digest()
+            # alternate codecs across partitions so ONE roundtrip proves
+            # both spec codecs (null and raw-DEFLATE)
+            codec = "deflate" if pi % 2 else "null"
             _ocf_write_partition(
-                rows, f"{target}/part-{pi:05d}.avro", schema, sync
+                rows, f"{target}/part-{pi:05d}.avro", schema, sync, codec
             )
             return iter(())
 
@@ -260,16 +272,21 @@ def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             for content in pdf["content"]:
+                import zlib
+
                 buf = _io.BytesIO(bytes(content))
                 assert buf.read(4) == _OCF_MAGIC
+                codec = "null"
                 n_meta = ac.read_long(buf)
                 while n_meta != 0:
                     if n_meta < 0:
                         ac.read_long(buf)
                         n_meta = -n_meta
                     for _ in range(n_meta):
-                        buf.read(ac.read_long(buf))
-                        buf.read(ac.read_long(buf))
+                        k = buf.read(ac.read_long(buf))
+                        v = buf.read(ac.read_long(buf))
+                        if k == b"avro.codec":
+                            codec = v.decode()
                     n_meta = ac.read_long(buf)
                 sync = buf.read(16)
                 cols = {f["name"]: [] for f in schema["fields"]}
@@ -279,9 +296,13 @@ def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         break
                     buf.seek(-1, 1)
                     n = ac.read_long(buf)
-                    ac.read_long(buf)  # block byte size
+                    size = ac.read_long(buf)
+                    raw = buf.read(size)
+                    if codec == "deflate":
+                        raw = zlib.decompress(raw, -15)
+                    block = _io.BytesIO(raw)
                     for _ in range(n):
-                        rec = ac.decode(schema, buf)
+                        rec = ac.decode(schema, block)
                         for k, v in rec.items():
                             cols[k].append(v)
                     assert buf.read(16) == sync, "sync marker mismatch"
