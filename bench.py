@@ -86,6 +86,7 @@ HEADLINE = [
     "trade_envelope",
     "trade_sign_verify",
     "wire_avro_roundtrip",
+    "wire_jwe_roundtrip",
     "dedup_exact_events",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_signatures",

@@ -505,3 +505,110 @@ def resolve_did(did: str) -> dict:
 
 # public chain ids for the networks the reference configures
 _ETH_CHAIN_IDS = {"mainnet": 1, "sepolia": 11155111}
+
+
+# ---------------------------------------------------------------------------
+# JWE: ECDH-ES (X25519) + A256GCM compact serialization — the
+# keyManagerEncryptJWE / keyManagerDecryptJWE surface
+# (veramo-agent/src/constants/veramo-methods.ts: Key Management). RFC 7516
+# framing, RFC 7518 §4.6 direct key agreement with the one-step Concat KDF
+# (NIST SP 800-56A §5.8.1), RFC 8037 X25519 epk.
+#
+# DETERMINISM (engine deviation, documented): a live agent randomizes the
+# ephemeral key and IV; here both derive from sha256 of (recipient,
+# plaintext) so the token is a pure function of the row and the DuckDB
+# oracle can checksum the cycle. The KDF/wrap/encrypt math is unchanged.
+# ---------------------------------------------------------------------------
+
+from cryptography.hazmat.primitives.asymmetric.x25519 import (  # noqa: E402
+    X25519PrivateKey,
+    X25519PublicKey,
+)
+from cryptography.hazmat.primitives.ciphers.aead import AESGCM  # noqa: E402
+
+
+def x25519_keypair_for(name: str) -> tuple[X25519PrivateKey, X25519PublicKey]:
+    priv = X25519PrivateKey.from_private_bytes(
+        seed_for(name, namespace="ssi-x25519")
+    )
+    return priv, priv.public_key()
+
+
+def _x25519_raw(pub: X25519PublicKey) -> bytes:
+    from cryptography.hazmat.primitives.serialization import (
+        Encoding,
+        PublicFormat,
+    )
+
+    return pub.public_bytes(Encoding.Raw, PublicFormat.Raw)
+
+
+def _concat_kdf_sha256(z: bytes, alg: str, keydatalen_bits: int) -> bytes:
+    """One-step SHA-256 Concat KDF with JWA's OtherInfo (alg as AlgorithmID,
+    empty apu/apv, keydatalen as SuppPubInfo) — single round suffices for
+    a 256-bit key."""
+
+    def _lp(b: bytes) -> bytes:
+        return len(b).to_bytes(4, "big") + b
+
+    other = (
+        _lp(alg.encode())
+        + _lp(b"")
+        + _lp(b"")
+        + keydatalen_bits.to_bytes(4, "big")
+    )
+    return hashlib.sha256(
+        (1).to_bytes(4, "big") + z + other
+    ).digest()[: keydatalen_bits // 8]
+
+
+def jwe_encrypt(plaintext: bytes, recipient: str) -> str:
+    """Compact JWE for the recipient's deterministic X25519 key."""
+    _, rec_pub = x25519_keypair_for(recipient)
+    det = hashlib.sha256(b"ssi-jwe|" + recipient.encode() + b"|" + plaintext)
+    eph_priv = X25519PrivateKey.from_private_bytes(det.digest())
+    z = eph_priv.exchange(rec_pub)
+    cek = _concat_kdf_sha256(z, "A256GCM", 256)
+    header = {
+        "alg": "ECDH-ES",
+        "enc": "A256GCM",
+        "epk": {
+            "kty": "OKP",
+            "crv": "X25519",
+            "x": b64url(_x25519_raw(eph_priv.public_key())),
+        },
+    }
+    protected = b64url(
+        json.dumps(header, separators=(",", ":"), sort_keys=True).encode()
+    )
+    iv = hashlib.sha256(b"ssi-jwe-iv|" + det.digest()).digest()[:12]
+    ct_tag = AESGCM(cek).encrypt(iv, plaintext, protected.encode())
+    ct, tag = ct_tag[:-16], ct_tag[-16:]
+    # ECDH-ES direct: the encrypted-key segment is empty
+    return ".".join(
+        [protected, "", b64url(iv), b64url(ct), b64url(tag)]
+    )
+
+
+def jwe_decrypt(token: str, recipient: str) -> bytes | None:
+    """Decrypt a compact JWE with the recipient's key; None on any
+    failure (bad framing, wrong epk, GCM tag mismatch)."""
+    try:
+        protected, enc_key, iv_s, ct_s, tag_s = token.split(".")
+        if enc_key != "":
+            return None
+        header = json.loads(b64url_decode(protected))
+        if header.get("alg") != "ECDH-ES" or header.get("enc") != "A256GCM":
+            return None
+        eph_pub = X25519PublicKey.from_public_bytes(
+            b64url_decode(header["epk"]["x"])
+        )
+        rec_priv, _ = x25519_keypair_for(recipient)
+        cek = _concat_kdf_sha256(rec_priv.exchange(eph_pub), "A256GCM", 256)
+        return AESGCM(cek).decrypt(
+            b64url_decode(iv_s),
+            b64url_decode(ct_s) + b64url_decode(tag_s),
+            protected.encode(),
+        )
+    except Exception:
+        return None

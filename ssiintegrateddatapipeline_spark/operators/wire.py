@@ -484,7 +484,82 @@ def health_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInPandas(rt, _HEALTH_FLAT)
 
 
+def jwe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keyManagerEncryptJWE / keyManagerDecryptJWE
+    (veramo-methods.ts: Key Management) as an engine stage: each sampled
+    event's ``props`` payload is encrypted to its symbol's X25519 key
+    (compact JWE, ECDH-ES + A256GCM — functions/crypto.py documents the
+    deterministic-ephemeral deviation), a deterministic subset is
+    tampered mid-ciphertext, and decryption tallies authenticated
+    success vs AEAD rejection per symbol, with an integer checksum over
+    the recovered plaintexts proving the cycle byte-lossless.
+
+    Both crypto hops are Arrow-batched Pandas UDFs on a hash-spread
+    projection (the 1-in-16 sample gate bounds the work exactly like
+    the sign/verify matrix)."""
+    from ssiintegrateddatapipeline_spark.functions.text_funcs import md5_int32
+    from ssiintegrateddatapipeline_spark.operators.identity import SYMBOLS
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    arr = F.array(*[F.lit(s) for s in SYMBOLS])
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 16 == 0)
+        .select(
+            "event_id",
+            F.element_at(arr, (F.col("user_id") % 5 + 1).cast("int")).alias(
+                "symbol"
+            ),
+            F.col("props").alias("payload"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, F.col("event_id"))
+    )
+
+    @F.pandas_udf("string")
+    def _enc(symbols: pd.Series, payloads: pd.Series) -> pd.Series:
+        from ssiintegrateddatapipeline_spark.functions import crypto
+
+        return pd.Series(
+            [
+                crypto.jwe_encrypt(p.encode(), s)
+                for s, p in zip(symbols, payloads)
+            ]
+        )
+
+    @F.pandas_udf("string")
+    def _dec(symbols: pd.Series, tokens: pd.Series) -> pd.Series:
+        from ssiintegrateddatapipeline_spark.functions import crypto
+
+        out = []
+        for s, t in zip(symbols, tokens):
+            pt = crypto.jwe_decrypt(t, s)
+            out.append(None if pt is None else pt.decode())
+        return pd.Series(out)
+
+    enc = ev.withColumn("jwe", _enc(F.col("symbol"), F.col("payload")))
+    # flip a ciphertext character on every 50th event: AEAD must reject
+    tampered = enc.withColumn(
+        "jwe",
+        F.when(
+            F.col("event_id") % 50 == 0,
+            F.concat(F.substring(F.col("jwe"), 1, 40), F.lit("x"),
+                     F.expr("substring(jwe, 42)")),
+        ).otherwise(F.col("jwe")),
+    )
+    dec = tampered.withColumn("plain", _dec(F.col("symbol"), F.col("jwe")))
+    return dec.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.sum(F.col("plain").isNotNull().cast("long")).alias("n_ok"),
+        F.sum(F.col("plain").isNull().cast("long")).alias("n_rejected"),
+        F.sum(
+            F.when(F.col("plain").isNotNull(), md5_int32(F.col("plain")))
+            .otherwise(0)
+        ).alias("plain_checksum"),
+    )
+
+
 QUERIES = {
+    "wire_jwe_roundtrip": jwe_roundtrip,
     "wire_avro_roundtrip": avro_roundtrip,
     "wire_avro_payload_sizes": avro_payload_sizes,
     "wire_health_roundtrip": health_roundtrip,
@@ -525,6 +600,25 @@ _WIRE_SIZE_SQL = (
 )
 
 ORACLES = {
+    # the JWE cycle is lossless for untampered rows and AEAD-rejected for
+    # tampered ones, so the oracle is pure arithmetic over the original
+    # events: the sample gate, the tamper gate, and props checksums
+    "wire_jwe_roundtrip": f"""
+        WITH sampled AS (
+            SELECT {_SYMBOLS_SQL}[(user_id % 5 + 1)::INT] AS symbol,
+                   event_id % 50 = 0 AS tampered,
+                   props
+            FROM events WHERE event_id % 16 = 0
+        )
+        SELECT symbol, count(*) AS n_messages,
+               sum(CASE WHEN tampered THEN 0 ELSE 1 END)::BIGINT AS n_ok,
+               sum(CASE WHEN tampered THEN 1 ELSE 0 END)::BIGINT
+                   AS n_rejected,
+               sum(CASE WHEN tampered THEN 0 ELSE
+                   ('0x' || substr(md5(props), 1, 8))::UBIGINT::BIGINT
+                   END)::BIGINT AS plain_checksum
+        FROM sampled GROUP BY symbol
+    """,
     "wire_avro_roundtrip": _TRADE_ORACLES["trade_envelope"],
     "wire_avro_payload_sizes": f"""
         WITH env AS (
