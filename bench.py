@@ -87,6 +87,7 @@ HEADLINE = [
     "trade_sign_verify",
     "wire_avro_roundtrip",
     "wire_jwe_roundtrip",
+    "trade_shared_secret",
     "dedup_exact_events",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_signatures",

@@ -388,6 +388,75 @@ def did_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def shared_secret_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keyManagerSharedSecret (veramo-methods.ts: Key Management) as a
+    structural audit over every unordered symbol pair: the X25519 ECDH
+    shared secret computed in BOTH directions on executors, emitting the
+    facts SQL can replay — secret length, agreement symmetry
+    (secret(a,b) == secret(b,a), the property the method exists for),
+    non-degeneracy (secret differs from both parties' public keys), and
+    pair distinctness via a per-pair secret fingerprint being unique
+    across the matrix. Raw secret bytes never leave the executor."""
+    import hashlib as _hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd  # noqa: F811
+
+    from ssiintegrateddatapipeline_spark.operators.identity import SYMBOLS
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a in SYMBOLS for b in SYMBOLS if a < b],
+        "symbol_a string, symbol_b string",
+    ).repartition(4)
+
+    def audit(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        from ssiintegrateddatapipeline_spark.functions.crypto import (
+            _x25519_raw,
+            x25519_keypair_for,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                pa, qa = x25519_keypair_for(r.symbol_a)
+                pb, qb = x25519_keypair_for(r.symbol_b)
+                ab = pa.exchange(qb)
+                ba = pb.exchange(qa)
+                rows.append(
+                    {
+                        "symbol_a": r.symbol_a,
+                        "symbol_b": r.symbol_b,
+                        "secret_bytes": len(ab),
+                        "symmetric": ab == ba,
+                        "nondegenerate": ab not in (
+                            _x25519_raw(qa), _x25519_raw(qb)
+                        ),
+                        "fp": _hashlib.sha256(ab).hexdigest()[:16],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    out = pairs.mapInPandas(
+        audit,
+        schema="symbol_a string, symbol_b string, secret_bytes int,"
+        " symmetric boolean, nondegenerate boolean, fp string",
+    )
+    # distinctness is a cross-row fact: count how many pairs share this
+    # pair's fingerprint (must be 1 everywhere)
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("fp")
+    return out.select(
+        "symbol_a",
+        "symbol_b",
+        "secret_bytes",
+        "symmetric",
+        "nondegenerate",
+        F.count(F.lit(1)).over(w).cast("long").alias("fp_collisions"),
+    )
+
+
 QUERIES = {
     "trade_envelope": trade_envelope,
     "trade_did_web_alias": did_web_alias,
@@ -395,6 +464,7 @@ QUERIES = {
     "trade_authz_check": authz_check,
     "trade_sign_verify": sign_verify,
     "trade_identity_dim": identity_dim,
+    "trade_shared_secret": shared_secret_matrix,
     "trade_did_resolution": did_resolution,
     "trade_json_parse_route": json_parse_route,
 }
@@ -511,6 +581,19 @@ ORACLES = {
     # length, validation booleans); the Spark side computes the booleans
     # from the REAL crypto, so any break in the Ed25519/ES256K/base58
     # path flips a value and fails the hash compare.
+    "trade_shared_secret": f"""
+        WITH syms(symbol) AS (VALUES {_SYM_VALUES}),
+        pairs AS (
+            SELECT a.symbol AS symbol_a, b.symbol AS symbol_b
+            FROM syms a JOIN syms b ON a.symbol < b.symbol
+        )
+        SELECT symbol_a, symbol_b,
+               32 AS secret_bytes,
+               TRUE AS symmetric,
+               TRUE AS nondegenerate,
+               1::BIGINT AS fp_collisions
+        FROM pairs
+    """,
     "trade_identity_dim": f"""
         WITH syms(symbol) AS (VALUES {_SYM_VALUES}),
         prov(provider) AS (VALUES ('did:key'), ('did:web'), ('did:ethr:sepolia'))
