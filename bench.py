@@ -88,6 +88,7 @@ HEADLINE = [
     "wire_avro_roundtrip",
     "wire_jwe_roundtrip",
     "trade_shared_secret",
+    "trade_did_components",
     "dedup_exact_events",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_signatures",

@@ -457,6 +457,92 @@ def shared_secret_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# the five resolvable methods that carry verificationMethod components
+# offline (did:web's vm list comes from the fetched did.json — network,
+# out of scope) and their component types, mirrored by the oracle
+_COMPONENT_METHODS = [
+    ("key", "Ed25519VerificationKey2020"),
+    ("ethr", "EcdsaSecp256k1RecoveryMethod2020"),
+    ("jwk", "JsonWebKey2020"),
+    ("peer", "Ed25519VerificationKey2020"),
+    ("pkh", "EcdsaSecp256k1RecoveryMethod2020"),
+]
+
+
+def did_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getDIDComponentById (veramo-methods.ts: DID Resolution) as a
+    structural audit: for every (symbol, method) with an offline-
+    resolvable document, resolve the DID, then DEREFERENCE the first
+    verificationMethod by its own fragment id — the method's semantics:
+    given a DID URL with a fragment, return that component from the
+    resolved document. Emits what SQL can replay (component found, its
+    type per method, controller == the DID, fragment well-formed); the
+    base58/keccak-bearing ids stay Spark-side."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd  # noqa: F811
+
+    from ssiintegrateddatapipeline_spark.operators.identity import SYMBOLS
+
+    grid = spark.createDataFrame(
+        [(s, m) for s in SYMBOLS for m, _ in _COMPONENT_METHODS],
+        "symbol string, did_method string",
+    ).repartition(4)
+
+    def audit(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        from ssiintegrateddatapipeline_spark.functions import crypto
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.did_method == "key":
+                    _, pub = crypto.keypair_for(r.symbol)
+                    did = crypto.did_key_for(pub)
+                elif r.did_method == "ethr":
+                    _, pub = crypto.es256k_keypair_for(r.symbol)
+                    did = crypto.did_ethr_for(pub)
+                elif r.did_method == "jwk":
+                    _, pub = crypto.keypair_for(r.symbol)
+                    did = crypto.did_jwk_for(pub)
+                elif r.did_method == "peer":
+                    _, pub = crypto.keypair_for(r.symbol)
+                    did = crypto.did_peer_for(pub)
+                else:
+                    _, pub = crypto.es256k_keypair_for(r.symbol)
+                    did = crypto.did_pkh_for(pub)
+                doc = crypto.resolve_did(did)
+                vms = doc.get("verificationMethod", [])
+                frag_id = vms[0]["id"] if vms else None
+                # the dereference: find the component whose id matches
+                comp = next(
+                    (v for v in vms if v["id"] == frag_id), None
+                )
+                rows.append(
+                    {
+                        "symbol": r.symbol,
+                        "did_method": r.did_method,
+                        "component_found": comp is not None,
+                        "component_type": comp["type"] if comp else None,
+                        "controller_matches": bool(
+                            comp and comp.get("controller") == doc["id"]
+                        ),
+                        "fragment_wellformed": bool(
+                            frag_id
+                            and frag_id.startswith(doc["id"] + "#")
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return grid.mapInPandas(
+        audit,
+        schema="symbol string, did_method string, component_found boolean,"
+        " component_type string, controller_matches boolean,"
+        " fragment_wellformed boolean",
+    )
+
+
 QUERIES = {
     "trade_envelope": trade_envelope,
     "trade_did_web_alias": did_web_alias,
@@ -465,6 +551,7 @@ QUERIES = {
     "trade_sign_verify": sign_verify,
     "trade_identity_dim": identity_dim,
     "trade_shared_secret": shared_secret_matrix,
+    "trade_did_components": did_components,
     "trade_did_resolution": did_resolution,
     "trade_json_parse_route": json_parse_route,
 }
@@ -581,6 +668,16 @@ ORACLES = {
     # length, validation booleans); the Spark side computes the booleans
     # from the REAL crypto, so any break in the Ed25519/ES256K/base58
     # path flips a value and fails the hash compare.
+    "trade_did_components": f"""
+        WITH syms(symbol) AS (VALUES {_SYM_VALUES}),
+        meths(did_method, component_type) AS (VALUES ('key', 'Ed25519VerificationKey2020'), ('ethr', 'EcdsaSecp256k1RecoveryMethod2020'), ('jwk', 'JsonWebKey2020'), ('peer', 'Ed25519VerificationKey2020'), ('pkh', 'EcdsaSecp256k1RecoveryMethod2020'))
+        SELECT symbol, did_method,
+               TRUE AS component_found,
+               component_type,
+               TRUE AS controller_matches,
+               TRUE AS fragment_wellformed
+        FROM syms CROSS JOIN meths
+    """,
     "trade_shared_secret": f"""
         WITH syms(symbol) AS (VALUES {_SYM_VALUES}),
         pairs AS (
