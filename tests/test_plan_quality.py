@@ -167,6 +167,45 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS bq_orders")
 
 
+def test_write_bucketed_survives_orphaned_warehouse_dir(spark, sf_dir):
+    """A previous PROCESS's interrupted write leaves <warehouse>/<table>
+    on disk with no catalog entry (the in-memory catalog dies with the
+    session, the files don't). write_bucketed must clear both and
+    succeed — twice in a row, including from a simulated mid-write
+    kill (a partial file in the orphaned dir)."""
+    import os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ssiintegrateddatapipeline_spark.sources import sinks
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    table = "bq_orphan_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    for _ in range(2):
+        # simulate the interrupted writer: orphaned dir + partial file,
+        # no catalog entry
+        os.makedirs(f"{wh}/{table}", exist_ok=True)
+        with open(f"{wh}/{table}/part-00000.parquet.inprogress", "wb") as fh:
+            fh.write(b"\x00" * 128)
+        spark.catalog.clearCache()
+        sinks.write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            table,
+            bucket_cols=("o_orderkey",),
+            n_buckets=4,
+        )
+        assert spark.table(table).count() > 0
+        assert not os.path.exists(
+            f"{wh}/{table}/part-00000.parquet.inprogress"
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_partition_filter_prunes_partitioned_sink(spark, sf_dir, tmp_path):
     from ssiintegrateddatapipeline_spark.sources import sinks
     from ssiintegrateddatapipeline_spark.sources.batch import load_table
