@@ -89,6 +89,7 @@ HEADLINE = [
     "wire_jwe_roundtrip",
     "trade_shared_secret",
     "trade_did_components",
+    "trade_eth_tx_sign",
     "dedup_exact_events",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_signatures",

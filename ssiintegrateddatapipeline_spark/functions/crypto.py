@@ -612,3 +612,91 @@ def jwe_decrypt(token: str, recipient: str) -> bytes | None:
         )
     except Exception:
         return None
+
+
+# ---------------------------------------------------------------------------
+# Ethereum legacy transaction signing (keyManagerSignEthTX): RLP encoding
+# per the Ethereum yellow paper appendix B, EIP-155 replay-protected
+# preimage, keccak-256 digest, RFC 6979 deterministic ECDSA over secp256k1
+# with low-S normalization (the consensus rule).
+# ---------------------------------------------------------------------------
+
+
+def rlp_encode(item) -> bytes:
+    """Minimal RLP: ints (minimal big-endian, 0 -> empty string), bytes,
+    and lists thereof."""
+    if isinstance(item, int):
+        item = b"" if item == 0 else item.to_bytes(
+            (item.bit_length() + 7) // 8, "big"
+        )
+    if isinstance(item, bytes):
+        if len(item) == 1 and item[0] <= 0x7F:
+            return item
+        if len(item) < 56:
+            return bytes([0x80 + len(item)]) + item
+        blen = len(item).to_bytes(
+            (len(item).bit_length() + 7) // 8, "big"
+        )
+        return bytes([0xB7 + len(blen)]) + blen + item
+    payload = b"".join(rlp_encode(x) for x in item)
+    if len(payload) < 56:
+        return bytes([0xC0 + len(payload)]) + payload
+    blen = len(payload).to_bytes((len(payload).bit_length() + 7) // 8, "big")
+    return bytes([0xF7 + len(blen)]) + blen + payload
+
+
+ETH_CHAIN_ID = 11155111  # sepolia, matching did:ethr's default network
+
+
+def eth_sign_tx(
+    priv: _ec.EllipticCurvePrivateKey,
+    nonce: int,
+    gas_price: int,
+    gas_limit: int,
+    to: bytes,
+    value: int,
+    data: bytes = b"",
+    chain_id: int = ETH_CHAIN_ID,
+) -> dict:
+    """Sign a legacy tx (EIP-155 preimage); returns the structural facts
+    plus (r, s). The digest is keccak-256, passed to the deterministic
+    ECDSA signer as a prehashed 32-byte value (the Prehashed wrapper only
+    fixes the digest LENGTH; RFC 6979's nonce derivation consumes the
+    digest bytes, so determinism holds for any 32-byte hash)."""
+    from cryptography.hazmat.primitives.asymmetric.utils import Prehashed
+
+    unsigned = rlp_encode(
+        [nonce, gas_price, gas_limit, to, value, data, chain_id, 0, 0]
+    )
+    h = keccak256(unsigned)
+    der = priv.sign(
+        h,
+        _ec.ECDSA(
+            Prehashed(_hashes.SHA256()), deterministic_signing=True
+        ),
+    )
+    r, s = decode_dss_signature(der)
+    s_norm = _low_s(s)
+    return {
+        "rlp_unsigned_len": len(unsigned),
+        "tx_hash": h,
+        "r": r,
+        "s": s_norm,
+        "low_s": s_norm <= SECP256K1_N // 2,
+    }
+
+
+def eth_verify_tx_sig(
+    pub: _ec.EllipticCurvePublicKey, tx_hash: bytes, r: int, s: int
+) -> bool:
+    from cryptography.hazmat.primitives.asymmetric.utils import Prehashed
+
+    try:
+        pub.verify(
+            encode_dss_signature(r, s),
+            tx_hash,
+            _ec.ECDSA(Prehashed(_hashes.SHA256())),
+        )
+        return True
+    except (InvalidSignature, ValueError):
+        return False

@@ -543,6 +543,89 @@ def did_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def eth_tx_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keyManagerSignEthTX (veramo-methods.ts: Key Management) — the last
+    crypto method: each sampled event becomes a legacy Ethereum transfer
+    (nonce = event_id, 20-gwei gas price, 21000 gas, to = the symbol's
+    key-derived address, value = the event value in exact micro-wei),
+    RLP-encoded with the EIP-155 replay-protected preimage, keccak-256
+    hashed, and signed with the symbol's secp256k1 key (RFC 6979
+    deterministic, low-S normalized — the consensus rule).
+
+    Oracle device: the per-symbol SUM of unsigned-RLP byte lengths is
+    replayed ANALYTICALLY in SQL from the yellow-paper encoding rules
+    (minimal big-endian integer items, 0x80+len string prefixes, list
+    header) — the same exact-integer accounting as the Avro wire sizes —
+    while signature validity and low-S are verified Spark-side against
+    the real curve math and must both hold for every row."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd  # noqa: F811
+
+    from ssiintegrateddatapipeline_spark.operators.identity import SYMBOLS
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    arr = F.array(*[F.lit(s) for s in SYMBOLS])
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 16 == 0)
+        .select(
+            "event_id",
+            F.element_at(arr, (F.col("user_id") % 5 + 1).cast("int")).alias(
+                "symbol"
+            ),
+            # exact integer micro-wei: micro-units scaled to 1e12 wei
+            (F.round(F.col("value") * 1e6).cast("long") * F.lit(1_000_000))
+            .alias("value_wei"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, F.col("event_id"))
+    )
+
+    def sign(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        from ssiintegrateddatapipeline_spark.functions import crypto
+
+        keys: dict = {}
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.symbol not in keys:
+                    priv, pub = crypto.es256k_keypair_for(r.symbol)
+                    to = bytes.fromhex(crypto.eth_address_for(pub)[2:])
+                    keys[r.symbol] = (priv, pub, to)
+                priv, pub, to = keys[r.symbol]
+                tx = crypto.eth_sign_tx(
+                    priv,
+                    nonce=int(r.event_id),
+                    gas_price=20_000_000_000,
+                    gas_limit=21_000,
+                    to=to,
+                    value=int(r.value_wei),
+                )
+                rows.append(
+                    {
+                        "symbol": r.symbol,
+                        "rlp_len": tx["rlp_unsigned_len"],
+                        "verified": crypto.eth_verify_tx_sig(
+                            pub, tx["tx_hash"], tx["r"], tx["s"]
+                        ),
+                        "low_s": tx["low_s"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    out = ev.mapInPandas(
+        sign,
+        schema="symbol string, rlp_len int, verified boolean, low_s boolean",
+    )
+    return out.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_txs"),
+        F.sum("rlp_len").alias("total_rlp_bytes"),
+        F.sum(F.col("verified").cast("long")).alias("n_verified"),
+        F.sum(F.col("low_s").cast("long")).alias("n_low_s"),
+    )
+
+
 QUERIES = {
     "trade_envelope": trade_envelope,
     "trade_did_web_alias": did_web_alias,
@@ -552,6 +635,7 @@ QUERIES = {
     "trade_identity_dim": identity_dim,
     "trade_shared_secret": shared_secret_matrix,
     "trade_did_components": did_components,
+    "trade_eth_tx_sign": eth_tx_sign,
     "trade_did_resolution": did_resolution,
     "trade_json_parse_route": json_parse_route,
 }
@@ -668,6 +752,19 @@ ORACLES = {
     # length, validation booleans); the Spark side computes the booleans
     # from the REAL crypto, so any break in the Ed25519/ES256K/base58
     # path flips a value and fails the hash compare.
+    "trade_eth_tx_sign": f"""
+        WITH sampled AS (
+            SELECT {_SYMBOLS_SQL}[(user_id % 5 + 1)::INT] AS symbol,
+                   event_id,
+                   CAST(round(value * 1e6) AS BIGINT) * 1000000 AS value_wei
+            FROM events WHERE event_id % 16 = 0
+        )
+        SELECT symbol, count(*) AS n_txs,
+               sum((((CASE WHEN event_id <= 127 THEN 1 ELSE 1 + (CASE WHEN event_id < 256 THEN 1 WHEN event_id < 65536 THEN 2 WHEN event_id < 16777216 THEN 3 WHEN event_id < 4294967296 THEN 4 WHEN event_id < 1099511627776 THEN 5 WHEN event_id < 281474976710656 THEN 6 WHEN event_id < 72057594037927936 THEN 7 WHEN event_id < 18446744073709551616 THEN 8 ELSE 9 END) END) + (CASE WHEN value_wei <= 127 THEN 1 ELSE 1 + (CASE WHEN value_wei < 256 THEN 1 WHEN value_wei < 65536 THEN 2 WHEN value_wei < 16777216 THEN 3 WHEN value_wei < 4294967296 THEN 4 WHEN value_wei < 1099511627776 THEN 5 WHEN value_wei < 281474976710656 THEN 6 WHEN value_wei < 72057594037927936 THEN 7 WHEN value_wei < 18446744073709551616 THEN 8 ELSE 9 END) END) + 37) + CASE WHEN ((CASE WHEN event_id <= 127 THEN 1 ELSE 1 + (CASE WHEN event_id < 256 THEN 1 WHEN event_id < 65536 THEN 2 WHEN event_id < 16777216 THEN 3 WHEN event_id < 4294967296 THEN 4 WHEN event_id < 1099511627776 THEN 5 WHEN event_id < 281474976710656 THEN 6 WHEN event_id < 72057594037927936 THEN 7 WHEN event_id < 18446744073709551616 THEN 8 ELSE 9 END) END) + (CASE WHEN value_wei <= 127 THEN 1 ELSE 1 + (CASE WHEN value_wei < 256 THEN 1 WHEN value_wei < 65536 THEN 2 WHEN value_wei < 16777216 THEN 3 WHEN value_wei < 4294967296 THEN 4 WHEN value_wei < 1099511627776 THEN 5 WHEN value_wei < 281474976710656 THEN 6 WHEN value_wei < 72057594037927936 THEN 7 WHEN value_wei < 18446744073709551616 THEN 8 ELSE 9 END) END) + 37) < 56 THEN 1 ELSE 2 END))::BIGINT AS total_rlp_bytes,
+               count(*) AS n_verified,
+               count(*) AS n_low_s
+        FROM sampled GROUP BY symbol
+    """,
     "trade_did_components": f"""
         WITH syms(symbol) AS (VALUES {_SYM_VALUES}),
         meths(did_method, component_type) AS (VALUES ('key', 'Ed25519VerificationKey2020'), ('ethr', 'EcdsaSecp256k1RecoveryMethod2020'), ('jwk', 'JsonWebKey2020'), ('peer', 'Ed25519VerificationKey2020'), ('pkh', 'EcdsaSecp256k1RecoveryMethod2020'))
