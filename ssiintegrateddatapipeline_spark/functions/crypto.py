@@ -187,6 +187,95 @@ def keccak256(data: bytes) -> bytes:
     return b"".join(lanes[i].to_bytes(8, "little") for i in range(4))
 
 
+_NP_KECCAK: dict = {}
+
+
+def _np_keccak_consts():
+    """Precomputed numpy constants for the batched permutation: round
+    constants, the rho+pi destination permutation and per-lane rotation
+    amounts in flat lane order (lane = x + 5·y)."""
+    if not _NP_KECCAK:
+        import numpy as np
+
+        dest = [0] * 25
+        rot = [0] * 25
+        for i in range(25):
+            x, y = i % 5, i // 5
+            dest[i] = y + 5 * ((2 * x + 3 * y) % 5)
+            rot[i] = _KECCAK_ROT[x][y]
+        _NP_KECCAK["rc"] = np.array(_KECCAK_RC, dtype=np.uint64)
+        _NP_KECCAK["dest"] = np.array(dest, dtype=np.int64)
+        _NP_KECCAK["rot"] = np.array(rot, dtype=np.uint64)
+        _NP_KECCAK["rot_inv"] = (
+            np.uint64(64) - _NP_KECCAK["rot"]
+        ) % np.uint64(64)
+    return _NP_KECCAK
+
+
+def _keccak_f_batch(state):
+    """Vectorized Keccak-f[1600] over an (m, 25) uint64 state array —
+    every numpy op applies to all m sponges at once, so the per-message
+    Python interpreter cost is amortized across the whole Arrow batch."""
+    import numpy as np
+
+    c = _np_keccak_consts()
+    dest, rot, rot_inv = c["dest"], c["rot"], c["rot_inv"]
+    a = state
+    for rc in c["rc"]:
+        # theta
+        v = a.reshape(-1, 5, 5)  # [m][y][x]
+        cc = np.bitwise_xor.reduce(v, axis=1)  # (m, 5) indexed by x
+        d = np.roll(cc, 1, axis=1) ^ (
+            (np.roll(cc, -1, axis=1) << np.uint64(1))
+            | (np.roll(cc, -1, axis=1) >> np.uint64(63))
+        )
+        a = (v ^ d[:, None, :]).reshape(-1, 25)
+        # rho + pi: b[dest[i]] = rol(a[i], rot[i]); (x<<0)|(x>>0) == x
+        b = np.empty_like(a)
+        b[:, dest] = (a << rot) | (a >> rot_inv)
+        # chi
+        vb = b.reshape(-1, 5, 5)
+        a = (
+            vb ^ (~np.roll(vb, -1, axis=2) & np.roll(vb, -2, axis=2))
+        ).reshape(-1, 25)
+        # iota
+        a[:, 0] ^= rc
+    return a
+
+
+def keccak256_batch(msgs) -> list[bytes]:
+    """Keccak-256 over a batch of messages using the vectorized
+    permutation. Messages are grouped by padded block count so each group
+    runs as one fixed-shape numpy pipeline; ~50-byte RLP preimages are all
+    single-block, which is the hot path for keyManagerSignEthTX."""
+    import numpy as np
+
+    rate = 136
+    out: list[bytes | None] = [None] * len(msgs)
+    groups: dict[int, list[int]] = {}
+    padded: list[bytes] = []
+    for i, m in enumerate(msgs):
+        pad_len = rate - (len(m) % rate)
+        if pad_len == 1:
+            p = m + b"\x81"
+        else:
+            p = m + b"\x01" + b"\x00" * (pad_len - 2) + b"\x80"
+        padded.append(p)
+        groups.setdefault(len(p) // rate, []).append(i)
+    for nblocks, idxs in groups.items():
+        buf = np.frombuffer(
+            b"".join(padded[i] for i in idxs), dtype="<u8"
+        ).reshape(len(idxs), nblocks, rate // 8)
+        state = np.zeros((len(idxs), 25), dtype=np.uint64)
+        for blk in range(nblocks):
+            state[:, : rate // 8] ^= buf[:, blk, :]
+            state = _keccak_f_batch(state)
+        digests = state[:, :4].astype("<u8").tobytes()
+        for j, i in enumerate(idxs):
+            out[i] = digests[32 * j : 32 * j + 32]
+    return out  # type: ignore[return-value]
+
+
 def es256k_keypair_for(
     name: str,
 ) -> tuple[_ec.EllipticCurvePrivateKey, _ec.EllipticCurvePublicKey]:
@@ -562,8 +651,16 @@ def _concat_kdf_sha256(z: bytes, alg: str, keydatalen_bits: int) -> bytes:
     ).digest()[: keydatalen_bits // 8]
 
 
-def jwe_encrypt(plaintext: bytes, recipient: str) -> str:
-    """Compact JWE for the recipient's deterministic X25519 key."""
+def jwe_encrypt_deterministic(plaintext: bytes, recipient: str) -> str:
+    """Compact JWE for the recipient's deterministic X25519 key.
+
+    SECURITY GUARD: the ephemeral key AND the GCM IV are derived from
+    sha256(recipient, plaintext), so equal plaintexts to the same
+    recipient produce byte-identical tokens. This deliberately trades
+    IND-CPA (message-equality leaks) for the reproducibility the DuckDB
+    oracle compare requires. NEVER reuse this primitive where real
+    confidentiality is expected — a production JWE must draw the
+    ephemeral key and IV from a CSPRNG per encryption."""
     _, rec_pub = x25519_keypair_for(recipient)
     det = hashlib.sha256(b"ssi-jwe|" + recipient.encode() + b"|" + plaintext)
     eph_priv = X25519PrivateKey.from_private_bytes(det.digest())
@@ -647,6 +744,213 @@ def rlp_encode(item) -> bytes:
 
 ETH_CHAIN_ID = 11155111  # sepolia, matching did:ethr's default network
 
+# secp256k1 field prime and base point (public curve parameters)
+SECP256K1_P = 2**256 - 2**32 - 977
+SECP256K1_GX = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+SECP256K1_GY = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+
+
+def _jac_double(p):
+    """Point doubling in Jacobian coordinates over secp256k1 (a=0)."""
+    x, y, z = p
+    if y == 0:
+        return (0, 1, 0)
+    P = SECP256K1_P
+    ysq = (y * y) % P
+    s = (4 * x * ysq) % P
+    m = (3 * x * x) % P
+    nx = (m * m - 2 * s) % P
+    ny = (m * (s - nx) - 8 * ysq * ysq) % P
+    nz = (2 * y * z) % P
+    return (nx, ny, nz)
+
+
+def _jac_add_affine(p, q_aff):
+    """Mixed Jacobian + affine addition (q has z=1)."""
+    if p[2] == 0:
+        return (q_aff[0], q_aff[1], 1)
+    P = SECP256K1_P
+    x1, y1, z1 = p
+    x2, y2 = q_aff
+    z1sq = (z1 * z1) % P
+    u2 = (x2 * z1sq) % P
+    s2 = (y2 * z1sq * z1) % P
+    if u2 == x1:
+        if s2 != y1:
+            return (0, 1, 0)
+        return _jac_double(p)
+    h = (u2 - x1) % P
+    hsq = (h * h) % P
+    hcu = (hsq * h) % P
+    rr = (s2 - y1) % P
+    nx = (rr * rr - hcu - 2 * x1 * hsq) % P
+    ny = (rr * (x1 * hsq - nx) - y1 * hcu) % P
+    nz = (z1 * h) % P
+    return (nx, ny, nz)
+
+
+def _jac_to_affine(p):
+    if p[2] == 0:
+        return None
+    P = SECP256K1_P
+    zinv = pow(p[2], -1, P)
+    zinv2 = (zinv * zinv) % P
+    return ((p[0] * zinv2) % P, (p[1] * zinv2 * zinv) % P)
+
+
+def _point_mult(k: int, q_aff) -> tuple | None:
+    """MSB-first double-and-add scalar multiplication of an arbitrary
+    affine point: the accumulator stays Jacobian throughout, so the whole
+    multiplication costs exactly one modular inversion (the final affine
+    conversion)."""
+    acc = (0, 1, 0)
+    for bit in bin(k)[2:]:
+        acc = _jac_double(acc)
+        if bit == "1":
+            acc = _jac_add_affine(acc, q_aff)
+    return _jac_to_affine(acc)
+
+
+_G_TABLE: list[list[tuple]] | None = None
+
+
+def _g_table() -> list[list[tuple]]:
+    """8-bit fixed-base window table for G: table[w][d-1] = (d << 8w)·G in
+    affine coordinates. Built once per process (32 windows × 255 entries,
+    ~50 ms); makes every later G-multiplication 32 mixed additions — the
+    dominant cost of a pure-Python recoverable ECDSA sign."""
+    global _G_TABLE
+    if _G_TABLE is None:
+        table = []
+        base = (SECP256K1_GX, SECP256K1_GY)
+        for _ in range(32):
+            row = [base]
+            acc = (base[0], base[1], 1)
+            for _ in range(254):
+                acc = _jac_add_affine(acc, base)
+                row.append(_jac_to_affine(acc))
+            table.append(row)
+            nxt = _jac_add_affine(acc, base)  # 256·(current base)
+            base = _jac_to_affine(nxt)
+        _G_TABLE = table
+    return _G_TABLE
+
+
+def _g_mult(k: int) -> tuple | None:
+    """k·G via the fixed-base window table (fast path for signing)."""
+    k %= SECP256K1_N
+    table = _g_table()
+    acc = (0, 1, 0)
+    w = 0
+    while k:
+        d = k & 0xFF
+        if d:
+            acc = _jac_add_affine(acc, table[w][d - 1])
+        k >>= 8
+        w += 1
+    return _jac_to_affine(acc)
+
+
+def rfc6979_k(x: int, digest: bytes) -> int:
+    """RFC 6979 deterministic ECDSA nonce for SHA-256 over secp256k1 —
+    the same derivation the OpenSSL deterministic signer uses, so (r, s)
+    from this path byte-match `priv.sign(..., deterministic_signing=True)`."""
+    import hmac as _hmac
+
+    n = SECP256K1_N
+    h1 = int.from_bytes(digest, "big") % n
+    bx = x.to_bytes(32, "big") + h1.to_bytes(32, "big")
+    v = b"\x01" * 32
+    k = b"\x00" * 32
+    k = _hmac.new(k, v + b"\x00" + bx, hashlib.sha256).digest()
+    v = _hmac.new(k, v, hashlib.sha256).digest()
+    k = _hmac.new(k, v + b"\x01" + bx, hashlib.sha256).digest()
+    v = _hmac.new(k, v, hashlib.sha256).digest()
+    while True:
+        v = _hmac.new(k, v, hashlib.sha256).digest()
+        cand = int.from_bytes(v, "big")
+        if 1 <= cand < n:
+            return cand
+        k = _hmac.new(k, v + b"\x00", hashlib.sha256).digest()
+        v = _hmac.new(k, v, hashlib.sha256).digest()
+
+
+def ecdsa_sign_recoverable(priv_scalar: int, digest: bytes) -> tuple[int, int, int]:
+    """Deterministic (RFC 6979) recoverable ECDSA over secp256k1: returns
+    (r, s, recovery_id) with low-S normalization. recovery_id is the parity
+    of R.y, flipped when s is negated for low-S (negating s mirrors R)."""
+    n = SECP256K1_N
+    z = int.from_bytes(digest, "big") % n
+    while True:
+        k = rfc6979_k(priv_scalar, digest)
+        R = _g_mult(k)
+        r = R[0] % n
+        if r == 0:
+            digest = hashlib.sha256(digest).digest()
+            continue
+        s = (pow(k, -1, n) * (z + r * priv_scalar)) % n
+        if s == 0:
+            digest = hashlib.sha256(digest).digest()
+            continue
+        rec_id = R[1] & 1
+        if s > n // 2:
+            s = n - s
+            rec_id ^= 1
+        return r, s, rec_id
+
+
+def ecdsa_recover_pubkey(digest: bytes, r: int, s: int, rec_id: int):
+    """Recover the signer's affine public point from (digest, r, s,
+    recovery_id): lift x=r to the curve with the parity rec_id selects,
+    then Q = r⁻¹·(s·R − z·G). Returns None when r does not lift."""
+    n, P = SECP256K1_N, SECP256K1_P
+    x = r + (rec_id >> 1) * n
+    if x >= P:
+        return None
+    y_sq = (pow(x, 3, P) + 7) % P
+    y = pow(y_sq, (P + 1) // 4, P)
+    if (y * y) % P != y_sq:
+        return None
+    if (y & 1) != (rec_id & 1):
+        y = P - y
+    z = int.from_bytes(digest, "big") % n
+    rinv = pow(r, -1, n)
+    u1 = (-z * rinv) % n
+    u2 = (s * rinv) % n
+    # Q = u1·G + u2·R
+    p1 = _g_mult(u1)
+    p2 = _point_mult(u2, (x, y))
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    return _jac_to_affine(_jac_add_affine((p1[0], p1[1], 1), p2))
+
+
+def eth_address_from_point(point) -> str:
+    """Checksummed address from an affine (x, y) public point."""
+    raw = keccak256(
+        point[0].to_bytes(32, "big") + point[1].to_bytes(32, "big")
+    )[-20:]
+    hex_addr = raw.hex()
+    digest = keccak256(hex_addr.encode("ascii")).hex()
+    out = []
+    for ch, d in zip(hex_addr, digest):
+        out.append(ch.upper() if ch.isalpha() and int(d, 16) >= 8 else ch)
+    return "0x" + "".join(out)
+
+
+def eth_recover_address(
+    digest: bytes, v: int, r: int, s: int, chain_id: int = ETH_CHAIN_ID
+) -> str | None:
+    """Independent EIP-155 recovery: (v, r, s) → signer address, the exact
+    computation an Ethereum node performs on a broadcast raw transaction."""
+    rec_id = v - chain_id * 2 - 35
+    if rec_id not in (0, 1, 2, 3):
+        return None
+    q = ecdsa_recover_pubkey(digest, r, s, rec_id)
+    return None if q is None else eth_address_from_point(q)
+
 
 def eth_sign_tx(
     priv: _ec.EllipticCurvePrivateKey,
@@ -657,32 +961,44 @@ def eth_sign_tx(
     value: int,
     data: bytes = b"",
     chain_id: int = ETH_CHAIN_ID,
+    tx_hash: bytes | None = None,
 ) -> dict:
-    """Sign a legacy tx (EIP-155 preimage); returns the structural facts
-    plus (r, s). The digest is keccak-256, passed to the deterministic
-    ECDSA signer as a prehashed 32-byte value (the Prehashed wrapper only
-    fixes the digest LENGTH; RFC 6979's nonce derivation consumes the
-    digest bytes, so determinism holds for any 32-byte hash)."""
-    from cryptography.hazmat.primitives.asymmetric.utils import Prehashed
-
+    """Sign a legacy tx (EIP-155 preimage): RLP-encode, keccak-256, sign
+    recoverably (RFC 6979 deterministic, low-S), and produce the FULL
+    broadcastable output the reference's keyManagerSignEthTX returns —
+    the EIP-155 recovery value v = chain_id·2 + 35 + recovery_id and the
+    signed raw transaction rlp([nonce, gasPrice, gasLimit, to, value,
+    data, v, r, s]). ``tx_hash`` short-circuits the digest for callers
+    that batch keccak via keccak256_batch."""
     unsigned = rlp_encode(
         [nonce, gas_price, gas_limit, to, value, data, chain_id, 0, 0]
     )
-    h = keccak256(unsigned)
-    der = priv.sign(
-        h,
-        _ec.ECDSA(
-            Prehashed(_hashes.SHA256()), deterministic_signing=True
-        ),
+    h = tx_hash if tx_hash is not None else keccak256(unsigned)
+    d = priv.private_numbers().private_value
+    r, s, rec_id = ecdsa_sign_recoverable(d, h)
+    v = chain_id * 2 + 35 + rec_id
+    raw_tx = rlp_encode(
+        [
+            nonce,
+            gas_price,
+            gas_limit,
+            to,
+            value,
+            data,
+            v,
+            r.to_bytes((r.bit_length() + 7) // 8, "big"),
+            s.to_bytes((s.bit_length() + 7) // 8, "big"),
+        ]
     )
-    r, s = decode_dss_signature(der)
-    s_norm = _low_s(s)
     return {
         "rlp_unsigned_len": len(unsigned),
         "tx_hash": h,
         "r": r,
-        "s": s_norm,
-        "low_s": s_norm <= SECP256K1_N // 2,
+        "s": s,
+        "v": v,
+        "rec_id": rec_id,
+        "raw_tx": raw_tx,
+        "low_s": s <= SECP256K1_N // 2,
     }
 
 

@@ -513,10 +513,27 @@ def did_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     did = crypto.did_pkh_for(pub)
                 doc = crypto.resolve_did(did)
                 vms = doc.get("verificationMethod", [])
-                frag_id = vms[0]["id"] if vms else None
+                # Construct the DID URL INDEPENDENTLY of the document,
+                # from each method's published fragment convention —
+                # the dereference below can genuinely miss if the
+                # resolver's component ids drift from the spec.
+                frag = {
+                    "key": did.split(":")[-1],  # multibase key id
+                    "ethr": "controller",
+                    "jwk": "0",
+                    "peer": "key-1",
+                    "pkh": "blockchainAccountId",
+                }[r.did_method]
+                frag_id = f"{did}#{frag}"
                 # the dereference: find the component whose id matches
                 comp = next(
                     (v for v in vms if v["id"] == frag_id), None
+                )
+                # and the miss case: a fragment that exists in no
+                # document must dereference to not-found
+                miss = next(
+                    (v for v in vms if v["id"] == f"{did}#nonexistent"),
+                    None,
                 )
                 rows.append(
                     {
@@ -531,6 +548,7 @@ def did_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                             frag_id
                             and frag_id.startswith(doc["id"] + "#")
                         ),
+                        "miss_not_found": miss is None,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -539,7 +557,7 @@ def did_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit,
         schema="symbol string, did_method string, component_found boolean,"
         " component_type string, controller_matches boolean,"
-        " fragment_wellformed boolean",
+        " fragment_wellformed boolean, miss_not_found boolean",
     )
 
 
@@ -558,7 +576,15 @@ def eth_tx_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (minimal big-endian integer items, 0x80+len string prefixes, list
     header) — the same exact-integer accounting as the Avro wire sizes —
     while signature validity and low-S are verified Spark-side against
-    the real curve math and must both hold for every row."""
+    the real curve math and must both hold for every row.
+
+    Round 8: the signature is now RECOVERABLE — every row carries the
+    EIP-155 v = chain_id·2 + 35 + recovery_id and the broadcastable
+    signed raw RLP, and a deterministic 1-in-25 subset (event_id % 400)
+    runs full public-key recovery (v, r, s) → address and must land on
+    the signer's address. Keccak digests are numpy-batched
+    (crypto.keccak256_batch) — the per-row pure-Python sponge this
+    kernel used through round 7 was its dominant constant."""
     from collections.abc import Iterator as _Iterator
 
     import pandas as pd  # noqa: F811
@@ -587,13 +613,34 @@ def eth_tx_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         keys: dict = {}
         for pdf in batches:
-            rows = []
+            # pass 1: per-symbol key setup + RLP preimages (cheap Python)
+            pre = []
             for r in pdf.itertuples():
                 if r.symbol not in keys:
                     priv, pub = crypto.es256k_keypair_for(r.symbol)
-                    to = bytes.fromhex(crypto.eth_address_for(pub)[2:])
-                    keys[r.symbol] = (priv, pub, to)
-                priv, pub, to = keys[r.symbol]
+                    addr = crypto.eth_address_for(pub)
+                    keys[r.symbol] = (priv, pub, addr, bytes.fromhex(addr[2:]))
+                priv, pub, addr, to = keys[r.symbol]
+                pre.append(
+                    crypto.rlp_encode(
+                        [
+                            int(r.event_id),
+                            20_000_000_000,
+                            21_000,
+                            to,
+                            int(r.value_wei),
+                            b"",
+                            crypto.ETH_CHAIN_ID,
+                            0,
+                            0,
+                        ]
+                    )
+                )
+            # pass 2: one vectorized keccak sweep over the whole batch
+            digests = crypto.keccak256_batch(pre)
+            rows = []
+            for r, unsigned, h in zip(pdf.itertuples(), pre, digests):
+                priv, pub, addr, to = keys[r.symbol]
                 tx = crypto.eth_sign_tx(
                     priv,
                     nonce=int(r.event_id),
@@ -601,28 +648,44 @@ def eth_tx_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
                     gas_limit=21_000,
                     to=to,
                     value=int(r.value_wei),
+                    tx_hash=h,
                 )
+                check_addr = int(r.event_id) % 400 == 0
                 rows.append(
                     {
                         "symbol": r.symbol,
-                        "rlp_len": tx["rlp_unsigned_len"],
+                        "rlp_len": len(unsigned),
                         "verified": crypto.eth_verify_tx_sig(
-                            pub, tx["tx_hash"], tx["r"], tx["s"]
+                            pub, h, tx["r"], tx["s"]
                         ),
                         "low_s": tx["low_s"],
+                        "v_ok": tx["v"]
+                        in (
+                            crypto.ETH_CHAIN_ID * 2 + 35,
+                            crypto.ETH_CHAIN_ID * 2 + 36,
+                        )
+                        and len(tx["raw_tx"]) > len(unsigned),
+                        "addr_ok": check_addr
+                        and crypto.eth_recover_address(
+                            h, tx["v"], tx["r"], tx["s"]
+                        )
+                        == addr,
                     }
                 )
             yield pd.DataFrame(rows)
 
     out = ev.mapInPandas(
         sign,
-        schema="symbol string, rlp_len int, verified boolean, low_s boolean",
+        schema="symbol string, rlp_len int, verified boolean, low_s boolean,"
+        " v_ok boolean, addr_ok boolean",
     )
     return out.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n_txs"),
         F.sum("rlp_len").alias("total_rlp_bytes"),
         F.sum(F.col("verified").cast("long")).alias("n_verified"),
         F.sum(F.col("low_s").cast("long")).alias("n_low_s"),
+        F.sum(F.col("v_ok").cast("long")).alias("n_v_valid"),
+        F.sum(F.col("addr_ok").cast("long")).alias("n_addr_recovered"),
     )
 
 
@@ -762,7 +825,9 @@ ORACLES = {
         SELECT symbol, count(*) AS n_txs,
                sum((((CASE WHEN event_id <= 127 THEN 1 ELSE 1 + (CASE WHEN event_id < 256 THEN 1 WHEN event_id < 65536 THEN 2 WHEN event_id < 16777216 THEN 3 WHEN event_id < 4294967296 THEN 4 WHEN event_id < 1099511627776 THEN 5 WHEN event_id < 281474976710656 THEN 6 WHEN event_id < 72057594037927936 THEN 7 WHEN event_id < 18446744073709551616 THEN 8 ELSE 9 END) END) + (CASE WHEN value_wei <= 127 THEN 1 ELSE 1 + (CASE WHEN value_wei < 256 THEN 1 WHEN value_wei < 65536 THEN 2 WHEN value_wei < 16777216 THEN 3 WHEN value_wei < 4294967296 THEN 4 WHEN value_wei < 1099511627776 THEN 5 WHEN value_wei < 281474976710656 THEN 6 WHEN value_wei < 72057594037927936 THEN 7 WHEN value_wei < 18446744073709551616 THEN 8 ELSE 9 END) END) + 37) + CASE WHEN ((CASE WHEN event_id <= 127 THEN 1 ELSE 1 + (CASE WHEN event_id < 256 THEN 1 WHEN event_id < 65536 THEN 2 WHEN event_id < 16777216 THEN 3 WHEN event_id < 4294967296 THEN 4 WHEN event_id < 1099511627776 THEN 5 WHEN event_id < 281474976710656 THEN 6 WHEN event_id < 72057594037927936 THEN 7 WHEN event_id < 18446744073709551616 THEN 8 ELSE 9 END) END) + (CASE WHEN value_wei <= 127 THEN 1 ELSE 1 + (CASE WHEN value_wei < 256 THEN 1 WHEN value_wei < 65536 THEN 2 WHEN value_wei < 16777216 THEN 3 WHEN value_wei < 4294967296 THEN 4 WHEN value_wei < 1099511627776 THEN 5 WHEN value_wei < 281474976710656 THEN 6 WHEN value_wei < 72057594037927936 THEN 7 WHEN value_wei < 18446744073709551616 THEN 8 ELSE 9 END) END) + 37) < 56 THEN 1 ELSE 2 END))::BIGINT AS total_rlp_bytes,
                count(*) AS n_verified,
-               count(*) AS n_low_s
+               count(*) AS n_low_s,
+               count(*) AS n_v_valid,
+               count(*) FILTER (event_id % 400 = 0) AS n_addr_recovered
         FROM sampled GROUP BY symbol
     """,
     "trade_did_components": f"""
@@ -772,7 +837,8 @@ ORACLES = {
                TRUE AS component_found,
                component_type,
                TRUE AS controller_matches,
-               TRUE AS fragment_wellformed
+               TRUE AS fragment_wellformed,
+               TRUE AS miss_not_found
         FROM syms CROSS JOIN meths
     """,
     "trade_shared_secret": f"""

@@ -521,7 +521,7 @@ def jwe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return pd.Series(
             [
-                crypto.jwe_encrypt(p.encode(), s)
+                crypto.jwe_encrypt_deterministic(p.encode(), s)
                 for s, p in zip(symbols, payloads)
             ]
         )

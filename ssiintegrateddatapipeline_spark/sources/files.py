@@ -275,7 +275,8 @@ def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 import zlib
 
                 buf = _io.BytesIO(bytes(content))
-                assert buf.read(4) == _OCF_MAGIC
+                if buf.read(4) != _OCF_MAGIC:
+                    raise ValueError("OCF: bad magic bytes")
                 codec = "null"
                 n_meta = ac.read_long(buf)
                 while n_meta != 0:
@@ -305,7 +306,8 @@ def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         rec = ac.decode(schema, block)
                         for k, v in rec.items():
                             cols[k].append(v)
-                    assert buf.read(16) == sync, "sync marker mismatch"
+                    if buf.read(16) != sync:
+                        raise ValueError("OCF: sync marker mismatch")
                 if cols["event_id"]:
                     yield pd.DataFrame(cols)
 

@@ -66,13 +66,24 @@ def write_bucketed(
     ``<warehouse>/<table>`` behind with no catalog entry. ``saveAsTable``
     refuses to adopt such a location (LOCATION_ALREADY_EXISTS); clear both
     the catalog entry and the orphaned directory before writing."""
+    import os
     import shutil
     from urllib.parse import urlparse
 
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{table_name}", ignore_errors=True)
+    location = f"{wh}/{table_name}"
+    catalog_has_it = spark.catalog.tableExists(table_name)
+    if mode == "overwrite":
+        # Destructive cleanup is only correct when the caller asked to
+        # replace the table wholesale.
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        shutil.rmtree(location, ignore_errors=True)
+    elif not catalog_has_it and os.path.exists(location):
+        # Orphaned location with no catalog entry (interrupted earlier
+        # process): saveAsTable would refuse to adopt it, and appending to
+        # it is meaningless because no table exists — clear the orphan.
+        shutil.rmtree(location, ignore_errors=True)
     writer = (
         df.write.format("parquet")
         .mode(mode)
