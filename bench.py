@@ -19,6 +19,9 @@ import sys
 import time
 
 HEADLINE = [
+    "trade_vp_roundtrip",
+    "credstore_apply_mutations",
+    "trade_did_discovery",
     "text_dsir_weights",
     "profile_kmv_sets",
     "tpch_important_parts",
@@ -266,12 +269,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Solo-rerun outlier pass (round-5 VERDICT task 6): suite contention
-    # can quadruple an untouched query's median (r5 saw four such). Any
-    # query whose median moved >2x in either direction vs the PREVIOUS
-    # bench_last.json gets one solo rerun after the suite, recorded
-    # alongside the suite median — a solo time near the old number says
-    # "contention", a solo time near the new one says "real change".
+    # Solo-rerun outlier pass (round-5 VERDICT task 6, threshold tightened
+    # to 1.25x per round-7 task 4): suite contention can inflate an
+    # untouched query's median (r7's recorded bench moved ~25 untouched
+    # queries 1.3-1.7x under host load). Any query whose median moved
+    # >1.25x in either direction vs the PREVIOUS bench_last.json gets one
+    # solo rerun after the suite, recorded alongside the suite median —
+    # a solo time near the old number says "contention", a solo time near
+    # the new one says "real change". The BENCH_rN artifact itself then
+    # carries the contention evidence.
     prev_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
     )
@@ -286,7 +292,7 @@ def main() -> None:
         for name, dt in per_query.items()
         if name in prev
         and prev[name] > 0
-        and (dt / prev[name] > 2.0 or dt / prev[name] < 0.5)
+        and (dt / prev[name] > 1.25 or dt / prev[name] < 0.8)
     ]
     for name in flagged:
         fn = queries[name]
@@ -325,6 +331,27 @@ def main() -> None:
     summary = {k: result[k] for k in ("metric", "unit", "sf", "value")}
     summary["n_queries"] = len(per_query)
     summary["per_query"] = "median-of-3"
+    # contention evidence travels IN the artifact (r7-VERDICT task 4):
+    # 1-min load average plus the largest solo-rerun movers, so a noisy
+    # round is self-diagnosing without chasing bench_last.json.
+    try:
+        summary["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    movers = sorted(
+        (n for n in flagged if "solo" in detail.get(n, {})),
+        key=lambda n: -abs(per_query[n] / prev[n] - 1.0),
+    )[:12]
+    if movers:
+        summary["solo_reruns"] = {
+            n: {
+                "suite": per_query[n],
+                "solo": detail[n]["solo"],
+                "prev": detail[n]["prev"],
+            }
+            for n in movers
+        }
+        summary["n_flagged"] = len(flagged)
     print(json.dumps(summary, separators=(",", ":")))
     print(f"# bench line bytes: {len(line)}", file=sys.stderr)
 

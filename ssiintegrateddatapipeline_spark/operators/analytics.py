@@ -30,6 +30,7 @@ from ssiintegrateddatapipeline_spark.functions.twophase import (
 )
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
 from ssiintegrateddatapipeline_spark.caches import track
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
 
 # Prometheus-style cumulative bucket upper bounds.
 # e2e latency buckets: kafka_consumer/app/metrics/metrics.py:59 (reference).
@@ -148,7 +149,7 @@ def _histogram_quantile(
     df: DataFrame, value_col: str, label_col: str, buckets: list[float], q: float
 ) -> DataFrame:
     spark = df.sparkSession
-    bucket_df = spark.createDataFrame([(b,) for b in buckets], "le double")
+    bucket_df = local_frame(spark, [(b,) for b in buckets], "le double")
     totals = df.groupBy(label_col).agg(F.count("*").alias("total"))
     # cumulative count per (label, le): every row with value <= le
     cum = (
@@ -171,7 +172,7 @@ def quantile_from_bucket_counts(
     split: counters are maintained (possibly by a streaming job), the
     quantile is derived at read time from |labels| x |buckets| rows."""
     spark = cum.sparkSession
-    bucket_df = spark.createDataFrame([(b,) for b in buckets], "le double")
+    bucket_df = local_frame(spark, [(b,) for b in buckets], "le double")
     # densify: every (label, le) pair, missing -> 0. Both sides are
     # post-aggregation (|labels| x |buckets| and |labels x le|) — broadcast
     # the probe side so no shuffle survives the aggregation.
@@ -259,7 +260,7 @@ def payload_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialized props JSON (P11: kafka_consumer.py:112-116).
     """
     ev = _events(spark, sf_dir).withColumn("payload_bytes", F.octet_length("props"))
-    bucket_df = spark.createDataFrame([(b,) for b in PAYLOAD_BUCKETS], "le double")
+    bucket_df = local_frame(spark, [(b,) for b in PAYLOAD_BUCKETS], "le double")
     return (
         ev.join(F.broadcast(bucket_df), F.col("payload_bytes") <= F.col("le"))
         .groupBy("le")

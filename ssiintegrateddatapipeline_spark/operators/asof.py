@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
 
 
 def asof_join(
@@ -136,7 +137,7 @@ def range_lookup(
         for lo, hi, label in bands
     ]
     if strategy == "broadcast_nl":
-        dim = spark.createDataFrame(
+        dim = local_frame(spark, 
             [(lo, hi, label) for lo, hi, label, _ in rows],
             "lo double, hi double, band string",
         )
@@ -150,7 +151,7 @@ def range_lookup(
         hi_eff = max_value if hi is None else hi
         b0, b1 = int(lo // bucket_width), int((hi_eff - 1e-9) // bucket_width)
         exploded += [(b, lo, hi, label) for b in range(b0, b1 + 1)]
-    dim = spark.createDataFrame(exploded, "_bucket long, lo double, hi double, band string")
+    dim = local_frame(spark, exploded, "_bucket long, lo double, hi double, band string")
     v = F.col(value_col)
     return (
         fact.withColumn("_bucket", F.floor(v / F.lit(bucket_width)))

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.operators.identity import SYMBOLS
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
 
 _SYMBOLS_SQL = "[" + ", ".join(f"'{s}'" for s in SYMBOLS) + "]"
 
@@ -406,7 +407,7 @@ def sdr_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is one pruned credential scan regardless of how many claims the
     request carries. Top-5 per claim, ranked by claim_value then hash."""
     creds = credentials_table(spark, sf_dir)
-    spec = spark.createDataFrame(
+    spec = local_frame(spark, 
         [
             (name, ctype, f"did:example:issuer:{sym}", floor)
             for name, ctype, syms, floor in _SDR_CLAIMS
@@ -448,7 +449,7 @@ def sdr_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     are returned (the validator is called per presented bundle; bundles
     matching nothing are the uninteresting complement)."""
     creds = credentials_table(spark, sf_dir)
-    spec = spark.createDataFrame(
+    spec = local_frame(spark, 
         [
             (name, ctype, f"did:example:issuer:{sym}", floor)
             for name, ctype, syms, floor in _SDR_CLAIMS
@@ -477,7 +478,206 @@ def sdr_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DID/key store mutations (veramo-methods.ts:8-11,27-32):
+# didManagerImport/Delete/AddKey/RemoveKey/AddService/RemoveService plus
+# keyManagerCreate/Delete/Import as rows of one mutation log, applied
+# INCREMENTALLY (base fold + change feed, the scd2_apply_changes device)
+# and proven equal to a full rebuild by the oracle.
+# ---------------------------------------------------------------------------
+
+# event_type -> mutation op; every 101st event is a didManagerDelete
+# regardless of type (deletes must interleave with adds for the fold to
+# be non-trivial). keyManagerCreate/Import are the addKey rows seen from
+# the key-store side; keyManagerDelete is removeKey.
+_MUT_OP_SQL = """CASE WHEN event_id % 101 = 0 THEN 'delete'
+         WHEN event_type = 'signup' THEN 'import'
+         WHEN event_type = 'purchase' THEN 'addKey'
+         WHEN event_type = 'click' THEN 'addService'
+         WHEN event_type = 'error' THEN 'removeKey'
+         ELSE 'removeService' END"""
+
+
+def _mutation_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the deterministic mutation stream from events: one mutation
+    per event, ordered by the globally unique event_id (the log's seq)."""
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_id") % 101 == 0, F.lit("delete"))
+        .when(F.col("event_type") == "signup", F.lit("import"))
+        .when(F.col("event_type") == "purchase", F.lit("addKey"))
+        .when(F.col("event_type") == "click", F.lit("addService"))
+        .when(F.col("event_type") == "error", F.lit("removeKey"))
+        .otherwise(F.lit("removeService"))
+    )
+    item_type = (
+        F.when(op.isin("addKey", "removeKey"), F.lit("key"))
+        .when(op.isin("addService", "removeService"), F.lit("svc"))
+    )
+    item_id = (
+        F.when(
+            op.isin("addKey", "removeKey"),
+            F.concat(F.lit("key-"), (F.col("event_id") % 7)),
+        )
+        .when(
+            op.isin("addService", "removeService"),
+            F.concat(F.lit("svc-"), (F.col("event_id") % 5)),
+        )
+    )
+    return ev.select(
+        F.concat(F.lit("did:example:user:"), F.col("user_id")).alias("did"),
+        F.col("event_id").alias("seq"),
+        op.alias("op"),
+        item_type.alias("item_type"),
+        item_id.alias("item_id"),
+    )
+
+
+def _fold_mutations(muts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The store fold: collapse a mutation stream to (barriers, items).
+
+    Semantics (Veramo's identifier lifecycle): import creates/resets the
+    identifier (seeding its initial key-0 — createIdentifier always mints
+    one key); delete removes it and everything under it; add/remove
+    key/service mutate the LIVE identifier — ops on a never-imported or
+    deleted identifier are ignored (the agent would throw; the log-apply
+    skips). 'import_noseed' is the synthetic barrier the incremental
+    path re-injects for base state — a barrier that must NOT re-seed
+    key-0 (the base items already carry the truth).
+
+    barriers: (did, barrier_seq, last_barrier_op) — one row per did that
+    ever saw a barrier. items: (did, item_type, item_id, last_seq) —
+    present items of EXISTING dids only."""
+    barrier_ops = ("import", "import_noseed", "delete")
+    barriers = (
+        muts.where(F.col("op").isin(*barrier_ops))
+        .groupBy("did")
+        .agg(
+            F.max("seq").alias("barrier_seq"),
+            F.max_by("op", "seq").alias("last_barrier_op"),
+        )
+    )
+    seeded = muts.where(F.col("op") == "import").select(
+        "did",
+        "seq",
+        F.lit("addKey").alias("op"),
+        F.lit("key").alias("item_type"),
+        F.lit("key-0").alias("item_id"),
+    )
+    item_ops = muts.where(
+        F.col("op").isin("addKey", "removeKey", "addService", "removeService")
+    ).select("did", "seq", "op", "item_type", "item_id").unionByName(seeded)
+    live = barriers.where(
+        F.col("last_barrier_op").isin("import", "import_noseed")
+    )
+    items = (
+        item_ops.join(live, "did")
+        .where(F.col("seq") >= F.col("barrier_seq"))
+        .groupBy("did", "item_type", "item_id")
+        .agg(
+            F.max_by("op", "seq").alias("last_op"),
+            F.max("seq").alias("last_seq"),
+        )
+        .where(F.col("last_op").startswith("add"))
+        .drop("last_op")
+    )
+    return barriers, items
+
+
+def apply_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """didManager/keyManager store mutations as engine semantics: the
+    mutation log folds to per-DID store state — INCREMENTALLY. The state
+    built from the first ~60% of the log (by seq) is the installed base;
+    the tail is the change feed. Only dids touched by the feed re-fold
+    (their base state re-enters the fold as synthetic mutations at their
+    original seqs — the scd2_apply_changes open-row device); untouched
+    dids pass through verbatim via an anti join.
+
+    The oracle is the FULL-REBUILD SQL over the whole log, so the hash
+    compare proves apply ≡ rebuild — the MERGE-correctness property a
+    store sink must guarantee.
+
+    Scale shape: both folds are hash aggregations keyed by (did[, item]);
+    the cutoff is one bounded 1-row aggregate; no windows, no collects of
+    data rows. At 100 TB the feed is small next to the base, and the
+    anti/semi joins ship only dids."""
+    muts = _mutation_log(spark, sf_dir)
+    cut = int(
+        muts.agg((F.max("seq") * 3 / 5).cast("long")).collect()[0][0]
+    )  # bounded: single scalar, the two-phase-device precedent
+    base_b, base_i = _fold_mutations(muts.where(F.col("seq") < cut))
+    delta = muts.where(F.col("seq") >= cut)
+    affected = delta.select("did").distinct()
+
+    unt_b = base_b.join(affected, "did", "left_anti")
+    unt_i = base_i.join(affected, "did", "left_anti")
+
+    syn_barriers = base_b.join(affected, "did", "left_semi").select(
+        "did",
+        F.col("barrier_seq").alias("seq"),
+        F.when(F.col("last_barrier_op") == "delete", F.lit("delete"))
+        .otherwise(F.lit("import_noseed"))
+        .alias("op"),
+        F.lit(None).cast("string").alias("item_type"),
+        F.lit(None).cast("string").alias("item_id"),
+    )
+    syn_items = base_i.join(affected, "did", "left_semi").select(
+        "did",
+        F.col("last_seq").alias("seq"),
+        F.when(F.col("item_type") == "key", F.lit("addKey"))
+        .otherwise(F.lit("addService"))
+        .alias("op"),
+        "item_type",
+        "item_id",
+    )
+    merged_b, merged_i = _fold_mutations(
+        syn_barriers.unionByName(syn_items).unionByName(delta)
+    )
+
+    barriers = unt_b.unionByName(merged_b)
+    items = unt_i.unionByName(merged_i)
+
+    dids = muts.groupBy("did").agg(F.max("seq").alias("last_mutation_seq"))
+    exists = F.coalesce(
+        F.col("last_barrier_op").isin("import", "import_noseed"), F.lit(False)
+    )
+    per_item = items.groupBy("did").agg(
+        F.sum((F.col("item_type") == "key").cast("int")).alias("n_keys"),
+        F.sum((F.col("item_type") == "svc").cast("int")).alias("n_services"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("item_type") == "key", F.col("item_id"))
+                )
+            ),
+        ).alias("keys_fp"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("item_type") == "svc", F.col("item_id"))
+                )
+            ),
+        ).alias("services_fp"),
+    )
+    return (
+        dids.join(barriers, "did", "left")
+        .join(per_item, "did", "left")
+        .select(
+            "did",
+            exists.alias("did_exists"),
+            F.coalesce("n_keys", F.lit(0)).alias("n_keys"),
+            F.coalesce("n_services", F.lit(0)).alias("n_services"),
+            F.coalesce("keys_fp", F.lit("")).alias("keys_fp"),
+            F.coalesce("services_fp", F.lit("")).alias("services_fp"),
+            "last_mutation_seq",
+        )
+    )
+
+
 QUERIES = {
+    "credstore_apply_mutations": apply_mutations,
     "credstore_messages": messages_find,
     "credstore_sdr_match": sdr_matches,
     "credstore_sdr_validate": sdr_validate,
@@ -497,6 +697,69 @@ _SDR_SPEC_VALUES = ", ".join(
 )
 
 ORACLES = {
+    # apply_mutations: the oracle is the FULL REBUILD over the whole
+    # mutation log — the engine applies base + change feed incrementally,
+    # so a hash match here proves apply ≡ rebuild.
+    "credstore_apply_mutations": f"""
+        WITH muts AS (
+            SELECT 'did:example:user:' || user_id::VARCHAR AS did,
+                   event_id AS seq,
+                   {_MUT_OP_SQL} AS op,
+                   CASE WHEN event_id % 101 = 0 THEN NULL
+                        WHEN event_type IN ('purchase', 'error') THEN 'key'
+                        WHEN event_type IN ('click', 'view') THEN 'svc'
+                   END AS item_type,
+                   CASE WHEN event_id % 101 = 0 THEN NULL
+                        WHEN event_type IN ('purchase', 'error')
+                            THEN 'key-' || (event_id % 7)::VARCHAR
+                        WHEN event_type IN ('click', 'view')
+                            THEN 'svc-' || (event_id % 5)::VARCHAR
+                   END AS item_id
+            FROM events
+        ),
+        barriers AS (
+            SELECT did, max(seq) AS barrier_seq,
+                   arg_max(op, seq) AS last_barrier_op
+            FROM muts WHERE op IN ('import', 'delete') GROUP BY did
+        ),
+        item_ops AS (
+            SELECT did, seq, op, item_type, item_id FROM muts
+            WHERE op IN ('addKey', 'removeKey', 'addService', 'removeService')
+            UNION ALL
+            SELECT did, seq, 'addKey', 'key', 'key-0' FROM muts
+            WHERE op = 'import'
+        ),
+        state AS (
+            SELECT i.did, i.item_type, i.item_id
+            FROM item_ops i JOIN barriers b ON i.did = b.did
+            WHERE b.last_barrier_op = 'import' AND i.seq >= b.barrier_seq
+            GROUP BY 1, 2, 3
+            HAVING arg_max(i.op, i.seq) LIKE 'add%'
+        ),
+        per_item AS (
+            SELECT did,
+                   count(*) FILTER (item_type = 'key') AS n_keys,
+                   count(*) FILTER (item_type = 'svc') AS n_services,
+                   coalesce(string_agg(item_id, ',' ORDER BY item_id)
+                            FILTER (item_type = 'key'), '') AS keys_fp,
+                   coalesce(string_agg(item_id, ',' ORDER BY item_id)
+                            FILTER (item_type = 'svc'), '') AS services_fp
+            FROM state GROUP BY did
+        ),
+        dids AS (
+            SELECT did, max(seq) AS last_mutation_seq FROM muts GROUP BY did
+        )
+        SELECT d.did,
+               coalesce(b.last_barrier_op = 'import', FALSE) AS did_exists,
+               coalesce(p.n_keys, 0)::BIGINT AS n_keys,
+               coalesce(p.n_services, 0)::BIGINT AS n_services,
+               coalesce(p.keys_fp, '') AS keys_fp,
+               coalesce(p.services_fp, '') AS services_fp,
+               d.last_mutation_seq
+        FROM dids d
+        LEFT JOIN barriers b USING (did)
+        LEFT JOIN per_item p USING (did)
+    """,
     "credstore_messages": f"""
         WITH msgs AS ({_MESSAGES_SQL}),
         ranked AS (

@@ -91,6 +91,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so a new session never sees a stale plan. Evicted (with unpersist) by
 # caches.clear_caches between datasets.
 from ssiintegrateddatapipeline_spark.caches import register, track
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
 
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register({}, persisted=True)
 # the persisted signature table UNDER each cached pair graph — tracked so
@@ -216,7 +217,7 @@ def near_dup_clusters(
                 parent[max(ra, rb)] = min(ra, rb)
         rows = [(doc, find(doc)) for doc in parent]
         # pairs stays persisted: it is the shared session cache
-        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+        return local_frame(spark, rows, "doc_id long, cluster_id long")
 
     edges = track(
         pairs.union(pairs.select(F.col("doc_id_b"), F.col("doc_id_a")))

@@ -23,6 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
 
 SYMBOLS = (
     "BINANCE:BTCUSDT",
@@ -149,7 +150,7 @@ def build_identity_dim(
     """
     from ssiintegrateddatapipeline_spark.functions import crypto
 
-    sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
+    sym_df = local_frame(spark, [(s,) for s in symbols], "symbol string")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
 
 METRICS_SCHEMA_COLS = ("metric", "label", "le", "value")
 
@@ -53,7 +54,7 @@ def histogram(
 ) -> DataFrame:
     """A2: histogram family — cumulative le buckets + _sum + _count."""
     spark = df.sparkSession
-    bucket_df = spark.createDataFrame([(b,) for b in buckets], "le double")
+    bucket_df = local_frame(spark, [(b,) for b in buckets], "le double")
     labeled = df.select(F.col(label_col).alias("label"), F.col(value_col).alias("v"))
     cum = (
         labeled.join(F.broadcast(bucket_df), F.col("v") <= F.col("le"))
@@ -196,7 +197,7 @@ def histogram_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nf, qf = _interp(VALUE_BUCKETS)
     nc, qc = _interp(COARSE_BUCKETS)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [("fine", nf, qf), ("coarse", nc, qc)],
         "grid string, n_buckets int, p95 double",
     )

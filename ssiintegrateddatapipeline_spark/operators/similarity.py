@@ -110,7 +110,7 @@ def _truth_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TRUTH_CACHE:
         live = _brute_topk(spark, sf_dir)
-        _TRUTH_CACHE[key] = spark.createDataFrame(live.toPandas(), live.schema)
+        _TRUTH_CACHE[key] = local_frame(spark, live.toPandas(), live.schema)
     return _TRUTH_CACHE[key]
 
 
@@ -472,6 +472,7 @@ N_PROBES = 4
 # for the PQ/IVF expression sets). Keyed by applicationId so a restarted
 # session never sees stale JVM references.
 from ssiintegrateddatapipeline_spark.caches import register
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
 
 _COL_MEMO: dict[tuple, object] = register({})
 
@@ -943,7 +944,7 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # denominate from the TRUTH side (k is fixed even when a sparse probe
     # set retrieves fewer than k candidates): truth x nprobe grid, left
     # join the retrieved lists
-    grid = spark.createDataFrame([(p,) for p in PROBE_SWEEP], "nprobe long")
+    grid = local_frame(spark, [(p,) for p in PROBE_SWEEP], "nprobe long")
     truth = _truth_topk(spark, sf_dir).select("query_id", "neighbor_id")
     return (
         truth.crossJoin(F.broadcast(grid))
@@ -993,7 +994,7 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_search,
     )
 
-    qmap = spark.createDataFrame(
+    qmap = local_frame(spark, 
         [(qid, i) for i, qid in enumerate(sorted(BM25_QUERIES))],
         "query_id string, qvec long",
     )
@@ -1835,7 +1836,7 @@ def kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "min_d2", d2_to(",".join(str(int(v)) for v in far["q"]))
             ),
         )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         picked, "sel_rank int, vec_id long, d2_to_set long"
     )
 

@@ -1019,7 +1019,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     qterms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
-    q = spark.createDataFrame(
+    q = local_frame(spark, 
         [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
         "query_id string, term string",
     )
@@ -1234,7 +1234,7 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair count — the tokenizer-vocabulary training step of the pipeline
     (Sennrich et al. 2016), distributed as in :func:`_bpe_train`."""
     merges = _bpe_train(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (i + 1, a, b, a + b, int(cnt))
             for i, (a, b, cnt) in enumerate(merges)
@@ -1356,6 +1356,7 @@ from ssiintegrateddatapipeline_spark.operators.dedup import (  # noqa: E402
     _PAIRS_CTE as _DEDUP_PAIRS_CTE,
     _SIG_CTE as _DEDUP_SIG_CTE,
 )
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
 
 _CLEAN_CORPUS_ORACLE = f"""
     WITH RECURSIVE {_DEDUP_SIG_CTE}, {_DEDUP_PAIRS_CTE},

@@ -30,6 +30,7 @@ from ssiintegrateddatapipeline_spark.operators.identity import (
     verify_column,
 )
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
 
 REQUIRED_PERMISSIONS = (
     "createVerifiableCredential",
@@ -405,7 +406,7 @@ def shared_secret_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ssiintegrateddatapipeline_spark.operators.identity import SYMBOLS
 
-    pairs = spark.createDataFrame(
+    pairs = local_frame(spark, 
         [(a, b) for a in SYMBOLS for b in SYMBOLS if a < b],
         "symbol_a string, symbol_b string",
     ).repartition(4)
@@ -485,7 +486,7 @@ def did_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ssiintegrateddatapipeline_spark.operators.identity import SYMBOLS
 
-    grid = spark.createDataFrame(
+    grid = local_frame(spark, 
         [(s, m) for s in SYMBOLS for m, _ in _COMPONENT_METHODS],
         "symbol string, did_method string",
     ).repartition(4)
@@ -689,8 +690,294 @@ def eth_tx_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """createVerifiablePresentation + verifyPresentation
+    (veramo-methods.ts:56-58) as a real JWT sign→verify roundtrip — the
+    last computational Veramo credential-operation family.
+
+    Flow (three Arrow-batched stages around one shuffle):
+      1. VC issuance: every event becomes a VC JWT — the event's issuer
+         symbol signs {iss: issuer did:key, sub: holder did:key, vc: …}
+         with its Ed25519 key (the U1 device).
+      2. Bundle + present: VCs shuffle to their (holder, day) bundle
+         (credstore.presentations' bundle definition); bundles with ≥2
+         credentials become a VP JWT — the HOLDER key signs a ``vp``
+         claim wrapping the bundle's VC JWTs. A deterministic 1-in-41
+         holder subset gets its first embedded VC tampered BEFORE the VP
+         is signed (the VP signature stays valid; that inner VC must
+         fail), and a 1-in-37 subset gets the VP JWT itself tampered
+         after signing (the VP signature must fail).
+      3. verifyPresentation: re-derive the EXPECTED holder key from
+         user_id (never trusting the token), verify the VP signature,
+         check iss == the expected holder DID, then verify every
+         embedded VC against its issuer's key and its sub == VP iss
+         (the holder-binding rule).
+
+    The oracle replays the bundle definition and both tamper predicates
+    in SQL; every crypto outcome column is exactly predicted."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd  # noqa: F811
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "event_id",
+            "user_id",
+            _symbol_col().alias("symbol"),
+            F.to_date("ts").alias("presentation_date"),
+            F.col("event_type"),
+        )
+    )
+
+    def issue(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        from ssiintegrateddatapipeline_spark.functions import crypto
+
+        issuer_keys: dict = {}
+        holder_dids: dict = {}
+        for pdf in batches:
+            vcs = []
+            for r in pdf.itertuples():
+                if r.symbol not in issuer_keys:
+                    priv, pub = crypto.keypair_for(r.symbol)
+                    issuer_keys[r.symbol] = (priv, crypto.did_key_for(pub))
+                uid = int(r.user_id)
+                if uid not in holder_dids:
+                    _, hpub = crypto.keypair_for(f"user:{uid}")
+                    holder_dids[uid] = crypto.did_key_for(hpub)
+                priv, issuer_did = issuer_keys[r.symbol]
+                vcs.append(
+                    crypto.jwt_sign(
+                        {
+                            "iss": issuer_did,
+                            "sub": holder_dids[uid],
+                            "vc": {
+                                "type": [
+                                    "VerifiableCredential",
+                                    str(r.event_type),
+                                ],
+                                "credentialSubject": {
+                                    "id": holder_dids[uid]
+                                },
+                            },
+                        },
+                        priv,
+                    )
+                )
+            out = pdf[
+                ["event_id", "user_id", "symbol", "presentation_date"]
+            ].copy()
+            out["vc_jwt"] = vcs
+            yield out
+
+    issued = ev.mapInPandas(
+        issue,
+        schema="event_id long, user_id long, symbol string,"
+        " presentation_date date, vc_jwt string",
+    )
+    bundles = (
+        issued.groupBy("user_id", "presentation_date")
+        .agg(
+            # array_sort on the struct orders by event_id: deterministic
+            # bundle order regardless of shuffle arrival
+            F.array_sort(
+                F.collect_list(F.struct("event_id", "symbol", "vc_jwt"))
+            ).alias("creds"),
+        )
+        .where(F.size("creds") >= 2)
+    )
+
+    def present_and_verify(
+        batches: _Iterator[pd.DataFrame],
+    ) -> _Iterator[pd.DataFrame]:
+        import json as _json
+
+        from ssiintegrateddatapipeline_spark.functions import crypto
+
+        holder_keys: dict = {}
+        issuer_pubs: dict = {}
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                uid = int(r.user_id)
+                if uid not in holder_keys:
+                    hpriv, hpub = crypto.keypair_for(f"user:{uid}")
+                    holder_keys[uid] = (
+                        hpriv,
+                        hpub,
+                        crypto.did_key_for(hpub),
+                    )
+                hpriv, hpub, holder_did = holder_keys[uid]
+                vc_jwts = [c["vc_jwt"] for c in r.creds]
+                symbols = [c["symbol"] for c in r.creds]
+                if uid % 41 == 0:  # inner tamper BEFORE presenting
+                    vc_jwts[0] += "x"
+                vp_jwt = crypto.jwt_sign(
+                    {
+                        "iss": holder_did,
+                        "vp": {
+                            "type": ["VerifiablePresentation"],
+                            "verifiableCredential": vc_jwts,
+                        },
+                    },
+                    hpriv,
+                )
+                if uid % 37 == 0:  # envelope tamper AFTER signing
+                    vp_jwt += "x"
+                # --- verifyPresentation, trusting only user_id ---
+                vp_ok = crypto.jwt_verify(vp_jwt, hpub)
+                claims = crypto.jwt_claims(vp_jwt)
+                iss_ok = claims.get("iss") == holder_did
+                embedded = claims.get("vp", {}).get(
+                    "verifiableCredential", []
+                )
+                n_vcs_verified = 0
+                binding_ok = len(embedded) > 0
+                for tok, sym in zip(embedded, symbols):
+                    if sym not in issuer_pubs:
+                        _, ipub = crypto.keypair_for(sym)
+                        issuer_pubs[sym] = ipub
+                    if crypto.jwt_verify(tok, issuer_pubs[sym]):
+                        n_vcs_verified += 1
+                    try:
+                        sub = _json.loads(
+                            crypto.b64url_decode(tok.split(".")[1])
+                        ).get("sub")
+                    except Exception:
+                        sub = None
+                    binding_ok = binding_ok and sub == claims.get("iss")
+                rows.append(
+                    {
+                        "user_id": uid,
+                        "presentation_date": r.presentation_date,
+                        "n_credentials": len(r.creds),
+                        "vp_verified": vp_ok and iss_ok,
+                        "n_vcs_verified": n_vcs_verified,
+                        "holder_binding_ok": binding_ok,
+                        "vp_sig_bytes": len(
+                            crypto.b64url_decode(
+                                (vp_jwt[:-1] if uid % 37 == 0 else vp_jwt)
+                                .rsplit(".", 1)[1]
+                            )
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return bundles.mapInPandas(
+        present_and_verify,
+        schema="user_id long, presentation_date date, n_credentials int,"
+        " vp_verified boolean, n_vcs_verified int,"
+        " holder_binding_ok boolean, vp_sig_bytes int",
+    )
+
+
+# discoverDid search terms: alias hits, store hits, a case-sensitive
+# issuer probe, and a guaranteed miss (the provider must return an empty
+# match set, not drop the row)
+_DISCOVERY_QUERIES = (
+    "btcusdt",
+    "solusdt",
+    "user:12",
+    "issuer:BINANCE",
+    "localhost:trades",
+    "did:example:nobody",
+)
+
+
+def did_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """discoverDid (veramo-methods.ts:36) as its offline analogue:
+    discovery over the STORED surface instead of the network. Veramo's
+    IDIDDiscovery fans a query string out to provider plugins (alias
+    lookup in the DID manager, profile search in the data store, …) and
+    returns per-provider match arrays; the engine mirrors that with
+    three providers over its own stores:
+
+      - ``alias``       — the did:web alias dimension (identity dim)
+      - ``data-store``  — credential-store subject DIDs
+      - ``did-comm``    — message-store from/to DIDs
+
+    Each (query, provider) row reports the distinct DIDs matched and the
+    first match — including the empty result for a query no store
+    contains. The query list is a broadcast 6-row literal, so every
+    branch is a substring-predicate scan + hash aggregate; no shuffle
+    carries more than (query × provider × did) matches."""
+    from ssiintegrateddatapipeline_spark.operators.identity import (
+        did_web_alias as _alias_fn,
+    )
+
+    # literal frames as SQL VALUES: a LocalRelation broadcasts driver-side
+    # with no job, where a createDataFrame frame is a 32-slice Python RDD
+    # whose every broadcast/scan pays Python-worker round trips (~1 s each
+    # on this box — measured 10 s for the 5x6 alias branch alone)
+    def _values(col: str, vals) -> DataFrame:
+        rows = ", ".join("('" + v.replace("'", "''") + "')" for v in vals)
+        return spark.sql(f"SELECT * FROM VALUES {rows} AS t({col})")
+
+    qdf = _values("query", _DISCOVERY_QUERIES)
+    aliases = _values("did", [_alias_fn(s) for s in SYMBOLS])
+    # Discovery matches IDENTIFIERS, not store rows — and every store's
+    # identifier set derives from the distinct user set (credential
+    # subject dids = users; message from = users, to = the users'
+    # issuers). So the plan pays ONE events scan + one integer-key
+    # distinct, then builds each store's did set from those survivors:
+    # the substring theta-join runs over thousands of identifiers, not
+    # 3× the full store. At 100 TB this is one hash aggregate plus a
+    # trivial nested-loop over its output.
+    users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    user_dids = users.select(
+        F.concat(F.lit("did:example:user:"), F.col("user_id")).alias("did")
+    )
+    arr = F.array(*[F.lit(s) for s in SYMBOLS])
+    issuer_dids = users.select(
+        F.concat(
+            F.lit("did:example:issuer:"),
+            F.element_at(arr, (F.col("user_id") % 5 + 1).cast("int")),
+        ).alias("did")
+    ).distinct()
+    cred_dids = user_dids
+    # user and issuer dids are disjoint (prefixes differ) and each side
+    # is already distinct — the union needs no further dedup
+    msg_dids = user_dids.unionByName(issuer_dids)
+
+    def provider(store: DataFrame, name: str) -> DataFrame:
+        hits = store.join(
+            F.broadcast(qdf), F.col("did").contains(F.col("query"))
+        )
+        return hits.groupBy("query").agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("did").alias("first_did"),
+        ).withColumn("provider", F.lit(name))
+    results = (
+        provider(aliases, "alias")
+        .unionByName(provider(cred_dids, "data-store"))
+        .unionByName(provider(msg_dids, "did-comm"))
+    )
+    # one literal frame, NOT a crossJoin of two local frames: a cartesian
+    # of two 32-partition frames schedules 1024 tasks for 18 rows
+    grid_rows = ", ".join(
+        f"('{q}', '{p}')"
+        for q in _DISCOVERY_QUERIES
+        for p in ("alias", "data-store", "did-comm")
+    )
+    grid = spark.sql(
+        f"SELECT * FROM VALUES {grid_rows} AS t(query, provider)"
+    )
+    return grid.join(F.broadcast(results), ["query", "provider"], "left").select(
+        "query",
+        "provider",
+        F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        "first_did",
+    )
+
+
 QUERIES = {
     "trade_envelope": trade_envelope,
+    "trade_vp_roundtrip": vp_roundtrip,
+    "trade_did_discovery": did_discovery,
     "trade_did_web_alias": did_web_alias,
     "trade_did_parse": did_parse,
     "trade_authz_check": authz_check,
@@ -730,7 +1017,68 @@ def _grants_case_sql() -> str:
 # literal symbol list for the structural identity/resolution oracles
 _SYM_VALUES = ", ".join(f"('{s}')" for s in SYMBOLS)
 
+
+def _discovery_sql() -> str:
+    from ssiintegrateddatapipeline_spark.operators.identity import (
+        did_web_alias as _alias_fn,
+    )
+
+    q_vals = ", ".join(f"('{q}')" for q in _DISCOVERY_QUERIES)
+    alias_vals = ", ".join(f"('{_alias_fn(s)}')" for s in SYMBOLS)
+    return f"""
+        WITH q(query) AS (VALUES {q_vals}),
+        prov(provider) AS (VALUES ('alias'), ('data-store'), ('did-comm')),
+        aliases(did) AS (VALUES {alias_vals}),
+        cred AS (
+            SELECT 'did:example:user:' || user_id::VARCHAR AS did FROM events
+        ),
+        msg AS (
+            SELECT 'did:example:user:' || user_id::VARCHAR AS did FROM events
+            UNION ALL
+            SELECT 'did:example:issuer:'
+                   || {_SYMBOLS_SQL}[(user_id % 5 + 1)::INT] FROM events
+        ),
+        hits AS (
+            SELECT q.query, 'alias' AS provider, a.did
+            FROM q JOIN aliases a ON contains(a.did, q.query)
+            UNION ALL
+            SELECT q.query, 'data-store', c.did
+            FROM q JOIN cred c ON contains(c.did, q.query)
+            UNION ALL
+            SELECT q.query, 'did-comm', m.did
+            FROM q JOIN msg m ON contains(m.did, q.query)
+        ),
+        agg AS (
+            SELECT query, provider, count(DISTINCT did) AS n_matches,
+                   min(did) AS first_did
+            FROM hits GROUP BY 1, 2
+        )
+        SELECT q.query, p.provider,
+               coalesce(a.n_matches, 0)::BIGINT AS n_matches, a.first_did
+        FROM q CROSS JOIN prov p
+        LEFT JOIN agg a ON a.query = q.query AND a.provider = p.provider
+    """
+
 ORACLES = {
+    # vp_roundtrip: the bundle definition (holder-day, >=2 credentials)
+    # and both tamper predicates are replayed in SQL; the Spark side
+    # computes every boolean from the REAL Ed25519 JWT crypto, so a break
+    # anywhere in the sign->wrap->verify chain flips a value.
+    "trade_vp_roundtrip": """
+        WITH b AS (
+            SELECT user_id, ts::DATE AS presentation_date,
+                   count(*)::INT AS n_credentials
+            FROM events GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT user_id, presentation_date, n_credentials,
+               (user_id % 37 != 0) AS vp_verified,
+               (n_credentials
+                - CASE WHEN user_id % 41 = 0 THEN 1 ELSE 0 END)::INT
+                   AS n_vcs_verified,
+               TRUE AS holder_binding_ok,
+               64 AS vp_sig_bytes
+        FROM b
+    """,
     "trade_envelope": f"""
         SELECT md5(event_id::VARCHAR) AS trade_event_id,
                {_SYMBOLS_SQL}[(user_id % 5 + 1)::INT] AS symbol,
@@ -830,6 +1178,7 @@ ORACLES = {
                count(*) FILTER (event_id % 400 = 0) AS n_addr_recovered
         FROM sampled GROUP BY symbol
     """,
+    "trade_did_discovery": _discovery_sql(),
     "trade_did_components": f"""
         WITH syms(symbol) AS (VALUES {_SYM_VALUES}),
         meths(did_method, component_type) AS (VALUES ('key', 'Ed25519VerificationKey2020'), ('ethr', 'EcdsaSecp256k1RecoveryMethod2020'), ('jwk', 'JsonWebKey2020'), ('peer', 'Ed25519VerificationKey2020'), ('pkh', 'EcdsaSecp256k1RecoveryMethod2020'))

@@ -34,6 +34,7 @@ from ssiintegrateddatapipeline_spark.operators.identity import (
 )
 from ssiintegrateddatapipeline_spark.operators.trade_pipeline import trade_envelope
 from ssiintegrateddatapipeline_spark.sources.batch import spread
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
 
 
 @dataclass(frozen=True)
@@ -171,7 +172,7 @@ def provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_timestamp",
         F.to_json(F.struct("price", "volume")).alias("payload"),
     )
-    provs = spark.createDataFrame(
+    provs = local_frame(spark, 
         [(p,) for p in ("did:key", "did:web", "did:ethr:sepolia")],
         "did_provider string",
     )

@@ -29,6 +29,31 @@ TABLES = (
 # Dimension tables small enough to always broadcast in joins.
 SMALL_DIMS = {"region", "nation", "supplier"}
 
+
+def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """Tiny literal frame as a LocalRelation, not a Python-RDD scan.
+
+    ``createDataFrame(list, ...)`` builds a LogicalRDD whose every scan or
+    broadcast pays a Python-worker round trip (~0.5-1 s per use on
+    local[32] — measured: a 5x6-row nested-loop join over two such frames
+    cost 10 s). Routing the same rows through a pandas DataFrame takes the
+    Arrow path and lands as a LocalRelation: driver-side data, no job, and
+    eligible for driver-side broadcast without touching an executor."""
+    import pandas as pd
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    if isinstance(rows, pd.DataFrame):
+        pdf = rows
+    else:
+        pdf = pd.DataFrame(
+            [tuple(r) for r in rows], columns=schema.fieldNames()
+        )
+    if pdf.empty:
+        pdf = pdf.astype(object)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 # Testdata timestamps have shipped in two physical layouts: INT64
 # TIMESTAMP(NANOS) (surfacing as long nanoseconds under
 # spark.sql.legacy.parquet.nanosAsLong) and plain TIMESTAMP(MICROS) without

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
 
 
 def write_partitioned(
@@ -227,7 +228,7 @@ def host_did_web_documents(spark, root_dir: str) -> DataFrame:
             _json.dumps(did_web_document(r.did, r.public_key_hex), indent=2)
         )
         manifest.append((r.did, str(target)))
-    return spark.createDataFrame(manifest, "did string, path string")
+    return local_frame(spark, manifest, "did string, path string")
 
 
 def foreach_batch_broadcast_sink(spool_dir: str, max_batches: int = 100):

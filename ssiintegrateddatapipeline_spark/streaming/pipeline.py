@@ -125,7 +125,7 @@ def payload_hist_plan(stream: DataFrame, buckets: list[float]) -> DataFrame:
     """Q5 streaming form: cumulative bucket counts via a stream-static
     broadcast join against the literal bucket table."""
     spark = stream.sparkSession
-    bucket_df = spark.createDataFrame([(b,) for b in buckets], "le double")
+    bucket_df = local_frame(spark, [(b,) for b in buckets], "le double")
     return (
         stream.withColumn("payload_bytes", F.octet_length("props"))
         .join(F.broadcast(bucket_df), F.col("payload_bytes") <= F.col("le"))
@@ -165,7 +165,7 @@ def value_hist_plan(stream: DataFrame, buckets: list[float]) -> DataFrame:
     observations; quantiles are derived at query time (the Prometheus
     architecture, and the only p95 formulation with O(1) streaming state)."""
     spark = stream.sparkSession
-    bucket_df = spark.createDataFrame([(b,) for b in buckets], "le double")
+    bucket_df = local_frame(spark, [(b,) for b in buckets], "le double")
     return (
         stream.join(F.broadcast(bucket_df), F.col("value") <= F.col("le"))
         .groupBy("event_type", "le")
@@ -822,15 +822,25 @@ def _session_ckpt_root() -> str:
 # execute one query at a time (see the conf note in run_available_now), so a
 # single module slot is race-free.
 LAST_QUERY_PROGRESS: dict | None = None
+# durationMs dicts of every micro-batch of the last run (floor audit:
+# tools/streaming_floor.py sums triggerExecution vs walCommit vs
+# queryPlanning vs addBatch across batches)
+LAST_QUERY_DURATIONS: list[dict] = []
 
 
 def _record_progress(query) -> None:
-    global LAST_QUERY_PROGRESS
+    global LAST_QUERY_PROGRESS, LAST_QUERY_DURATIONS
     try:
         prog = query.lastProgress
         LAST_QUERY_PROGRESS = dict(prog) if prog else None
     except Exception:
         LAST_QUERY_PROGRESS = None
+    try:
+        LAST_QUERY_DURATIONS = [
+            dict(p.get("durationMs", {})) for p in query.recentProgress
+        ]
+    except Exception:
+        LAST_QUERY_DURATIONS = []
 
 
 def run_available_now(
@@ -1042,11 +1052,11 @@ def streaming_provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = list(
         dict.fromkeys((c.did_provider, c.ssi_validation) for c in OPTION_SETS)
     )
-    pair_df = spark.createDataFrame(
+    pair_df = local_frame(spark, 
         [(p, s, p if s else None) for p, s in pairs],
         "did_provider string, ssi_validation boolean, crypto_provider string",
     )
-    cfg_df = spark.createDataFrame(
+    cfg_df = local_frame(spark, 
         [
             (c.did_provider, c.ssi_validation, c.cache_did, c.processing_mode)
             for c in OPTION_SETS
@@ -2262,6 +2272,7 @@ ORACLES["streaming_burn_rate"] = _METRIC_ORACLES["metrics_burn_rate"]
 from ssiintegrateddatapipeline_spark.operators.profiling import (  # noqa: E402
     ORACLES as _PROF_ORACLES,
 )
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
 
 ORACLES["streaming_l_diversity"] = _PROF_ORACLES["profile_l_diversity"]
 ORACLES["streaming_k_anonymity"] = _PROF_ORACLES["profile_k_anonymity"]

@@ -1,0 +1,235 @@
+"""Round-8 operator invariants: VP roundtrip, store-mutation apply,
+DID discovery, recoverable eth signing, batched keccak, local_frame."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ssiintegrateddatapipeline_spark.functions import crypto as C  # noqa: E402
+
+
+# --- crypto primitives ------------------------------------------------------
+
+
+def test_keccak_batch_matches_scalar_across_block_boundaries():
+    msgs = [
+        b"",
+        b"abc",
+        b"x" * 50,
+        b"y" * 135,  # pad_len == 1 (the 0x81 single-byte pad)
+        b"z" * 136,  # exactly one rate block of data
+        b"w" * 300,  # 3 blocks
+    ]
+    assert C.keccak256_batch(msgs) == [C.keccak256(m) for m in msgs]
+
+
+def test_recoverable_sign_matches_openssl_deterministic_signer():
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.hazmat.primitives.asymmetric.utils import (
+        Prehashed,
+        decode_dss_signature,
+    )
+
+    priv, pub = C.es256k_keypair_for("BINANCE:ETHUSDT")
+    d = priv.private_numbers().private_value
+    nums = pub.public_numbers()
+    for i in range(4):
+        h = hashlib.sha256(f"vector-{i}".encode()).digest()
+        r, s, rec = C.ecdsa_sign_recoverable(d, h)
+        der = priv.sign(
+            h, ec.ECDSA(Prehashed(hashes.SHA256()), deterministic_signing=True)
+        )
+        rl, sl = decode_dss_signature(der)
+        assert (r, s) == (rl, C._low_s(sl))
+        # recovery lands on the signer; the flipped parity does not
+        assert C.ecdsa_recover_pubkey(h, r, s, rec) == (nums.x, nums.y)
+        assert C.ecdsa_recover_pubkey(h, r, s, rec ^ 1) != (nums.x, nums.y)
+
+
+def test_eth_sign_tx_emits_broadcastable_v_and_raw():
+    priv, pub = C.es256k_keypair_for("BINANCE:SOLUSDT")
+    to = bytes.fromhex(C.eth_address_for(pub)[2:])
+    tx = C.eth_sign_tx(
+        priv, nonce=9, gas_price=20_000_000_000, gas_limit=21_000,
+        to=to, value=1_000_000_000_000,
+    )
+    assert tx["v"] in (C.ETH_CHAIN_ID * 2 + 35, C.ETH_CHAIN_ID * 2 + 36)
+    assert tx["v"] == C.ETH_CHAIN_ID * 2 + 35 + tx["rec_id"]
+    # the raw tx embeds (v, r, s) after the unsigned items: strictly longer
+    assert len(tx["raw_tx"]) > tx["rlp_unsigned_len"]
+    # a node's recovery of the raw tx's (v, r, s) yields the signer
+    assert C.eth_recover_address(
+        tx["tx_hash"], tx["v"], tx["r"], tx["s"]
+    ) == C.eth_address_for(pub)
+    # and a tampered digest does not
+    bad = bytes([tx["tx_hash"][0] ^ 1]) + tx["tx_hash"][1:]
+    assert C.eth_recover_address(bad, tx["v"], tx["r"], tx["s"]) != (
+        C.eth_address_for(pub)
+    )
+
+
+def test_jwe_deterministic_rename_guard():
+    # the deliberately deterministic primitive carries the explicit name;
+    # equal inputs produce equal tokens (the documented deviation)
+    t1 = C.jwe_encrypt_deterministic(b"payload", "BINANCE:BTCUSDT")
+    t2 = C.jwe_encrypt_deterministic(b"payload", "BINANCE:BTCUSDT")
+    assert t1 == t2
+    assert C.jwe_decrypt(t1, "BINANCE:BTCUSDT") == b"payload"
+    assert not hasattr(C, "jwe_encrypt"), (
+        "the generic name must not exist — only the _deterministic form"
+    )
+
+
+# --- local_frame ------------------------------------------------------------
+
+
+def test_local_frame_plans_as_local_relation(spark):
+    from ssiintegrateddatapipeline_spark.sources.batch import local_frame
+
+    df = local_frame(spark, [(1, "a"), (2, None)], "id long, s string")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan and "LogicalRDD" not in plan
+    assert [tuple(r) for r in df.orderBy("id").collect()] == [
+        (1, "a"),
+        (2, None),
+    ]
+
+
+# --- round-8 contract queries ----------------------------------------------
+
+
+def test_vp_roundtrip_tamper_branches(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators.trade_pipeline import (
+        vp_roundtrip,
+    )
+
+    rows = vp_roundtrip(spark, sf_dir).collect()
+    assert rows
+    saw_vp_tamper = saw_vc_tamper = False
+    for r in rows:
+        assert r.n_credentials >= 2
+        assert r.holder_binding_ok
+        assert r.vp_sig_bytes == 64
+        assert r.vp_verified == (r.user_id % 37 != 0)
+        expected_vcs = r.n_credentials - (1 if r.user_id % 41 == 0 else 0)
+        assert r.n_vcs_verified == expected_vcs
+        saw_vp_tamper |= r.user_id % 37 == 0
+        saw_vc_tamper |= r.user_id % 41 == 0
+    assert saw_vp_tamper and saw_vc_tamper, "both tamper branches must fire"
+
+
+def test_apply_mutations_equals_full_fold(spark, sf_dir):
+    """The incremental apply must equal a FULL in-engine fold — the same
+    equivalence the DuckDB oracle proves, checked engine-side so a fold
+    change cannot drift from the apply path unnoticed."""
+    from ssiintegrateddatapipeline_spark.operators.credstore import (
+        _fold_mutations,
+        _mutation_log,
+        apply_mutations,
+    )
+
+    applied = {tuple(r) for r in apply_mutations(spark, sf_dir).collect()}
+
+    muts = _mutation_log(spark, sf_dir)
+    barriers, items = _fold_mutations(muts)
+    dids = muts.groupBy("did").agg(F.max("seq").alias("last_mutation_seq"))
+    exists = F.coalesce(
+        F.col("last_barrier_op").isin("import", "import_noseed"), F.lit(False)
+    )
+    per_item = items.groupBy("did").agg(
+        F.sum((F.col("item_type") == "key").cast("int")).alias("n_keys"),
+        F.sum((F.col("item_type") == "svc").cast("int")).alias("n_services"),
+        F.concat_ws(",", F.array_sort(F.collect_list(
+            F.when(F.col("item_type") == "key", F.col("item_id"))
+        ))).alias("keys_fp"),
+        F.concat_ws(",", F.array_sort(F.collect_list(
+            F.when(F.col("item_type") == "svc", F.col("item_id"))
+        ))).alias("services_fp"),
+    )
+    full = (
+        dids.join(barriers, "did", "left").join(per_item, "did", "left")
+        .select(
+            "did", exists.alias("did_exists"),
+            F.coalesce("n_keys", F.lit(0)).alias("n_keys"),
+            F.coalesce("n_services", F.lit(0)).alias("n_services"),
+            F.coalesce("keys_fp", F.lit("")).alias("keys_fp"),
+            F.coalesce("services_fp", F.lit("")).alias("services_fp"),
+            "last_mutation_seq",
+        )
+    )
+    assert applied == {tuple(r) for r in full.collect()}
+
+
+def test_apply_mutations_state_sanity(spark, sf_dir):
+    rows = {r.did: r for r in __import__(
+        "ssiintegrateddatapipeline_spark.operators.credstore",
+        fromlist=["apply_mutations"],
+    ).apply_mutations(spark, sf_dir).collect()}
+    assert rows
+    assert any(r.did_exists for r in rows.values())
+    # (at sf0.001 every user happens to end imported — the delete/never-
+    # imported branch is exercised by the oracle compare at larger SFs)
+    for r in rows.values():
+        if not r.did_exists:
+            assert r.n_keys == 0 and r.n_services == 0
+            assert r.keys_fp == "" and r.services_fp == ""
+        else:
+            # fingerprint cardinality matches the counts
+            assert r.n_keys == (len(r.keys_fp.split(",")) if r.keys_fp else 0)
+
+
+def test_did_discovery_hits_and_misses(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators.trade_pipeline import (
+        did_discovery,
+    )
+
+    rows = {(r.query, r.provider): r for r in did_discovery(spark, sf_dir).collect()}
+    assert len(rows) == 18  # 6 queries x 3 providers, misses included
+    for p in ("alias", "data-store", "did-comm"):
+        miss = rows[("did:example:nobody", p)]
+        assert miss.n_matches == 0 and miss.first_did is None
+    assert rows[("btcusdt", "alias")].n_matches == 1
+    assert rows[("btcusdt", "data-store")].n_matches == 0  # case-sensitive
+    assert rows[("issuer:BINANCE", "did-comm")].n_matches == 5
+    assert rows[("localhost:trades", "alias")].n_matches == 5
+
+
+def test_did_components_probes_the_miss_path(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators.trade_pipeline import (
+        did_components,
+    )
+
+    rows = did_components(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.component_found and r.miss_not_found
+
+
+# --- write_bucketed append no longer destroys data (ADVICE fix) -------------
+
+
+def test_write_bucketed_append_preserves_existing_rows(spark):
+    from ssiintegrateddatapipeline_spark.sources.batch import local_frame
+    from ssiintegrateddatapipeline_spark.sources.sinks import write_bucketed
+
+    tbl = "r8_bucket_append_check"
+    a = local_frame(spark, [(1, "a"), (2, "b")], "k long, v string")
+    b = local_frame(spark, [(3, "c")], "k long, v string")
+    try:
+        write_bucketed(a, tbl, ("k",), n_buckets=2)
+        write_bucketed(b, tbl, ("k",), n_buckets=2, mode="append")
+        assert spark.table(tbl).count() == 3
+        # overwrite still replaces wholesale
+        write_bucketed(b, tbl, ("k",), n_buckets=2)
+        assert spark.table(tbl).count() == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -98,9 +98,9 @@ PROBE_QUERIES = [
 ]
 
 
-def build_scaled_dir(k: int) -> str:
+def build_scaled_dir(k: int, base: str = BASE, tag: str = "sf") -> str:
     scale_part = bool(os.environ.get("SSI_SCALE_PART"))
-    out = f"/tmp/ssi_scale_probe/sf{0.1 * k:g}" + ("_part" if scale_part else "")
+    out = f"/tmp/ssi_scale_probe/{tag}{0.1 * k:g}" + ("_part" if scale_part else "")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(
@@ -113,13 +113,13 @@ def build_scaled_dir(k: int) -> str:
         dst = f"{out}/{tbl}.parquet"
         if not os.path.exists(dst):
             con.execute(
-                f"COPY ({sql.format(base=BASE)}) TO '{dst}' (FORMAT PARQUET)"
+                f"COPY ({sql.format(base=base)}) TO '{dst}' (FORMAT PARQUET)"
             )
     for tbl in DIM_TABLES:
         dst = f"{out}/{tbl}.parquet"
         if not os.path.exists(dst):
             con.execute(
-                f"COPY (SELECT * FROM read_parquet('{BASE}/{tbl}.parquet'))"
+                f"COPY (SELECT * FROM read_parquet('{base}/{tbl}.parquet'))"
                 f" TO '{dst}' (FORMAT PARQUET)"
             )
     return out
@@ -134,7 +134,146 @@ def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
+# One representative per operator family for the consolidated SCALE.md
+# table (r7-VERDICT task 6). Streaming queries are excluded: their wall is
+# ~97% micro-batch start/WAL floor (COVERAGE.md's measured breakdown), so a
+# data-scale ratio over them measures the runtime, not the plan.
+# dedup_prefix_jaccard_pairs is the documented output-quadratic exception
+# (replica twins multiply the PAIR count superlinearly — see COVERAGE.md).
+SCALE_MD_QUERIES = [
+    "tpch_bucketed_join",
+    "analytics_market_basket",
+    "analytics_markov_kstep",
+    "analytics_quantile_rollup",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "dedup_prefix_jaccard_pairs",
+    "similarity_brute_topk",
+    "similarity_ivf_topk",
+    "similarity_ivf_probe_sweep",
+    "similarity_hybrid_rrf",
+    "similarity_late_interaction",
+    "text_substring_scrub",
+    "text_gopher_rules",
+    "sampling_bootstrap_ci",
+    "sampling_weighted_reservoir",
+    "graph_hits_purchase",
+    "trade_eth_tx_sign",
+    "trade_sign_verify",
+    "trade_vp_roundtrip",
+    "trade_did_discovery",
+    "credstore_apply_mutations",
+    "wire_jwe_roundtrip",
+    "scd2_apply_changes",
+    "multimodal_phash_pairs",
+    "range_interval_union",
+    "asof_tolerance_touch",
+    "profile_partition_skew",
+]
+
+_HEAVY_NODES = (
+    ("SortMergeJoin", "SMJ"),
+    ("BroadcastNestedLoopJoin", "BNLJ"),
+    ("CartesianProduct", "cartesian"),
+    ("MapInPandas", "ArrowPy"),
+    ("FlatMapGroupsInPandas", "ArrowPy"),
+    ("ArrowEvalPython", "ArrowPy"),
+    ("Window", "window"),
+    ("BroadcastHashJoin", "BHJ"),
+    ("HashAggregate", "hashAgg"),
+    ("SortAggregate", "sortAgg"),
+)
+
+
+def _dominant_node(df) -> str:
+    """Name the heaviest plan-node CLASS of the AQE-final physical plan —
+    the first of (SMJ, BNLJ, cartesian, ArrowPy, window, BHJ, aggregates)
+    present, i.e. the node family that bounds the query at scale."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    counts = []
+    for needle, label in _HEAVY_NODES:
+        n = plan.count(needle)
+        if n:
+            counts.append(f"{n}×{label}")
+            if len(counts) == 2:
+                break
+    return " + ".join(counts) if counts else "scan+project"
+
+
+def write_scale_md(ks: tuple[int, ...] = (3, 10, 30)) -> None:
+    """Regenerate SCALE.md: query × {kx wall ratio} × dominant plan node.
+
+    Ratios are wall(k·sf0.1)/wall(sf0.1), best-of-2 warm (single run at the
+    largest k). Near-linear (ratio ≤ ~k) is the pass condition; the
+    threshold test (tests/test_scale_thresholds.py) pins the historically
+    risky queries so a super-linear regression fails the suite.
+    """
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry_mod
+    from ssiintegrateddatapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-md")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    dirs = {k: build_scaled_dir(k) for k in ks}
+
+    rows = []
+    for name in SCALE_MD_QUERIES:
+        fn = queries[name]
+        df = fn(spark, BASE)
+        df.toPandas()  # warm + finalize AQE plan for the node label
+        dom = _dominant_node(df)
+        t_base = time_query(fn, spark, BASE)
+        ratios = {}
+        for k in ks:
+            fn(spark, dirs[k]).toPandas()  # warm at scale
+            t_k = time_query(fn, spark, dirs[k], runs=2 if k <= 10 else 1)
+            ratios[k] = t_k / t_base
+        rows.append((name, t_base, ratios, dom))
+        print(
+            f"# {name}: base {t_base:.2f}s "
+            + " ".join(f"{k}x={ratios[k]:.2f}" for k in ks)
+            + f" [{dom}]",
+            file=sys.stderr,
+        )
+
+    lines = [
+        "# SCALE — consolidated data-scale probes",
+        "",
+        "Regenerate with `python tools/scale_probe.py --md` (≈20-30 min).",
+        "Base = sf0.1; scaled sets are key-shifted k-fold replicas built",
+        "by tools/scale_probe.py (timestamps untouched → k× density).",
+        "Ratio = wall(k×)/wall(base), best-of-2 warm. Near-linear",
+        "(ratio ≤ ~k) passes; ratios well under k mean the fixed overhead",
+        "(scan setup, planning, shuffle floor) still dominates at that",
+        "scale. `dominant plan node` = heaviest node class of the",
+        "AQE-final plan at base scale.",
+        "",
+        "| query | base s | "
+        + " | ".join(f"{k}× ratio" for k in ks)
+        + " | dominant plan node |",
+        "|---|---|" + "---|" * len(ks) + "---|",
+    ]
+    for name, t_base, ratios, dom in rows:
+        lines.append(
+            f"| {name} | {t_base:.2f} | "
+            + " | ".join(f"{ratios[k]:.2f}×" for k in ks)
+            + f" | {dom} |"
+        )
+    lines.append("")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
+    )
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"{out} written: {len(rows)} queries")
+
+
 def main() -> None:
+    if "--md" in sys.argv:
+        write_scale_md()
+        return
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     names = sys.argv[2:] or PROBE_QUERIES
     scaled = build_scaled_dir(k)
