@@ -19,6 +19,10 @@ import sys
 import time
 
 HEADLINE = [
+    "streaming_store_mutations",
+    "text_phrase_search",
+    "profile_expectation_suite",
+    "dedup_sorted_neighborhood",
     "trade_vp_roundtrip",
     "credstore_apply_mutations",
     "trade_did_discovery",

@@ -501,7 +501,13 @@ _MUT_OP_SQL = """CASE WHEN event_id % 101 = 0 THEN 'delete'
 def _mutation_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the deterministic mutation stream from events: one mutation
     per event, ordered by the globally unique event_id (the log's seq)."""
-    ev = load_table(spark, sf_dir, "events")
+    return mutations_from(load_table(spark, sf_dir, "events"))
+
+
+def mutations_from(ev: DataFrame) -> DataFrame:
+    """The mutation-log projection as pure column logic — shared by the
+    batch fold and the streaming twin (streaming/pipeline.py applies the
+    same log online, so both sides replay ONE derivation)."""
     op = (
         F.when(F.col("event_id") % 101 == 0, F.lit("delete"))
         .when(F.col("event_type") == "signup", F.lit("import"))

@@ -1322,7 +1322,81 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNM_WINDOW = 4  # max rank distance of a candidate pair
+_SNM_BLOCK = 2 * SNM_WINDOW  # two offset block grids of this size cover it
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo) — the classic
+    entity-resolution blocking family the LSH/simhash/prefix devices
+    don't cover: sort the corpus by a lexical key, and candidate pairs
+    are documents within SNM_WINDOW positions of each other; candidates
+    then verify with exact token-set Jaccard (match at >= 0.5, checked
+    as the integer cross-multiplication 2·|∩| >= |∪|).
+
+    Distributed shape — NO global window: the global sort position comes
+    from the two-phase row-number device (per-bucket ranks + a collected
+    per-bucket offset table, one bounded 26-row collect), and the
+    neighborhood self-join runs inside two OFFSET block grids of size
+    2·W (floor(rank/2W) and floor((rank+W)/2W)): any pair at distance
+    <= W shares at least one block, every block holds <= 2W rows, so the
+    pair space is strictly linear in the corpus. The rank-distance
+    filter then makes the candidate set EXACT (the oracle replays it
+    with a plain row_number self-join)."""
+    from ssiintegrateddatapipeline_spark.functions.twophase import (
+        two_phase_row_number,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 24).alias("snm_key"),
+        F.array_distinct(tokens(F.col("text"))).alias("toks"),
+    )
+    ranked, _total = two_phase_row_number(
+        d,
+        # monotone along (snm_key asc): the key's first byte
+        F.coalesce(F.ascii(F.substring("snm_key", 1, 1)), F.lit(0)),
+        [F.col("snm_key").asc(), F.col("doc_id").asc()],
+        out="rank",
+    )
+    blocked = ranked.select(
+        "doc_id", "rank", "toks",
+        F.explode(
+            F.array(
+                (F.col("rank") / _SNM_BLOCK).cast("long"),
+                # offset grid, tagged into a disjoint id space
+                ((F.col("rank") + SNM_WINDOW) / _SNM_BLOCK).cast("long")
+                + F.lit(1 << 40),
+            )
+        ).alias("block"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, "block")
+        .where(
+            (F.col("b.rank") > F.col("a.rank"))
+            & (F.col("b.rank") - F.col("a.rank") <= SNM_WINDOW)
+        )
+        # the two grids both catch short-distance pairs: dedup by identity
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.col("b.rank") - F.col("a.rank")).cast("int").alias("distance"),
+            F.col("a.toks").alias("toks_a"),
+            F.col("b.toks").alias("toks_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return pairs.groupBy("distance").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((2 * inter >= union).cast("long")).alias("n_dup_pairs"),
+    )
+
+
 QUERIES = {
+    "dedup_sorted_neighborhood": sorted_neighborhood_pairs,
     "dedup_cross_source_matrix": cross_source_matrix,
     "graph_pagerank_neardup": pagerank_near_dup,
     "graph_triangle_count": triangle_count,
@@ -1402,6 +1476,32 @@ _PAIRS_CTE = f"""
 """
 
 ORACLES = {
+    # the oracle replays the EXACT candidate definition (rank distance
+    # <= W over the lexical sort) with a plain row_number self-join —
+    # the engine's offset-block grids must reproduce it pair-for-pair
+    "dedup_sorted_neighborhood": f"""
+        WITH d AS (
+            SELECT doc_id, substr(text, 1, 24) AS snm_key,
+                   list_distinct(string_split(text, ' ')) AS toks
+            FROM documents
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY snm_key, doc_id) AS rnk
+            FROM d
+        ),
+        pairs AS (
+            SELECT (b.rnk - a.rnk)::INT AS distance,
+                   a.toks AS ta, b.toks AS tb
+            FROM ranked a JOIN ranked b
+              ON b.rnk > a.rnk AND b.rnk - a.rnk <= {SNM_WINDOW}
+        )
+        SELECT distance, count(*) AS n_pairs,
+               count(*) FILTER (
+                   2 * len(list_intersect(ta, tb))
+                   >= len(ta) + len(tb) - len(list_intersect(ta, tb))
+               ) AS n_dup_pairs
+        FROM pairs GROUP BY 1
+    """,
     "dedup_soft_weights": f"""
         WITH RECURSIVE {_SIG_CTE}, {_PAIRS_CTE},
         edges AS (

@@ -756,7 +756,63 @@ def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Deequ/Great-
+    Expectations shape): a set of named constraints evaluated over the
+    events table in ONE scan — every check folds to an aggregate over the
+    same pass, then the single result row unpivots to one row per
+    constraint via ``stack``. At 100 TB this is the cheapest possible
+    audit: no constraint adds a scan or a shuffle beyond the one
+    hash-aggregate.
+
+    Constraints: completeness (props non-null), uniqueness (event_id),
+    non-negativity (value), domain membership (event_type), pattern
+    compliance (event_type lowercase alpha), and bounded timestamps
+    (ts within the corpus's plausible decade)."""
+    ev = load_table(spark, sf_dir, "events")
+    domain = ("click", "signup", "purchase", "error", "view")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("props").isNull().cast("long")).alias("v_completeness"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("v_unique"),
+        F.sum((F.col("value") < 0).cast("long")).alias("v_nonneg"),
+        F.sum((~F.col("event_type").isin(*domain)).cast("long")).alias(
+            "v_domain"
+        ),
+        F.sum(
+            (~F.col("event_type").rlike("^[a-z]+$")).cast("long")
+        ).alias("v_pattern"),
+        F.sum(
+            (
+                (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp"))
+            ).cast("long")
+        ).alias("v_ts_bounds"),
+    )
+    stacked = agg.select(
+        "n_rows",
+        F.expr(
+            "stack(6,"
+            " 'completeness', 'props', v_completeness,"
+            " 'uniqueness', 'event_id', v_unique,"
+            " 'non_negative', 'value', v_nonneg,"
+            " 'domain', 'event_type', v_domain,"
+            " 'pattern', 'event_type', v_pattern,"
+            " 'bounds', 'ts', v_ts_bounds"
+            ") AS (check_name, column_name, n_violations)"
+        ),
+    )
+    return stacked.select(
+        "check_name",
+        "column_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("satisfied"),
+    )
+
+
 QUERIES = {
+    "profile_expectation_suite": expectation_suite,
     "profile_k_anonymity": k_anonymity_audit,
     "profile_l_diversity": l_diversity_audit,
     "profile_referential_integrity": referential_integrity,
@@ -947,6 +1003,33 @@ _L_DIV_ORACLE = f"""
 """
 
 ORACLES = {
+    "profile_expectation_suite": """
+        WITH agg AS (
+            SELECT count(*) AS n_rows,
+                   count(*) FILTER (props IS NULL) AS v_completeness,
+                   count(*) - count(DISTINCT event_id) AS v_unique,
+                   count(*) FILTER (value < 0) AS v_nonneg,
+                   count(*) FILTER (event_type NOT IN
+                       ('click','signup','purchase','error','view'))
+                       AS v_domain,
+                   count(*) FILTER (NOT regexp_matches(event_type,
+                       '^[a-z]+$')) AS v_pattern,
+                   count(*) FILTER (ts < TIMESTAMP '2020-01-01'
+                       OR ts >= TIMESTAMP '2030-01-01') AS v_ts_bounds
+            FROM events
+        )
+        SELECT u.check_name, u.column_name, agg.n_rows,
+               u.n_violations::BIGINT AS n_violations,
+               u.n_violations = 0 AS satisfied
+        FROM agg, LATERAL (VALUES
+            ('completeness', 'props', v_completeness),
+            ('uniqueness', 'event_id', v_unique),
+            ('non_negative', 'value', v_nonneg),
+            ('domain', 'event_type', v_domain),
+            ('pattern', 'event_type', v_pattern),
+            ('bounds', 'ts', v_ts_bounds)
+        ) AS u(check_name, column_name, n_violations)
+    """,
     "profile_l_diversity": _L_DIV_ORACLE,
     "profile_k_anonymity": _K_ANON_ORACLE,
     "profile_referential_integrity": _RI_ORACLE,

@@ -1311,7 +1311,71 @@ def substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed phrase workload: three frequent corpus bigrams + a guaranteed miss
+# (neither term exists in the corpus vocabulary)
+PHRASE_QUERIES = (
+    ("p_table_hash", "table", "hash"),
+    ("p_merge_group", "merge", "group"),
+    ("p_slow_key", "slow", "key"),
+    ("p_missing", "zebra", "quasar"),
+)
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase query — the IR primitive BM25 can't express
+    (bag-of-words loses adjacency): find documents containing the exact
+    two-word phrase via a position-adjacency join over the postings.
+
+    Scale shape: the corpus explodes to (doc_id, pos, term) ONCE, is
+    immediately filtered to the phrase vocabulary (a handful of terms, so
+    the 100 TB posting stream shrinks to the query terms' postings before
+    any shuffle), and the adjacency join is an equi-join on
+    (phrase, doc_id, pos+1 = pos) — co-partitioned, no theta join. The
+    phrase list is a broadcast LocalRelation; misses survive through the
+    final left join to the phrase grid."""
+    from ssiintegrateddatapipeline_spark.sources.batch import local_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    pf = local_frame(
+        spark,
+        [(pid, a, b) for pid, a, b in PHRASE_QUERIES],
+        "phrase_id string, term_a string, term_b string",
+    )
+    vocab = sorted({t for _, a, b in PHRASE_QUERIES for t in (a, b)})
+    toks = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    ).where(F.col("term").isin(vocab))
+    lead = toks.join(
+        F.broadcast(pf), toks["term"] == pf["term_a"]
+    ).select("phrase_id", "doc_id", (F.col("pos") + 1).alias("next_pos"), "term_b")
+    trail = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("term").alias("t_b"),
+    )
+    hits = lead.join(
+        trail,
+        (F.col("doc_id") == F.col("doc_b"))
+        & (F.col("next_pos") == F.col("pos_b"))
+        & (F.col("term_b") == F.col("t_b")),
+    )
+    agg = hits.groupBy("phrase_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    grid = pf.select("phrase_id", "term_a", "term_b")
+    return grid.join(F.broadcast(agg), "phrase_id", "left").select(
+        "phrase_id",
+        F.concat_ws(" ", "term_a", "term_b").alias("phrase"),
+        F.coalesce("n_occurrences", F.lit(0)).alias("n_occurrences"),
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        "first_doc",
+    )
+
+
 QUERIES = {
+    "text_phrase_search": phrase_search,
     "text_substring_scrub": substring_scrub,
     "text_dup_ngrams": dup_ngrams,
     "text_intra_repetition": intra_doc_repetition,
@@ -1479,7 +1543,38 @@ def _bpe_oracle() -> str:
     return "WITH " + ",\n".join(parts) + " " + selects
 
 
+_PHRASE_VALUES = ", ".join(
+    f"('{pid}', '{a}', '{b}')" for pid, a, b in PHRASE_QUERIES
+)
+
 ORACLES = {
+    "text_phrase_search": f"""
+        WITH p(phrase_id, term_a, term_b) AS (VALUES {_PHRASE_VALUES}),
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - 1)) AS i
+            FROM toks
+        ),
+        hits AS (
+            SELECT p.phrase_id, t.doc_id
+            FROM pos t JOIN p
+              ON t.arr[i] = p.term_a AND t.arr[i + 1] = p.term_b
+        ),
+        agg AS (
+            SELECT phrase_id, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM hits GROUP BY 1
+        )
+        SELECT p.phrase_id, p.term_a || ' ' || p.term_b AS phrase,
+               coalesce(a.n_occurrences, 0)::BIGINT AS n_occurrences,
+               coalesce(a.n_docs, 0)::BIGINT AS n_docs,
+               a.first_doc
+        FROM p LEFT JOIN agg a USING (phrase_id)
+    """,
     "text_substring_scrub": f"""
         WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
         s8 AS (

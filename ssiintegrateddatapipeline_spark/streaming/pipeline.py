@@ -1776,7 +1776,118 @@ def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STORE_MUT_SCHEMA = (
+    "did string, did_exists boolean, n_keys bigint, n_services bigint,"
+    " keys_fp string, services_fp string, last_mutation_seq bigint"
+)
+# one row per did: barrier high-water (seq + op), the per-item max-seq op
+# table as a bounded json blob (<= 7 keys + 5 services by construction),
+# and the log high-water for the audit column
+_STORE_MUT_STATE = (
+    "barrier_seq bigint, barrier_op string, items string, last_seq bigint"
+)
+
+
+def _update_store_mutations(key, pdf_iter, state: GroupState):
+    """Per-DID store-state fold for the mutation log — an ORDER-INSENSITIVE
+    merge: the barrier is a max-seq high-water, each item keeps its
+    max-seq (op, seq) pair, and liveness is decided at EMIT time
+    (exists = last barrier is an import; an item counts iff its max-seq
+    op is an add at seq >= barrier). Because every rule is a max-fold,
+    the result is independent of arrival order and micro-batch
+    boundaries — unlike the transition counter, late/out-of-order
+    replays still converge to the batch fold exactly. Entries below the
+    barrier are GC'd each batch (monotone, so state stays <= 12 items/did)."""
+    import json as _js
+
+    import pandas as pd
+
+    if state.exists:
+        barrier_seq, barrier_op, items_js, last_seq = state.get
+        items = _js.loads(items_js)
+    else:
+        barrier_seq, barrier_op, items, last_seq = -1, "", {}, -1
+
+    def merge_item(k: str, is_add: int, seq: int) -> None:
+        cur = items.get(k)
+        if cur is None or seq > cur[1]:
+            items[k] = [is_add, seq]
+
+    for pdf in pdf_iter:
+        for r in pdf.itertuples():
+            seq = int(r.seq)
+            last_seq = max(last_seq, seq)
+            if r.op in ("import", "delete"):
+                if seq > barrier_seq:
+                    barrier_seq, barrier_op = seq, r.op
+                if r.op == "import":
+                    # createIdentifier mints the identifier's first key
+                    merge_item("key|key-0", 1, seq)
+            else:
+                merge_item(
+                    f"{r.item_type}|{r.item_id}",
+                    1 if r.op.startswith("add") else 0,
+                    seq,
+                )
+    items = {k: v for k, v in items.items() if v[1] >= barrier_seq}
+    state.update(
+        (barrier_seq, barrier_op, _js.dumps(items, sort_keys=True), last_seq)
+    )
+    exists = barrier_op == "import"
+    live = sorted(k for k, v in items.items() if exists and v[0] == 1)
+    keys = [k.split("|", 1)[1] for k in live if k.startswith("key|")]
+    svcs = [k.split("|", 1)[1] for k in live if k.startswith("svc|")]
+    yield pd.DataFrame(
+        {
+            "did": [key[0]],
+            "did_exists": [exists],
+            "n_keys": [len(keys)],
+            "n_services": [len(svcs)],
+            "keys_fp": [",".join(keys)],
+            "services_fp": [",".join(svcs)],
+            "last_mutation_seq": [last_seq],
+        }
+    )
+
+
+def streaming_store_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `credstore_apply_mutations`: the DID/key store
+    mutation log (didManager*/keyManager* rows) applied ONLINE — each
+    micro-batch merges its mutations into per-DID operator state and
+    emits the did's current store row; the drained run's final row per
+    did must equal the batch incremental apply AND the full rebuild
+    (all three share one oracle). This is the K5 MERGE sink's semantics
+    held as streaming state instead of a table rewrite."""
+    from ssiintegrateddatapipeline_spark.operators.credstore import (
+        mutations_from,
+    )
+
+    plan = (
+        mutations_from(events_stream(spark, sf_dir))
+        .groupBy("did")
+        .applyInPandasWithState(
+            _update_store_mutations,
+            outputStructType=_STORE_MUT_SCHEMA,
+            stateStructType=_STORE_MUT_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_available_now(plan, output_mode="update", state_partitions=8)
+    # latest emission per did wins (update mode re-emits on every batch
+    # that touches the did; the log high-water is the tiebreak)
+    others = [c for c in out.columns if c != "did"]
+    return (
+        out.groupBy("did")
+        .agg(
+            F.max_by(F.struct(*others), "last_mutation_seq").alias("_s")
+        )
+        .select("did", "_s.*")
+    )
+
+
 QUERIES = {
+    "streaming_store_mutations": streaming_store_mutations,
     "streaming_sliding_rate": streaming_sliding_rate,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_dedup": streaming_dedup,
@@ -2276,6 +2387,16 @@ from ssiintegrateddatapipeline_spark.sources.batch import local_frame
 
 ORACLES["streaming_l_diversity"] = _PROF_ORACLES["profile_l_diversity"]
 ORACLES["streaming_k_anonymity"] = _PROF_ORACLES["profile_k_anonymity"]
+
+# the online store fold, the batch incremental apply, and the full rebuild
+# must all agree — one oracle for all three
+from ssiintegrateddatapipeline_spark.operators.credstore import (  # noqa: E402
+    ORACLES as _CRED_ORACLES,
+)
+
+ORACLES["streaming_store_mutations"] = _CRED_ORACLES[
+    "credstore_apply_mutations"
+]
 
 ORACLES["streaming_cms_grid"] = f"""
     WITH keys AS (SELECT user_id::VARCHAR AS key FROM events),

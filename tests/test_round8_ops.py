@@ -214,6 +214,103 @@ def test_did_components_probes_the_miss_path(spark, sf_dir):
         assert r.component_found and r.miss_not_found
 
 
+# --- second batch: phrase search, expectation suite, SNM blocking -----------
+
+
+def test_phrase_search_counts_and_miss(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators.text import phrase_search
+
+    rows = {r.phrase_id: r for r in phrase_search(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "p_table_hash", "p_merge_group", "p_slow_key", "p_missing",
+    }
+    miss = rows["p_missing"]
+    assert miss.n_occurrences == 0 and miss.n_docs == 0
+    assert miss.first_doc is None
+    hit = rows["p_table_hash"]
+    assert hit.n_occurrences >= hit.n_docs > 0
+    assert hit.phrase == "table hash"
+
+
+def test_phrase_search_adjacency_not_cooccurrence(spark, sf_dir):
+    """The count must be ADJACENT positions, not bag-of-words co-occurrence
+    — replay one phrase with a driver-side token walk."""
+    import duckdb
+
+    from ssiintegrateddatapipeline_spark.operators.text import phrase_search
+
+    got = {
+        r.phrase_id: r.n_occurrences
+        for r in phrase_search(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    expected = 0
+    for (t,) in texts:
+        toks = t.split(" ")
+        expected += sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == "table" and toks[i + 1] == "hash"
+        )
+    assert got["p_table_hash"] == expected
+
+
+def test_expectation_suite_all_satisfied_and_exact_rows(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators.profiling import (
+        expectation_suite,
+    )
+
+    rows = expectation_suite(spark, sf_dir).collect()
+    assert len(rows) == 6
+    assert {r.check_name for r in rows} == {
+        "completeness", "uniqueness", "non_negative",
+        "domain", "pattern", "bounds",
+    }
+    for r in rows:
+        assert r.satisfied == (r.n_violations == 0)
+        # the synthetic corpus satisfies the whole suite — a violation
+        # here means the checks themselves broke
+        assert r.satisfied, r
+
+
+def test_sorted_neighborhood_matches_naive_window(spark, sf_dir):
+    """The offset-block formulation must reproduce the naive global-sort
+    definition pair-for-pair (here replayed driver-side at test SF)."""
+    import duckdb
+
+    from ssiintegrateddatapipeline_spark.operators.dedup import (
+        SNM_WINDOW,
+        sorted_neighborhood_pairs,
+    )
+
+    got = {
+        r.distance: (r.n_pairs, r.n_dup_pairs)
+        for r in sorted_neighborhood_pairs(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(1, SNM_WINDOW + 1))
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, substr(text,1,24), string_split(text,' ') "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    docs.sort(key=lambda r: (r[1], r[0]))
+    naive: dict[int, list[int]] = {}
+    for i, (_, _, ta) in enumerate(docs):
+        sa = set(ta)
+        for d in range(1, SNM_WINDOW + 1):
+            if i + d >= len(docs):
+                break
+            sb = set(docs[i + d][2])
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            n, nd = naive.get(d, (0, 0))
+            naive[d] = (n + 1, nd + (1 if 2 * inter >= union else 0))
+    assert got == naive
+
+
 # --- write_bucketed append no longer destroys data (ADVICE fix) -------------
 
 

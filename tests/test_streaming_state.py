@@ -107,6 +107,9 @@ _STATE_BOUNDS = {
     "streaming_user_profile": lambda s, n: s["n_users"] + 8,
     # last-event carry per user (the online transition matrix)
     "streaming_event_transitions": lambda s, n: s["n_users"] + 8,
+    # one store row per DID (== per user); the per-item json blob inside
+    # the row is bounded by the item domain (7 keys + 5 services)
+    "streaming_store_mutations": lambda s, n: s["n_users"] + 8,
     # one state row per distinct (QI class, user) pair — re-arrivals of a
     # pair update in place, so the ceiling is the pair domain, bounded by
     # n_events and in practice ~n_user x active-day combinations

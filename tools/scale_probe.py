@@ -221,21 +221,30 @@ def write_scale_md(ks: tuple[int, ...] = (3, 10, 30)) -> None:
     rows = []
     for name in SCALE_MD_QUERIES:
         fn = queries[name]
-        df = fn(spark, BASE)
-        df.toPandas()  # warm + finalize AQE plan for the node label
-        dom = _dominant_node(df)
-        t_base = time_query(fn, spark, BASE)
-        ratios = {}
-        for k in ks:
-            fn(spark, dirs[k]).toPandas()  # warm at scale
-            t_k = time_query(fn, spark, dirs[k], runs=2 if k <= 10 else 1)
-            ratios[k] = t_k / t_base
+        try:
+            df = fn(spark, BASE)
+            df.toPandas()  # warm + finalize AQE plan for the node label
+            dom = _dominant_node(df)
+            t_base = time_query(fn, spark, BASE)
+            ratios = {}
+            for k in ks:
+                fn(spark, dirs[k]).toPandas()  # warm at scale
+                t_k = time_query(
+                    fn, spark, dirs[k], runs=2 if k <= 10 else 1
+                )
+                ratios[k] = t_k / t_base
+        except Exception as exc:  # record the failure, keep probing
+            print(f"# {name}: ERROR {exc}", file=sys.stderr, flush=True)
+            rows.append((name, float("nan"), {k: float("nan") for k in ks},
+                         f"ERROR: {str(exc).splitlines()[0][:80]}"))
+            continue
         rows.append((name, t_base, ratios, dom))
         print(
             f"# {name}: base {t_base:.2f}s "
             + " ".join(f"{k}x={ratios[k]:.2f}" for k in ks)
             + f" [{dom}]",
             file=sys.stderr,
+            flush=True,
         )
 
     lines = [
