@@ -171,6 +171,15 @@ SCALE_MD_QUERIES = [
     "profile_partition_skew",
 ]
 
+# Per-query k caps for the MD grid. dedup_prefix_jaccard_pairs is
+# OUTPUT-quadratic under replica twins (every doc gains k-1 exact twins,
+# so the PAIR result itself grows ~k²· — the documented COVERAGE.md
+# precedent); at 30x its shuffle spill exceeds the box's disk (measured
+# ENOSPC), so it probes at 3x only and larger cells render as "—".
+SCALE_MD_KS_CAP = {
+    "dedup_prefix_jaccard_pairs": 3,
+}
+
 _HEAVY_NODES = (
     ("SortMergeJoin", "SMJ"),
     ("BroadcastNestedLoopJoin", "BNLJ"),
@@ -226,8 +235,12 @@ def write_scale_md(ks: tuple[int, ...] = (3, 10, 30)) -> None:
             df.toPandas()  # warm + finalize AQE plan for the node label
             dom = _dominant_node(df)
             t_base = time_query(fn, spark, BASE)
+            cap = SCALE_MD_KS_CAP.get(name)
             ratios = {}
             for k in ks:
+                if cap is not None and k > cap:
+                    ratios[k] = float("nan")
+                    continue
                 fn(spark, dirs[k]).toPandas()  # warm at scale
                 t_k = time_query(
                     fn, spark, dirs[k], runs=2 if k <= 10 else 1
@@ -255,6 +268,10 @@ def write_scale_md(ks: tuple[int, ...] = (3, 10, 30)) -> None:
         "by tools/scale_probe.py (timestamps untouched → k× density).",
         "Ratio = wall(k×)/wall(base), best-of-2 warm. Near-linear",
         "(ratio ≤ ~k) passes; ratios well under k mean the fixed overhead",
+        "— cells are deliberate k-caps (SCALE_MD_KS_CAP: output-quadratic",
+        "probes whose RESULT grows ~k² under replica twins spill past the",
+        "box's disk at 30×; their linear-input behavior is bounded by the",
+        "3× cell plus the COVERAGE.md precedent).",
         "(scan setup, planning, shuffle floor) still dominates at that",
         "scale. `dominant plan node` = heaviest node class of the",
         "AQE-final plan at base scale.",
@@ -264,12 +281,13 @@ def write_scale_md(ks: tuple[int, ...] = (3, 10, 30)) -> None:
         + " | dominant plan node |",
         "|---|---|" + "---|" * len(ks) + "---|",
     ]
+    import math
+
     for name, t_base, ratios, dom in rows:
-        lines.append(
-            f"| {name} | {t_base:.2f} | "
-            + " | ".join(f"{ratios[k]:.2f}×" for k in ks)
-            + f" | {dom} |"
+        cells = " | ".join(
+            "—" if math.isnan(ratios[k]) else f"{ratios[k]:.2f}×" for k in ks
         )
+        lines.append(f"| {name} | {t_base:.2f} | {cells} | {dom} |")
     lines.append("")
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
