@@ -19,6 +19,7 @@ import sys
 import time
 
 HEADLINE = [
+    "profile_kll_quantiles",
     "streaming_store_mutations",
     "text_phrase_search",
     "profile_expectation_suite",

@@ -756,6 +756,136 @@ def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+KLL_K = 256  # per-level buffer capacity of the rank sketch
+KLL_RANK_EPS = 0.05  # rank-error contract the oracle pins (fraction of n)
+
+
+def _kll_partition_sketch(values) -> list[tuple[int, int]]:
+    """Deterministic KLL-style rank sketch of one partition's int64 values:
+    level buffers of capacity KLL_K; a full buffer sorts and keeps
+    alternating survivors (parity flips per compaction — deterministic, no
+    RNG), promoting them with doubled weight. Returns [(item, weight)]."""
+    levels: list[list[int]] = [[]]
+    parity = 0
+    for v in values:
+        levels[0].append(int(v))
+        lvl = 0
+        while len(levels[lvl]) >= KLL_K:
+            buf = sorted(levels[lvl])
+            levels[lvl] = []
+            if lvl + 1 == len(levels):
+                levels.append([])
+            levels[lvl + 1].extend(buf[parity::2])
+            parity ^= 1
+            lvl += 1
+    return [
+        (item, 1 << lvl)
+        for lvl, buf in enumerate(levels)
+        for item in buf
+    ]
+
+
+def kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable rank/quantile sketch — the percentile machine of a 100 TB
+    profile pass, completing the sketch family (CMS: frequencies, KMV/HLL:
+    cardinality, KLL: ranks). Each partition folds its values into a
+    deterministic KLL sketch (Arrow-batched, no RNG); the union of the
+    tiny (item, weight) survivor sets IS the mergeable summary — rank
+    estimates are plain weighted-count aggregates over it, so no global
+    sort, no single-partition window, no driver collect anywhere.
+
+    Oracle device (the profile_approx_distinct accuracy-contract
+    precedent): DuckDB cannot replay the sketch bit-for-bit, but the
+    CONTRACT is portable — for each probed percentile the sketch's
+    estimated rank of the exact quantile must sit within
+    KLL_RANK_EPS · n of the true rank, and the summary must be at most
+    a fixed fraction of the input. A drifting sketch flips a boolean and
+    fails the hash."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.round(F.col("value") * 1e6).cast("long").alias("v")
+    )
+
+    def build(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        import math as _math
+
+        acc: list[int] = []
+        for pdf in batches:
+            acc.extend(int(x) for x in pdf["v"])
+        sk = _kll_partition_sketch(acc)
+        # the logarithmic-size contract, checked where the sketch lives:
+        # items <= K * (#levels + slack), #levels <= log2(rows/K) + 2
+        cap = KLL_K * (
+            _math.floor(_math.log2(max(len(acc), KLL_K) / KLL_K)) + 3
+        )
+        yield pd.DataFrame(
+            {
+                "item": [s[0] for s in sk],
+                "weight": [s[1] for s in sk],
+                "bounded": [len(sk) <= cap] * len(sk),
+            }
+        )
+
+    sketch = vals.mapInPandas(
+        build, schema="item long, weight long, bounded boolean"
+    )
+
+    # exact quantiles (three probes) + exact ranks in ONE pass each
+    probes = (0.5, 0.95, 0.99)
+    qs = vals.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.percentile("v", F.lit(p)).alias(f"q{int(p * 100)}")
+            for p in probes
+        ],
+    )
+    j = sketch.crossJoin(F.broadcast(qs))
+    est = j.agg(
+        F.max("n_rows").alias("n_rows"),
+        F.min("bounded").alias("sketch_bounded"),
+        F.sum("weight").alias("total_weight"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("item") <= F.col(f"q{int(p * 100)}"),
+                    F.col("weight"),
+                ).otherwise(0)
+            ).alias(f"est_rank_{int(p * 100)}")
+            for p in probes
+        ],
+    )
+    true_ranks = vals.crossJoin(F.broadcast(qs)).agg(
+        *[
+            F.sum(
+                (F.col("v") <= F.col(f"q{int(p * 100)}")).cast("long")
+            ).alias(f"true_rank_{int(p * 100)}")
+            for p in probes
+        ],
+    )
+    out = est.crossJoin(F.broadcast(true_ranks))
+    eps = F.col("n_rows") * KLL_RANK_EPS
+    return out.select(
+        F.lit("events.value").alias("measure"),
+        "n_rows",
+        "sketch_bounded",
+        (F.col("total_weight") == F.col("n_rows")).alias("weight_exact"),
+        *[
+            (
+                F.abs(
+                    F.col(f"est_rank_{int(p * 100)}")
+                    - F.col(f"true_rank_{int(p * 100)}")
+                )
+                <= eps
+            ).alias(f"p{int(p * 100)}_within_bound")
+            for p in probes
+        ],
+    )
+
+
 def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectation suite (the Deequ/Great-
     Expectations shape): a set of named constraints evaluated over the
@@ -812,6 +942,7 @@ def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "profile_kll_quantiles": kll_quantiles,
     "profile_expectation_suite": expectation_suite,
     "profile_k_anonymity": k_anonymity_audit,
     "profile_l_diversity": l_diversity_audit,
@@ -1003,6 +1134,20 @@ _L_DIV_ORACLE = f"""
 """
 
 ORACLES = {
+    # the accuracy-contract device (profile_approx_distinct precedent):
+    # the sketch itself is not SQL-replayable, but the portable contract
+    # is — exact row count plus the boolean guarantees the sketch must
+    # uphold; any rank drift past eps or size blow-up flips a value
+    "profile_kll_quantiles": """
+        SELECT 'events.value' AS measure,
+               count(*) AS n_rows,
+               TRUE AS sketch_bounded,
+               TRUE AS weight_exact,
+               TRUE AS p50_within_bound,
+               TRUE AS p95_within_bound,
+               TRUE AS p99_within_bound
+        FROM events
+    """,
     "profile_expectation_suite": """
         WITH agg AS (
             SELECT count(*) AS n_rows,

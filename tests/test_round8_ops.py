@@ -311,6 +311,44 @@ def test_sorted_neighborhood_matches_naive_window(spark, sf_dir):
     assert got == naive
 
 
+def test_kll_sketch_rank_error_and_weight_conservation():
+    """Pure-kernel invariants: weights conserve exactly (K is even, every
+    compaction halves an even buffer), and the estimated rank of any probe
+    stays within the eps contract on an adversarially sorted input."""
+    from ssiintegrateddatapipeline_spark.operators.profiling import (
+        KLL_K,
+        KLL_RANK_EPS,
+        _kll_partition_sketch,
+    )
+
+    n = 20_000
+    values = list(range(n))  # sorted input: worst case for naive sampling
+    sk = _kll_partition_sketch(values)
+    assert sum(w for _, w in sk) == n
+    assert len(sk) < n / 4
+    for p in (0.1, 0.5, 0.95, 0.99):
+        probe = int(p * n)
+        est = sum(w for item, w in sk if item <= probe)
+        assert abs(est - (probe + 1)) <= KLL_RANK_EPS * n, (p, est)
+    # items never exceed the logarithmic cap
+    import math
+
+    assert len(sk) <= KLL_K * (
+        math.floor(math.log2(max(n, KLL_K) / KLL_K)) + 3
+    )
+
+
+def test_kll_quantiles_contract(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators.profiling import (
+        kll_quantiles,
+    )
+
+    row = kll_quantiles(spark, sf_dir).collect()[0]
+    assert row.sketch_bounded and row.weight_exact
+    assert row.p50_within_bound and row.p95_within_bound
+    assert row.p99_within_bound
+
+
 # --- write_bucketed append no longer destroys data (ADVICE fix) -------------
 
 
