@@ -19,6 +19,9 @@ import sys
 import time
 
 HEADLINE = [
+    "text_hashed_classifier",
+    "dedup_fellegi_sunter",
+    "profile_t_closeness",
     "profile_kll_quantiles",
     "streaming_store_mutations",
     "text_phrase_search",

@@ -1395,7 +1395,148 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (JASA 1969) — the decision-
+# theoretic layer ABOVE blocking/string-similarity: each candidate pair gets
+# an agreement vector γ over compared fields, and a log-likelihood match
+# weight  w(γ) = Σ_f [ γ_f·log2(m_f/u_f) + (1-γ_f)·log2((1-m_f)/(1-u_f)) ],
+# thresholded into match / possible / non-match. m_f (P(agree|match)) are
+# model literals, as in classic deployments; u_f (P(agree|non-match)) are
+# ESTIMATED FROM THE DATA as the random-pair agreement probability
+# u_f = (Σ_v n_v² − N) / (N² − N) — an exact rational from integer
+# sufficient statistics, so Spark and the oracle derive the identical model.
+#
+# Scale shape: pairs exist only inside (p_brand, p_size) blocks — bounded-
+# cardinality categorical keys, so the pair space is Σ_b |b|² with |b| ≈
+# N/1250, linear in N for fixed category sizes; the u-statistics are four
+# tiny two-level aggregates joined in as one broadcast row (no collect); and
+# the output is the γ-pattern grid (≤ 2⁴ rows), so weights are computed once
+# per pattern, not once per pair.
+# ---------------------------------------------------------------------------
+
+FS_M = {"type": 0.9, "name_head": 0.85, "name_tail": 0.8, "price": 0.75}
+FS_UPPER = 4.0  # w ≥ upper  -> match
+FS_LOWER = -8.0  # w ≤ lower -> non_match
+
+
+def _fs_features(p: DataFrame) -> DataFrame:
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.col("p_type").alias("f_type"),
+        F.element_at(F.split("p_name", " "), 1).alias("f_name_head"),
+        F.element_at(F.split("p_name", " "), -1).alias("f_name_tail"),
+        F.floor(F.col("p_retailprice").cast("double") / 100).alias("f_price"),
+    )
+
+
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter match weights per agreement pattern over blocked
+    part pairs: n_pairs, u-derived log2 weight, and the three-way decision."""
+    feats = _fs_features(load_table(spark, sf_dir, "part"))
+    fields = ["f_type", "f_name_head", "f_name_tail", "f_price"]
+
+    # exact u-statistics: one row — N plus Σ_v n_v² per field
+    stats = None
+    n_row = feats.agg(F.count("*").alias("n_recs"))
+    for f in fields:
+        ssq = (
+            feats.groupBy(f)
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias(f"ssq_{f}"))
+        )
+        stats = ssq if stats is None else stats.crossJoin(ssq)
+    stats = stats.crossJoin(n_row)
+
+    a, b = feats.alias("a"), feats.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    pattern = pairs.select(
+        *[
+            (F.col(f"a.{f}") == F.col(f"b.{f}")).alias(f"g_{f[2:]}")
+            for f in fields
+        ]
+    )
+    grid = pattern.groupBy(*[f"g_{f[2:]}" for f in fields]).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+    out = grid.crossJoin(F.broadcast(stats))
+    weight = F.lit(0.0)
+    for f in fields:
+        m = F.lit(FS_M[f[2:]])
+        u = (F.col(f"ssq_{f}") - F.col("n_recs")) / (
+            F.col("n_recs") * F.col("n_recs") - F.col("n_recs")
+        )
+        weight = weight + F.when(
+            F.col(f"g_{f[2:]}"), F.log2(m / u)
+        ).otherwise(F.log2((1 - m) / (1 - u)))
+    weight = F.round(weight, 6)
+    return out.select(
+        *[f"g_{f[2:]}" for f in fields],
+        "n_pairs",
+        weight.alias("match_weight"),
+        F.when(weight >= FS_UPPER, F.lit("match"))
+        .when(weight <= FS_LOWER, F.lit("non_match"))
+        .otherwise(F.lit("possible"))
+        .alias("decision"),
+    )
+
+
+_FS_ORACLE = f"""
+WITH feats AS (
+    SELECT p_partkey, p_brand, p_size,
+           p_type AS f_type,
+           string_split(p_name, ' ')[1] AS f_name_head,
+           string_split(p_name, ' ')[-1] AS f_name_tail,
+           floor(CAST(p_retailprice AS DOUBLE) / 100) AS f_price
+    FROM part
+), stats AS (
+    SELECT
+        (SELECT count(*) FROM feats)::BIGINT AS n_recs,
+        (SELECT sum(c * c) FROM (SELECT count(*) c FROM feats GROUP BY f_type))::BIGINT AS ssq_f_type,
+        (SELECT sum(c * c) FROM (SELECT count(*) c FROM feats GROUP BY f_name_head))::BIGINT AS ssq_f_name_head,
+        (SELECT sum(c * c) FROM (SELECT count(*) c FROM feats GROUP BY f_name_tail))::BIGINT AS ssq_f_name_tail,
+        (SELECT sum(c * c) FROM (SELECT count(*) c FROM feats GROUP BY f_price))::BIGINT AS ssq_f_price
+), grid AS (
+    SELECT a.f_type = b.f_type AS g_type,
+           a.f_name_head = b.f_name_head AS g_name_head,
+           a.f_name_tail = b.f_name_tail AS g_name_tail,
+           a.f_price = b.f_price AS g_price,
+           count(*)::BIGINT AS n_pairs
+    FROM feats a JOIN feats b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    GROUP BY ALL
+), weighted AS (
+    SELECT g_type, g_name_head, g_name_tail, g_price, n_pairs,
+        round(
+          (CASE WHEN g_type THEN log2({FS_M['type']} / ((ssq_f_type - n_recs) / CAST(n_recs * n_recs - n_recs AS DOUBLE)))
+                ELSE log2({1 - FS_M['type']} / (1 - (ssq_f_type - n_recs) / CAST(n_recs * n_recs - n_recs AS DOUBLE))) END)
+        + (CASE WHEN g_name_head THEN log2({FS_M['name_head']} / ((ssq_f_name_head - n_recs) / CAST(n_recs * n_recs - n_recs AS DOUBLE)))
+                ELSE log2({1 - FS_M['name_head']} / (1 - (ssq_f_name_head - n_recs) / CAST(n_recs * n_recs - n_recs AS DOUBLE))) END)
+        + (CASE WHEN g_name_tail THEN log2({FS_M['name_tail']} / ((ssq_f_name_tail - n_recs) / CAST(n_recs * n_recs - n_recs AS DOUBLE)))
+                ELSE log2({1 - FS_M['name_tail']} / (1 - (ssq_f_name_tail - n_recs) / CAST(n_recs * n_recs - n_recs AS DOUBLE))) END)
+        + (CASE WHEN g_price THEN log2({FS_M['price']} / ((ssq_f_price - n_recs) / CAST(n_recs * n_recs - n_recs AS DOUBLE)))
+                ELSE log2({1 - FS_M['price']} / (1 - (ssq_f_price - n_recs) / CAST(n_recs * n_recs - n_recs AS DOUBLE))) END)
+        , 6) AS match_weight
+    FROM grid CROSS JOIN stats
+)
+SELECT g_type, g_name_head, g_name_tail, g_price, n_pairs, match_weight,
+       CASE WHEN match_weight >= {FS_UPPER} THEN 'match'
+            WHEN match_weight <= {FS_LOWER} THEN 'non_match'
+            ELSE 'possible' END AS decision
+FROM weighted
+"""
+
+
 QUERIES = {
+    "dedup_fellegi_sunter": fellegi_sunter_weights,
     "dedup_sorted_neighborhood": sorted_neighborhood_pairs,
     "dedup_cross_source_matrix": cross_source_matrix,
     "graph_pagerank_neardup": pagerank_near_dup,
@@ -1476,6 +1617,7 @@ _PAIRS_CTE = f"""
 """
 
 ORACLES = {
+    "dedup_fellegi_sunter": _FS_ORACLE,
     # the oracle replays the EXACT candidate definition (rank distance
     # <= W over the lexical sort) with a plain row_number self-join —
     # the engine's offset-block grids must reproduce it pair-for-pair

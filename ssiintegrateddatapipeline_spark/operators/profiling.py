@@ -670,6 +670,115 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# t thresholds as exact rationals (num, den) so the above/below decision is
+# an INTEGER comparison — no float EMD ever crosses a threshold boundary
+T_CLOSE_THRESHOLDS = ((1, 5), (7, 20), (1, 2))  # 0.2, 0.35, 0.5
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third leg of the privacy triad after `profile_k_anonymity` and
+    `profile_l_diversity`: a class can be large (k ok) and diverse (l ok)
+    yet still disclosive if its SENSITIVE-value distribution differs from
+    the table's, so this measures, per QI class, the Earth Mover's
+    Distance between the class distribution and the global distribution
+    of the ordered sensitive generalization (the same 100-unit value
+    band the sibling audits use), EMD over B ordered bins =
+    (1/(B-1))·Σ_j |cumP_j − cumQ_j|.
+
+    Everything up to the report is INTEGER-exact: cumulative counts are
+    cross-multiplied (|cumP·N − cumQ·k|) instead of divided, and each
+    threshold t = num/den is compared as emd_num·den > num·k·N·(B−1),
+    so the violation decision never touches floating point. Only the
+    reported max_emd divides (and rounds at 6).
+
+    Scale shape: one grouped pass builds the (class, band) counts; the
+    band table and the scalar (N, B) row are tiny broadcast artifacts;
+    the per-class cumulative window is partitioned by class over ≤ B
+    rows (bounded by construction — B is a fixed-width banding of the
+    value domain), never a global single-partition window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").alias("event_date"),
+        F.floor(F.col("value") / 100).cast("long").alias("s_band"),
+    )
+    cls_band = base.groupBy("event_type", "event_date", "s_band").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # global band distribution + its cumulative (B rows, post-aggregate)
+    band = cls_band.groupBy("s_band").agg(F.sum("cnt").alias("q_cnt"))
+    band = band.select(
+        "s_band",
+        F.sum("q_cnt")
+        .over(Window.orderBy("s_band").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_q"),
+    )
+    scalars = band.agg(
+        F.max("cum_q").alias("n_total"), F.count(F.lit(1)).alias("n_bands")
+    )
+    classes = cls_band.groupBy("event_type", "event_date").agg(
+        F.sum("cnt").alias("k")
+    )
+    grid = classes.crossJoin(F.broadcast(band))
+    joined = grid.join(
+        cls_band, ["event_type", "event_date", "s_band"], "left"
+    ).withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    wc = (
+        Window.partitionBy("event_type", "event_date")
+        .orderBy("s_band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = joined.withColumn("cum_p", F.sum("cnt").over(wc))
+    per_class = (
+        cum.crossJoin(F.broadcast(scalars))
+        .groupBy("event_type", "event_date")
+        .agg(
+            F.max("k").alias("k"),
+            F.max("n_total").alias("n_total"),
+            F.max("n_bands").alias("n_bands"),
+            F.sum(
+                F.abs(F.col("cum_p") * F.col("n_total") - F.col("cum_q") * F.col("k"))
+            ).alias("emd_num"),
+        )
+    )
+    denom = F.col("k") * F.col("n_total") * (F.col("n_bands") - 1)
+    aggs = [
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("k").alias("n_rows"),
+        F.round(F.max(F.col("emd_num") / denom), 6).alias("max_emd"),
+    ]
+    for num, den in T_CLOSE_THRESHOLDS:
+        viol = F.col("emd_num") * den > num * denom
+        aggs.append(F.sum(viol.cast("long")).alias(f"classes_gt_{num}_{den}"))
+        aggs.append(
+            F.sum(F.when(viol, F.col("k")).otherwise(0)).alias(f"rows_gt_{num}_{den}")
+        )
+    g = per_class.agg(*aggs)
+    stacked = ", ".join(
+        f"CAST({num} AS DOUBLE)/{den}, classes_gt_{num}_{den}, rows_gt_{num}_{den}"
+        for num, den in T_CLOSE_THRESHOLDS
+    )
+    return g.select(
+        "n_classes",
+        "n_rows",
+        "max_emd",
+        F.expr(
+            f"stack({len(T_CLOSE_THRESHOLDS)}, {stacked})"
+            " AS (t_threshold, classes_above, rows_above)"
+        ),
+    ).select(
+        "t_threshold",
+        "n_classes",
+        "classes_above",
+        "rows_above",
+        F.round(F.col("rows_above") / F.col("n_rows"), 6).alias("row_share_above"),
+        "max_emd",
+    )
+
+
 def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit over the star schema's FK edges — the
     data-contract check a warehouse runs after every load: for each
@@ -945,6 +1054,7 @@ QUERIES = {
     "profile_kll_quantiles": kll_quantiles,
     "profile_expectation_suite": expectation_suite,
     "profile_k_anonymity": k_anonymity_audit,
+    "profile_t_closeness": t_closeness_audit,
     "profile_l_diversity": l_diversity_audit,
     "profile_referential_integrity": referential_integrity,
     "profile_partition_skew": partition_skew_report,
@@ -1056,6 +1166,65 @@ _K_ANON_ORACLE = f"""
         f" AS classes_below, rows_lt_{t} AS rows_below,"
         f" round(rows_lt_{t}::DOUBLE / n_rows, 6) AS row_share_below FROM g"
         for t in K_ANON_THRESHOLDS
+    )}
+"""
+
+_T_CLOSE_ORACLE = f"""
+    WITH cls_band AS (
+        SELECT event_type, CAST(ts AS DATE) AS event_date,
+               CAST(floor(value / 100) AS BIGINT) AS s_band, count(*) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ),
+    band AS (
+        SELECT s_band,
+               CAST(sum(q_cnt) OVER (ORDER BY s_band ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_q
+        FROM (SELECT s_band, sum(cnt) AS q_cnt FROM cls_band GROUP BY 1)
+    ),
+    scalars AS (
+        SELECT max(cum_q) AS n_total, count(*)::BIGINT AS n_bands FROM band
+    ),
+    classes AS (
+        SELECT event_type, event_date, sum(cnt)::BIGINT AS k
+        FROM cls_band GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT g.event_type, g.event_date, g.k, g.cum_q,
+               CAST(sum(coalesce(cb.cnt, 0)) OVER (
+                   PARTITION BY g.event_type, g.event_date
+                   ORDER BY g.s_band ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_p
+        FROM (SELECT c.event_type, c.event_date, c.k, b.s_band, b.cum_q
+              FROM classes c CROSS JOIN band b) g
+        LEFT JOIN cls_band cb USING (event_type, event_date, s_band)
+    ),
+    per_class AS (
+        SELECT event_type, event_date, max(k) AS k,
+               max(n_total) AS n_total, max(n_bands) AS n_bands,
+               sum(abs(cum_p * n_total - cum_q * k))::BIGINT AS emd_num
+        FROM cum CROSS JOIN scalars GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT count(*) AS n_classes, sum(k)::BIGINT AS n_rows,
+               round(max(emd_num::DOUBLE
+                         / (k * n_total * (n_bands - 1))), 6) AS max_emd,
+               {", ".join(
+                   f"sum(CASE WHEN emd_num * {den} > {num} * k * n_total *"
+                   f" (n_bands - 1) THEN 1 ELSE 0 END)::BIGINT"
+                   f" AS classes_gt_{num}_{den},"
+                   f" sum(CASE WHEN emd_num * {den} > {num} * k * n_total *"
+                   f" (n_bands - 1) THEN k ELSE 0 END)::BIGINT"
+                   f" AS rows_gt_{num}_{den}"
+                   for num, den in T_CLOSE_THRESHOLDS
+               )}
+        FROM per_class
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({num} AS DOUBLE)/{den} AS t_threshold, n_classes,"
+        f" classes_gt_{num}_{den} AS classes_above,"
+        f" rows_gt_{num}_{den} AS rows_above,"
+        f" round(rows_gt_{num}_{den}::DOUBLE / n_rows, 6) AS row_share_above,"
+        f" max_emd FROM g"
+        for num, den in T_CLOSE_THRESHOLDS
     )}
 """
 
@@ -1176,6 +1345,7 @@ ORACLES = {
         ) AS u(check_name, column_name, n_violations)
     """,
     "profile_l_diversity": _L_DIV_ORACLE,
+    "profile_t_closeness": _T_CLOSE_ORACLE,
     "profile_k_anonymity": _K_ANON_ORACLE,
     "profile_referential_integrity": _RI_ORACLE,
     "profile_partition_skew": _SKEW_ORACLE,

@@ -1374,7 +1374,94 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Hashed linear classifier (fastText / FineWeb-Edu-style quality filter).
+# Production LLM corpora gate documents with a cheap linear model scored at
+# full corpus width (fastText in CCNet/RedPajama, an edu-quality regressor in
+# FineWeb-Edu). The engine models the *inference* path: vocabulary-free
+# hashed bag-of-words (token -> bucket via the dialect-portable md5 slice),
+# per-bucket weight looked up from the model (here a deterministic
+# pseudo-weight derived from the bucket id, so the DuckDB oracle replays the
+# exact model without shipping a weight table), mean-pooled logit, sigmoid
+# score, threshold decision. Everything is one pure-Catalyst projection —
+# per-row transform/aggregate over the token array, NO explode, NO shuffle,
+# NO UDF — so at 100 TB it is an embarrassingly parallel map over the scan
+# with the decision available for predicate reuse downstream. The logit is
+# kept in integer milli-units so the cross-engine sum is exact (float
+# addition order never matters); only the final sigmoid is floating point.
+# In production the literal weight formula is replaced by a broadcast
+# weight array indexed by bucket — same plan shape, same cost.
+# ---------------------------------------------------------------------------
+
+CLS_BUCKETS = 1024
+# bias = pseudo-weight of the literal 'bias' bucket, fixed at import time so
+# both engines embed the same constant
+import hashlib as _hashlib  # noqa: E402
+
+CLS_BIAS_MILLI = int(_hashlib.md5(b"w|bias").hexdigest()[:8], 16) % 2001 - 1000
+
+
+def _cls_token_weight(t):
+    bucket = F.pmod(md5_int32(t), F.lit(CLS_BUCKETS))
+    return (
+        F.pmod(
+            md5_int32(F.concat(F.lit("w|"), bucket.cast("string"))), F.lit(2001)
+        )
+        - 1000
+    )
+
+
+def hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape hashed linear classifier inference over documents.
+
+    Output per doc: token count, integer milli-logit (exact across engines),
+    keep decision (sigmoid >= 0.5 <=> logit >= 0, decided in integer space),
+    and the sigmoid score rounded to 6 decimals.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    logit = (
+        F.aggregate(
+            F.transform(toks, _cls_token_weight),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x.cast("long"),
+        )
+        + CLS_BIAS_MILLI
+    )
+    n_tok = F.size(toks).cast("long")
+    mean_logit = logit / (1000.0 * n_tok)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        logit.alias("logit_milli"),
+        (logit >= 0).alias("keep"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_logit)), 6).alias("score"),
+    )
+
+
+_HASHED_CLASSIFIER_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), w AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('w|' || CAST(
+               ('0x' || substr(md5(t), 1, 8))::UBIGINT % {buckets}
+               AS VARCHAR)), 1, 8))::UBIGINT % 2001 AS BIGINT) - 1000 AS wt
+    FROM tok
+), per AS (
+    SELECT doc_id, count(*) AS n_tokens,
+           (sum(wt) + {bias})::BIGINT AS logit_milli
+    FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, logit_milli,
+       logit_milli >= 0 AS keep,
+       round(1.0 / (1.0 + exp(-(logit_milli / (1000.0 * n_tokens)))), 6) AS score
+FROM per
+"""
+
+
 QUERIES = {
+    "text_hashed_classifier": hashed_classifier,
     "text_phrase_search": phrase_search,
     "text_substring_scrub": substring_scrub,
     "text_dup_ngrams": dup_ngrams,
@@ -1548,6 +1635,9 @@ _PHRASE_VALUES = ", ".join(
 )
 
 ORACLES = {
+    "text_hashed_classifier": _HASHED_CLASSIFIER_ORACLE.format(
+        buckets=CLS_BUCKETS, bias=CLS_BIAS_MILLI
+    ),
     "text_phrase_search": f"""
         WITH p(phrase_id, term_a, term_b) AS (VALUES {_PHRASE_VALUES}),
         toks AS (

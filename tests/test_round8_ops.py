@@ -368,3 +368,79 @@ def test_write_bucketed_append_preserves_existing_rows(spark):
         assert spark.table(tbl).count() == 1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# --- round-8 second batch: classifier / Fellegi-Sunter / t-closeness --------
+
+
+def test_hashed_classifier_decision_consistency(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import text as T
+
+    rows = T.hashed_classifier(spark, sf_dir).collect()
+    assert rows
+    # bias constant is the documented hash-derived literal
+    assert T.CLS_BIAS_MILLI == int(
+        hashlib.md5(b"w|bias").hexdigest()[:8], 16
+    ) % 2001 - 1000
+    for r in rows:
+        # keep decided in integer space must agree with the sigmoid score
+        assert r.keep == (r.logit_milli >= 0)
+        assert r.keep == (r.score >= 0.5)
+        # per-token weights live in [-1000, 1000] milli-units
+        assert abs(r.logit_milli - T.CLS_BIAS_MILLI) <= 1000 * r.n_tokens
+        assert 0.0 <= r.score <= 1.0
+
+
+def test_fellegi_sunter_pattern_grid_invariants(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import dedup as D
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    rows = D.fellegi_sunter_weights(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 16
+    # total pairs == independent blocked pair count Σ_b C(|b|, 2)
+    blocks = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_size")
+        .count()
+        .collect()
+    )
+    expect = sum(r["count"] * (r["count"] - 1) // 2 for r in blocks)
+    assert sum(r.n_pairs for r in rows) == expect
+    # the all-agree pattern must carry the maximum weight, all-disagree the
+    # minimum (every field's log-ratio is positive when m > u)
+    by_gamma = {
+        (r.g_type, r.g_name_head, r.g_name_tail, r.g_price): r.match_weight
+        for r in rows
+    }
+    if (True, True, True, True) in by_gamma:
+        assert by_gamma[(True, True, True, True)] == max(by_gamma.values())
+    if (False, False, False, False) in by_gamma:
+        assert by_gamma[(False, False, False, False)] == min(by_gamma.values())
+    for r in rows:
+        want = (
+            "match"
+            if r.match_weight >= D.FS_UPPER
+            else "non_match" if r.match_weight <= D.FS_LOWER else "possible"
+        )
+        assert r.decision == want
+
+
+def test_t_closeness_monotone_in_t(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import profiling as P
+
+    rows = sorted(
+        P.t_closeness_audit(spark, sf_dir).collect(),
+        key=lambda r: r.t_threshold,
+    )
+    assert len(rows) == len(P.T_CLOSE_THRESHOLDS)
+    prev_c, prev_r = None, None
+    for r in rows:
+        assert 0 <= r.classes_above <= r.n_classes
+        assert 0 <= r.rows_above
+        assert 0.0 <= r.row_share_above <= 1.0
+        assert 0.0 <= r.max_emd <= 1.0
+        if prev_c is not None:
+            # raising t can only shrink the violating set
+            assert r.classes_above <= prev_c
+            assert r.rows_above <= prev_r
+        prev_c, prev_r = r.classes_above, r.rows_above
