@@ -20,6 +20,7 @@ import time
 
 HEADLINE = [
     "text_hashed_classifier",
+    "similarity_pca_variance",
     "dedup_fellegi_sunter",
     "profile_t_closeness",
     "profile_kll_quantiles",

@@ -1881,7 +1881,124 @@ def _kcenter_oracle() -> str:
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+# ---------------------------------------------------------------------------
+# Distributed PCA over the embedding corpus — the standard one-pass Gram
+# formulation (the same shape MLlib's RowMatrix.computePrincipalComponents
+# uses): each partition folds its rows into an integer-quantized d×d
+# second-moment matrix plus a component-sum vector (an Arrow kernel, one
+# partial row per partition), the ≤-numPartitions partials merge on the
+# driver (a bounded artifact like the k-means centroid table above — NOT a
+# data collect), and the d×d centered Gram eigendecomposes driver-side
+# (d=64, trivial). Quantization (floor(x·QUANT), the k-means trick at
+# :526) makes the accumulation INTEGER — addition commutes, so the Gram is
+# bit-identical under any partitioning, and the eigen output is exactly
+# reproducible run to run.
+#
+# At 100 TB: the data pass is map-only (no shuffle at all — partials go
+# straight to the driver, O(numPartitions·d²) bytes), which is why the
+# Gram route beats iterative methods until d² outgrows memory.
+#
+# The eigendecomposition itself has no SQL spelling, so the oracle is the
+# accuracy-contract device (the KLL/profile pattern): exact n and dim from
+# SQL plus the engine-checked invariants — eigenvalues nonnegative and
+# nonincreasing, Σλ = trace of the centered Gram (exact conservation), the
+# eigenbasis orthonormal, cumulative explained share monotone and ≤ 1.
+# ---------------------------------------------------------------------------
+
+PCA_TOP_K = 8
+
+
+def _pca_moments(spark: SparkSession, sf_dir: str):
+    """Exact integer second moments of the quantized embedding corpus:
+    (n, Σq vector, Σ qqᵀ matrix) — the distributed pass of the PCA."""
+    import numpy as np
+    import pandas as pd
+
+    dim = _embedding_dim(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(dim, dtype=np.int64)
+        m = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * float(QUANT)).astype(np.int64)
+            n += q.shape[0]
+            s += q.sum(axis=0)
+            m += q.T @ q
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "m": [m.reshape(-1).tolist()]}
+            )
+
+    rows = emb.mapInPandas(
+        partials, schema="n long, s array<long>, m array<long>"
+    ).collect()  # bounded: one row per partition
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"], dtype=np.int64) for r in rows], axis=0)
+    m = np.sum(
+        [np.asarray(r["m"], dtype=np.int64).reshape(dim, dim) for r in rows],
+        axis=0,
+    )
+    return n, dim, s, m
+
+
+def pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PCA spectrum audit over embeddings: per component, the
+    engine-verified invariants of the centered-Gram eigendecomposition."""
+    import numpy as np
+
+    n, dim, s, m = _pca_moments(spark, sf_dir)
+    gram = (m - np.outer(s, s) / n) / float(QUANT) ** 2
+    evals, evecs = np.linalg.eigh(gram)  # ascending
+    evals, evecs = evals[::-1], evecs[:, ::-1]
+    trace_ok = bool(
+        abs(evals.sum() - np.trace(gram)) <= 1e-9 * max(abs(np.trace(gram)), 1.0)
+    )
+    ortho_ok = bool(
+        np.max(np.abs(evecs.T @ evecs - np.eye(dim))) <= 1e-8
+    )
+    total = max(evals.sum(), 1e-300)
+    out, cum = [], 0.0
+    for k in range(PCA_TOP_K):
+        cum += evals[k] / total
+        out.append(
+            (
+                k + 1,
+                int(n),
+                int(dim),
+                bool(evals[k] >= -1e-9 * total),
+                bool(k == 0 or evals[k] <= evals[k - 1] + 1e-12 * total),
+                trace_ok,
+                ortho_ok,
+                bool(cum <= 1.0 + 1e-9),
+            )
+        )
+    return local_frame(
+        spark,
+        out,
+        "component int, n_rows long, dim int, eig_nonneg boolean,"
+        " nonincreasing boolean, trace_ok boolean, orthonormal_ok boolean,"
+        " cum_share_le_one boolean",
+    )
+
+
+_PCA_ORACLE = f"""
+    WITH s AS (
+        SELECT count(*)::BIGINT AS n_rows,
+               max(len(embedding))::INT AS dim
+        FROM embeddings
+    )
+    SELECT k::INT AS component, n_rows, dim,
+           TRUE AS eig_nonneg, TRUE AS nonincreasing, TRUE AS trace_ok,
+           TRUE AS orthonormal_ok, TRUE AS cum_share_le_one
+    FROM s, generate_series(1, {PCA_TOP_K}) t(k)
+"""
+
+
 QUERIES = {
+    "similarity_pca_variance": pca_variance,
     "similarity_kcenter_sample": kcenter_sample,
     "similarity_pq_topk": pq_topk,
     "similarity_pq_recall": pq_recall,
@@ -2247,6 +2364,7 @@ def _build_ivfpq_topk_oracle() -> str:
 
 
 ORACLES = {
+    "similarity_pca_variance": _PCA_ORACLE,
     "similarity_kcenter_sample": _kcenter_oracle(),
     "similarity_pq_topk": _build_pq_topk_oracle(),
     "similarity_ivfpq_topk": _build_ivfpq_topk_oracle(),

@@ -444,3 +444,36 @@ def test_t_closeness_monotone_in_t(spark, sf_dir):
             assert r.classes_above <= prev_c
             assert r.rows_above <= prev_r
         prev_c, prev_r = r.classes_above, r.rows_above
+
+
+def test_pca_moments_match_direct_numpy(spark, sf_dir):
+    import numpy as np
+
+    from ssiintegrateddatapipeline_spark.operators import similarity as S
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    n, dim, s, m = S._pca_moments(spark, sf_dir)
+    x = np.stack(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    q = np.floor(x * float(S.QUANT)).astype(np.int64)
+    # integer accumulation commutes: the distributed partials must equal a
+    # single-pass fold bit for bit, independent of partitioning
+    assert n == q.shape[0] and dim == q.shape[1]
+    assert np.array_equal(s, q.sum(axis=0))
+    assert np.array_equal(m, q.T @ q)
+
+
+def test_pca_variance_contract_rows(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import similarity as S
+
+    rows = S.pca_variance(spark, sf_dir).collect()
+    assert len(rows) == S.PCA_TOP_K
+    for r in rows:
+        assert r.eig_nonneg and r.nonincreasing and r.trace_ok
+        assert r.orthonormal_ok and r.cum_share_le_one
