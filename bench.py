@@ -98,6 +98,8 @@ HEADLINE = [
     "trade_envelope",
     "trade_sign_verify",
     "wire_avro_roundtrip",
+    "wire_proto_roundtrip",
+    "wire_proto_payload_sizes",
     "wire_jwe_roundtrip",
     "trade_shared_secret",
     "trade_did_components",

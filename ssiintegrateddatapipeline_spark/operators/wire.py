@@ -558,7 +558,120 @@ def jwe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Protobuf wire path — the same envelope over the other standard Kafka wire
+# format (functions/proto_codec.py implements the public wire-format spec;
+# spark-protobuf's from_protobuf/to_protobuf need a package + compiled
+# descriptor set that this build doesn't carry, mirroring the spark-avro
+# situation). Arrow-batched mapInPandas kernels, one codec compile per
+# worker; encoding is canonical (ascending field order), so sizes are a
+# pure function of field values and the size oracle is exact SQL.
+# ---------------------------------------------------------------------------
+
+
+def proto_serialize(df: DataFrame) -> DataFrame:
+    """rows -> (key, value) with value = TradeEventProto wire bytes."""
+    from ssiintegrateddatapipeline_spark.functions import proto_codec
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = [pdf[n].tolist() for n in _FIELDS]
+            yield pd.DataFrame(
+                {"key": pdf["symbol"], "value": proto_codec.encode_batch(cols)}
+            )
+
+    return df.mapInPandas(enc, "key string, value binary")
+
+
+def proto_deserialize(df: DataFrame) -> DataFrame:
+    """(key, value) -> decoded envelope columns (spec-general tag walk)."""
+    from ssiintegrateddatapipeline_spark.functions import proto_codec
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [proto_codec.decode_trade(v) for v in pdf["value"]]
+            yield pd.DataFrame.from_records(recs, columns=_FIELDS)
+
+    schema = (
+        "trade_event_id string, symbol string, price double, volume double,"
+        " trade_condition array<string>, event_ts_us long, start_ts_us long,"
+        " e2e_latency_secs double"
+    )
+    return df.mapInPandas(dec, schema)
+
+
+def proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf twin of `wire_avro_roundtrip`: encode every envelope row to
+    proto wire bytes, decode, restore timestamps — output equals the
+    envelope exactly, so the oracle is the envelope SQL itself."""
+    env = _wire_env(spark, sf_dir)
+    decoded = proto_deserialize(proto_serialize(env))
+    return decoded.select(
+        "trade_event_id",
+        "symbol",
+        "price",
+        "volume",
+        "trade_condition",
+        F.timestamp_micros("event_ts_us").alias("event_timestamp"),
+        F.timestamp_micros("start_ts_us").alias("start_timestamp"),
+        "e2e_latency_secs",
+    )
+
+
+def proto_payload_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol proto payload-size stats — the avro_payload_sizes twin,
+    measured from the REAL encoded bytes while the oracle recomputes every
+    size analytically from the wire spec (tag + varint + payload per
+    field), so encoder and spec cannot drift apart silently."""
+    env = _wire_env(spark, sf_dir)
+    wire = proto_serialize(env)
+    return (
+        wire.groupBy("key")
+        .agg(
+            F.count("*").alias("n_messages"),
+            F.min(F.octet_length("value")).alias("min_bytes"),
+            F.max(F.octet_length("value")).alias("max_bytes"),
+            F.sum(F.octet_length("value")).alias("total_bytes"),
+        )
+        .select(
+            F.col("key").alias("symbol"),
+            "n_messages",
+            "min_bytes",
+            "max_bytes",
+            "total_bytes",
+        )
+    )
+
+
+def _plain_varint_len_sql(col: str) -> str:
+    """Byte length of the PLAIN (non-zigzag) varint of non-negative
+    ``col`` — exact integer CASE thresholds, no float log hazards."""
+    conds = " ".join(
+        f"WHEN {col} < {1 << (7 * k)} THEN {k}" for k in range(1, 10)
+    )
+    return f"(CASE {conds} ELSE 10 END)"
+
+
+# Analytic proto wire-size accounting for TradeEventProto, field by field
+# (canonical ascending-field encoding, explicit presence):
+#   trade_event_id  md5 hex, 32 chars   -> 1 tag + 1 len + 32       = 34
+#   symbol                              -> 1 tag + 1 len + strlen
+#   price / volume / e2e_latency_secs   -> 3 x (1 tag + 8 fixed)    = 27
+#   trade_condition repeated string     -> per element 1 tag + 1 len
+#                                          + strlen; empty -> absent
+#   event_ts_us / start_ts_us           -> 1 tag + plain varint each
+_PROTO_SIZE_SQL = (
+    "34 + (2 + strlen(symbol)) + 27 "
+    "+ CASE WHEN event_type != 'view' THEN 2 + strlen(event_type) "
+    "       ELSE 0 END "
+    f"+ 1 + {_plain_varint_len_sql('event_ts_us')} "
+    f"+ 1 + {_plain_varint_len_sql('start_ts_us')}"
+)
+
+
 QUERIES = {
+    "wire_proto_roundtrip": proto_roundtrip,
+    "wire_proto_payload_sizes": proto_payload_sizes,
     "wire_jwe_roundtrip": jwe_roundtrip,
     "wire_avro_roundtrip": avro_roundtrip,
     "wire_avro_payload_sizes": avro_payload_sizes,
@@ -620,6 +733,21 @@ ORACLES = {
         FROM sampled GROUP BY symbol
     """,
     "wire_avro_roundtrip": _TRADE_ORACLES["trade_envelope"],
+    "wire_proto_roundtrip": _TRADE_ORACLES["trade_envelope"],
+    "wire_proto_payload_sizes": f"""
+        WITH env AS (
+            SELECT {_SYMBOLS_SQL}[(user_id % 5 + 1)::INT] AS symbol,
+                   event_type,
+                   epoch_us(ts) AS event_ts_us,
+                   epoch_us(ts) + (event_id % 5) * 1000000 AS start_ts_us
+            FROM events
+        ),
+        sized AS (SELECT symbol, {_PROTO_SIZE_SQL} AS n_bytes FROM env)
+        SELECT symbol, count(*) AS n_messages,
+               min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes,
+               sum(n_bytes)::BIGINT AS total_bytes
+        FROM sized GROUP BY symbol
+    """,
     "wire_avro_payload_sizes": f"""
         WITH env AS (
             SELECT {_SYMBOLS_SQL}[(user_id % 5 + 1)::INT] AS symbol,

@@ -477,3 +477,45 @@ def test_pca_variance_contract_rows(spark, sf_dir):
     for r in rows:
         assert r.eig_nonneg and r.nonincreasing and r.trace_ok
         assert r.orthonormal_ok and r.cum_share_le_one
+
+
+# --- protobuf wire codec ------------------------------------------------------
+
+
+def test_proto_varint_vectors():
+    from ssiintegrateddatapipeline_spark.functions import proto_codec as P
+
+    # spec examples: 1 -> 01, 150 -> 9601, plus 7-bit boundaries
+    assert P.encode_varint(1) == b"\x01"
+    assert P.encode_varint(150) == b"\x96\x01"
+    for n in (0, 127, 128, 16383, 16384, 2**49 - 1, 2**49, 2**63 - 1):
+        enc = P.encode_varint(n)
+        assert P._decode_varint(enc, 0) == (n, len(enc))
+        assert len(enc) == max(1, -(-n.bit_length() // 7))
+    with pytest.raises(ValueError):
+        P.encode_varint(-1)
+
+
+def test_proto_trade_roundtrip_and_unknown_field_skip():
+    from ssiintegrateddatapipeline_spark.functions import proto_codec as P
+
+    rec = dict(
+        trade_event_id="a" * 32, symbol="BINANCE:BTCUSDT", price=0.0,
+        volume=42.5, trade_condition=["market", "late"],
+        event_ts_us=1_700_000_000_000_000, start_ts_us=1_700_000_000_000_001,
+        e2e_latency_secs=4.0,
+    )
+    buf = P.encode_trade(**rec)
+    assert P.decode_trade(buf) == rec
+    # zero price survives (explicit presence), empty conditions absent
+    rec2 = {**rec, "trade_condition": []}
+    buf2 = P.encode_trade(**rec2)
+    assert len(buf2) < len(buf)
+    assert P.decode_trade(buf2) == rec2
+    # an unknown field (99, varint) anywhere must be skipped by wire type
+    unknown = P._tag(99, 0) + P.encode_varint(7)
+    assert P.decode_trade(unknown + buf) == rec
+    assert P.decode_trade(buf + unknown) == rec
+    # truncated length-delimited payload must raise, not misparse
+    with pytest.raises(ValueError):
+        P.decode_trade(buf[:-3] if buf[-9] else buf[:10])
