@@ -64,6 +64,7 @@ HEADLINE = [
     "sampling_weighted_reservoir",
     "analytics_pareto_skyline",
     "analytics_ab_cuped",
+    "analytics_shapley_attribution",
     "transform_zonemap_pruning",
     "graph_bfs_reach",
     "sampling_neyman_allocation",

@@ -370,7 +370,159 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution (the data-driven attribution model,
+# e.g. Zhao et al., "Shapley Value Methods for Attribution Modeling in
+# Online Advertising", 2018): credit each touchpoint channel for
+# conversions by its exact Shapley value over the coalition game
+# v(S) = #converted users whose touched-channel set ⊆ S.
+#
+# With C=4 channels the subset lattice has 16 coalitions, so after ONE
+# distributed pass (per-user channel bitmask + conversion flag, then a
+# ≤2^C-row mask census) everything is exact integer arithmetic over tiny
+# broadcast grids: v(S) is a subset-sum join (mask & S = mask), and
+# φ_c·C! = Σ_{S∌c} |S|!·(C−1−|S|)!·(v(S∪c)−v(S)) stays an INTEGER —
+# the (c, S, weight) enumeration is generated once in Python and embedded
+# in both the Spark plan (local_frame) and the oracle SQL (VALUES), so the
+# two engines replay the identical game. At 100 TB the only data-sized
+# step is the per-user groupBy; the lattice math is O(4^C) on 16 rows.
+# ---------------------------------------------------------------------------
+
+ATTRIB_CHANNELS = ("click", "error", "signup", "view")
+_C = len(ATTRIB_CHANNELS)
+_FACT = [1, 1, 2, 6, 24]  # n! for n ≤ 4
+
+
+def _shapley_terms() -> list[tuple[str, int, int, int]]:
+    """(channel, S, S∪{c}, weight) rows with weight = |S|!·(C−1−|S|)!."""
+    rows = []
+    for ci, ch in enumerate(ATTRIB_CHANNELS):
+        bit = 1 << ci
+        for s in range(1 << _C):
+            if s & bit:
+                continue
+            size = bin(s).count("1")
+            rows.append((ch, s, s | bit, _FACT[size] * _FACT[_C - 1 - size]))
+    return rows
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley conversion credit per channel: φ·C! as an integer,
+    the float φ, and the efficiency-axiom check Σφ = v(full) − v(∅)."""
+    from ssiintegrateddatapipeline_spark.sources.batch import local_frame
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.max((F.col("event_type") == c).cast("int")).alias(f"t{i}")
+            for i, c in enumerate(ATTRIB_CHANNELS)
+        ],
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    mask = sum(F.col(f"t{i}") * (1 << i) for i in range(_C))
+    census = (
+        per_user.where(F.col("conv") == 1)
+        .select(mask.alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n_conv"))
+    )
+    subsets = local_frame(spark, [(s,) for s in range(1 << _C)], "s int")
+    v = (
+        subsets.join(
+            F.broadcast(census),
+            census["mask"].bitwiseAND(subsets["s"]) == census["mask"],
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
+    )
+    terms = local_frame(
+        spark, _shapley_terms(), "channel string, s int, sc int, w long"
+    )
+    joined = (
+        terms.join(F.broadcast(v.select(F.col("s"), F.col("v").alias("v_s"))), "s")
+        .join(
+            F.broadcast(
+                v.select(F.col("s").alias("sc"), F.col("v").alias("v_sc"))
+            ),
+            "sc",
+        )
+    )
+    phi = joined.groupBy("channel").agg(
+        F.sum(F.col("w") * (F.col("v_sc") - F.col("v_s"))).alias("phi_xcfact")
+    )
+    bounds = v.agg(
+        F.max(F.when(F.col("s") == (1 << _C) - 1, F.col("v"))).alias("v_full"),
+        F.max(F.when(F.col("s") == 0, F.col("v"))).alias("v_empty"),
+    )
+    total = phi.agg(F.sum("phi_xcfact").alias("phi_sum")).crossJoin(
+        F.broadcast(bounds)
+    )
+    return (
+        phi.crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "phi_xcfact",
+            F.round(F.col("phi_xcfact") / _FACT[_C], 6).alias("phi"),
+            "v_full",
+            (
+                F.col("phi_sum")
+                == _FACT[_C] * (F.col("v_full") - F.col("v_empty"))
+            ).alias("efficiency_ok"),
+        )
+    )
+
+
+_SHAPLEY_TERMS_VALUES = ", ".join(
+    f"('{ch}', {s}, {sc}, {w})" for ch, s, sc, w in _shapley_terms()
+)
+
+_SHAPLEY_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {" + ".join(
+                   f"max(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END)"
+                   f" * {1 << i}"
+                   for i, c in enumerate(ATTRIB_CHANNELS)
+               )} AS mask,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ),
+    census AS (
+        SELECT mask, count(*)::BIGINT AS n_conv FROM per_user
+        WHERE conv = 1 GROUP BY mask
+    ),
+    subsets AS (SELECT unnest(generate_series(0, {(1 << _C) - 1})) AS s),
+    v AS (
+        SELECT s, coalesce(sum(n_conv), 0)::BIGINT AS v
+        FROM subsets LEFT JOIN census ON (mask & s) = mask GROUP BY s
+    ),
+    terms(channel, s, sc, w) AS (VALUES {_SHAPLEY_TERMS_VALUES}),
+    phi AS (
+        SELECT channel,
+               sum(w * (v_sc.v - v_s.v))::BIGINT AS phi_xcfact
+        FROM terms
+        JOIN v v_s ON v_s.s = terms.s
+        JOIN v v_sc ON v_sc.s = terms.sc
+        GROUP BY channel
+    ),
+    bounds AS (
+        SELECT max(CASE WHEN s = {(1 << _C) - 1} THEN v END) AS v_full,
+               max(CASE WHEN s = 0 THEN v END) AS v_empty
+        FROM v
+    ),
+    total AS (SELECT sum(phi_xcfact)::BIGINT AS phi_sum FROM phi)
+    SELECT channel, phi_xcfact,
+           round(phi_xcfact / {float(_FACT[_C])}, 6) AS phi,
+           v_full,
+           phi_sum = {_FACT[_C]} * (v_full - v_empty) AS efficiency_ok
+    FROM phi CROSS JOIN bounds CROSS JOIN total
+"""
+
+
 QUERIES = {
+    "analytics_shapley_attribution": shapley_attribution,
     "analytics_ab_cuped": ab_cuped,
     "analytics_ab_srm": ab_srm_check,
     "analytics_ab_did": ab_diff_in_diff,
@@ -394,6 +546,7 @@ _USERS_CTE = f"""
 """
 
 ORACLES = {
+    "analytics_shapley_attribution": _SHAPLEY_ORACLE,
     "analytics_ab_did": f"""
         WITH {_USERS_CTE}, g AS (
             SELECT CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)

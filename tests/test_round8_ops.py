@@ -519,3 +519,18 @@ def test_proto_trade_roundtrip_and_unknown_field_skip():
     # truncated length-delimited payload must raise, not misparse
     with pytest.raises(ValueError):
         P.decode_trade(buf[:-3] if buf[-9] else buf[:10])
+
+
+def test_shapley_attribution_axioms(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import experiment as X
+
+    rows = X.shapley_attribution(spark, sf_dir).collect()
+    assert len(rows) == len(X.ATTRIB_CHANNELS)
+    assert {r.channel for r in rows} == set(X.ATTRIB_CHANNELS)
+    for r in rows:
+        # efficiency axiom holds exactly (integer arithmetic end to end)
+        assert r.efficiency_ok
+        # phi is the integer divided by C! (display rounding only)
+        assert abs(r.phi - r.phi_xcfact / 24.0) < 1e-9
+        # monotone game (v is a subset-sum of nonneg counts) => phi >= 0
+        assert r.phi_xcfact >= 0
