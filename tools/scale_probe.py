@@ -106,22 +106,30 @@ def build_scaled_dir(k: int, base: str = BASE, tag: str = "sf") -> str:
     con.execute(
         "CREATE TEMP TABLE copies AS SELECT unnest(range({k})) AS i".format(k=k)
     )
+    def _fresh(dst: str) -> bool:
+        # a killed run leaves a truncated/0-byte COPY target behind; treat
+        # anything empty as absent and build via tmp+rename so a reused
+        # replica is always a COMPLETE file
+        return os.path.exists(dst) and os.path.getsize(dst) > 0
+
     fact_sql = dict(FACT_SQL)
     if scale_part:
         fact_sql["part"] = PART_FACT_SQL
     for tbl, sql in fact_sql.items():
         dst = f"{out}/{tbl}.parquet"
-        if not os.path.exists(dst):
+        if not _fresh(dst):
             con.execute(
-                f"COPY ({sql.format(base=base)}) TO '{dst}' (FORMAT PARQUET)"
+                f"COPY ({sql.format(base=base)}) TO '{dst}.tmp' (FORMAT PARQUET)"
             )
+            os.replace(f"{dst}.tmp", dst)
     for tbl in DIM_TABLES:
         dst = f"{out}/{tbl}.parquet"
-        if not os.path.exists(dst):
+        if not _fresh(dst):
             con.execute(
                 f"COPY (SELECT * FROM read_parquet('{base}/{tbl}.parquet'))"
-                f" TO '{dst}' (FORMAT PARQUET)"
+                f" TO '{dst}.tmp' (FORMAT PARQUET)"
             )
+            os.replace(f"{dst}.tmp", dst)
     return out
 
 
@@ -169,6 +177,11 @@ SCALE_MD_QUERIES = [
     "range_interval_union",
     "asof_tolerance_touch",
     "profile_partition_skew",
+    "text_hashed_classifier",
+    "profile_t_closeness",
+    "wire_proto_roundtrip",
+    "wire_proto_payload_sizes",
+    "analytics_shapley_attribution",
 ]
 
 # Per-query k caps for the MD grid. dedup_prefix_jaccard_pairs is
