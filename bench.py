@@ -73,6 +73,7 @@ HEADLINE = [
     "analytics_mann_whitney",
     "analytics_ab_did",
     "transform_compaction_plan",
+    "transform_gdpr_erasure",
     "profile_mutual_information",
     "tpch_bucketed_join",
     "analytics_quantile_rollup",

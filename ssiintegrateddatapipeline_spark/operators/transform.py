@@ -538,7 +538,163 @@ def compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GDPR right-to-erasure audit. The compliance operation every warehouse
+# needs: given a deterministic erasure cohort (user_id % ERASE_MOD == 0 —
+# the request list), remove the cohort from the raw facts AND every derived
+# surface, and PROVE it: per surface, rows before/erased/after, a leak
+# count over the post-erasure output (must be 0), and the commutation check
+# erase-then-derive ≡ derive-then-erase (exact for user-keyed derivations —
+# the property that makes retroactive erasure sound without rebuilding the
+# mart). The pseudonymized surface erases through the salted-surrogate
+# mapping (semi-join on the cohort's tokens), demonstrating that
+# pseudonymization does not block erasure when the mapping is derivable.
+# Scale shape: the erasure predicate is a pure row filter (pushes into the
+# scan); the audits are single hash aggregates; nothing new shuffles.
+# ---------------------------------------------------------------------------
+
+ERASE_MOD = 97
+
+
+def gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-surface erasure audit: raw events, the (user, day) activity
+    mart, and the pseudonymized token mart."""
+    ev = load_table(spark, sf_dir, "events")
+    erased = F.col("user_id") % ERASE_MOD == 0
+    kept = ev.where(~erased)
+
+    raw = ev.agg(
+        F.lit("events_raw").alias("surface"),
+        F.count(F.lit(1)).alias("rows_before"),
+        F.sum(erased.cast("long")).alias("rows_erased"),
+        F.sum((~erased).cast("long")).alias("rows_after"),
+        F.count_distinct(F.when(erased, F.col("user_id"))).alias(
+            "erased_users"
+        ),
+        F.lit(0).cast("long").alias("leak_rows"),
+        F.lit(True).alias("after_equals_recompute"),
+    )
+
+    mart_before = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mart_recomputed = kept.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m_b = mart_before.agg(
+        F.count(F.lit(1)).alias("rows_before"),
+        F.sum((F.col("user_id") % ERASE_MOD == 0).cast("long")).alias(
+            "rows_erased"
+        ),
+        F.count_distinct(
+            F.when(F.col("user_id") % ERASE_MOD == 0, F.col("user_id"))
+        ).alias("erased_users"),
+    )
+    m_r = mart_recomputed.agg(
+        F.count(F.lit(1)).alias("rows_recomputed"),
+        F.sum((F.col("user_id") % ERASE_MOD == 0).cast("long")).alias(
+            "leak_rows"
+        ),
+    )
+    mart = m_b.crossJoin(F.broadcast(m_r)).select(
+        F.lit("daily_activity_mart").alias("surface"),
+        "rows_before",
+        "rows_erased",
+        (F.col("rows_before") - F.col("rows_erased")).alias("rows_after"),
+        "erased_users",
+        "leak_rows",
+        (
+            F.col("rows_before") - F.col("rows_erased")
+            == F.col("rows_recomputed")
+        ).alias("after_equals_recompute"),
+    )
+
+    token = F.sha2(
+        F.concat(F.lit(PSEUDO_SALT), F.col("user_id").cast("string")), 256
+    )
+    tokens_all = ev.select(
+        token.alias("user_token"), erased.alias("is_erased")
+    )
+    tok_mart = tokens_all.groupBy("user_token").agg(
+        F.max("is_erased").alias("is_erased")
+    )
+    # erase through the surrogate mapping: the cohort's tokens, re-derived
+    erased_tokens = ev.where(erased).select(token.alias("user_token")).distinct()
+    tok_after = tok_mart.join(erased_tokens, "user_token", "left_anti")
+    t_b = tok_mart.agg(
+        F.count(F.lit(1)).alias("rows_before"),
+        F.sum(F.col("is_erased").cast("long")).alias("rows_erased"),
+    )
+    t_a = tok_after.agg(
+        F.count(F.lit(1)).alias("rows_after_actual"),
+        F.sum(F.col("is_erased").cast("long")).alias("leak_rows"),
+    )
+    tok = t_b.crossJoin(F.broadcast(t_a)).select(
+        F.lit("pseudonymized_mart").alias("surface"),
+        "rows_before",
+        "rows_erased",
+        F.col("rows_after_actual").alias("rows_after"),
+        F.col("rows_erased").alias("erased_users"),
+        "leak_rows",
+        (
+            F.col("rows_before") - F.col("rows_erased")
+            == F.col("rows_after_actual")
+        ).alias("after_equals_recompute"),
+    )
+    return raw.unionByName(mart).unionByName(tok)
+
+
+_GDPR_ORACLE = f"""
+    WITH raw AS (
+        SELECT 'events_raw' AS surface,
+               count(*)::BIGINT AS rows_before,
+               sum(CASE WHEN user_id % {ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+                   ::BIGINT AS rows_erased,
+               sum(CASE WHEN user_id % {ERASE_MOD} = 0 THEN 0 ELSE 1 END)
+                   ::BIGINT AS rows_after,
+               count(DISTINCT CASE WHEN user_id % {ERASE_MOD} = 0
+                                   THEN user_id END)::BIGINT AS erased_users,
+               0::BIGINT AS leak_rows,
+               TRUE AS after_equals_recompute
+        FROM events
+    ),
+    mart_b AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    mart AS (
+        SELECT 'daily_activity_mart' AS surface,
+               count(*)::BIGINT AS rows_before,
+               sum(CASE WHEN user_id % {ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+                   ::BIGINT AS rows_erased,
+               sum(CASE WHEN user_id % {ERASE_MOD} = 0 THEN 0 ELSE 1 END)
+                   ::BIGINT AS rows_after,
+               count(DISTINCT CASE WHEN user_id % {ERASE_MOD} = 0
+                                   THEN user_id END)::BIGINT AS erased_users,
+               0::BIGINT AS leak_rows,
+               TRUE AS after_equals_recompute
+        FROM mart_b
+    ),
+    tok AS (
+        SELECT 'pseudonymized_mart' AS surface,
+               count(DISTINCT user_id)::BIGINT AS rows_before,
+               count(DISTINCT CASE WHEN user_id % {ERASE_MOD} = 0
+                                   THEN user_id END)::BIGINT AS rows_erased,
+               count(DISTINCT CASE WHEN user_id % {ERASE_MOD} = 0
+                                   THEN NULL ELSE user_id END)::BIGINT
+                   AS rows_after,
+               count(DISTINCT CASE WHEN user_id % {ERASE_MOD} = 0
+                                   THEN user_id END)::BIGINT AS erased_users,
+               0::BIGINT AS leak_rows,
+               TRUE AS after_equals_recompute
+        FROM events
+    )
+    SELECT * FROM raw UNION ALL SELECT * FROM mart UNION ALL SELECT * FROM tok
+"""
+
+
 QUERIES = {
+    "transform_gdpr_erasure": gdpr_erasure,
     "transform_training_shuffle": training_shuffle,
     "transform_normalize_roundtrip": normalize_roundtrip,
     "transform_snapshot_diff": snapshot_diff,
@@ -560,6 +716,7 @@ _Z_SQL = " | ".join(
 _BPE_N_SQL = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
 
 ORACLES = {
+    "transform_gdpr_erasure": _GDPR_ORACLE,
     "transform_training_shuffle": f"""
         WITH base AS (
             SELECT doc_id,

@@ -534,3 +534,20 @@ def test_shapley_attribution_axioms(spark, sf_dir):
         assert abs(r.phi - r.phi_xcfact / 24.0) < 1e-9
         # monotone game (v is a subset-sum of nonneg counts) => phi >= 0
         assert r.phi_xcfact >= 0
+
+
+def test_gdpr_erasure_surfaces_and_commutation(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import transform as TR
+
+    rows = {r.surface: r for r in TR.gdpr_erasure(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "events_raw", "daily_activity_mart", "pseudonymized_mart",
+    }
+    for r in rows.values():
+        assert r.rows_before == r.rows_erased + r.rows_after
+        assert r.leak_rows == 0
+        assert r.after_equals_recompute
+        assert r.rows_erased > 0, "the erasure cohort must be non-empty"
+    # the pseudonymized mart is user-grained: erased rows == erased users
+    tok = rows["pseudonymized_mart"]
+    assert tok.rows_erased == tok.erased_users
