@@ -46,6 +46,7 @@ HEADLINE = [
     "source_avro_ocf_roundtrip",
     "tpch_shipmode_priority",
     "analytics_cusum_changepoint",
+    "analytics_seasonal_decompose",
     "analytics_gini_concentration",
     "analytics_survival_churn",
     "tpch_supplier_hhi",

@@ -1935,7 +1935,86 @@ def incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (the moving-average method behind
+# decompose()/STL's first pass): hourly series = trend + seasonal +
+# residual, with trend a centered 24-term moving average, seasonality the
+# per-hour-of-day mean deviation, residual the remainder. All arithmetic
+# is carried in ×24 integer units (trend_x24 = ROWS-window SUM of 24
+# integer counts, dev_x24 = 24·n − trend_x24) so everything before the
+# seasonal mean is exact; the two divisions round at 6.
+#
+# Scale shape: the only data-sized step is the hourly count (one hash
+# aggregate); the decomposition windows run over the hourly table, which
+# is bounded by the time span (≤ hours-in-range rows — the perplexity-
+# split precedent for a bounded global step). Edge hours without a full
+# 24-row window are excluded from trend/seasonal by an explicit
+# window-count guard, identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("hour_ts").rowsBetween(-12, 11)
+    trended = hourly.select(
+        "hour_ts",
+        "n",
+        F.when(F.count(F.lit(1)).over(w) == 24, F.sum("n").over(w)).alias(
+            "trend_x24"
+        ),
+        F.hour("hour_ts").alias("hod"),
+    ).withColumn("dev_x24", 24 * F.col("n") - F.col("trend_x24"))
+    seasonal = trended.groupBy("hod").agg(
+        F.avg("dev_x24").alias("seasonal_raw")
+    )
+    return (
+        trended.join(F.broadcast(seasonal), "hod")
+        .select(
+            "hour_ts",
+            "n",
+            "trend_x24",
+            "hod",
+            "dev_x24",
+            F.round(F.col("seasonal_raw"), 6).alias("seasonal_x24"),
+            F.round(F.col("dev_x24") - F.col("seasonal_raw"), 6).alias(
+                "residual_x24"
+            ),
+        )
+    )
+
+
+_SEASONAL_ORACLE = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_ts, count(*)::BIGINT AS n
+        FROM events GROUP BY 1
+    ),
+    trended AS (
+        SELECT hour_ts, n,
+               CASE WHEN count(*) OVER w = 24
+                    THEN (sum(n) OVER w)::BIGINT END AS trend_x24,
+               CAST(hour(hour_ts) AS INT) AS hod
+        FROM hourly
+        WINDOW w AS (ORDER BY hour_ts ROWS BETWEEN 12 PRECEDING
+                     AND 11 FOLLOWING)
+    ),
+    devs AS (
+        SELECT *, 24 * n - trend_x24 AS dev_x24 FROM trended
+    ),
+    seasonal AS (
+        SELECT hod, avg(dev_x24) AS seasonal_raw FROM devs GROUP BY hod
+    )
+    SELECT hour_ts, n, trend_x24, d.hod, dev_x24,
+           round(seasonal_raw, 6) AS seasonal_x24,
+           round(dev_x24 - seasonal_raw, 6) AS residual_x24
+    FROM devs d JOIN seasonal s ON d.hod = s.hod
+"""
+
+
 QUERIES = {
+    "analytics_seasonal_decompose": seasonal_decompose,
     "analytics_quantile_rollup": quantile_rollup,
     "analytics_set_algebra": set_algebra_rollup,
     "analytics_incremental_join_mv": incremental_join_mv,
@@ -2061,6 +2140,7 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_seasonal_decompose": _SEASONAL_ORACLE,
     "analytics_incremental_join_mv": """
         SELECT c_nationkey,
                count(*) AS n_orders,

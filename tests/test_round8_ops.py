@@ -551,3 +551,20 @@ def test_gdpr_erasure_surfaces_and_commutation(spark, sf_dir):
     # the pseudonymized mart is user-grained: erased rows == erased users
     tok = rows["pseudonymized_mart"]
     assert tok.rows_erased == tok.erased_users
+
+
+def test_seasonal_decompose_reconstruction(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import analytics as A
+
+    rows = A.seasonal_decompose(spark, sf_dir).collect()
+    assert rows
+    interior = [r for r in rows if r.trend_x24 is not None]
+    assert interior, "complete 24-row windows must exist"
+    for r in interior:
+        # identity: 24n = trend + seasonal + residual (to display rounding)
+        assert abs(24 * r.n - r.trend_x24 - r.seasonal_x24 - r.residual_x24) < 2e-6
+        assert r.dev_x24 == 24 * r.n - r.trend_x24
+    # edge rows carry no trend/deviation
+    for r in rows:
+        if r.trend_x24 is None:
+            assert r.dev_x24 is None and r.residual_x24 is None
