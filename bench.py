@@ -37,6 +37,7 @@ HEADLINE = [
     "analytics_cohort_ltv",
     "range_interval_union",
     "multimodal_phash_pairs",
+    "multimodal_scene_cuts",
     "dedup_soft_weights",
     "text_gopher_rules",
     "similarity_ivfpq_ndcg",

@@ -29,7 +29,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -440,7 +440,110 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Video scene-cut detection — the shot-boundary pass a video curation
+# pipeline runs before frame sampling (sample around cuts, not blindly
+# every Nth frame). The classic detector thresholds the inter-frame mean-
+# luma delta; here each fake "frame" is a 100-byte payload window (the
+# frame_sample_plan convention) and its luma proxy is the exact integer
+# byte sum, so cut decisions are pure integer comparisons
+# (|sum_k − sum_{k−1}| ≥ 100·Δ). The per-frame sum is a per-row
+# transform/aggregate over the hex string — only frames explode (n/100
+# rows per video), positions never do; the lag window is per-video over
+# its bounded frame list. With a real decoder the byte sum becomes the
+# decoded luma mean — identical plan shape.
+# ---------------------------------------------------------------------------
+
+SCENE_FRAME_BYTES = 100
+SCENE_CUT_DELTA = 8  # mean byte-value delta threshold per frame
+
+
+def scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal_table(spark, sf_dir)
+    vids = mm.where(F.col("meta.media_type") == "video/mp4").select(
+        "doc_id",
+        F.hex(F.col("payload")).alias("hx"),
+        (F.col("meta.byte_len") / SCENE_FRAME_BYTES).cast("int").alias(
+            "n_frames"
+        ),
+    ).where(F.col("n_frames") > 0)
+    frames = vids.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("f"),
+        "hx",
+    )
+    byte_at = lambda i: F.conv(  # noqa: E731
+        F.col("hx").substr(
+            ((F.col("f") * SCENE_FRAME_BYTES) + i) * 2 + 1, F.lit(2)
+        ),
+        16,
+        10,
+    ).cast("long")
+    frame_sum = F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(SCENE_FRAME_BYTES - 1)), byte_at),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    summed = frames.select(
+        "doc_id", "n_frames", "f", frame_sum.alias("luma_sum")
+    )
+    w = Window.partitionBy("doc_id").orderBy("f")
+    deltas = summed.select(
+        "doc_id",
+        "n_frames",
+        "f",
+        F.abs(F.col("luma_sum") - F.lag("luma_sum").over(w)).alias("d"),
+    )
+    cut = F.col("d") >= SCENE_FRAME_BYTES * SCENE_CUT_DELTA
+    return deltas.groupBy("doc_id").agg(
+        F.max("n_frames").alias("n_frames"),
+        F.sum(F.coalesce(cut.cast("long"), F.lit(0))).alias("n_cuts"),
+        F.min(F.when(cut, F.col("f"))).alias("first_cut_frame"),
+        F.max("d").alias("max_abs_delta"),
+    )
+
+
+_SCENE_ORACLE = f"""
+    WITH vids AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               (octet_length(encode(text)) // {SCENE_FRAME_BYTES})::INT
+                   AS n_frames
+        FROM documents
+        WHERE doc_id % 3 = 2
+          AND octet_length(encode(text)) >= {SCENE_FRAME_BYTES}
+    ),
+    frames AS (
+        SELECT doc_id, n_frames,
+               unnest(generate_series(0, n_frames - 1)) AS f, hx
+        FROM vids
+    ),
+    summed AS (
+        SELECT doc_id, n_frames, f,
+               list_sum(list_transform(generate_series(0, {SCENE_FRAME_BYTES - 1}),
+                   i -> ('0x' || substr(hx,
+                       (f * {SCENE_FRAME_BYTES} + i) * 2 + 1, 2))::BIGINT
+               ))::BIGINT AS luma_sum
+        FROM frames
+    ),
+    deltas AS (
+        SELECT doc_id, n_frames, f,
+               abs(luma_sum - lag(luma_sum) OVER
+                   (PARTITION BY doc_id ORDER BY f)) AS d
+        FROM summed
+    )
+    SELECT doc_id, max(n_frames)::INT AS n_frames,
+           sum(CASE WHEN d >= {SCENE_FRAME_BYTES * SCENE_CUT_DELTA}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+           min(CASE WHEN d >= {SCENE_FRAME_BYTES * SCENE_CUT_DELTA}
+                    THEN f END)::INT AS first_cut_frame,
+           max(d)::BIGINT AS max_abs_delta
+    FROM deltas GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "multimodal_scene_cuts": scene_cuts,
     "multimodal_phash_pairs": multimodal_phash_pairs,
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
@@ -462,6 +565,7 @@ _DECODED = """
 """
 
 ORACLES = {
+    "multimodal_scene_cuts": _SCENE_ORACLE,
     "multimodal_phash_pairs": f"""
         WITH img AS (
             SELECT doc_id, hex(encode(text)) AS hx,

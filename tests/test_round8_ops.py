@@ -568,3 +568,19 @@ def test_seasonal_decompose_reconstruction(spark, sf_dir):
     for r in rows:
         if r.trend_x24 is None:
             assert r.dev_x24 is None and r.residual_x24 is None
+
+
+def test_scene_cuts_invariants(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import multimodal as M
+
+    rows = M.scene_cuts(spark, sf_dir).collect()
+    assert rows
+    multi = [r for r in rows if r.n_frames >= 2]
+    assert multi, "multi-frame videos must exist"
+    for r in rows:
+        assert r.n_cuts <= max(r.n_frames - 1, 0)
+        if r.n_cuts > 0:
+            assert 1 <= r.first_cut_frame <= r.n_frames - 1
+            assert r.max_abs_delta >= M.SCENE_FRAME_BYTES * M.SCENE_CUT_DELTA
+        if r.n_frames == 1:
+            assert r.n_cuts == 0 and r.first_cut_frame is None
