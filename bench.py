@@ -124,6 +124,7 @@ HEADLINE = [
     "asof_nearest_event",
     "scd2_customer_tiers",
     "sampling_train_split",
+    "sampling_group_kfold",
     "text_tfidf_top_terms",
     "analytics_rolling_hourly_avg",
     "analytics_cdc_compaction",

@@ -585,7 +585,96 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Leakage-safe group k-fold over documents. Random per-document folds put
+# exact duplicates of one document into DIFFERENT folds, so eval folds
+# leak training content — the classic contamination bug k-fold CV papers
+# warn about. The fix: fold by the duplicate-GROUP key (content hash), so
+# a group lands wholly inside one fold by construction. The query is the
+# AUDIT that proves it: per-fold sizes plus the straddle count measured
+# from the assignment itself (groups spanning >1 fold — 0 for this
+# assignment, nonzero for the naive per-doc one it replaces) and a
+# balance check against the ideal 1/K share. One groupBy on the content
+# hash, one tiny fold rollup — both map-side-combined uniform-key
+# shuffles; nothing here changes at 100 TB.
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+KFOLD_BALANCE_TOL = 0.05  # each fold within ±5 points of the 1/K share
+
+
+def group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grp = F.md5(F.col("text"))
+    fold = F.pmod(
+        F.conv(F.substring(_hash_hex(grp, "kfold"), 1, 8), 16, 10).cast("long"),
+        F.lit(KFOLD_K),
+    ).cast("int")
+    assigned = d.select(grp.alias("grp"), fold.alias("fold"))
+    groups = assigned.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fold").alias("n_folds_touched"),
+        F.min("fold").alias("fold"),
+    )
+    straddle = groups.agg(
+        F.sum((F.col("n_folds_touched") > 1).cast("long")).alias(
+            "straddling_groups"
+        ),
+        F.sum("n_docs").alias("n_total"),
+    )
+    per_fold = groups.groupBy("fold").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    share = F.col("n_docs") / F.col("n_total")
+    return per_fold.crossJoin(F.broadcast(straddle)).select(
+        "fold",
+        "n_docs",
+        "n_groups",
+        F.round(share, 6).alias("share"),
+        "straddling_groups",
+        (
+            F.abs(share - 1.0 / KFOLD_K) <= KFOLD_BALANCE_TOL
+        ).alias("balance_ok"),
+    )
+
+
+_GROUP_KFOLD_ORACLE = f"""
+    WITH assigned AS (
+        SELECT md5(text) AS grp,
+               CAST(('0x' || substr(
+                   md5(md5(text) || '|kfold'), 1, 8))::UBIGINT
+                   % {KFOLD_K} AS INT) AS fold
+        FROM documents
+    ),
+    groups AS (
+        SELECT grp, count(*)::BIGINT AS n_docs,
+               count(DISTINCT fold)::BIGINT AS n_folds_touched,
+               min(fold) AS fold
+        FROM assigned GROUP BY grp
+    ),
+    straddle AS (
+        SELECT sum(CASE WHEN n_folds_touched > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS straddling_groups,
+               sum(n_docs)::BIGINT AS n_total
+        FROM groups
+    ),
+    per_fold AS (
+        SELECT fold, sum(n_docs)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_groups
+        FROM groups GROUP BY fold
+    )
+    SELECT fold, n_docs, n_groups,
+           round(n_docs / CAST(n_total AS DOUBLE), 6) AS share,
+           straddling_groups,
+           abs(n_docs / CAST(n_total AS DOUBLE) - {1.0 / KFOLD_K})
+               <= {KFOLD_BALANCE_TOL} AS balance_ok
+    FROM per_fold CROSS JOIN straddle
+"""
+
+
 QUERIES = {
+    "sampling_group_kfold": group_kfold,
     "sampling_bootstrap_ci": bootstrap_ci,
     "sampling_reservoir": reservoir_per_source,
     "sampling_weighted_reservoir": weighted_reservoir,
@@ -604,6 +693,7 @@ _RATE_CASE = " ".join(
 )
 
 ORACLES = {
+    "sampling_group_kfold": _GROUP_KFOLD_ORACLE,
     "sampling_bootstrap_ci": f"""
         WITH rows_ AS (
             SELECT event_type, event_id,

@@ -584,3 +584,18 @@ def test_scene_cuts_invariants(spark, sf_dir):
             assert r.max_abs_delta >= M.SCENE_FRAME_BYTES * M.SCENE_CUT_DELTA
         if r.n_frames == 1:
             assert r.n_cuts == 0 and r.first_cut_frame is None
+
+
+def test_group_kfold_no_leakage_and_partition(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import sampling as SA
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+
+    rows = SA.group_kfold(spark, sf_dir).collect()
+    assert 0 < len(rows) <= SA.KFOLD_K
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    # folds partition the corpus exactly, and no duplicate group straddles
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        assert r.straddling_groups == 0
+        assert 0 <= r.fold < SA.KFOLD_K
+        assert abs(r.share - sum(x.n_docs for x in rows if x is r) / n_docs_total) < 1e-9
