@@ -326,3 +326,102 @@ def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["source_avro_ocf_roundtrip"] = avro_ocf_roundtrip
 ORACLES["source_avro_ocf_roundtrip"] = ORACLES["source_csv_roundtrip"]
+
+
+# ---------------------------------------------------------------------------
+# Schema-catalog audit — the engine's DESCRIBE/information_schema surface
+# (the metadata face of the reference's schema layer: D2 validate +
+# registry subjects, schemas/registry.py). Per table: exact row and
+# column counts, a sorted column-name fingerprint, and the column-type
+# class histogram, all derived from the LIVE loader schemas (what
+# ``load_table`` actually hands every operator — so a loader drift from
+# the storage schema fails the oracle, which replays the same facts from
+# DuckDB's information_schema + count(*)). Metadata-only: ten footer
+# reads plus count aggregates (parquet answers count(*) from row-group
+# stats, no column IO).
+# ---------------------------------------------------------------------------
+
+
+def schema_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ssiintegrateddatapipeline_spark.sources.batch import (
+        TABLES,
+        load_table,
+        local_frame,
+    )
+
+    def type_class(dt) -> str:
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.TimestampType):
+            return "timestamp"
+        if isinstance(dt, T.ArrayType):
+            return "array"
+        if isinstance(
+            dt,
+            (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+             T.DecimalType, T.ShortType, T.ByteType),
+        ):
+            return "numeric"
+        return "other"
+
+    rows = []
+    for tbl in TABLES:
+        df = load_table(spark, sf_dir, tbl)
+        classes = [type_class(f.dataType) for f in df.schema.fields]
+        rows.append(
+            (
+                tbl,
+                df.count(),
+                len(df.schema.fields),
+                ",".join(sorted(f.name for f in df.schema.fields)),
+                classes.count("numeric"),
+                classes.count("string"),
+                classes.count("timestamp"),
+                classes.count("array"),
+            )
+        )
+    return local_frame(
+        spark,
+        rows,
+        "table_name string, n_rows long, n_columns int, column_fingerprint"
+        " string, n_numeric int, n_string int, n_timestamp int, n_array int",
+    )
+
+
+def _schema_catalog_oracle() -> str:
+    from ssiintegrateddatapipeline_spark.sources.batch import TABLES
+
+    per_table = " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, (SELECT count(*) FROM {t})::BIGINT"
+        f" AS n_rows" for t in TABLES
+    )
+    return f"""
+        WITH counts AS ({per_table}),
+        cols AS (
+            SELECT table_name, count(*)::INT AS n_columns,
+                   string_agg(column_name, ',' ORDER BY column_name)
+                       AS column_fingerprint,
+                   sum(CASE WHEN data_type IN ('BIGINT', 'INTEGER', 'DOUBLE',
+                       'FLOAT', 'SMALLINT', 'TINYINT')
+                       OR data_type LIKE 'DECIMAL%' THEN 1 ELSE 0 END)::INT
+                       AS n_numeric,
+                   sum(CASE WHEN data_type = 'VARCHAR' THEN 1 ELSE 0 END)::INT
+                       AS n_string,
+                   sum(CASE WHEN data_type LIKE 'TIMESTAMP%' THEN 1 ELSE 0
+                       END)::INT AS n_timestamp,
+                   sum(CASE WHEN data_type LIKE '%[]' THEN 1 ELSE 0 END)::INT
+                       AS n_array
+            FROM information_schema.columns
+            WHERE table_name IN ({", ".join(f"'{t}'" for t in TABLES)})
+            GROUP BY table_name
+        )
+        SELECT c.table_name, n_rows, n_columns, column_fingerprint,
+               n_numeric, n_string, n_timestamp, n_array
+        FROM counts c JOIN cols USING (table_name)
+    """
+
+
+QUERIES["source_schema_catalog"] = schema_catalog
+ORACLES["source_schema_catalog"] = _schema_catalog_oracle()
