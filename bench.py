@@ -72,6 +72,7 @@ HEADLINE = [
     "graph_bfs_reach",
     "sampling_neyman_allocation",
     "analytics_ab_srm",
+    "analytics_sprt_monitor",
     "analytics_ab_power",
     "analytics_mann_whitney",
     "analytics_ab_did",

@@ -521,7 +521,108 @@ _SHAPLEY_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Wald's Sequential Probability Ratio Test (SPRT, 1945) — the always-valid
+# sequential monitor an experimentation platform runs daily instead of one
+# fixed-horizon readout: per arm, the cumulative log-likelihood ratio of
+# H1: p = SPRT_P1 vs H0: p = SPRT_P0 over the Bernoulli conversion stream,
+# stopped at the Wald boundaries ln((1−β)/α) / ln(β/(1−α)).
+#
+# Determinism: daily (n, successes) are exact integers cumulated by a
+# bounded per-arm day window; the LLR is s·L1 + (n−s)·L0 with L1/L0
+# import-time Python floats embedded verbatim (repr) in BOTH engines, so
+# one multiply + one add per side is IEEE-identical and the boundary
+# decisions are exact double comparisons.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+SPRT_P0, SPRT_P1 = 0.19, 0.21  # H0/H1 conversion rates
+SPRT_ALPHA = SPRT_BETA = 0.05
+_SPRT_L1 = _math.log(SPRT_P1 / SPRT_P0)
+_SPRT_L0 = _math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+_SPRT_UPPER = _math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+_SPRT_LOWER = _math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+
+
+def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (arm, day): cumulative trials/conversions, the LLR, and the
+    Wald decision (accept_h1 / accept_h0 / continue)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            arm_col().alias("arm"),
+            F.to_date("ts").alias("day"),
+            (F.col("event_type") == "purchase").cast("long").alias("conv"),
+        )
+        .groupBy("arm", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("s"))
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "arm",
+        "day",
+        F.sum("n").over(w).alias("n_t"),
+        F.sum("s").over(w).alias("s_t"),
+    )
+    llr = F.col("s_t") * _SPRT_L1 + (F.col("n_t") - F.col("s_t")) * _SPRT_L0
+    return cum.select(
+        "arm",
+        "day",
+        "n_t",
+        "s_t",
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= _SPRT_UPPER, F.lit("accept_h1"))
+        .when(llr <= _SPRT_LOWER, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+_SPRT_ORACLE = f"""
+    WITH daily AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '|{{salt}}'),
+                   1, 1) < '8' THEN 'treatment' ELSE 'control' END AS arm,
+               CAST(ts AS DATE) AS day,
+               count(*)::BIGINT AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   ::BIGINT AS s
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT arm, day,
+               CAST(sum(n) OVER w AS BIGINT) AS n_t,
+               CAST(sum(s) OVER w AS BIGINT) AS s_t
+        FROM daily
+        WINDOW w AS (PARTITION BY arm ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    -- numeric literals must be DOUBLE-cast: DuckDB parses them as
+    -- DECIMAL, which would change both the arithmetic and the dtype
+    scored AS (
+        SELECT arm, day, n_t, s_t,
+               s_t * CAST({_SPRT_L1!r} AS DOUBLE)
+                   + (n_t - s_t) * CAST({_SPRT_L0!r} AS DOUBLE) AS llr_raw
+        FROM cum
+    )
+    SELECT arm, day, n_t, s_t, round(llr_raw, 6) AS llr,
+           CASE WHEN llr_raw >= CAST({_SPRT_UPPER!r} AS DOUBLE)
+                    THEN 'accept_h1'
+                WHEN llr_raw <= CAST({_SPRT_LOWER!r} AS DOUBLE)
+                    THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM scored
+"""
+
+
 QUERIES = {
+    "analytics_sprt_monitor": sprt_monitor,
     "analytics_shapley_attribution": shapley_attribution,
     "analytics_ab_cuped": ab_cuped,
     "analytics_ab_srm": ab_srm_check,
@@ -546,6 +647,7 @@ _USERS_CTE = f"""
 """
 
 ORACLES = {
+    "analytics_sprt_monitor": _SPRT_ORACLE.replace("{salt}", ARM_SALT),
     "analytics_shapley_attribution": _SHAPLEY_ORACLE,
     "analytics_ab_did": f"""
         WITH {_USERS_CTE}, g AS (

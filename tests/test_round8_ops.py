@@ -630,3 +630,30 @@ def test_kn_bigram_probabilities_sum_to_one_per_context(spark, sf_dir):
         assert r.n_bigrams >= 1
         assert r.kn_bits_per_bigram == r.kn_bits_per_bigram  # not NaN
         assert r.kn_bits_per_bigram > 0
+
+
+def test_sprt_monitor_monotone_structure(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import experiment as X
+
+    rows = X.sprt_monitor(spark, sf_dir).collect()
+    assert rows
+    by_arm = {}
+    for r in rows:
+        by_arm.setdefault(r.arm, []).append(r)
+    assert set(by_arm) == {"treatment", "control"}
+    for arm, series in by_arm.items():
+        series.sort(key=lambda r: r.day)
+        prev_n = prev_s = 0
+        for r in series:
+            # cumulative counters never decrease
+            assert r.n_t >= prev_n and r.s_t >= prev_s
+            prev_n, prev_s = r.n_t, r.s_t
+            want = (
+                "accept_h1" if r.llr >= round(X._SPRT_UPPER, 6)
+                else "accept_h0" if r.llr <= round(X._SPRT_LOWER, 6)
+                else "continue"
+            )
+            # decision consistent with the (rounded) published LLR up to
+            # the display-rounding boundary epsilon
+            if abs(r.llr - X._SPRT_UPPER) > 1e-5 and abs(r.llr - X._SPRT_LOWER) > 1e-5:
+                assert r.decision == want
