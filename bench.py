@@ -143,6 +143,7 @@ HEADLINE = [
     "dedup_fuzzy_name_pairs",
     "analytics_market_basket",
     "transform_sequence_pack",
+    "transform_span_corruption",
     "text_chunk_windows",
     "text_char_entropy",
     "text_bigram_lm_score",

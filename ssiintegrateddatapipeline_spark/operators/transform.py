@@ -693,7 +693,98 @@ _GDPR_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# T5-style span corruption audit (Raffel et al., JMLR 2020 §3.1.4): the
+# denoising-objective preprocessing that masks ~15% of tokens and
+# collapses each contiguous masked run into one sentinel, producing the
+# (corrupted input, target) length pair the trainer packs. Masking is
+# hash-gated per (doc, position) — deterministic, partition-independent,
+# no RNG — and the whole computation is ONE pure-Catalyst projection over
+# the token array (transform/filter/aggregate on the index sequence; no
+# explode, no shuffle, no UDF): a span starts where a masked position
+# follows an unmasked one, so n_spans = Σ_i mask_i·(1−mask_{i−1}).
+# ---------------------------------------------------------------------------
+
+SPAN_MASK_PCT = 15  # corruption rate, percent of token positions
+
+
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ssiintegrateddatapipeline_spark.functions.text_funcs import (
+        md5_int32,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def masked(i):
+        return (
+            F.pmod(
+                md5_int32(
+                    F.concat_ws(
+                        "|", F.col("doc_id").cast("string"), i.cast("string"),
+                        F.lit("mask"),
+                    )
+                ),
+                F.lit(100),
+            )
+            < SPAN_MASK_PCT
+        )
+
+    n_masked = F.size(F.filter(idx, lambda i: masked(i)))
+    starts = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            masked(i) & ((i == 0) | ~masked(i - 1)), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        n_masked.cast("long").alias("n_masked"),
+        starts.alias("n_spans"),
+        F.round(n_masked / n, 6).alias("mask_rate"),
+        # corrupted input keeps unmasked tokens + one sentinel per span;
+        # the target emits each span's sentinel + its masked tokens
+        (n.cast("long") - n_masked + starts).alias("input_len"),
+        (n_masked + starts).alias("target_len"),
+    )
+
+
+_SPAN_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id, len(toks) AS n,
+               list_transform(generate_series(0, len(toks) - 1),
+                   i -> ('0x' || substr(md5(doc_id || '|' || i || '|mask'),
+                        1, 8))::UBIGINT % 100 < {SPAN_MASK_PCT}) AS mask
+        FROM t
+    ),
+    stats AS (
+        SELECT doc_id, n,
+               len(list_filter(mask, x -> x))::BIGINT AS n_masked,
+               list_sum(list_transform(generate_series(1, n),
+                   j -> CASE WHEN mask[j]
+                             AND (j = 1 OR NOT mask[j - 1])
+                        THEN 1 ELSE 0 END))::BIGINT AS n_spans
+        FROM m
+    )
+    SELECT doc_id, n::BIGINT AS n_tokens, n_masked, n_spans,
+           round(n_masked / CAST(n AS DOUBLE), 6) AS mask_rate,
+           (n - n_masked + n_spans)::BIGINT AS input_len,
+           (n_masked + n_spans)::BIGINT AS target_len
+    FROM stats
+"""
+
+
 QUERIES = {
+    "transform_span_corruption": span_corruption,
     "transform_gdpr_erasure": gdpr_erasure,
     "transform_training_shuffle": training_shuffle,
     "transform_normalize_roundtrip": normalize_roundtrip,
@@ -716,6 +807,7 @@ _Z_SQL = " | ".join(
 _BPE_N_SQL = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
 
 ORACLES = {
+    "transform_span_corruption": _SPAN_ORACLE,
     "transform_gdpr_erasure": _GDPR_ORACLE,
     "transform_training_shuffle": f"""
         WITH base AS (

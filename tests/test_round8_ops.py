@@ -657,3 +657,20 @@ def test_sprt_monitor_monotone_structure(spark, sf_dir):
             # the display-rounding boundary epsilon
             if abs(r.llr - X._SPRT_UPPER) > 1e-5 and abs(r.llr - X._SPRT_LOWER) > 1e-5:
                 assert r.decision == want
+
+
+def test_span_corruption_identities(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import transform as TR
+
+    rows = TR.span_corruption(spark, sf_dir).collect()
+    assert rows
+    total_masked = sum(r.n_masked for r in rows)
+    total_tokens = sum(r.n_tokens for r in rows)
+    # corpus-level mask rate concentrates near the configured 15%
+    assert abs(total_masked / total_tokens - TR.SPAN_MASK_PCT / 100) < 0.02
+    for r in rows:
+        assert 0 <= r.n_spans <= r.n_masked <= r.n_tokens
+        # a span needs at least one masked token; runs only shorten counts
+        assert r.input_len == r.n_tokens - r.n_masked + r.n_spans
+        assert r.target_len == r.n_masked + r.n_spans
+        assert r.input_len + r.target_len == r.n_tokens + 2 * r.n_spans
