@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_minhash_accuracy",
     "dedup_soft_weight_ess",
     "graph_neardup_degree_hist",
+    "graph_partition_modularity",
     "text_language_confusion",
     "trade_bollinger_bands",
     "sampling_bootstrap_ci",

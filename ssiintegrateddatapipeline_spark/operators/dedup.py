@@ -1535,7 +1535,73 @@ FROM weighted
 """
 
 
+# ---------------------------------------------------------------------------
+# Graph modularity (Newman & Girvan, PRE 2004) of the SimHash-prefix
+# partition evaluated on the MinHash-LSH near-dup graph — the cross-method
+# agreement metric: if SimHash bucketing captured the same similarity
+# structure MinHash finds, near-dup edges stay intra-bucket and Q is
+# high; Q ≈ 0 means the buckets are no better than random at containing
+# the dup graph. Q = Σ_c [L_c/m − (d_c/2m)²] is carried as the exact
+# integer Q·4m² = Σ_c (4·m·L_c − d_c²) — the modularity decision never
+# touches floating point; only the reported Q divides (round 6).
+#
+# Scale shape: the two endpoint joins are uniform-key hash joins against
+# the signature table; degree and intra-edge tables are per-community
+# aggregates (≤ 2^8 prefix communities); the final fold is one tiny
+# aggregate. Nothing quadratic anywhere — the edge list is the LSH
+# candidate set, never all-pairs.
+# ---------------------------------------------------------------------------
+
+
+def partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+    )
+    comm = simhash_signatures(spark, sf_dir).select(
+        "doc_id", F.col("simhash_prefix").alias("comm")
+    )
+    e = (
+        pairs.join(comm.withColumnRenamed("doc_id", "a"), "a")
+        .withColumnRenamed("comm", "comm_a")
+        .join(comm.withColumnRenamed("doc_id", "b"), "b")
+        .withColumnRenamed("comm", "comm_b")
+    )
+    deg = (
+        e.select(F.col("comm_a").alias("comm"))
+        .unionAll(e.select(F.col("comm_b").alias("comm")))
+        .groupBy("comm")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    intra = (
+        e.where(F.col("comm_a") == F.col("comm_b"))
+        .groupBy(F.col("comm_a").alias("comm"))
+        .agg(F.count(F.lit(1)).alias("l_c"))
+    )
+    m_row = e.agg(F.count(F.lit(1)).alias("m"))
+    per_comm = deg.join(intra, "comm", "left").withColumn(
+        "l_c", F.coalesce("l_c", F.lit(0))
+    )
+    folded = per_comm.crossJoin(F.broadcast(m_row)).agg(
+        F.max("m").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("l_c").alias("intra_edges"),
+        F.sum(
+            4 * F.col("m") * F.col("l_c") - F.col("d_c") * F.col("d_c")
+        ).alias("q_x4m2"),
+    )
+    return folded.select(
+        "n_edges",
+        "n_communities",
+        "intra_edges",
+        "q_x4m2",
+        F.round(
+            F.col("q_x4m2") / (4.0 * F.col("n_edges") * F.col("n_edges")), 6
+        ).alias("modularity"),
+    )
+
+
 QUERIES = {
+    "graph_partition_modularity": partition_modularity,
     "dedup_fellegi_sunter": fellegi_sunter_weights,
     "dedup_sorted_neighborhood": sorted_neighborhood_pairs,
     "dedup_cross_source_matrix": cross_source_matrix,
@@ -2279,4 +2345,46 @@ ORACLES["graph_hits_purchase"] = """
                    ORDER BY score DESC, node_id) AS rank
         FROM tagged
     ) WHERE rank <= 20
+"""
+
+
+# composed AFTER the dict exists: the modularity oracle reuses the pair
+# and signature oracles verbatim as subqueries, so the three can never
+# drift apart
+ORACLES["graph_partition_modularity"] = f"""
+    WITH e AS (
+        SELECT sa.comm AS comm_a, sb.comm AS comm_b
+        FROM ({ORACLES["dedup_minhash_lsh_pairs"]}) p
+        JOIN (SELECT doc_id, simhash_prefix AS comm
+              FROM ({ORACLES["dedup_simhash_signatures"]})) sa
+          ON sa.doc_id = p.doc_id_a
+        JOIN (SELECT doc_id, simhash_prefix AS comm
+              FROM ({ORACLES["dedup_simhash_signatures"]})) sb
+          ON sb.doc_id = p.doc_id_b
+    ),
+    deg AS (
+        SELECT comm, count(*)::BIGINT AS d_c FROM (
+            SELECT comm_a AS comm FROM e
+            UNION ALL SELECT comm_b FROM e
+        ) GROUP BY comm
+    ),
+    intra AS (
+        SELECT comm_a AS comm, count(*)::BIGINT AS l_c
+        FROM e WHERE comm_a = comm_b GROUP BY comm_a
+    ),
+    m_row AS (SELECT count(*)::BIGINT AS m FROM e),
+    per_comm AS (
+        SELECT deg.comm, deg.d_c, coalesce(intra.l_c, 0) AS l_c
+        FROM deg LEFT JOIN intra USING (comm)
+    ),
+    folded AS (
+        SELECT max(m)::BIGINT AS n_edges,
+               count(*)::BIGINT AS n_communities,
+               sum(l_c)::BIGINT AS intra_edges,
+               sum(4 * m * l_c - d_c * d_c)::BIGINT AS q_x4m2
+        FROM per_comm CROSS JOIN m_row
+    )
+    SELECT n_edges, n_communities, intra_edges, q_x4m2,
+           round(q_x4m2 / (4.0 * n_edges * n_edges), 6) AS modularity
+    FROM folded
 """

@@ -674,3 +674,16 @@ def test_span_corruption_identities(spark, sf_dir):
         assert r.input_len == r.n_tokens - r.n_masked + r.n_spans
         assert r.target_len == r.n_masked + r.n_spans
         assert r.input_len + r.target_len == r.n_tokens + 2 * r.n_spans
+
+
+def test_partition_modularity_bounds(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import dedup as D
+
+    r = D.partition_modularity(spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_edges >= 1 and r.n_communities >= 1
+    assert 0 <= r.intra_edges <= r.n_edges
+    # Newman bounds: Q in [-1/2, 1); exact integer form agrees with float
+    assert -0.5 <= r.modularity < 1.0
+    assert abs(r.modularity - r.q_x4m2 / (4.0 * r.n_edges * r.n_edges)) < 1e-6
