@@ -586,6 +586,12 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "analytics_ks_drift",
     # month-grain lag: rows == months in the corpus timespan
     "analytics_revenue_growth",
+    # centered 24-row MA over the hourly table: rows == hours in the
+    # corpus timespan (operators/analytics.py seasonal_decompose)
+    "analytics_seasonal_decompose",
+    # global band cumulative over the value-band lattice: rows == number
+    # of fixed-width bands (operators/profiling.py t_closeness_audit)
+    "profile_t_closeness",
 }
 
 _LIMIT_NODES = {"TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit"}
