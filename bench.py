@@ -208,6 +208,7 @@ HEADLINE = [
     "streaming_curation_gate",
     "streaming_online_dedup",
     "streaming_ab_monitor",
+    "streaming_sprt_monitor",
     "streaming_event_transitions",
     "streaming_burn_rate",
     "streaming_l_diversity",

@@ -545,21 +545,13 @@ _SPRT_UPPER = _math.log((1 - SPRT_BETA) / SPRT_ALPHA)
 _SPRT_LOWER = _math.log(SPRT_BETA / (1 - SPRT_ALPHA))
 
 
-def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per (arm, day): cumulative trials/conversions, the LLR, and the
-    Wald decision (accept_h1 / accept_h0 / continue)."""
+def sprt_readout(daily: DataFrame) -> DataFrame:
+    """The cumulative-LLR + Wald-decision readout over a (arm, day, n, s)
+    daily-counter table — shared by the batch monitor and the streaming
+    twin (which maintains the same counters as stream state). The per-arm
+    cumulative window is bounded by days-in-range."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            arm_col().alias("arm"),
-            F.to_date("ts").alias("day"),
-            (F.col("event_type") == "purchase").cast("long").alias("conv"),
-        )
-        .groupBy("arm", "day")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("s"))
-    )
     w = (
         Window.partitionBy("arm")
         .orderBy("day")
@@ -583,6 +575,27 @@ def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+def sprt_daily_plan(ev: DataFrame) -> DataFrame:
+    """(arm, day) -> (n trials, s conversions): the counter table the SPRT
+    consumes — groupBy-aggregable, so it runs identically as a batch
+    aggregate or as complete-mode stream state (2·days rows, bounded)."""
+    return (
+        ev.select(
+            arm_col().alias("arm"),
+            F.to_date("ts").alias("day"),
+            (F.col("event_type") == "purchase").cast("long").alias("conv"),
+        )
+        .groupBy("arm", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("s"))
+    )
+
+
+def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (arm, day): cumulative trials/conversions, the LLR, and the
+    Wald decision (accept_h1 / accept_h0 / continue)."""
+    return sprt_readout(sprt_daily_plan(load_table(spark, sf_dir, "events")))
 
 
 _SPRT_ORACLE = f"""

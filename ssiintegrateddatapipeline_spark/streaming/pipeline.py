@@ -1134,6 +1134,26 @@ def streaming_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPRT sequential monitor run as a LIVE stream — the natural home
+    of sequential testing: the stream maintains the (arm, day) trial/
+    conversion counters as complete-mode state (2·days rows, bounded by
+    the time span), and the cumulative-LLR + Wald-decision readout
+    (shared verbatim with the batch ``analytics_sprt_monitor`` via
+    ``experiment.sprt_readout``) computes over the drained snapshot.
+    Counters are groupBy-aggregable, so drained-stream state equals the
+    batch aggregate exactly and the twin shares the batch oracle."""
+    from ssiintegrateddatapipeline_spark.operators.experiment import (
+        sprt_daily_plan,
+        sprt_readout,
+    )
+
+    daily = run_available_now(
+        sprt_daily_plan(events_stream(spark, sf_dir)), state_partitions=2
+    )
+    return sprt_readout(daily)
+
+
 def streaming_payload_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssiintegrateddatapipeline_spark.operators.analytics import PAYLOAD_BUCKETS
 
@@ -1914,6 +1934,7 @@ QUERIES = {
     "streaming_burn_rate": streaming_burn_rate,
     "streaming_cms_grid": streaming_cms_grid,
     "streaming_ab_monitor": streaming_ab_monitor,
+    "streaming_sprt_monitor": streaming_sprt_monitor,
 }
 
 
@@ -2408,3 +2429,11 @@ ORACLES["streaming_cms_grid"] = f"""
 """
 
 ORACLES["streaming_ab_monitor"] = _ab_monitor_oracle()
+
+# drained complete-mode counters == the batch daily aggregate, readout
+# shared verbatim -> the streaming twin replays the batch SPRT oracle
+from ssiintegrateddatapipeline_spark.operators.experiment import (  # noqa: E402
+    ORACLES as _EXP_ORACLES,
+)
+
+ORACLES["streaming_sprt_monitor"] = _EXP_ORACLES["analytics_sprt_monitor"]
