@@ -100,6 +100,9 @@ _STATE_BOUNDS = {
     "streaming_sign_verify": lambda s, n: 8,  # 5 symbols
     "streaming_provider_matrix": lambda s, n: 16,  # 6 configs
     "streaming_ab_monitor": lambda s, n: 8,  # 2 arms
+    # (arm, day) counters: 2 arms x days-in-span (n == result rows,
+    # one per state row plus slack)
+    "streaming_sprt_monitor": lambda s, n: 2 * n + 16,
     # documented O(|users|) metrics-counter footprint (keyed on a DOMAIN
     # entity, not on arrivals; the same footprint Prometheus counters have)
     "streaming_top_users": lambda s, n: s["n_users"] + 8,
