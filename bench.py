@@ -49,6 +49,7 @@ HEADLINE = [
     "tpch_shipmode_priority",
     "analytics_cusum_changepoint",
     "analytics_seasonal_decompose",
+    "analytics_holt_forecast",
     "analytics_gini_concentration",
     "analytics_survival_churn",
     "tpch_supplier_hhi",

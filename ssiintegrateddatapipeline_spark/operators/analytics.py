@@ -2013,7 +2013,119 @@ _SEASONAL_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Holt's linear-trend exponential smoothing (Holt 1957) — the recursive
+# forecasting companion to the moving-average decomposition above:
+# level_t = α·y_t + (1−α)(level_{t−1}+trend_{t−1}),
+# trend_t = β(level_t − level_{t−1}) + (1−β)trend_{t−1},
+# one-step-ahead fit f_t = level_{t−1}+trend_{t−1}.
+#
+# The recursion runs over the DAILY series (bounded by the time span), so
+# the distributed part is one hash aggregate; the fold itself is a single
+# higher-order-function expression over the collected 1-row series array
+# (the bounded-global-scalar shape the plan tests allow) — posexploded
+# back to rows. Parity: both engines execute the IDENTICAL operation
+# order per step (Spark computes level once and reuses it; the oracle's
+# recursive CTE repeats the identical expression, which is bit-equal),
+# and α/β literals are embedded verbatim (DOUBLE-cast in the oracle),
+# so fitted values agree to the display rounding.
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA, HOLT_BETA = 0.5, 0.3
+
+
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    first = F.element_at(F.col("s"), 1)
+    second = F.element_at(F.col("s"), 2)
+    init = F.array(
+        F.struct(
+            first["day"].alias("day"),
+            first["y"].alias("y"),
+            first["y"].cast("double").alias("level"),
+            (second["y"] - first["y"]).cast("double").alias("trend"),
+            F.lit(None).cast("double").alias("fc"),
+        )
+    )
+
+    def step(acc, x):
+        prev = F.element_at(acc, -1)
+        lvl = F.lit(a) * x["y"] + F.lit(1 - a) * (prev["level"] + prev["trend"])
+        tr = F.lit(b) * (lvl - prev["level"]) + F.lit(1 - b) * prev["trend"]
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["y"].alias("y"),
+                    lvl.alias("level"),
+                    tr.alias("trend"),
+                    (prev["level"] + prev["trend"]).alias("fc"),
+                )
+            ),
+        )
+
+    folded = series.select(
+        F.aggregate(
+            F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0))),
+            init,
+            step,
+        ).alias("h")
+    )
+    row = folded.select(F.explode("h").alias("r"))
+    return row.select(
+        F.col("r.day").alias("day"),
+        F.col("r.y").alias("y"),
+        F.round("r.level", 6).alias("level"),
+        F.round("r.trend", 6).alias("trend"),
+        F.round("r.fc", 6).alias("one_step_fc"),
+        F.round(F.abs(F.col("r.y") - F.col("r.fc")), 6).alias("abs_err"),
+    )
+
+
+_HOLT_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
+        FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
+    ),
+    h AS (
+        SELECT i, day, y,
+               CAST(y AS DOUBLE) AS level,
+               CAST((SELECT y FROM d WHERE i = 2) - y AS DOUBLE) AS trend,
+               CAST(NULL AS DOUBLE) AS fc
+        FROM d WHERE i = 1
+        UNION ALL
+        SELECT d.i, d.day, d.y,
+               CAST({HOLT_ALPHA!r} AS DOUBLE) * d.y
+                   + CAST({1 - HOLT_ALPHA!r} AS DOUBLE)
+                     * (h.level + h.trend),
+               CAST({HOLT_BETA!r} AS DOUBLE)
+                   * ((CAST({HOLT_ALPHA!r} AS DOUBLE) * d.y
+                       + CAST({1 - HOLT_ALPHA!r} AS DOUBLE)
+                         * (h.level + h.trend)) - h.level)
+                   + CAST({1 - HOLT_BETA!r} AS DOUBLE) * h.trend,
+               h.level + h.trend
+        FROM d JOIN h ON d.i = h.i + 1
+    )
+    SELECT day, y, round(level, 6) AS level, round(trend, 6) AS trend,
+           round(fc, 6) AS one_step_fc,
+           round(abs(y - fc), 6) AS abs_err
+    FROM h
+"""
+
+
 QUERIES = {
+    "analytics_holt_forecast": holt_forecast,
     "analytics_seasonal_decompose": seasonal_decompose,
     "analytics_quantile_rollup": quantile_rollup,
     "analytics_set_algebra": set_algebra_rollup,
@@ -2140,6 +2252,7 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_holt_forecast": _HOLT_ORACLE,
     "analytics_seasonal_decompose": _SEASONAL_ORACLE,
     "analytics_incremental_join_mv": """
         SELECT c_nationkey,

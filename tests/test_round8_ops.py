@@ -687,3 +687,24 @@ def test_partition_modularity_bounds(spark, sf_dir):
     # Newman bounds: Q in [-1/2, 1); exact integer form agrees with float
     assert -0.5 <= r.modularity < 1.0
     assert abs(r.modularity - r.q_x4m2 / (4.0 * r.n_edges * r.n_edges)) < 1e-6
+
+
+def test_holt_forecast_recursion_matches_python(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import analytics as A
+
+    rows = sorted(A.holt_forecast(spark, sf_dir).collect(), key=lambda r: r.day)
+    assert len(rows) >= 3
+    # replay the recursion in plain Python with the same literals
+    a, b = A.HOLT_ALPHA, A.HOLT_BETA
+    level = float(rows[0].y)
+    trend = float(rows[1].y - rows[0].y)
+    assert rows[0].one_step_fc is None
+    for r in rows[1:]:
+        fc = level + trend
+        new_level = a * r.y + (1 - a) * (level + trend)
+        trend = b * (new_level - level) + (1 - b) * trend
+        level = new_level
+        assert abs(r.one_step_fc - fc) < 1e-6
+        assert abs(r.level - level) < 1e-6
+        assert abs(r.trend - trend) < 1e-6
+        assert abs(r.abs_err - abs(r.y - fc)) < 1e-6
