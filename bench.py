@@ -81,6 +81,7 @@ HEADLINE = [
     "transform_compaction_plan",
     "transform_gdpr_erasure",
     "profile_mutual_information",
+    "profile_functional_deps",
     "tpch_bucketed_join",
     "analytics_quantile_rollup",
     "analytics_set_algebra",

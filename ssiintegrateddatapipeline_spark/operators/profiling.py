@@ -779,6 +779,85 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery audit (the Metanome/TANE profiling
+# family): for each candidate FD lhs → rhs, does every lhs value map to
+# exactly one rhs value, and if not, how badly is it violated (g3-style:
+# violating lhs groups and the row mass that would need to change)? The
+# per-FD check is one two-level hash aggregate over (lhs, rhs) — uniform
+# keys, map-side combined; candidates are a fixed literal list, so the
+# audit is a union of bounded per-FD summaries.
+# ---------------------------------------------------------------------------
+
+FD_CANDIDATES = (
+    # (table, lhs, rhs) — mix of FDs that hold and FDs that are violated
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("events", "user_id", "event_type"),
+    ("lineitem", "l_orderkey", "l_suppkey"),
+)
+
+
+def functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, lhs, rhs in FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        pairs = t.groupBy(
+            F.col(lhs).alias("lhs"), F.col(rhs).alias("rhs")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        per_lhs = pairs.groupBy("lhs").agg(
+            F.count(F.lit(1)).alias("n_rhs"),
+            F.sum("n").alias("rows"),
+            F.max("n").alias("max_rhs_rows"),
+        )
+        summary = per_lhs.agg(
+            F.lit(tbl).alias("table_name"),
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs_values"),
+            F.sum((F.col("n_rhs") > 1).cast("long")).alias("violating_lhs"),
+            # g3 repair mass: rows that must change for the FD to hold
+            F.sum(F.col("rows") - F.col("max_rhs_rows")).alias("repair_rows"),
+            F.sum("rows").alias("n_rows"),
+        )
+        summary = summary.select(
+            "table_name",
+            "fd",
+            "n_lhs_values",
+            "violating_lhs",
+            (F.col("violating_lhs") == 0).alias("holds"),
+            "repair_rows",
+            F.round(F.col("repair_rows") / F.col("n_rows"), 6).alias(
+                "violation_rate"
+            ),
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, lhs, rhs in FD_CANDIDATES:
+        parts.append(f"""
+        SELECT '{tbl}' AS table_name, '{lhs}->{rhs}' AS fd,
+               count(*)::BIGINT AS n_lhs_values,
+               sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS violating_lhs,
+               sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+               sum(rows - max_rhs_rows)::BIGINT AS repair_rows,
+               round(sum(rows - max_rhs_rows)
+                     / CAST(sum(rows) AS DOUBLE), 6) AS violation_rate
+        FROM (
+            SELECT lhs, count(*) AS n_rhs, sum(n) AS rows,
+                   max(n) AS max_rhs_rows
+            FROM (
+                SELECT {lhs} AS lhs, {rhs} AS rhs, count(*) AS n
+                FROM {tbl} GROUP BY 1, 2
+            ) GROUP BY lhs
+        )""")
+    return " UNION ALL ".join(parts)
+
+
 def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit over the star schema's FK edges — the
     data-contract check a warehouse runs after every load: for each
@@ -1054,6 +1133,7 @@ QUERIES = {
     "profile_kll_quantiles": kll_quantiles,
     "profile_expectation_suite": expectation_suite,
     "profile_k_anonymity": k_anonymity_audit,
+    "profile_functional_deps": functional_dependencies,
     "profile_t_closeness": t_closeness_audit,
     "profile_l_diversity": l_diversity_audit,
     "profile_referential_integrity": referential_integrity,
@@ -1346,6 +1426,7 @@ ORACLES = {
     """,
     "profile_l_diversity": _L_DIV_ORACLE,
     "profile_t_closeness": _T_CLOSE_ORACLE,
+    "profile_functional_deps": _fd_oracle(),
     "profile_k_anonymity": _K_ANON_ORACLE,
     "profile_referential_integrity": _RI_ORACLE,
     "profile_partition_skew": _SKEW_ORACLE,

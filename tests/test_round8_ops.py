@@ -708,3 +708,19 @@ def test_holt_forecast_recursion_matches_python(spark, sf_dir):
         assert abs(r.level - level) < 1e-6
         assert abs(r.trend - trend) < 1e-6
         assert abs(r.abs_err - abs(r.y - fc)) < 1e-6
+
+
+def test_functional_deps_known_truths(spark, sf_dir):
+    from ssiintegrateddatapipeline_spark.operators import profiling as P
+
+    rows = {r.fd: r for r in P.functional_dependencies(spark, sf_dir).collect()}
+    assert len(rows) == len(P.FD_CANDIDATES)
+    # key -> attribute FDs hold by construction of the star schema
+    assert rows["n_nationkey->n_regionkey"].holds
+    assert rows["c_custkey->c_nationkey"].holds
+    # user_id -> event_type cannot hold (users emit many event types)
+    assert not rows["user_id->event_type"].holds
+    for r in rows.values():
+        assert r.holds == (r.violating_lhs == 0) == (r.repair_rows == 0)
+        assert 0.0 <= r.violation_rate < 1.0
+        assert r.violating_lhs <= r.n_lhs_values
