@@ -50,6 +50,7 @@ HEADLINE = [
     "analytics_cusum_changepoint",
     "analytics_seasonal_decompose",
     "analytics_holt_forecast",
+    "analytics_theil_sen_trend",
     "analytics_gini_concentration",
     "analytics_survival_churn",
     "tpch_supplier_hhi",

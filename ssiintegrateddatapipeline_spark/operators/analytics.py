@@ -2124,7 +2124,83 @@ _HOLT_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (Theil 1950 / Sen 1968): slope = median of all
+# pairwise slopes of the daily series, intercept = median of residual
+# offsets — the robust alternative to OLS (breakdown point ~29% vs 0%),
+# the estimator monitoring pipelines use when a few bad days would drag a
+# least-squares trend. The pair space is over the DAILY aggregate (days²
+# pairs, bounded by the time span — the fuzzy-pairs discipline: quadratic
+# only in a domain-bounded table, never in rows). Medians interpolate
+# identically in both engines (percentile ≡ quantile_cont) over the
+# identical slope doubles, so the estimate matches to display rounding.
+# ---------------------------------------------------------------------------
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    base = daily.crossJoin(
+        F.broadcast(daily.agg(F.min("day").alias("day0")))
+    ).select(F.datediff("day", "day0").cast("long").alias("d"), "y")
+    a, b = base.alias("a"), base.alias("b")
+    slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("slope")
+    )
+    med_slope = slopes.agg(
+        F.percentile("slope", F.lit(0.5)).alias("slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    resid = base.crossJoin(F.broadcast(med_slope)).select(
+        "slope",
+        "n_pairs",
+        (F.col("y") - F.col("slope") * F.col("d")).alias("off"),
+    )
+    return resid.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.round(F.max("slope"), 6).alias("slope"),
+        F.round(F.percentile("off", F.lit(0.5)), 6).alias("intercept"),
+    )
+
+
+_THEIL_SEN_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
+        FROM events GROUP BY 1
+    ),
+    base AS (
+        SELECT date_diff('day', (SELECT min(day) FROM daily), day)::BIGINT
+                   AS d, y
+        FROM daily
+    ),
+    slopes AS (
+        SELECT (b.y - a.y) / CAST(b.d - a.d AS DOUBLE) AS slope
+        FROM base a JOIN base b ON a.d < b.d
+    ),
+    med AS (
+        SELECT quantile_cont(slope, 0.5) AS slope,
+               count(*)::BIGINT AS n_pairs
+        FROM slopes
+    ),
+    resid AS (
+        SELECT med.slope, med.n_pairs, y - med.slope * d AS off
+        FROM base CROSS JOIN med
+    )
+    SELECT count(*)::BIGINT AS n_days, max(n_pairs) AS n_pairs,
+           round(max(slope), 6) AS slope,
+           round(quantile_cont(off, 0.5), 6) AS intercept
+    FROM resid
+"""
+
+
 QUERIES = {
+    "analytics_theil_sen_trend": theil_sen_trend,
     "analytics_holt_forecast": holt_forecast,
     "analytics_seasonal_decompose": seasonal_decompose,
     "analytics_quantile_rollup": quantile_rollup,
@@ -2252,6 +2328,7 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_theil_sen_trend": _THEIL_SEN_ORACLE,
     "analytics_holt_forecast": _HOLT_ORACLE,
     "analytics_seasonal_decompose": _SEASONAL_ORACLE,
     "analytics_incremental_join_mv": """

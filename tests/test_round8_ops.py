@@ -724,3 +724,33 @@ def test_functional_deps_known_truths(spark, sf_dir):
         assert r.holds == (r.violating_lhs == 0) == (r.repair_rows == 0)
         assert 0.0 <= r.violation_rate < 1.0
         assert r.violating_lhs <= r.n_lhs_values
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(spark, sf_dir):
+    import numpy as np
+
+    from ssiintegrateddatapipeline_spark.operators import analytics as A
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+    from pyspark.sql import functions as FF
+
+    r = A.theil_sen_trend(spark, sf_dir).collect()[0]
+    daily = sorted(
+        load_table(spark, sf_dir, "events")
+        .groupBy(FF.to_date("ts").alias("day"))
+        .agg(FF.count(FF.lit(1)).alias("y"))
+        .collect(),
+        key=lambda x: x.day,
+    )
+    d0 = daily[0].day
+    pts = [((x.day - d0).days, x.y) for x in daily]
+    slopes = [
+        (y2 - y1) / (d2 - d1)
+        for i, (d1, y1) in enumerate(pts)
+        for (d2, y2) in pts[i + 1 :]
+    ]
+    slope = float(np.median(slopes))
+    offs = [y - slope * d for d, y in pts]
+    assert r.n_days == len(pts)
+    assert r.n_pairs == len(slopes)
+    assert abs(r.slope - slope) < 1e-6
+    assert abs(r.intercept - float(np.median(offs))) < 1e-6
