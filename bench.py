@@ -212,6 +212,7 @@ HEADLINE = [
     "streaming_online_dedup",
     "streaming_ab_monitor",
     "streaming_sprt_monitor",
+    "streaming_holt_forecast",
     "streaming_event_transitions",
     "streaming_burn_rate",
     "streaming_l_diversity",

@@ -2034,11 +2034,10 @@ _SEASONAL_ORACLE = """
 HOLT_ALPHA, HOLT_BETA = 0.5, 0.3
 
 
-def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("y")
-    )
+def holt_readout(daily: DataFrame) -> DataFrame:
+    """The Holt recursion over a (day, y) daily-counter table — shared by
+    the batch query and the streaming twin (which maintains the counters
+    as complete-mode stream state)."""
     series = daily.agg(
         F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
     )
@@ -2088,6 +2087,14 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r.fc", 6).alias("one_step_fc"),
         F.round(F.abs(F.col("r.y") - F.col("r.fc")), 6).alias("abs_err"),
     )
+
+
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    return holt_readout(daily)
 
 
 _HOLT_ORACLE = f"""

@@ -1154,6 +1154,26 @@ def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sprt_readout(daily)
 
 
+def streaming_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing fed by LIVE daily counters: the
+    stream maintains (day, y) event tallies as complete-mode state (rows
+    = days in span, bounded), and the recursion readout is shared
+    verbatim with the batch ``analytics_holt_forecast``
+    (``analytics.holt_readout``) — drained counters equal the batch daily
+    aggregate exactly, so the twin replays the batch oracle."""
+    from ssiintegrateddatapipeline_spark.operators.analytics import (
+        holt_readout,
+    )
+
+    daily = run_available_now(
+        events_stream(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y")),
+        state_partitions=2,
+    )
+    return holt_readout(daily)
+
+
 def streaming_payload_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssiintegrateddatapipeline_spark.operators.analytics import PAYLOAD_BUCKETS
 
@@ -1935,6 +1955,7 @@ QUERIES = {
     "streaming_cms_grid": streaming_cms_grid,
     "streaming_ab_monitor": streaming_ab_monitor,
     "streaming_sprt_monitor": streaming_sprt_monitor,
+    "streaming_holt_forecast": streaming_holt_forecast,
 }
 
 
@@ -2437,3 +2458,9 @@ from ssiintegrateddatapipeline_spark.operators.experiment import (  # noqa: E402
 )
 
 ORACLES["streaming_sprt_monitor"] = _EXP_ORACLES["analytics_sprt_monitor"]
+
+from ssiintegrateddatapipeline_spark.operators.analytics import (  # noqa: E402
+    ORACLES as _AN_ORACLES,
+)
+
+ORACLES["streaming_holt_forecast"] = _AN_ORACLES["analytics_holt_forecast"]

@@ -103,6 +103,8 @@ _STATE_BOUNDS = {
     # (arm, day) counters: 2 arms x days-in-span (n == result rows,
     # one per state row plus slack)
     "streaming_sprt_monitor": lambda s, n: 2 * n + 16,
+    # (day, y) tallies: days-in-span rows (n == result rows)
+    "streaming_holt_forecast": lambda s, n: n + 16,
     # documented O(|users|) metrics-counter footprint (keyed on a DOMAIN
     # entity, not on arrivals; the same footprint Prometheus counters have)
     "streaming_top_users": lambda s, n: s["n_users"] + 8,
