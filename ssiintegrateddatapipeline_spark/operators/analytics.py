@@ -2206,7 +2206,103 @@ _THEIL_SEN_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test (Mann 1945 / Kendall 1975) — the significance
+# companion to the Theil–Sen estimator above: S = Σ_{i<j} sign(y_j − y_i)
+# over the daily series, variance with the tie correction
+# 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the continuity-
+# corrected z = (S − sign(S)) / √Var(S) against the two-sided 5% line.
+# S and 18·Var(S) are exact integers (pair space over the bounded daily
+# table); only z touches floating point, with √ applied to the identical
+# rational in both engines.
+# ---------------------------------------------------------------------------
+
+MK_Z_CRIT = 1.959963984540054  # two-sided 5% normal critical value
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_row = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(F.signum(F.col("b.y") - F.col("a.y")).cast("long")).alias(
+                "s_stat"
+            )
+        )
+    )
+    n_row = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    j = s_row.crossJoin(F.broadcast(n_row)).crossJoin(F.broadcast(ties))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    )
+    z = (F.col("s_stat") - F.signum(F.col("s_stat"))) / F.sqrt(
+        var18 / F.lit(18.0)
+    )
+    return j.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        var18.alias("var_s_x18"),
+        F.round(z, 6).alias("z"),
+        F.when(z > MK_Z_CRIT, F.lit("increasing"))
+        .when(z < -MK_Z_CRIT, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+_MANN_KENDALL_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
+        FROM events GROUP BY 1
+    ),
+    s_row AS (
+        SELECT sum(CASE WHEN b.y > a.y THEN 1
+                        WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT AS s_stat
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    n_row AS (SELECT count(*)::BIGINT AS n FROM daily),
+    ties AS (
+        SELECT sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+        FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY y)
+    ),
+    j AS (
+        SELECT s_stat, n,
+               (n * (n - 1) * (2 * n + 5) - coalesce(tie_term, 0))::BIGINT
+                   AS var_s_x18
+        FROM s_row CROSS JOIN n_row CROSS JOIN ties
+    ),
+    scored AS (
+        SELECT n, s_stat, var_s_x18,
+               (s_stat - sign(s_stat)) / sqrt(var_s_x18 / CAST(18.0 AS
+                   DOUBLE)) AS z_raw
+        FROM j
+    )
+    SELECT n AS n_days, s_stat, var_s_x18, round(z_raw, 6) AS z,
+           CASE WHEN z_raw > CAST({MK_Z_CRIT!r} AS DOUBLE)
+                    THEN 'increasing'
+                WHEN z_raw < -CAST({MK_Z_CRIT!r} AS DOUBLE)
+                    THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM scored
+"""
+
+
 QUERIES = {
+    "analytics_mann_kendall": mann_kendall_trend,
     "analytics_theil_sen_trend": theil_sen_trend,
     "analytics_holt_forecast": holt_forecast,
     "analytics_seasonal_decompose": seasonal_decompose,
@@ -2335,6 +2431,7 @@ FROM totals t LEFT JOIN hit h ON h.lbl = t.lbl
 """
 
 ORACLES = {
+    "analytics_mann_kendall": _MANN_KENDALL_ORACLE,
     "analytics_theil_sen_trend": _THEIL_SEN_ORACLE,
     "analytics_holt_forecast": _HOLT_ORACLE,
     "analytics_seasonal_decompose": _SEASONAL_ORACLE,

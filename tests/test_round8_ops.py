@@ -754,3 +754,36 @@ def test_theil_sen_matches_numpy_median_of_slopes(spark, sf_dir):
     assert r.n_pairs == len(slopes)
     assert abs(r.slope - slope) < 1e-6
     assert abs(r.intercept - float(np.median(offs))) < 1e-6
+
+
+def test_mann_kendall_matches_direct_computation(spark, sf_dir):
+    import math
+
+    from ssiintegrateddatapipeline_spark.operators import analytics as A
+    from ssiintegrateddatapipeline_spark.sources.batch import load_table
+    from pyspark.sql import functions as FF
+
+    r = A.mann_kendall_trend(spark, sf_dir).collect()[0]
+    ys = [
+        x.y
+        for x in sorted(
+            load_table(spark, sf_dir, "events")
+            .groupBy(FF.to_date("ts").alias("day"))
+            .agg(FF.count(FF.lit(1)).alias("y"))
+            .collect(),
+            key=lambda x: x.day,
+        )
+    ]
+    n = len(ys)
+    s = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(ys).values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    assert (r.n_days, r.s_stat, r.var_s_x18) == (n, s, var18)
+    z = (s - (s > 0) + (s < 0)) / math.sqrt(var18 / 18.0)
+    assert abs(r.z - z) < 1e-6
