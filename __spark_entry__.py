@@ -26,6 +26,7 @@ from ssiintegrateddatapipeline_spark.operators import (
     sampling,
     scd,
     similarity,
+    store,
     text,
     trade_pipeline,
     transform,
@@ -53,6 +54,7 @@ _MODULES = [
     sampling,
     profiling,
     scd,
+    store,
     transform,
     wire,
     metrics,

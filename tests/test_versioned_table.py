@@ -1,0 +1,193 @@
+"""Versioned table format (sources/versioned.py): ACID-property tests —
+mid-commit crash recovery, optimistic-concurrency rebase, snapshot
+isolation, file pruning, time travel, vacuum physical deletion."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
+from ssiintegrateddatapipeline_spark.sources.versioned import (
+    CommitConflict,
+    VersionedTable,
+    VersionPrunedError,
+)
+
+SCHEMA = "k bigint, v string, n bigint"
+
+
+def _frame(spark, rows):
+    return local_frame(spark, rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    rows = [(i, f"v{i}", 1) for i in range(30)]
+    return VersionedTable.create(
+        spark, str(tmp_path / "t"), _frame(spark, rows), key="k",
+        target_rows_per_file=10,  # 3 files: k∈[0,9],[10,19],[20,29]
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_create_and_snapshot(spark, table):
+    assert table.latest_version() == 1
+    assert len(_rows(table.snapshot())) == 30
+    # multi-file layout with disjoint key ranges (stats recorded)
+    c = table._read_commit(1)
+    assert len(c["add"]) == 3
+    ranges = sorted((a["min_key"], a["max_key"]) for a in c["add"])
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # repartitionByRange → tight, disjoint stats
+
+
+def test_merge_upsert_and_file_pruning(spark, table):
+    # updates touch only k∈[0,9] → exactly one file rewritten
+    upd = _frame(spark, [(1, "new1", 5), (100, "ins", 7)])
+    v = table.merge_into(upd, key="k")
+    assert v == 2
+    c = table._read_commit(2)
+    assert len(c["remove"]) == 1  # only the [0,9] file
+    got = dict((r[0], (r[1], r[2])) for r in table.snapshot().collect())
+    assert got[1] == ("new1", 5)  # matched → replaced
+    assert got[100] == ("ins", 7)  # unmatched → inserted
+    assert got[0] == ("v0", 1) and got[29] == ("v29", 1)  # untouched
+    assert len(got) == 31
+
+
+def test_merge_when_matched_combines(spark, table):
+    upd = _frame(spark, [(2, "u2", 10)])
+    table.merge_into(
+        upd,
+        key="k",
+        when_matched={"k": "t.k", "v": "s.v", "n": "t.n + s.n"},
+    )
+    got = dict((r[0], (r[1], r[2])) for r in table.snapshot().collect())
+    assert got[2] == ("u2", 11)  # n accumulated, v taken from source
+
+
+def test_snapshot_isolation_and_time_travel(spark, table):
+    pinned = table.snapshot()  # resolved at v1 (file list frozen)
+    table.merge_into(_frame(spark, [(3, "x", 9)]), key="k")
+    # the pinned reader is untouched by the later commit (files immutable)
+    assert dict((r[0], r[1]) for r in pinned.collect())[3] == "v3"
+    # and explicit time travel reproduces it
+    assert _rows(table.snapshot(version=1)) == _rows(pinned)
+    assert dict((r[0], r[1]) for r in table.snapshot().collect())[3] == "x"
+
+
+def test_delete_where_prunes_and_vacuum_removes(spark, table):
+    v = table.delete_where(F.col("k") == 25, key="k")
+    assert v == 2
+    c = table._read_commit(2)
+    assert len(c["remove"]) == 1  # only the file containing k=25
+    assert len(_rows(table.snapshot())) == 29
+    removed = table.vacuum(retain_last=1)
+    assert len(removed) == 1  # the tombstoned pre-image physically gone
+    for rel in removed:
+        assert not os.path.exists(os.path.join(table.path, rel))
+    # live snapshot fine, pre-delete history now unreadable
+    assert len(_rows(table.snapshot())) == 29
+    with pytest.raises(VersionPrunedError):
+        table.snapshot(version=1).collect()
+
+
+def test_delete_where_no_match_is_noop(spark, table):
+    assert table.delete_where(F.col("k") == 10_000, key="k") == 1
+    assert table.latest_version() == 1
+
+
+def test_crash_before_commit_leaves_snapshot_intact(spark, table, monkeypatch):
+    """Kill-mid-commit recovery: data files written, commit never
+    published → readers see nothing; the retried merge succeeds; vacuum
+    sweeps the orphans."""
+    before = _rows(table.snapshot())
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("killed before commit")
+
+    monkeypatch.setattr(VersionedTable, "_commit", boom)
+    with pytest.raises(RuntimeError):
+        table.merge_into(_frame(spark, [(1, "crash", 9)]), key="k")
+    monkeypatch.undo()
+
+    # invisible: log unchanged, snapshot identical
+    assert table.latest_version() == 1
+    assert _rows(table.snapshot()) == before
+    orphans = [
+        f
+        for f in os.listdir(os.path.join(table.path, "data"))
+        if os.path.join("data", f)
+        not in {a["path"] for a in table._read_commit(1)["add"]}
+    ]
+    assert orphans  # the crashed writer's files linger, unreferenced
+
+    # retry succeeds, vacuum sweeps the orphans (and nothing live)
+    table.merge_into(_frame(spark, [(1, "crash", 9)]), key="k")
+    got = dict((r[0], r[1]) for r in table.snapshot().collect())
+    assert got[1] == "crash"
+    removed = table.vacuum(retain_last=table.latest_version())
+    assert set(removed) >= {os.path.join("data", f) for f in orphans}
+    assert len(_rows(table.snapshot())) == 30
+
+
+def test_commit_conflict_rebases(spark, table, monkeypatch):
+    """A concurrent append lands between snapshot resolution and commit:
+    the merge loses the link(2) race, rebases on the fresh snapshot, and
+    both writers' effects are visible."""
+    orig = VersionedTable._commit
+    fired = {"done": False}
+
+    def racy(self, version, op, add, remove, schema=None):
+        if op == "merge" and not fired["done"]:
+            fired["done"] = True
+            other = VersionedTable(spark, self.path)
+            other.append(_frame(spark, [(500, "late", 1)]), key="k")
+        return orig(self, version, op, add, remove, schema)
+
+    monkeypatch.setattr(VersionedTable, "_commit", racy)
+    table.merge_into(_frame(spark, [(1, "merged", 2)]), key="k")
+    monkeypatch.undo()
+
+    assert table.latest_version() == 3  # append took v2, merge rebased to v3
+    got = dict((r[0], r[1]) for r in table.snapshot().collect())
+    assert got[500] == "late" and got[1] == "merged"
+    ops = [c["op"] for c in table.history()]
+    assert ops == ["create", "append", "merge"]
+
+
+def test_exhausted_retries_raise(spark, table, monkeypatch):
+    def always_conflict(self, *a, **kw):
+        raise CommitConflict("loser")
+
+    monkeypatch.setattr(VersionedTable, "_commit", always_conflict)
+    with pytest.raises(CommitConflict):
+        table.merge_into(
+            _frame(spark, [(1, "x", 1)]), key="k", max_attempts=2
+        )
+
+
+def test_log_contiguity_guard(spark, table):
+    os.rename(
+        os.path.join(table.path, "_log", f"{1:020d}.json"),
+        os.path.join(table.path, "_log", f"{5:020d}.json"),
+    )
+    with pytest.raises(ValueError, match="non-contiguous"):
+        table.snapshot()
+
+
+def test_commit_files_are_valid_json_with_stats(spark, table):
+    with open(os.path.join(table.path, "_log", f"{1:020d}.json")) as f:
+        c = json.load(f)
+    assert c["version"] == 1 and c["op"] == "create"
+    assert all(
+        a["rows"] > 0 and a["min_key"] <= a["max_key"] for a in c["add"]
+    )
+    assert "schema" in c
