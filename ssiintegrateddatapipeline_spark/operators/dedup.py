@@ -343,6 +343,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every near-dup in this corpus sits above 0.8).
 PREFIX_T_NUM = 7
 PREFIX_T_DEN = 10
+PREFIX_TOPK_K = 5  # neighbors kept per doc by the bounded-output twin
 
 
 def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,6 +390,47 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist()
     )
     return prefix_filtered_jaccard(sh, PREFIX_T_NUM, PREFIX_T_DEN)
+
+
+def prefix_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-k nearest neighbors by exact Jaccard — the
+    BOUNDED-OUTPUT scale twin of ``dedup_prefix_jaccard_pairs`` (the
+    ks_drift / ks_drift_binned precedent).
+
+    The lossless pair join's RESULT is inherently quadratic under
+    replica-twin density (every member of an m-twin family pairs with
+    every other: m(m-1)/2 rows); no plan fixes an output that big. This
+    twin keeps the same lossless prefix-filtered candidate generation and
+    exact verification, then caps the answer at ``PREFIX_TOPK_K``
+    neighbors per document via the two-level top-k device
+    (functions/topk.py): a salted local top-k bounds what reaches the
+    per-doc window, so the full sort never sees more than
+    k x n_salts rows per doc and the output is O(docs x k) at any twin
+    density — the form a 100 TB dedup report actually consumes.
+
+    Ordering is total and engine-identical: jaccard (the already
+    hash-matched round-6 value) descending, neighbor id ascending."""
+    from ssiintegrateddatapipeline_spark.functions.topk import two_level_topk
+
+    pairs = prefix_jaccard_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_id_a").alias("doc_id"),
+        F.col("doc_id_b").alias("neighbor"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_id_b").alias("doc_id"),
+            F.col("doc_id_a").alias("neighbor"),
+            "jaccard",
+        )
+    )
+    return two_level_topk(
+        sym,
+        ["doc_id"],
+        [F.desc("jaccard"), F.asc("neighbor")],
+        PREFIX_TOPK_K,
+        salt=F.col("neighbor"),
+    ).select("doc_id", "neighbor", "jaccard", "rank")
 
 
 def prefix_filtered_jaccard(
@@ -1634,6 +1676,7 @@ QUERIES = {
     "dedup_simhash_pairs": simhash_near_dup_pairs,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_prefix_jaccard_pairs": prefix_jaccard_pairs,
+    "dedup_prefix_jaccard_topk": prefix_jaccard_topk,
     "dedup_quality_canonical": quality_canonical,
     "dedup_decontaminated_split": decontaminated_split,
     "dedup_soft_weights": soft_dedup_weights,
@@ -1691,6 +1734,29 @@ _PAIRS_CTE = f"""
         pairs AS (
             SELECT * FROM scored
             WHERE n_matching_minhashes >= {NEAR_DUP_MIN_MATCHES}
+        )
+"""
+
+# prefix-filtered exact-Jaccard pairs over distinct shingles — shared by
+# the lossless pair oracle and its bounded-output top-k twin
+_PREFIX_PAIRS_CTE = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        shing AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shingles FROM toks),
+        sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS n_common
+            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ),
+        prefix_pairs AS (
+            SELECT doc_id_a, doc_id_b, n_common,
+                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_id_a
+            JOIN sizes sb ON sb.doc_id = doc_id_b
+            WHERE n_common * {PREFIX_T_DEN}
+                  >= (sa.n_sh + sb.n_sh - n_common) * {PREFIX_T_NUM}
         )
 """
 
@@ -2307,22 +2373,23 @@ ORACLES = {
     # exact all-pairs form: the prefix filter is lossless for J >= t, so
     # the scale plan must reproduce the naive join-on-every-shingle result
     "dedup_prefix_jaccard_pairs": f"""
-        WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        shing AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shingles FROM toks),
-        sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS n_common
-            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-            GROUP BY 1, 2
+        {_PREFIX_PAIRS_CTE}
+        SELECT * FROM prefix_pairs
+    """,
+    "dedup_prefix_jaccard_topk": f"""
+        {_PREFIX_PAIRS_CTE},
+        sym AS (
+            SELECT doc_id_a AS doc_id, doc_id_b AS neighbor, jaccard
+            FROM prefix_pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a, jaccard FROM prefix_pairs
         )
-        SELECT doc_id_a, doc_id_b, n_common,
-               round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_id_a
-        JOIN sizes sb ON sb.doc_id = doc_id_b
-        WHERE n_common * {PREFIX_T_DEN}
-              >= (sa.n_sh + sb.n_sh - n_common) * {PREFIX_T_NUM}
+        SELECT doc_id, neighbor, jaccard, rank::INT AS rank FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY jaccard DESC, neighbor) AS rank
+            FROM sym
+        ) WHERE rank <= {PREFIX_TOPK_K}
     """,
 }
 

@@ -828,6 +828,38 @@ LAST_QUERY_PROGRESS: dict | None = None
 LAST_QUERY_DURATIONS: list[dict] = []
 
 
+# ---------------------------------------------------------------------------
+# Micro-batch plan capture (r8-VERDICT #7): streaming plans only exist
+# inside the runner, so PLANS.md's census can't see them the batch way.
+# When CAPTURE_PLANS is on (set by tools/plan_census.py and the streaming
+# plan-quality test — never in bench), every runner appends the physical
+# plan of its LAST executed micro-batch: the sink-side plan via
+# StreamingQuery.explainInternal, plus the inner batch plan for
+# foreachBatch queries (whose real work is a batch query per trigger).
+# ---------------------------------------------------------------------------
+CAPTURE_PLANS = False
+CAPTURED_PLANS: list[tuple[str, str]] = []  # (tag, physical plan text)
+
+
+def _capture_stream_plan(query, tag: str) -> None:
+    if not CAPTURE_PLANS:
+        return
+    try:
+        CAPTURED_PLANS.append((tag, query._jsq.explainInternal(False)))
+    except Exception:
+        pass  # a zero-batch query has no lastExecution — nothing to record
+
+
+def _capture_batch_plan(df: DataFrame, tag: str) -> None:
+    if not CAPTURE_PLANS:
+        return
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # last micro-batch wins per tag — the census counts one representative
+    # inner plan per query, not one per trigger
+    CAPTURED_PLANS[:] = [(t, p) for t, p in CAPTURED_PLANS if t != tag]
+    CAPTURED_PLANS.append((tag, plan.split("== Initial Plan ==")[0]))
+
+
 def _record_progress(query) -> None:
     global LAST_QUERY_PROGRESS, LAST_QUERY_DURATIONS
     try:
@@ -886,6 +918,7 @@ def run_available_now(
         )
         q.awaitTermination()
         _record_progress(q)
+        _capture_stream_plan(q, "sink")
     out = spark.table(name)
     if dedup_keys:
         out = out.groupBy(*dedup_keys).agg(
@@ -929,6 +962,7 @@ def run_foreach_batch(
         if not schema:
             schema.append(out.schema)
         out.write.mode("append").parquet(spool)
+        _capture_batch_plan(out, "foreach_batch")
 
     q = (
         plan.writeStream.foreachBatch(_emit)
@@ -938,6 +972,7 @@ def run_foreach_batch(
     )
     q.awaitTermination()
     _record_progress(q)
+    _capture_stream_plan(q, "source")
     if not schema:  # zero micro-batches: empty result, schema from a probe
         return per_batch(spark.createDataFrame([], plan.schema)).limit(0)
     return spark.read.schema(schema[0]).parquet(spool)
@@ -1690,6 +1725,7 @@ def _online_dedup_drive(
         # distributed write path instead (the 100 TB shape: big batches
         # never visit the driver; glob "d*" reads files and dirs alike).
         tbl = per_band.toArrow()
+        _capture_batch_plan(per_band, "online_dedup_probe")
         if not prebanded:
             b.unpersist()
         agg = tbl.group_by("doc_id").aggregate([("nm", "max")])
@@ -1781,6 +1817,7 @@ def _online_dedup_drive(
         )
         q.awaitTermination()
         _record_progress(q)
+        _capture_stream_plan(q, "source")
         # per-batch trigger durations for the long-ingest probe
         # (tools/online_dedup_probe.py asserts they stay flat under
         # delta compaction)

@@ -18,6 +18,7 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) > 0
 
 
+@pytest.mark.parity
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     if name not in _ORACLES:

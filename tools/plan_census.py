@@ -132,13 +132,44 @@ def main() -> None:
         rows.append((name, counts))
         print(f"# {name}: {counts}", file=sys.stderr)
 
+    # ---- streaming queries: micro-batch plans captured by the runners
+    # (streaming/pipeline.py CAPTURE_PLANS hook, r8-VERDICT #7) — the
+    # sink-side plan of the last trigger plus the inner batch plan for
+    # foreachBatch queries. sf0.001 keeps the sweep short: the counted
+    # plan SHAPES are data-size-independent.
+    from ssiintegrateddatapipeline_spark.streaming import pipeline as SP
+
+    stream_rows = []
+    SP.CAPTURE_PLANS = True
+    try:
+        for name in sorted(queries):
+            if not name.startswith("streaming_"):
+                continue
+            SP.CAPTURED_PLANS.clear()
+            try:
+                queries[name](spark, "/root/testdata/sf0.001").toPandas()
+            except Exception as exc:
+                print(f"# {name}: ERROR {exc}", file=sys.stderr)
+                continue
+            plans = list(SP.CAPTURED_PLANS)
+            text = "\n".join(p for _, p in plans)
+            counts = {k: len(p.findall(text)) for k, p in _PATTERNS.items()}
+            counts["wscg"] = len(_WSCG.findall(text))  # ids reset per plan
+            counts["plans"] = len(plans)
+            stream_rows.append((name, counts))
+            print(f"# {name}: {counts}", file=sys.stderr)
+    finally:
+        SP.CAPTURE_PLANS = False
+
     hdr = ["query", "exchanges", "single_part", "bhj", "smj", "nlj", "py",
            "wscg", "scans"]
     lines = [
         "# Plan census (batch contract queries, AQE-final physical plans)",
         "",
         f"Generated by tools/plan_census.py at {sf_dir}. Streaming queries",
-        "excluded (their plans exist only inside the micro-batch runner).",
+        "are censused separately below from their captured micro-batch",
+        "plans (last trigger per runner; see streaming/pipeline.py",
+        "CAPTURE_PLANS).",
         "`single_part` counts include the final one-row reduce of global",
         "scalar aggregates (bounded: one partial row per task) — the plan",
         "tests ban only windows/sorts fed by UNBOUNDED single-partition",
@@ -166,6 +197,37 @@ def main() -> None:
         f"{totals['scans']} parquet scans.",
         "",
     ]
+    if stream_rows:
+        shdr = ["query", "plans", "exchanges", "single_part", "bhj", "smj",
+                "nlj", "py", "wscg", "scans"]
+        lines += [
+            "## Streaming queries (captured micro-batch plans, sf0.001)",
+            "",
+            "Counts are over the LAST trigger's plans per runner: the",
+            "sink-side streaming plan plus, for foreachBatch queries, the",
+            "inner batch plan that does the real work. `plans` = captured",
+            "plan count (0 plans = the query's work happens in its builder",
+            "or a sink callback the hook doesn't cover). `single_part`",
+            "includes memory-sink collects of aggregate-sized results.",
+            "",
+            "| " + " | ".join(shdr) + " |",
+            "|" + "---|" * len(shdr),
+        ]
+        for name, c in stream_rows:
+            lines.append(
+                f"| {name} | {c['plans']} | {c['exchanges']} "
+                f"| {c['single_part']} | {c['bhj']} | {c['smj']} "
+                f"| {c['nlj']} | {c['py']} | {c['wscg']} | {c['scans']} |"
+            )
+        st = {k: sum(c[k] for _, c in stream_rows) for k in stream_rows[0][1]}
+        lines += [
+            "",
+            f"**{len(stream_rows)} streaming queries** — totals: "
+            f"{st['plans']} captured plans, {st['exchanges']} shuffles, "
+            f"{st['smj']} sort-merge joins, {st['nlj']} nested-loop joins, "
+            f"{st['py']} Python boundaries.",
+            "",
+        ]
     with open("PLANS.md", "w") as fh:
         fh.write("\n".join(lines))
     print(f"PLANS.md written: {len(rows)} queries")

@@ -156,6 +156,7 @@ SCALE_MD_QUERIES = [
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
     "dedup_prefix_jaccard_pairs",
+    "dedup_prefix_jaccard_topk",
     "similarity_brute_topk",
     "similarity_ivf_topk",
     "similarity_ivf_probe_sweep",
