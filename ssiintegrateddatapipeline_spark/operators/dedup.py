@@ -393,42 +393,98 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def prefix_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc top-k nearest neighbors by exact Jaccard — the
-    BOUNDED-OUTPUT scale twin of ``dedup_prefix_jaccard_pairs`` (the
-    ks_drift / ks_drift_binned precedent).
+    """Per-doc top-k nearest neighbors by EXACT Jaccard — the bounded
+    scale twin of ``dedup_prefix_jaccard_pairs`` (the ks_drift /
+    ks_drift_binned precedent), via CLASS DECOMPOSITION.
 
-    The lossless pair join's RESULT is inherently quadratic under
-    replica-twin density (every member of an m-twin family pairs with
-    every other: m(m-1)/2 rows); no plan fixes an output that big. This
-    twin keeps the same lossless prefix-filtered candidate generation and
-    exact verification, then caps the answer at ``PREFIX_TOPK_K``
-    neighbors per document via the two-level top-k device
-    (functions/topk.py): a salted local top-k bounds what reaches the
-    per-doc window, so the full sort never sees more than
-    k x n_salts rows per doc and the output is O(docs x k) at any twin
-    density — the form a 100 TB dedup report actually consumes.
+    The lossless pair join is inherently quadratic under twin density —
+    in RESULT (m-twin families emit m(m-1)/2 rows) and, worse, in the
+    verify INTERMEDIATE (measured: heap OOM at 10x replica density). The
+    fix is the move a production dedup pipeline makes anyway: collapse
+    EXACT duplicates first. Jaccard depends only on the shingle SET, so
+    docs with identical sets form an identity class; the prefix-filtered
+    exact join then runs over one REPRESENTATIVE per class (the class
+    structure — distinct texts — does not grow under twin replication),
+    and per-doc top-k expands back from class-level results:
 
-    Ordering is total and engine-identical: jaccard (the already
-    hash-matched round-6 value) descending, neighbor id ascending."""
+    - own-class twins have jaccard exactly 1.0; only a class's k+1
+      smallest member ids can appear in anyone's top-k (ties break by
+      neighbor id ascending), so each class contributes a bounded slate;
+    - cross-class jaccard is the representatives' jaccard verbatim, and
+      again only the neighbor class's k smallest ids can place.
+
+    The result is EXACT — the oracle is the same full O(n^2) rebuild the
+    pair query uses, so the hash match proves the decomposition — while
+    work scales with (distinct-text corpus + docs x k), not with twin
+    density, and the output is O(docs x k). The final per-doc ranking
+    rides the two-level top-k device (functions/topk.py)."""
     from ssiintegrateddatapipeline_spark.functions.topk import two_level_topk
+    from ssiintegrateddatapipeline_spark.sources.batch import spread
 
-    pairs = prefix_jaccard_pairs(spark, sf_dir)
-    sym = pairs.select(
-        F.col("doc_id_a").alias("doc_id"),
-        F.col("doc_id_b").alias("neighbor"),
+    k = PREFIX_TOPK_K
+    d = spread(load_table(spark, sf_dir, "documents"))
+    keyed = d.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(word_shingles(tokens(F.col("text"))))
+        ).alias("shset"),
+    ).withColumn("ck", F.xxhash64("shset"))  # 64-bit set-identity key:
+    # a collision would merge two distinct classes — probability ~n²/2⁶⁵,
+    # and the exact full-rebuild oracle would hash-mismatch if it ever hit
+    classes = keyed.groupBy("ck").agg(F.min("doc_id").alias("class_id"))
+    members = keyed.join(classes, "ck").select("doc_id", "class_id")
+    # per-class bounded member slate: the k+1 smallest ids (k for a
+    # neighbor class, k+1 to exclude self within the own class)
+    w_cls = Window.partitionBy("class_id").orderBy("doc_id")
+    slate = (
+        members.withColumn("_mr", F.row_number().over(w_cls))
+        .where(F.col("_mr") <= k + 1)
+        .drop("_mr")
+    )
+    # exact prefix-filtered Jaccard over REPRESENTATIVE shingle rows only
+    rep_sh = (
+        keyed.join(classes, "ck")
+        .where(F.col("doc_id") == F.col("class_id"))
+        .select("class_id", F.explode("shset").alias("shingle"))
+        .withColumnRenamed("class_id", "doc_id")
+    )
+    cp = prefix_filtered_jaccard(rep_sh, PREFIX_T_NUM, PREFIX_T_DEN)
+    sym = cp.select(
+        F.col("doc_id_a").alias("cls"),
+        F.col("doc_id_b").alias("ncls"),
         "jaccard",
     ).unionByName(
-        pairs.select(
-            F.col("doc_id_b").alias("doc_id"),
-            F.col("doc_id_a").alias("neighbor"),
+        cp.select(
+            F.col("doc_id_b").alias("cls"),
+            F.col("doc_id_a").alias("ncls"),
             "jaccard",
         )
     )
+    own = (
+        members.join(
+            slate.select("class_id", F.col("doc_id").alias("neighbor")),
+            "class_id",
+        )
+        .where(F.col("neighbor") != F.col("doc_id"))
+        .select("doc_id", "neighbor", F.lit(1.0).alias("jaccard"))
+    )
+    cross = (
+        members.select("doc_id", F.col("class_id").alias("cls"))
+        .join(sym, "cls")
+        .join(
+            slate.select(
+                F.col("class_id").alias("ncls"),
+                F.col("doc_id").alias("neighbor"),
+            ),
+            "ncls",
+        )
+        .select("doc_id", "neighbor", "jaccard")
+    )
     return two_level_topk(
-        sym,
+        own.unionByName(cross),
         ["doc_id"],
         [F.desc("jaccard"), F.asc("neighbor")],
-        PREFIX_TOPK_K,
+        k,
         salt=F.col("neighbor"),
     ).select("doc_id", "neighbor", "jaccard", "rank")
 

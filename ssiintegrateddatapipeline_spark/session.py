@@ -13,10 +13,40 @@ the same settings are what you'd want on a real cluster:
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas needs google.protobuf in driver AND workers.
+# When the real package is absent, install the vendored mini runtime
+# (vendor/google/protobuf — just enough for StateMessage_pb2) on the
+# driver's sys.path and the workers' PYTHONPATH. Must run BEFORE the JVM
+# launches: local-mode Python workers inherit the driver process env.
+# A protobuf-equipped cluster never sees the shim (probe-gated).
+# ---------------------------------------------------------------------------
+_VENDOR_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vendor")
+
+
+def _install_protobuf_shim() -> None:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return  # real (or already-installed shim) runtime wins
+    except ImportError:
+        pass
+    if _VENDOR_DIR not in sys.path:
+        sys.path.insert(0, _VENDOR_DIR)
+    existing = os.environ.get("PYTHONPATH", "")
+    if _VENDOR_DIR not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _VENDOR_DIR + (os.pathsep + existing if existing else "")
+        )
+
+
+_install_protobuf_shim()
 
 
 def get_spark(

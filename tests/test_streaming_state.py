@@ -109,7 +109,10 @@ _STATE_BOUNDS = {
     # entity, not on arrivals; the same footprint Prometheus counters have)
     "streaming_top_users": lambda s, n: s["n_users"] + 8,
     "streaming_user_stats": lambda s, n: s["n_users"] + 8,
-    "streaming_user_profile": lambda s, n: s["n_users"] + 8,
+    # tws path: ValueState row per user + MapState row per (user, type) —
+    # still O(domain): the type vocabulary is fixed. (The
+    # applyInPandasWithState fallback packs it all in n_users rows.)
+    "streaming_user_profile": lambda s, n: s["n_users"] * (1 + s["n_types"]) + 8,
     # last-event carry per user (the online transition matrix)
     "streaming_event_transitions": lambda s, n: s["n_users"] + 8,
     # one store row per DID (== per user); the per-item json blob inside
