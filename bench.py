@@ -19,6 +19,15 @@ import sys
 import time
 
 HEADLINE = [
+    "store_merge_snapshot",
+    "store_time_travel",
+    "store_erasure_vacuum",
+    "store_compaction",
+    "store_stats_pruning",
+    "store_change_feed",
+    "store_schema_evolution",
+    "streaming_store_merge",
+    "dedup_prefix_jaccard_topk",
     "text_hashed_classifier",
     "similarity_pca_variance",
     "dedup_fellegi_sunter",

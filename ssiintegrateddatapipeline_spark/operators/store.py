@@ -3,7 +3,7 @@
 The reference's credential store is a durable mutable table under a MERGE
 surface (SURVEY §1.1; veramo-agent/src/config/database.config.ts:48-74).
 These queries drive the commit-log format end-to-end against the events
-log and prove, via DuckDB full-rebuild oracles, the three warehouse-grade
+log and prove, via DuckDB full-rebuild oracles, the warehouse-grade
 properties:
 
 - ``store_merge_snapshot``: create + two MERGE batches folded
@@ -18,11 +18,24 @@ properties:
   logically AND physically (files removed, pre-delete history pruned) —
   the audit row carries both the data-side counts (oracle-checked) and
   the engine-observed physical facts.
+- ``store_compaction`` (r9): OPTIMIZE bin-packs a fragmented table into
+  one commit; the data must be value-identical to the rebuild and time
+  travel across the compaction boundary must stay readable.
+- ``store_stats_pruning`` (r9): a key-range read decided purely against
+  the log's per-file min/max stats (files never opened) must return
+  exactly the filtered rebuild — data skipping without a data scan.
+- ``store_change_feed`` (r9): the row-level CDF between versions 2 and 3,
+  computed file-confined (only added/removed files read), must equal the
+  value diff of the two prefix rebuilds.
+- ``store_schema_evolution`` (r9): a MERGE carrying a new column widens
+  the schema as metadata only; untouched rows read back null-filled and
+  the final state equals the two-phase rebuild with the new column
+  attached only where the update supplied it.
 
-Build shape: the three-batch table build runs once per (session, sf_dir)
-and is memoized (the sources/files.py roundtrip-staging precedent); each
-query then reads its snapshot lazily. Batches are latest-per-user folds
-of disjoint event_id ranges, so merging them in order is semantically the
+Build shape: the table builds run once per (session, sf_dir) and are
+memoized (the sources/files.py roundtrip-staging precedent); each query
+then reads its snapshot lazily. Batches are latest-per-user folds of
+disjoint event_id ranges, so merging them in order is semantically the
 full-log fold — which is exactly what the oracles recompute as CTEs.
 """
 
@@ -48,6 +61,11 @@ from ssiintegrateddatapipeline_spark.sources.versioned import (
 # can recompute them in SQL with identical arithmetic (// = floor, both
 # engines, non-negative ids).
 _CUT1_NUM, _CUT2_NUM = 4, 7  # /10 each → batches [0,40%), [40,70%), [70,100%]
+# stats-pruning probe range: the middle [30%, 50%] of the key space
+_SCAN_LO_NUM, _SCAN_HI_NUM = 3, 5
+_N_FILES = 8  # target live-file count per table at every SF (multi-file
+# layouts keep merge pruning / compaction / data skipping honest even at
+# sf0.001's 15 users)
 
 _STORE_CACHE: dict[tuple, dict] = register({})
 
@@ -78,12 +96,17 @@ _WHEN_MATCHED = {
 
 
 def _built_store(spark: SparkSession, sf_dir: str) -> dict:
-    """Build (once per session+sf_dir) the two tables the queries read:
+    """Build (once per session+sf_dir) the tables the queries read:
 
     - ``main``: v1 create(batch1), v2 merge(batch2), v3 merge(batch3) —
-      never vacuumed, so time travel to any version stays valid;
+      never vacuumed, so time travel to any version stays valid; also
+      serves the read-only stats-pruning and change-feed queries;
     - ``erasure``: v1 create(full state), v2 delete_where(gdpr cohort),
-      then vacuum(retain_last=1) — records the physical facts.
+      then vacuum(retain_last=1) — records the physical facts;
+    - ``compactt``: v1 create(full state, fragmented), v2 compact() —
+      records the before/after file counts + v1 readability;
+    - ``evolve``: v1 create(prefix state), v2 merge(suffix state + a NEW
+      column, allow_new_columns) — schema evolution as metadata.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _STORE_CACHE.get(key)
@@ -91,9 +114,13 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         return hit
 
     ev = load_table(spark, sf_dir, "events")
-    max_id = ev.agg(F.max("event_id")).collect()[0][0]  # bounded: 1 scalar
+    # bounded: 2 scalars (the log's global high-water mark + key cardinality)
+    max_id, n_users = ev.agg(
+        F.max("event_id"), F.countDistinct("user_id")
+    ).collect()[0]
     cut1 = max_id * _CUT1_NUM // 10
     cut2 = max_id * _CUT2_NUM // 10
+    per_file = max(1, n_users // _N_FILES)
 
     root = tempfile.mkdtemp(prefix="ssi_store_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
@@ -103,8 +130,8 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         f"{root}/main",
         _batch_state(ev.where(F.col("event_id") < cut1)),
         key="user_id",
-        target_rows_per_file=500,  # force a multi-file layout so merge
-        # pruning / rewrite actually exercises file granularity
+        target_rows_per_file=per_file,  # force a multi-file layout so merge
+        # pruning / data skipping / rewrite actually exercise file granularity
     )
     main.merge_into(
         _batch_state(
@@ -121,7 +148,7 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
 
     erasure = VersionedTable.create(
         spark, f"{root}/erasure", _batch_state(ev), key="user_id",
-        target_rows_per_file=500,
+        target_rows_per_file=per_file,
     )
     pre_versions = erasure.latest_version()
     erasure.delete_where(
@@ -134,11 +161,46 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
     except VersionPrunedError:
         history_pruned = True
 
+    compactt = VersionedTable.create(
+        spark, f"{root}/compact", _batch_state(ev), key="user_id",
+        target_rows_per_file=per_file,
+    )
+    files_before = len(compactt._read_commit(1)["add"])
+    compactt.compact("user_id", target_rows_per_file=10**9)  # → 1 file
+    files_after = len(compactt._read_commit(compactt.latest_version())["add"])
+    try:
+        v1_rows = compactt.snapshot(version=1).count()
+        v1_readable = v1_rows == n_users
+    except VersionPrunedError:
+        v1_readable = False
+
+    evolve = VersionedTable.create(
+        spark,
+        f"{root}/evolve",
+        _batch_state(ev.where(F.col("event_id") < cut2)),
+        key="user_id",
+        target_rows_per_file=per_file,
+    )
+    evolve.merge_into(
+        _batch_state(ev.where(F.col("event_id") >= cut2)).withColumn(
+            "suffix_events", F.col("n_events")
+        ),
+        key="user_id",
+        when_matched={**_WHEN_MATCHED, "suffix_events": "s.suffix_events"},
+        allow_new_columns=True,
+    )
+
     out = {
         "main": main,
         "erasure": erasure,
         "erasure_vacuumed": len(removed),
         "erasure_history_pruned": history_pruned,
+        "compact": compactt,
+        "compact_files_before": files_before,
+        "compact_files_after": files_after,
+        "compact_v1_readable": v1_readable,
+        "evolve": evolve,
+        "max_user_id": None,  # filled lazily by stats_pruning
     }
     _STORE_CACHE[key] = out
     return out
@@ -177,10 +239,67 @@ def erasure_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE audit: the compacted snapshot must be value-identical to
+    the full rebuild (oracle-checked), with the engine facts that the file
+    count actually dropped in ONE commit and v1 time travel survived."""
+    built = _built_store(spark, sf_dir)
+    t = built["compact"]
+    return t.snapshot().withColumn(
+        "table_version", F.lit(t.latest_version()).cast("int")
+    ).withColumn(
+        "files_reduced",
+        F.lit(built["compact_files_after"] < built["compact_files_before"]),
+    ).withColumn("v1_readable", F.lit(built["compact_v1_readable"]))
+
+
+def stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping read over the middle [30%, 50%] of the key space:
+    the file list is decided driver-side from the log's min/max stats, so
+    a range-clustered table opens only the overlapping files. The rows
+    must equal the filtered rebuild; ``files_skipped`` records that
+    pruning really happened (the layout is ~8 range-partitioned files)."""
+    built = _built_store(spark, sf_dir)
+    t = built["main"]
+    if built["max_user_id"] is None:
+        # bounded: 1 scalar — the key-space high-water mark the oracle
+        # recomputes from the events log with identical arithmetic
+        built["max_user_id"] = t.snapshot().agg(F.max("user_id")).collect()[0][0]
+    mx = built["max_user_id"]
+    lo = mx * _SCAN_LO_NUM // 10
+    hi = mx * _SCAN_HI_NUM // 10
+    df, opened, total = t.pruned_scan("user_id", lo, hi)
+    return df.withColumn("files_skipped", F.lit(opened < total))
+
+
+def change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDF between versions 2 and 3 of the main table — exactly
+    the users the third batch touched, classified insert vs
+    update_postimage, computed file-confined (only files the v3 merge
+    added/removed are read; survivors cancel in the value diff)."""
+    t = _built_store(spark, sf_dir)["main"]
+    return t.change_feed("user_id", 2, 3)
+
+
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-evolution snapshot: the v2 merge added ``suffix_events`` via
+    allow_new_columns — prefix-only users read back NULL (their files were
+    never rewritten; the widened read schema null-fills), touched users
+    carry the update's value."""
+    t = _built_store(spark, sf_dir)["evolve"]
+    return t.snapshot().withColumn(
+        "table_version", F.lit(t.latest_version()).cast("int")
+    )
+
+
 QUERIES = {
     "store_merge_snapshot": merge_snapshot,
     "store_time_travel": time_travel,
     "store_erasure_vacuum": erasure_vacuum,
+    "store_compaction": compaction,
+    "store_stats_pruning": stats_pruning,
+    "store_change_feed": change_feed,
+    "store_schema_evolution": schema_evolution,
 }
 
 # The oracles rebuild the store state straight from the events log —
@@ -197,6 +316,13 @@ _REBUILD = """
     GROUP BY user_id
 """
 
+_PREFIX_WHERE = (
+    f"WHERE event_id < (SELECT max(event_id) * {_CUT2_NUM} // 10 FROM events)"
+)
+_SUFFIX_WHERE = (
+    f"WHERE event_id >= (SELECT max(event_id) * {_CUT2_NUM} // 10 FROM events)"
+)
+
 ORACLES = {
     "store_merge_snapshot": f"""
         SELECT r.*, 3::INT AS table_version
@@ -204,9 +330,7 @@ ORACLES = {
     """,
     "store_time_travel": f"""
         SELECT r.*, 2::INT AS table_version
-        FROM ({_REBUILD.format(
-            where=f"WHERE event_id < (SELECT max(event_id) * {_CUT2_NUM} // 10 FROM events)"
-        )}) r
+        FROM ({_REBUILD.format(where=_PREFIX_WHERE)}) r
     """,
     "store_erasure_vacuum": f"""
         SELECT count(*)::BIGINT AS users_live,
@@ -217,5 +341,51 @@ ORACLES = {
                TRUE AS history_pruned
         FROM ({_REBUILD.format(where="")})
         WHERE user_id % {ERASE_MOD} <> 0
+    """,
+    "store_compaction": f"""
+        SELECT r.*, 2::INT AS table_version,
+               TRUE AS files_reduced, TRUE AS v1_readable
+        FROM ({_REBUILD.format(where="")}) r
+    """,
+    "store_stats_pruning": f"""
+        SELECT r.*, TRUE AS files_skipped
+        FROM ({_REBUILD.format(where="")}) r
+        WHERE r.user_id BETWEEN
+              (SELECT max(user_id) * {_SCAN_LO_NUM} // 10 FROM events)
+          AND (SELECT max(user_id) * {_SCAN_HI_NUM} // 10 FROM events)
+    """,
+    # value diff of the two prefix rebuilds == the file-confined CDF
+    "store_change_feed": f"""
+        WITH a AS ({_REBUILD.format(where=_PREFIX_WHERE)}),
+             b AS ({_REBUILD.format(where="")})
+        SELECT coalesce(b.user_id, a.user_id) AS user_id,
+               coalesce(b.last_event_id, a.last_event_id) AS last_event_id,
+               coalesce(b.last_event_type, a.last_event_type) AS last_event_type,
+               coalesce(b.last_value_cents, a.last_value_cents) AS last_value_cents,
+               coalesce(b.n_events, a.n_events) AS n_events,
+               CASE WHEN a.user_id IS NULL THEN 'insert'
+                    WHEN b.user_id IS NULL THEN 'delete'
+                    ELSE 'update_postimage' END AS _change_type
+        FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        WHERE NOT (a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+                   AND a.last_event_id = b.last_event_id
+                   AND a.last_event_type = b.last_event_type
+                   AND a.last_value_cents = b.last_value_cents
+                   AND a.n_events = b.n_events)
+    """,
+    # two-phase rebuild: matched users fold prefix+suffix and carry the
+    # new column; prefix-only users read back NULL for it (never rewritten)
+    "store_schema_evolution": f"""
+        WITH p AS ({_REBUILD.format(where=_PREFIX_WHERE)}),
+             s AS ({_REBUILD.format(where=_SUFFIX_WHERE)})
+        SELECT coalesce(s.user_id, p.user_id) AS user_id,
+               coalesce(s.last_event_id, p.last_event_id) AS last_event_id,
+               coalesce(s.last_event_type, p.last_event_type) AS last_event_type,
+               coalesce(s.last_value_cents, p.last_value_cents) AS last_value_cents,
+               (coalesce(p.n_events, 0) + coalesce(s.n_events, 0))::BIGINT
+                   AS n_events,
+               s.n_events::BIGINT AS suffix_events,
+               2::INT AS table_version
+        FROM p FULL OUTER JOIN s ON p.user_id = s.user_id
     """,
 }

@@ -285,6 +285,7 @@ class VersionedTable:
         key: str,
         when_matched: dict[str, str] | None = None,
         max_attempts: int = 5,
+        allow_new_columns: bool = False,
     ) -> int:
         """MERGE INTO: upsert ``updates`` (unique per ``key``) into the
         table. ``when_matched`` maps column -> SQL expr over aliases
@@ -295,9 +296,26 @@ class VersionedTable:
         per-file [min_key, max_key] stats in the log — files whose range
         cannot contain any update key are never opened; (2) rows, by the
         anti/semi joins inside the single rewrite job. Conflicts rebase:
-        the whole plan re-resolves against the fresh snapshot."""
+        the whole plan re-resolves against the fresh snapshot.
+
+        ``allow_new_columns=True`` is schema evolution (Delta's
+        mergeSchema): source columns absent from the table widen the
+        committed schema as nullable fields. Untouched files are NOT
+        rewritten — the explicit read schema null-fills missing columns
+        at scan time, so evolution is an O(metadata) operation no matter
+        the table size (the Delta/Iceberg contract)."""
         for _ in range(max_attempts):
             v, live, schema = self._resolve()
+            evolved = False
+            if allow_new_columns:
+                have = {f.name for f in schema.fields}
+                extra = [f for f in updates.schema.fields if f.name not in have]
+                if extra:
+                    schema = T.StructType(
+                        list(schema.fields)
+                        + [T.StructField(f.name, f.dataType, True) for f in extra]
+                    )
+                    evolved = True
             cols = [f.name for f in schema.fields]
             upd = updates.select(*cols)
 
@@ -358,7 +376,13 @@ class VersionedTable:
                 n_files = 1
             files = self._write_files(out, key, n_files)
             try:
-                self._commit(v + 1, "merge", files, candidates)
+                self._commit(
+                    v + 1,
+                    "merge",
+                    files,
+                    candidates,
+                    schema=schema if evolved else None,
+                )
                 return v + 1
             except CommitConflict:
                 for s in files:  # orphan the rewrite, rebase on new snapshot
@@ -403,6 +427,110 @@ class VersionedTable:
                     os.unlink(os.path.join(self.path, s.path))
                 continue
         raise CommitConflict(f"delete lost {max_attempts} races at {self.path}")
+
+    def compact(
+        self,
+        key: str,
+        target_rows_per_file: int = 250_000,
+        max_attempts: int = 5,
+    ) -> int:
+        """OPTIMIZE: bin-pack the live file set into ~target-size files in
+        one commit (add new, remove all old). Data is byte-identical; the
+        history stays intact — old files are only reclaimed by a later
+        ``vacuum()``, so time travel across the compaction boundary keeps
+        working (the Delta OPTIMIZE contract). The rewrite re-ranges by
+        ``key`` so the post-compaction min/max stats are tight again for
+        the next merge's file pruning."""
+        for _ in range(max_attempts):
+            v, live, schema = self._resolve()
+            total = sum(s.rows for s in live.values())
+            n = max(1, math.ceil(total / target_rows_per_file))
+            if n >= len(live):
+                return v  # already at (or below) target granularity
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, p) for p in sorted(live)]
+            )
+            files = self._write_files(df, key, n)
+            try:
+                self._commit(v + 1, "compact", files, sorted(live))
+                return v + 1
+            except CommitConflict:
+                for s in files:
+                    os.unlink(os.path.join(self.path, s.path))
+                continue
+        raise CommitConflict(f"compact lost {max_attempts} races at {self.path}")
+
+    def pruned_scan(
+        self, key, lo, hi, version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Data-skipping read: a key-range predicate evaluated against the
+        log's per-file [min_key, max_key] stats BEFORE any file is opened.
+        Returns (rows in [lo, hi], files_opened, files_total) — at 100 TB
+        a 1%-of-keyspace range over a range-clustered table opens ~1% of
+        the files and the rest are never touched (pure driver-side
+        metadata, no Spark job to decide the file list)."""
+        v, live, schema = self._resolve(version)
+        cand = sorted(
+            s.path
+            for s in live.values()
+            if not (s.max_key < lo or s.min_key > hi)
+        )
+        pred = (F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi))
+        if not cand:
+            return self.spark.createDataFrame([], schema), 0, len(live)
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.path, p) for p in cand])
+            .where(pred)
+        )
+        return df, len(cand), len(live)
+
+    def change_feed(self, key: str, v_from: int, v_to: int) -> DataFrame:
+        """Row-level change data feed between two versions. File-confined:
+        only files ADDED or REMOVED across (v_from, v_to] are read — a
+        rewritten file's survivor rows appear identically on both sides
+        and cancel in the value diff, so untouched data never moves. Emits
+        one row per changed key: ``_change_type`` in {insert,
+        update_postimage, delete} with the post-image (pre-image for
+        deletes) — the Delta CDF read surface."""
+        _, live_a, schema = self._resolve(v_from)
+        _, live_b, schema_b = self._resolve(v_to)
+        # read both sides with the NEWER schema: evolution between the two
+        # versions null-fills the old side, so a widened column shows up
+        # as a value change exactly when a row gained it
+        removed = sorted(p for p in live_a if p not in live_b)
+        added = sorted(p for p in live_b if p not in live_a)
+
+        def _read(paths):
+            if not paths:
+                return self.spark.createDataFrame([], schema_b)
+            return self.spark.read.schema(schema_b).parquet(
+                *[os.path.join(self.path, p) for p in paths]
+            )
+
+        cols = [f.name for f in schema_b.fields]
+        old = _read(removed).alias("o")
+        new = _read(added).alias("n")
+        j = old.join(new, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")), "full_outer")
+        same = None
+        for c in cols:
+            eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+            same = eq if same is None else (same & eq)
+        change = (
+            F.when(F.col(f"o.{key}").isNull(), F.lit("insert"))
+            .when(F.col(f"n.{key}").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update_postimage"))
+        )
+        image = [
+            F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+            if c != key
+            else F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key)
+            for c in cols
+        ]
+        # survivors of a rewrite match value-for-value on both sides -> drop
+        return j.where(~F.coalesce(same, F.lit(False))).select(
+            *image, change.alias("_change_type")
+        )
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Physically delete every file under data/ not referenced by the

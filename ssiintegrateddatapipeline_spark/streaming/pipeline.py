@@ -2053,8 +2053,97 @@ def streaming_store_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# staged micro-batch count for the streaming MERGE sink drive
+STORE_MERGE_BATCHES = 4
+
+# built-table path per (app, sf_dir) — the drive is deterministic, so one
+# table serves every later read (the online-dedup staging precedent)
+_STORE_MERGE_CACHE: dict[tuple, str] = register({})
+
+
+def streaming_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sink into the DURABLE versioned table (sources/
+    versioned.py): the events log arrives as 4 seq-ordered micro-batches
+    (event_id quartiles, mtime-ordered files + maxFilesPerTrigger=1, the
+    online-dedup staging device); each ``foreachBatch`` folds its batch to
+    per-user state and MERGEs it into the commit-log table — batch 0
+    creates (v1), batches 1-3 merge (v2-v4) with the accumulating
+    ``when_matched``. The drained snapshot must equal the one-shot
+    full-log rebuild: the same apply==rebuild proof as
+    ``store_merge_snapshot``, now with the stream as the writer.
+
+    Exactly-once across restarts: each batch commits to table version
+    ``bid + 1``, so a checkpoint-replayed batch finds its version already
+    present and SKIPS — the Delta streaming-sink txn idempotence pattern,
+    here enforced by the commit log itself (link(2) makes the version slot
+    exclusive). Scale: one bounded groupBy per micro-batch + a stats-pruned
+    file rewrite; no streaming state store at all."""
+    from ssiintegrateddatapipeline_spark.operators.store import (
+        _WHEN_MATCHED,
+        _batch_state,
+    )
+    from ssiintegrateddatapipeline_spark.sources.versioned import VersionedTable
+
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    table_path = _STORE_MERGE_CACHE.get(ckey)
+    if table_path is None:
+        ev = load_table(spark, sf_dir, "events")
+        max_id = ev.agg(F.max("event_id")).collect()[0][0]  # bounded: 1 scalar
+        n = STORE_MERGE_BATCHES
+        cuts = [max_id * k // n for k in range(n)] + [max_id + 1]
+        stage_root = tempfile.mkdtemp(dir=_session_ckpt_root())
+        arrivals = os.path.join(stage_root, "arrivals")
+        os.makedirs(arrivals)
+        base_t = 1_600_000_000
+        for k in range(n):
+            part_dir = os.path.join(stage_root, f"w{k}")
+            (
+                ev.where(
+                    (F.col("event_id") >= cuts[k])
+                    & (F.col("event_id") < cuts[k + 1])
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            (pf,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            dst = os.path.join(arrivals, f"b{k}.parquet")
+            shutil.move(pf, dst)
+            os.utime(dst, (base_t + k, base_t + k))
+        table_path = os.path.join(stage_root, "table")
+
+        def _merge(bdf: DataFrame, bid: int) -> None:
+            t = VersionedTable(spark, table_path)
+            if t.latest_version() >= bid + 1:
+                return  # replayed batch: its version already committed
+            state = _batch_state(bdf)
+            if bid == 0:
+                VersionedTable.create(spark, table_path, state, key="user_id")
+            else:
+                t.merge_into(
+                    state, key="user_id", when_matched=_WHEN_MATCHED
+                )
+
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(arrivals)
+            .writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", os.path.join(stage_root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STORE_MERGE_CACHE[ckey] = table_path
+    t = VersionedTable(spark, table_path)
+    return t.snapshot().withColumn(
+        "table_version", F.lit(t.latest_version()).cast("int")
+    )
+
+
 QUERIES = {
     "streaming_store_mutations": streaming_store_mutations,
+    "streaming_store_merge": streaming_store_merge,
     "streaming_sliding_rate": streaming_sliding_rate,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_dedup": streaming_dedup,
@@ -2292,6 +2381,18 @@ ORACLES = {
     # identical final answer to the batch histogram p95: the streaming
     # counter/interpolation split must be lossless
     "streaming_p95_value": _BATCH_P95_ORACLE,
+    # streamed MERGE into the durable table == one-shot full-log rebuild
+    # (create + 3 merges → version 4); shares store.py's rebuild CTE
+    "streaming_store_merge": f"""
+        SELECT user_id,
+               max(event_id)::BIGINT AS last_event_id,
+               arg_max(event_type, event_id) AS last_event_type,
+               CAST(round(arg_max(value, event_id) * 100) AS BIGINT)
+                   AS last_value_cents,
+               count(*)::BIGINT AS n_events,
+               {STORE_MERGE_BATCHES}::INT AS table_version
+        FROM events GROUP BY user_id
+    """,
     # online LSH ingest gate: the oracle replays shingle->minhash->band
     # keys with dedup.py's SQL machinery, split into arrival/corpus halves
     "streaming_neardup_gate": _neardup_gate_oracle(),

@@ -183,6 +183,69 @@ def test_log_contiguity_guard(spark, table):
         table.snapshot()
 
 
+def test_compact_binpacks_without_changing_data(spark, table):
+    before = _rows(table.snapshot())
+    v = table.compact("k", target_rows_per_file=10**9)
+    assert v == 2
+    c = table._read_commit(2)
+    assert c["op"] == "compact"
+    assert len(c["add"]) == 1 and len(c["remove"]) == 3
+    assert _rows(table.snapshot()) == before  # data byte-identical
+    # history intact until vacuum: time travel across the boundary works
+    assert _rows(table.snapshot(version=1)) == before
+    # already-compact table: no empty commit
+    assert table.compact("k", target_rows_per_file=10**9) == 2
+
+
+def test_pruned_scan_skips_files_by_stats(spark, table):
+    # keys 12..17 live entirely inside the [10,19] file → 1 of 3 opened
+    df, opened, total = table.pruned_scan("k", 12, 17)
+    assert (opened, total) == (1, 3)
+    assert sorted(r[0] for r in df.collect()) == [12, 13, 14, 15, 16, 17]
+    # a range outside every file's stats opens nothing
+    df0, o0, _t0 = table.pruned_scan("k", 1000, 2000)
+    assert o0 == 0 and df0.count() == 0
+
+
+def test_change_feed_classifies_and_is_file_confined(spark, table):
+    table.merge_into(
+        _frame(spark, [(1, "upd", 9), (100, "new", 1)]), key="k"
+    )
+    cdf = {r["k"]: r["_change_type"] for r in table.change_feed("k", 1, 2).collect()}
+    # only the touched keys appear: survivors of the rewritten [0,9] file
+    # cancel in the value diff, files [10,19]/[20,29] are never read
+    assert cdf == {1: "update_postimage", 100: "insert"}
+    table.delete_where(F.col("k") == 15, key="k")
+    cdf2 = {r["k"]: r["_change_type"] for r in table.change_feed("k", 2, 3).collect()}
+    assert cdf2 == {15: "delete"}
+
+
+def test_merge_schema_evolution_nullfills_untouched_files(spark, table):
+    upd = local_frame(
+        spark, [(2, "evolved", 7, 42)], "k bigint, v string, n bigint, extra bigint"
+    )
+    v = table.merge_into(upd, key="k", allow_new_columns=True)
+    assert v == 2
+    snap = table.snapshot()
+    assert "extra" in snap.columns
+    got = {r["k"]: r["extra"] for r in snap.collect()}
+    assert got[2] == 42
+    assert got[25] is None  # untouched file, null-filled by read schema
+    # old version still reads with the OLD schema (evolution is per-commit)
+    assert "extra" not in table.snapshot(version=1).columns
+    # without the flag, unknown source columns are silently projected away
+    # (only table columns participate — the MERGE contract), no evolution
+    table.merge_into(
+        local_frame(
+            spark,
+            [(3, "x", 1, 5, 1)],
+            "k bigint, v string, n bigint, extra bigint, zzz bigint",
+        ),
+        key="k",
+    )
+    assert "zzz" not in table.snapshot().columns
+
+
 def test_commit_files_are_valid_json_with_stats(spark, table):
     with open(os.path.join(table.path, "_log", f"{1:020d}.json")) as f:
         c = json.load(f)
