@@ -28,6 +28,9 @@ HEADLINE = [
     "store_schema_evolution",
     "streaming_store_merge",
     "dedup_prefix_jaccard_topk",
+    "text_pmi_collocations",
+    "analytics_acf_daily",
+    "streaming_acf_daily",
     "text_hashed_classifier",
     "similarity_pca_variance",
     "dedup_fellegi_sunter",
@@ -358,6 +361,15 @@ def main() -> None:
         "sf": sf,
         "value": round(total, 3),
     }
+    # cache-accumulation evidence (r8-VERDICT task 2): the session's memo/
+    # persist census after the full run, so growth across a ~200-query
+    # session is observable in the artifact itself.
+    try:
+        from ssiintegrateddatapipeline_spark.caches import census
+
+        result["cache_census"] = census(spark)
+    except Exception:
+        pass
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_last.json"), "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
@@ -373,6 +385,8 @@ def main() -> None:
         summary["load_avg_1m"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
+    if "cache_census" in result:
+        summary["cache_census"] = result["cache_census"]
     movers = sorted(
         (n for n in flagged if "solo" in detail.get(n, {})),
         key=lambda n: -abs(per_query[n] / prev[n] - 1.0),

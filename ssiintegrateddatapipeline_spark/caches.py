@@ -114,3 +114,39 @@ def clear_caches(spark=None) -> int:
         dropped += len(cache)
         cache.clear()
     return dropped
+
+
+def census(spark=None) -> dict:
+    """Observable cache state for artifacts (r8-VERDICT task 2): how much
+    session-lifetime memo/persist state has accumulated. Recorded by
+    bench.py at the end of its run so a 200-query session's growth is in
+    the bench artifact itself, not just reproducible via tests.
+
+    - ``memo_entries``: total entries across every registered cache dict
+      (driver-side metadata: analyzed plans, literal tables, built paths);
+    - ``persisted_entries``: entries in persist-holding caches (each pins
+      executor block-manager storage until clear_caches);
+    - ``jvm_persistent_rdds``: the JVM CacheManager's live persistent-RDD
+      count — the ground truth the persisted entries must bound;
+    - ``driver_rss_mb``: this process's resident set (linux /proc).
+    """
+    out = {
+        "memo_entries": sum(len(c) for c, _ in _REGISTRY),
+        "persisted_entries": sum(len(c) for c, p in _REGISTRY if p),
+    }
+    if spark is not None:
+        try:
+            out["jvm_persistent_rdds"] = (
+                spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            )
+        except Exception:
+            pass
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    out["driver_rss_mb"] = int(line.split()[1]) // 1024
+                    break
+    except OSError:
+        pass
+    return out

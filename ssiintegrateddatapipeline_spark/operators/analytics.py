@@ -2097,6 +2097,68 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_readout(daily)
 
 
+ACF_MAX_LAG = 7  # autocorrelation horizon (a week of daily lags)
+
+
+def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..ACF_MAX_LAG — the seasonality probe that precedes any forecasting
+    model choice (weekly cycles show as a lag-7 peak).
+
+    Exactness device: the centered series is computed in INTEGER units,
+    c_t = n·y_t − Σy (scaling by n clears the rational mean), so numerator
+    Σ c_t·c_{t+k} and denominator Σ c_t² are exact BIGINTs in both engines
+    and only the final division is float — bit-equal before round(…, 6).
+    Scale shape: one groupBy to the domain-bounded daily table (rows ==
+    days in span), then the whole lag fold is a single-row array program
+    (sort_array + zip_with/aggregate, the Holt-readout device) — map-only,
+    no window, no shuffle beyond the daily agg.
+    """
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    return acf_readout(daily)
+
+
+def acf_readout(daily: DataFrame) -> DataFrame:
+    """The lag fold over a (day, y) daily-counter table — shared by the
+    batch query and the streaming twin (whose complete-mode drained state
+    equals the batch daily aggregate exactly, so both replay one oracle)."""
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    ys = F.transform(F.col("s"), lambda x: x["y"])
+    zero = F.lit(0).cast("long")
+    n = F.size(ys)
+    total = F.aggregate(ys, zero, lambda acc, y: acc + y)
+    c = F.transform(ys, lambda y: n.cast("long") * y - total)
+    den = F.aggregate(
+        F.zip_with(c, c, lambda a, b: a * b), zero, lambda acc, p: acc + p
+    )
+    lags = series.select(
+        F.col("s"),
+        c.alias("c"),
+        n.alias("n"),
+        den.alias("den"),
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag"),
+    ).where(F.col("lag") < F.col("n"))
+    num = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("c"), 1, F.col("n") - F.col("lag")),
+            F.slice(F.col("c"), F.col("lag") + 1, F.col("n") - F.col("lag")),
+            lambda a, b: a * b,
+        ),
+        zero,
+        lambda acc, p: acc + p,
+    )
+    return lags.select(
+        F.col("lag").cast("int").alias("lag"),
+        (F.col("n") - F.col("lag")).cast("long").alias("n_pairs"),
+        F.round(num / F.col("den"), 6).alias("acf"),
+    )
+
+
 _HOLT_ORACLE = f"""
     WITH RECURSIVE daily AS (
         SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
@@ -2305,6 +2367,7 @@ QUERIES = {
     "analytics_mann_kendall": mann_kendall_trend,
     "analytics_theil_sen_trend": theil_sen_trend,
     "analytics_holt_forecast": holt_forecast,
+    "analytics_acf_daily": acf_daily,
     "analytics_seasonal_decompose": seasonal_decompose,
     "analytics_quantile_rollup": quantile_rollup,
     "analytics_set_algebra": set_algebra_rollup,
@@ -2434,6 +2497,29 @@ ORACLES = {
     "analytics_mann_kendall": _MANN_KENDALL_ORACLE,
     "analytics_theil_sen_trend": _THEIL_SEN_ORACLE,
     "analytics_holt_forecast": _HOLT_ORACLE,
+    # exact-integer centered series: only the final acf division is float
+    "analytics_acf_daily": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
+            FROM events GROUP BY 1
+        ),
+        st AS (SELECT sum(y)::BIGINT AS s, count(*)::BIGINT AS n FROM daily),
+        c AS (
+            SELECT row_number() OVER (ORDER BY day) AS i,
+                   (st.n * y - st.s)::BIGINT AS c
+            FROM daily, st
+        ),
+        den AS (SELECT sum(c * c)::BIGINT AS d FROM c),
+        lags AS (SELECT unnest(generate_series(1, 7)) AS k),
+        pairs AS (
+            SELECT l.k, a.c * b.c AS p
+            FROM lags l JOIN c a ON TRUE JOIN c b ON b.i = a.i + l.k
+        )
+        SELECT k::INT AS lag,
+               ((SELECT n FROM st) - k)::BIGINT AS n_pairs,
+               round(sum(p)::BIGINT / (SELECT d FROM den), 6) AS acf
+        FROM pairs GROUP BY k
+    """,
     "analytics_seasonal_decompose": _SEASONAL_ORACLE,
     "analytics_incremental_join_mv": """
         SELECT c_nationkey,

@@ -1509,8 +1509,68 @@ FROM per
 """
 
 
+PMI_MIN_PAIR = 3  # collocation support floor: rarer pairs never emit
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining by pointwise mutual information:
+    PMI(a,b) = log2( P(a,b) / (P(a)·P(b)) ) over adjacent-token bigrams,
+    emitted for every pair with support >= PMI_MIN_PAIR (a count floor,
+    never a float top-k — output is vocabulary-bounded and tie-free).
+
+    Scale shape: two explode→groupBy pipelines (map-side partial combine),
+    the two scalar totals fan out via broadcast, and the bigram→unigram
+    count joins hash-partition on the term key. The unigram side is
+    vocabulary-sized, not corpus-sized; the join is left unhinted so AQE
+    sizes it (the PPJoin candidate-join precedent). The ratio multiplies
+    in a fixed left-assoc double order so the oracle reproduces it
+    bit-for-bit before the round(…, 6).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(tokens(F.col("text")).alias("arr"))
+    uni = (
+        t.select(F.explode("arr").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    big = (
+        t.select(F.explode(word_shingles(F.col("arr"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("cab"))
+    )
+    u_tot = uni.agg(F.sum("c").alias("u"))
+    b_tot = big.agg(F.sum("cab").alias("n"))
+    pairs = (
+        big.where(F.col("cab") >= PMI_MIN_PAIR)
+        .withColumn("term_a", F.split("g", " ").getItem(0))
+        .withColumn("term_b", F.split("g", " ").getItem(1))
+        .crossJoin(F.broadcast(u_tot))
+        .crossJoin(F.broadcast(b_tot))
+        .join(
+            uni.select(F.col("term").alias("term_a"), F.col("c").alias("ca")),
+            "term_a",
+        )
+        .join(
+            uni.select(F.col("term").alias("term_b"), F.col("c").alias("cb")),
+            "term_b",
+        )
+    )
+    ratio = (F.col("cab").cast("double") * F.col("u") * F.col("u")) / (
+        F.col("ca").cast("double") * F.col("cb") * F.col("n")
+    )
+    return pairs.select(
+        "term_a",
+        "term_b",
+        F.col("cab").alias("pair_count"),
+        F.col("ca").alias("count_a"),
+        F.col("cb").alias("count_b"),
+        F.round(F.log2(ratio), 6).alias("pmi_bits"),
+    )
+
+
 QUERIES = {
     "text_hashed_classifier": hashed_classifier,
+    "text_pmi_collocations": pmi_collocations,
     "text_phrase_search": phrase_search,
     "text_substring_scrub": substring_scrub,
     "text_dup_ngrams": dup_ngrams,
@@ -1690,6 +1750,33 @@ ORACLES = {
     "text_hashed_classifier": _HASHED_CLASSIFIER_ORACLE.format(
         buckets=CLS_BUCKETS, bias=CLS_BIAS_MILLI
     ),
+    "text_pmi_collocations": f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS arr FROM documents
+        ),
+        uni AS (
+            SELECT t AS term, count(*)::BIGINT AS c
+            FROM (SELECT unnest(arr) AS t FROM toks) GROUP BY 1
+        ),
+        utot AS (SELECT sum(c)::BIGINT AS u FROM uni),
+        big AS (
+            SELECT arr[i] AS term_a, arr[i + 1] AS term_b,
+                   count(*)::BIGINT AS cab
+            FROM (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
+                  FROM toks)
+            GROUP BY 1, 2
+        ),
+        btot AS (SELECT sum(cab)::BIGINT AS n FROM big)
+        SELECT b.term_a, b.term_b, b.cab AS pair_count,
+               ua.c AS count_a, ub.c AS count_b,
+               round(log2((b.cab::DOUBLE * u.u * u.u)
+                          / (ua.c::DOUBLE * ub.c * t.n)), 6) AS pmi_bits
+        FROM big b
+        JOIN uni ua ON b.term_a = ua.term
+        JOIN uni ub ON b.term_b = ub.term
+        CROSS JOIN utot u CROSS JOIN btot t
+        WHERE b.cab >= {PMI_MIN_PAIR}
+    """,
     "text_phrase_search": f"""
         WITH p(phrase_id, term_a, term_b) AS (VALUES {_PHRASE_VALUES}),
         toks AS (

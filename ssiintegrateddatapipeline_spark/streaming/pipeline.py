@@ -1209,6 +1209,24 @@ def streaming_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_readout(daily)
 
 
+def streaming_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation over LIVE daily counters: complete-mode tallies
+    (rows = days in span, bounded) drained and handed to the shared
+    exact-integer lag fold (``analytics.acf_readout``) — the Holt-twin
+    pattern, one oracle for both execution models."""
+    from ssiintegrateddatapipeline_spark.operators.analytics import (
+        acf_readout,
+    )
+
+    daily = run_available_now(
+        events_stream(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y")),
+        state_partitions=2,
+    )
+    return acf_readout(daily)
+
+
 def streaming_payload_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssiintegrateddatapipeline_spark.operators.analytics import PAYLOAD_BUCKETS
 
@@ -2172,6 +2190,7 @@ QUERIES = {
     "streaming_ab_monitor": streaming_ab_monitor,
     "streaming_sprt_monitor": streaming_sprt_monitor,
     "streaming_holt_forecast": streaming_holt_forecast,
+    "streaming_acf_daily": streaming_acf_daily,
 }
 
 
@@ -2692,3 +2711,4 @@ from ssiintegrateddatapipeline_spark.operators.analytics import (  # noqa: E402
 )
 
 ORACLES["streaming_holt_forecast"] = _AN_ORACLES["analytics_holt_forecast"]
+ORACLES["streaming_acf_daily"] = _AN_ORACLES["analytics_acf_daily"]

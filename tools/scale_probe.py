@@ -183,6 +183,9 @@ SCALE_MD_QUERIES = [
     "wire_proto_roundtrip",
     "wire_proto_payload_sizes",
     "analytics_shapley_attribution",
+    "store_merge_snapshot",
+    "store_stats_pruning",
+    "store_change_feed",
 ]
 
 # Per-query k caps for the MD grid. dedup_prefix_jaccard_pairs is
