@@ -56,6 +56,7 @@ HEADLINE = [
     "scd2_apply_changes",
     "metrics_histogram_rebucket",
     "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
     "source_schema_catalog",
     "source_avro_ocf_roundtrip",
     "tpch_shipmode_priority",

@@ -51,6 +51,10 @@ def _staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             load_table(spark, sf_dir, "documents").write.mode(
                 "overwrite"
             ).json(base)
+        elif fmt == "orc":
+            load_table(spark, sf_dir, "events").write.mode("overwrite").orc(
+                base
+            )
         else:
             load_table(spark, sf_dir, "events").write.mode("overwrite").option(
                 "header", True
@@ -93,9 +97,28 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → ``spark.read.orc`` → per-type checksums. The second
+    columnar at-rest format next to parquet: types (timestamps, doubles,
+    strings) round-trip natively — no text-layer quoting/format options —
+    so equality against the parquet-side oracle proves the binary cycle is
+    lossless. The read keeps predicate/column pushdown (PushedFilters
+    shows in the ORC scan like parquet's)."""
+    src = _staged(spark, sf_dir, "orc")
+    back = spark.read.orc(src)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("value_micros"),
+        F.sum(md5_int32(F.col("props"))).alias("props_checksum"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    )
+
+
 QUERIES = {
     "source_jsonl_roundtrip": jsonl_roundtrip,
     "source_csv_roundtrip": csv_roundtrip,
+    "source_orc_roundtrip": orc_roundtrip,
 }
 
 ORACLES = {
@@ -114,6 +137,17 @@ ORACLES = {
         SELECT event_type,
                count(*) AS n_events,
                sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents,
+               sum(('0x' || substr(md5(props), 1, 8))::UBIGINT::BIGINT)
+                   ::BIGINT AS props_checksum,
+               max(epoch_us(ts))::BIGINT AS max_ts_us
+        FROM events
+        GROUP BY event_type
+    """,
+    "source_orc_roundtrip": """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               sum(CAST(round(value * 1e6) AS BIGINT))::BIGINT AS value_micros,
                sum(('0x' || substr(md5(props), 1, 8))::UBIGINT::BIGINT)
                    ::BIGINT AS props_checksum,
                max(epoch_us(ts))::BIGINT AS max_ts_us

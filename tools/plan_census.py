@@ -81,32 +81,46 @@ def static_counts(df) -> dict:
     return {k: len(_PATTERNS[k].findall(plan)) for k in BOUND_KEYS}
 
 
-def write_bounds(sf_dir: str) -> None:
+def write_bounds(sf_dir: str, merge: bool = False) -> None:
+    """Snapshot every batch query's static-plan shape. ``merge=True`` keeps
+    the existing fixture and computes only queries it doesn't cover yet —
+    the cheap path when landing a handful of new contract queries (a full
+    regen re-analyzes ~300 plans; run it when bounds should TIGHTEN)."""
     import json
 
-    spark = get_spark(app_name="plan-bounds")
-    queries = entry_mod.queries()
-    bounds = {}
-    for name in sorted(queries):
-        if name.startswith(_SKIP_PREFIXES) or name in _SKIP_EXACT:
-            continue
-        try:
-            bounds[name] = static_counts(queries[name](spark, sf_dir))
-        except Exception as exc:
-            print(f"# {name}: ERROR {exc}", file=sys.stderr)
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests", "fixtures", "plan_bounds.json",
     )
+    bounds = {}
+    if merge and os.path.exists(out):
+        with open(out) as fh:
+            bounds = json.load(fh)
+    spark = get_spark(app_name="plan-bounds")
+    queries = entry_mod.queries()
+    # drop fixture entries whose query no longer exists
+    bounds = {k: v for k, v in bounds.items() if k in queries}
+    added = 0
+    for name in sorted(queries):
+        if name.startswith(_SKIP_PREFIXES) or name in _SKIP_EXACT:
+            continue
+        if merge and name in bounds:
+            continue
+        try:
+            bounds[name] = static_counts(queries[name](spark, sf_dir))
+            added += 1
+        except Exception as exc:
+            print(f"# {name}: ERROR {exc}", file=sys.stderr)
     with open(out, "w") as fh:
         json.dump(bounds, fh, indent=1, sort_keys=True)
-    print(f"{out} written: {len(bounds)} queries")
+    print(f"{out} written: {len(bounds)} queries ({added} computed)")
 
 
 def main() -> None:
     if "--bounds" in sys.argv:
-        args = [a for a in sys.argv[1:] if a != "--bounds"]
-        write_bounds(args[0] if args else "/root/testdata/sf0.01")
+        merge = "--merge" in sys.argv
+        args = [a for a in sys.argv[1:] if a not in ("--bounds", "--merge")]
+        write_bounds(args[0] if args else "/root/testdata/sf0.01", merge=merge)
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plan-census")
