@@ -2103,8 +2103,7 @@ def streaming_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssiintegrateddatapipeline_spark.sources.versioned import VersionedTable
 
     ckey = (spark.sparkContext.applicationId, sf_dir)
-    table_path = _STORE_MERGE_CACHE.get(ckey)
-    if table_path is None:
+    if ckey not in _STORE_MERGE_CACHE:
         ev = load_table(spark, sf_dir, "events")
         max_id = ev.agg(F.max("event_id")).collect()[0][0]  # bounded: 1 scalar
         n = STORE_MERGE_BATCHES
@@ -2152,7 +2151,16 @@ def streaming_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        _STORE_MERGE_CACHE[ckey] = table_path
+        drive_prog = q.lastProgress
+        _STORE_MERGE_CACHE[ckey] = (
+            table_path,
+            dict(drive_prog) if drive_prog else None,
+        )
+    table_path, prog = _STORE_MERGE_CACHE[ckey]
+    # publish the DRIVE's progress (zero state operators) even on memoized
+    # reads, so state-bound checks never see a stale predecessor's counters
+    global LAST_QUERY_PROGRESS
+    LAST_QUERY_PROGRESS = prog
     t = VersionedTable(spark, table_path)
     return t.snapshot().withColumn(
         "table_version", F.lit(t.latest_version()).cast("int")

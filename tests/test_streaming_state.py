@@ -143,6 +143,12 @@ _STATE_BOUNDS = {
     "streaming_curation_gate": lambda s, n: 0,
     # self-growing dedup index: the index lives in STORAGE, not state
     "streaming_online_dedup": lambda s, n: 0,
+    # durable MERGE sink: all state is the commit-log TABLE (foreachBatch
+    # fold + merge), no streaming state store at all
+    "streaming_store_merge": lambda s, n: 0,
+    # (day, y) tallies: days-in-span rows (the Holt-twin counter
+    # footprint; n here is ACF_MAX_LAG result rows, not days)
+    "streaming_acf_daily": lambda s, n: 2 * s["n_days"] + 16,
 }
 
 
@@ -153,8 +159,14 @@ def domain_stats(spark, sf_dir):
         F.countDistinct("event_type").alias("n_types"),
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
     ).collect()[0]
-    return {"n_types": row.n_types, "n_users": row.n_users, "n_events": row.n_events}
+    return {
+        "n_types": row.n_types,
+        "n_users": row.n_users,
+        "n_events": row.n_events,
+        "n_days": row.n_days,
+    }
 
 
 def test_every_streaming_query_declares_a_state_bound():
