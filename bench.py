@@ -26,6 +26,7 @@ HEADLINE = [
     "store_stats_pruning",
     "store_change_feed",
     "store_schema_evolution",
+    "store_history",
     "streaming_store_merge",
     "dedup_prefix_jaccard_topk",
     "text_pmi_collocations",

@@ -281,6 +281,26 @@ def change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.change_feed("user_id", 2, 3)
 
 
+def history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log history readout: one row per version of the main table
+    with its op and the snapshot's user count AT that version (a
+    time-travel read per version). The oracle recomputes each count as a
+    distinct-user fold over the matching event_id prefix — proving the log
+    replay surfaces exactly the prefix states, version by version."""
+    t = _built_store(spark, sf_dir)["main"]
+    ops = {c["version"]: c["op"] for c in t.history()}
+    out = None
+    for v in sorted(ops):
+        row = t.snapshot(version=v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.lit(ops[v]).alias("op"),
+            F.count(F.lit(1)).alias("users_at_version"),
+            F.max("last_event_id").alias("high_water_event_id"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-evolution snapshot: the v2 merge added ``suffix_events`` via
     allow_new_columns — prefix-only users read back NULL (their files were
@@ -300,6 +320,7 @@ QUERIES = {
     "store_stats_pruning": stats_pruning,
     "store_change_feed": change_feed,
     "store_schema_evolution": schema_evolution,
+    "store_history": history_audit,
 }
 
 # The oracles rebuild the store state straight from the events log —
@@ -372,6 +393,27 @@ ORACLES = {
                    AND a.last_event_type = b.last_event_type
                    AND a.last_value_cents = b.last_value_cents
                    AND a.n_events = b.n_events)
+    """,
+    # one row per version: prefix distinct-user folds == the time-travel
+    # counts, version by version
+    "store_history": f"""
+        WITH cuts AS (
+            SELECT max(event_id) * {_CUT1_NUM} // 10 AS c1,
+                   max(event_id) * {_CUT2_NUM} // 10 AS c2
+            FROM events
+        )
+        SELECT 1::INT AS version, 'create' AS op,
+               count(DISTINCT user_id)::BIGINT AS users_at_version,
+               max(event_id)::BIGINT AS high_water_event_id
+        FROM events, cuts WHERE event_id < c1
+        UNION ALL
+        SELECT 2::INT, 'merge', count(DISTINCT user_id)::BIGINT,
+               max(event_id)::BIGINT
+        FROM events, cuts WHERE event_id < c2
+        UNION ALL
+        SELECT 3::INT, 'merge', count(DISTINCT user_id)::BIGINT,
+               max(event_id)::BIGINT
+        FROM events
     """,
     # two-phase rebuild: matched users fold prefix+suffix and carry the
     # new column; prefix-only users read back NULL for it (never rewritten)

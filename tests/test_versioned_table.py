@@ -246,6 +246,35 @@ def test_merge_schema_evolution_nullfills_untouched_files(spark, table):
     assert "zzz" not in table.snapshot().columns
 
 
+def test_concurrent_writers_all_land_without_lost_updates(spark, table):
+    """Torture: 4 threads race disjoint-key merges against one table
+    handle-per-thread. link(2) arbitration must serialize them into a
+    contiguous log with every writer's effect present (no lost updates,
+    no duplicate versions) — the multi-writer story a warehouse table
+    needs, exercised for real, not just via the monkeypatched race."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write(i):
+        t = VersionedTable(spark, table.path)
+        t.merge_into(
+            _frame(spark, [(1000 + i, f"w{i}", i), (i, f"upd{i}", i)]),
+            key="k",
+            max_attempts=20,
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(write, range(4)))
+
+    assert table.latest_version() == 5  # create + 4 serialized merges
+    ops = [c["op"] for c in table.history()]
+    assert ops == ["create"] + ["merge"] * 4
+    got = dict((r[0], r[1]) for r in table.snapshot().collect())
+    for i in range(4):
+        assert got[1000 + i] == f"w{i}"  # every insert landed
+        assert got[i] == f"upd{i}"  # every update landed
+    assert len(got) == 34
+
+
 def test_commit_files_are_valid_json_with_stats(spark, table):
     with open(os.path.join(table.path, "_log", f"{1:020d}.json")) as f:
         c = json.load(f)
