@@ -27,6 +27,7 @@ HEADLINE = [
     "store_change_feed",
     "store_schema_evolution",
     "store_history",
+    "store_cdf_replay",
     "streaming_store_merge",
     "dedup_prefix_jaccard_topk",
     "text_pmi_collocations",

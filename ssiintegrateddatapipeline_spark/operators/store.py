@@ -301,6 +301,38 @@ def history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed COMPLETENESS proof: the per-version CDF increments
+    (v0→1, 1→2, 2→3), composed by last-version-wins per key, must
+    reconstruct the final snapshot exactly — i.e. a downstream consumer
+    tailing the change feed (the Delta CDF streaming-read pattern) ends up
+    byte-equal with a reader of the table itself. The fold is one
+    max_by(version) groupBy over the unioned increments; deletes would
+    drop out here (none occur on the main table — merge only)."""
+    t = _built_store(spark, sf_dir)["main"]
+    feed = None
+    for v in range(1, t.latest_version() + 1):
+        inc = (
+            t.change_feed("user_id", v - 1, v)
+            if v > 1
+            # v0→v1 has no "from" snapshot: the create commit's rows are
+            # all inserts — read them through the same CDF surface
+            else t.snapshot(version=1).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        ).withColumn("_commit_version", F.lit(v).cast("int"))
+        feed = inc if feed is None else feed.unionByName(inc)
+    latest = feed.where(F.col("_change_type") != "delete").groupBy("user_id").agg(
+        F.max_by(
+            F.struct(
+                "last_event_id", "last_event_type", "last_value_cents", "n_events"
+            ),
+            "_commit_version",
+        ).alias("_s")
+    )
+    return latest.select("user_id", "_s.*")
+
+
 def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-evolution snapshot: the v2 merge added ``suffix_events`` via
     allow_new_columns — prefix-only users read back NULL (their files were
@@ -321,6 +353,7 @@ QUERIES = {
     "store_change_feed": change_feed,
     "store_schema_evolution": schema_evolution,
     "store_history": history_audit,
+    "store_cdf_replay": cdf_replay,
 }
 
 # The oracles rebuild the store state straight from the events log —
@@ -394,6 +427,9 @@ ORACLES = {
                    AND a.last_value_cents = b.last_value_cents
                    AND a.n_events = b.n_events)
     """,
+    # composing every CDF increment last-version-wins == the final table:
+    # the rebuild is the same one-shot fold
+    "store_cdf_replay": _REBUILD.format(where=""),
     # one row per version: prefix distinct-user folds == the time-travel
     # counts, version by version
     "store_history": f"""
