@@ -28,6 +28,7 @@ HEADLINE = [
     "store_schema_evolution",
     "store_history",
     "store_cdf_replay",
+    "store_partition_pruning",
     "streaming_store_merge",
     "dedup_prefix_jaccard_topk",
     "text_pmi_collocations",

@@ -174,6 +174,30 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
     except VersionPrunedError:
         v1_readable = False
 
+    # hive-partitioned twin of main (partition = last_event_type, which
+    # CHURNS under merges — users move partitions, so merges run with
+    # key-range pruning only; partition pruning stays a read-side device)
+    parts = VersionedTable.create(
+        spark,
+        f"{root}/parts",
+        _batch_state(ev.where(F.col("event_id") < cut1)),
+        key="user_id",
+        target_rows_per_file=per_file,
+        partition_by="last_event_type",
+    )
+    parts.merge_into(
+        _batch_state(
+            ev.where((F.col("event_id") >= cut1) & (F.col("event_id") < cut2))
+        ),
+        key="user_id",
+        when_matched=_WHEN_MATCHED,
+    )
+    parts.merge_into(
+        _batch_state(ev.where(F.col("event_id") >= cut2)),
+        key="user_id",
+        when_matched=_WHEN_MATCHED,
+    )
+
     evolve = VersionedTable.create(
         spark,
         f"{root}/evolve",
@@ -200,6 +224,7 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         "compact_files_after": files_after,
         "compact_v1_readable": v1_readable,
         "evolve": evolve,
+        "parts": parts,
         "max_user_id": None,  # filled lazily by stats_pruning
     }
     _STORE_CACHE[key] = out
@@ -301,6 +326,19 @@ def history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partition pruning on the partitioned twin (3 commits deep, so
+    merges-through-partitions are in the read): scan ONE partition — the
+    alphabetically-first last_event_type — with the file list decided from
+    the log's partition metadata. Rows must equal the filtered rebuild;
+    ``files_skipped`` records that other partitions' files stayed shut."""
+    t = _built_store(spark, sf_dir)["parts"]
+    # bounded: 1 scalar — the probe partition, recomputable in SQL
+    val = t.snapshot().agg(F.min("last_event_type")).collect()[0][0]
+    df, opened, total = t.partition_scan(val)
+    return df.withColumn("files_skipped", F.lit(opened < total))
+
+
 def cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed COMPLETENESS proof: the per-version CDF increments
     (v0→1, 1→2, 2→3), composed by last-version-wins per key, must
@@ -354,6 +392,7 @@ QUERIES = {
     "store_schema_evolution": schema_evolution,
     "store_history": history_audit,
     "store_cdf_replay": cdf_replay,
+    "store_partition_pruning": partition_pruning,
 }
 
 # The oracles rebuild the store state straight from the events log —
@@ -430,6 +469,14 @@ ORACLES = {
     # composing every CDF increment last-version-wins == the final table:
     # the rebuild is the same one-shot fold
     "store_cdf_replay": _REBUILD.format(where=""),
+    # one partition of the merged-through-partitions twin == the rebuild
+    # filtered to the probe type
+    "store_partition_pruning": f"""
+        WITH r AS ({_REBUILD.format(where="")})
+        SELECT r.*, TRUE AS files_skipped
+        FROM r
+        WHERE r.last_event_type = (SELECT min(last_event_type) FROM r)
+    """,
     # one row per version: prefix distinct-user folds == the time-travel
     # counts, version by version
     "store_history": f"""

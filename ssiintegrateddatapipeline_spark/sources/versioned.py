@@ -69,6 +69,7 @@ class FileStat:
     rows: int
     min_key: object
     max_key: object
+    partition: object = None  # hive partition value (one column), if any
 
 
 _LOG_DIR = "_log"
@@ -145,7 +146,11 @@ class VersionedTable:
                 live.pop(rm, None)
             for add in c.get("add", ()):
                 live[add["path"]] = FileStat(
-                    add["path"], add["rows"], add.get("min_key"), add.get("max_key")
+                    add["path"],
+                    add["rows"],
+                    add.get("min_key"),
+                    add.get("max_key"),
+                    add.get("partition"),
                 )
         if schema_json is None:
             raise ValueError(f"commit log at {self.path} carries no schema")
@@ -154,20 +159,55 @@ class VersionedTable:
 
     # -- reads ---------------------------------------------------------------
 
+    def partition_column(self) -> str | None:
+        """Hive partition column, fixed at create time (or None)."""
+        return self._read_commit(1).get("partition_by")
+
+    def _read_files(
+        self, stats: list[FileStat], schema: T.StructType, version: int
+    ) -> DataFrame:
+        """Read a live-file subset with the LOGICAL schema. Partitioned
+        tables store the partition column in the directory layout, not in
+        the parquet bytes (the hive convention), so each partition group
+        is read with the physical schema and the column is restored as a
+        per-group literal — O(#partitions touched) scan legs, unioned."""
+        pcol = self.partition_column()
+        for s in stats:
+            p = os.path.join(self.path, s.path)
+            if not os.path.exists(p):
+                raise VersionPrunedError(
+                    f"version {version} references vacuumed file {s.path}"
+                )
+        if pcol is None:
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, s.path) for s in sorted(stats, key=lambda s: s.path)]
+            )
+        phys = T.StructType([f for f in schema.fields if f.name != pcol])
+        ptype = schema[pcol].dataType
+        groups: dict[object, list[str]] = {}
+        for s in stats:
+            groups.setdefault(s.partition, []).append(
+                os.path.join(self.path, s.path)
+            )
+        legs = []
+        for val in sorted(groups, key=str):
+            legs.append(
+                self.spark.read.schema(phys)
+                .parquet(*sorted(groups[val]))
+                .withColumn(pcol, F.lit(val).cast(ptype))
+                .select(*[f.name for f in schema.fields])
+            )
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return out
+
     def snapshot(self, version: int | None = None) -> DataFrame:
         """Snapshot-isolated read; ``version`` pins time travel."""
         v, live, schema = self._resolve(version)
         if not live:
             return self.spark.createDataFrame([], schema)
-        paths = []
-        for rel in sorted(live):
-            p = os.path.join(self.path, rel)
-            if not os.path.exists(p):
-                raise VersionPrunedError(
-                    f"version {v} references vacuumed file {rel}"
-                )
-            paths.append(p)
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._read_files(list(live.values()), schema, v)
 
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self._log_versions()]
@@ -181,6 +221,7 @@ class VersionedTable:
         add: list[FileStat],
         remove: list[str],
         schema: T.StructType | None = None,
+        partition_by: str | None = None,
     ) -> None:
         """Atomic exclusive publish of commit ``version`` via link(2)."""
         log = os.path.join(self.path, _LOG_DIR)
@@ -189,13 +230,21 @@ class VersionedTable:
             "version": version,
             "op": op,
             "add": [
-                {"path": s.path, "rows": s.rows, "min_key": s.min_key, "max_key": s.max_key}
+                {
+                    "path": s.path,
+                    "rows": s.rows,
+                    "min_key": s.min_key,
+                    "max_key": s.max_key,
+                    **({"partition": s.partition} if s.partition is not None else {}),
+                }
                 for s in add
             ],
             "remove": sorted(remove),
         }
         if schema is not None:
             payload["schema"] = schema.json()
+        if partition_by is not None:
+            payload["partition_by"] = partition_by
         tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(payload, f, sort_keys=True)
@@ -210,42 +259,79 @@ class VersionedTable:
         finally:
             os.unlink(tmp)
 
-    def _write_files(self, df: DataFrame, key: str, n_files: int) -> list[FileStat]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        key: str,
+        n_files: int,
+        partition_by: str | None = None,
+    ) -> list[FileStat]:
         """Write ``df`` into fresh immutable data files + harvest their
         key min/max stats from the parquet FOOTERS driver-side (the
         Delta/Iceberg stats-collection model: O(#files) metadata reads,
-        zero extra Spark jobs, never O(rows))."""
+        zero extra Spark jobs, never O(rows)). With ``partition_by``, ONE
+        Spark job writes the hive layout (partitionBy) and each file's
+        partition value is recorded in its add action — the directory
+        encoding is transient; the log is the source of truth."""
         import pyarrow.parquet as pq
 
         scratch = os.path.join(self.path, _TMP_DIR, uuid.uuid4().hex)
+        shuffle_cols = (
+            [F.col(partition_by), F.col(key)] if partition_by else [F.col(key)]
+        )
         part = (
-            df.repartitionByRange(n_files, F.col(key))
+            df.repartitionByRange(n_files, *shuffle_cols)
             if n_files > 1
             else df.coalesce(1)  # skip the range-boundary sampling job
         )
-        part.write.mode("overwrite").parquet(scratch)
+        writer = part.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(scratch)
         data_dir = os.path.join(self.path, _DATA_DIR)
         os.makedirs(data_dir, exist_ok=True)
+
+        def _harvest(src_dir: str, pval) -> list[FileStat]:
+            stats = []
+            for base in sorted(os.listdir(src_dir)):
+                if not base.endswith(".parquet"):
+                    continue
+                src = os.path.join(src_dir, base)
+                meta = pq.ParquetFile(src).metadata
+                if meta.num_rows == 0:
+                    continue
+                ki = meta.schema.to_arrow_schema().get_field_index(key)
+                mins, maxs = [], []
+                for g in range(meta.num_row_groups):
+                    st = meta.row_group(g).column(ki).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            f"no parquet stats for key '{key}' in {base}"
+                        )
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                rel = os.path.join(_DATA_DIR, f"part-{uuid.uuid4().hex}.parquet")
+                # same filesystem (scratch is inside the table root): atomic
+                os.rename(src, os.path.join(self.path, rel))
+                stats.append(
+                    FileStat(rel, meta.num_rows, min(mins), max(maxs), pval)
+                )
+            return stats
+
         out: list[FileStat] = []
-        for base in sorted(os.listdir(scratch)):
-            if not base.endswith(".parquet"):
-                continue
-            src = os.path.join(scratch, base)
-            meta = pq.ParquetFile(src).metadata
-            if meta.num_rows == 0:
-                continue
-            ki = meta.schema.to_arrow_schema().get_field_index(key)
-            mins, maxs = [], []
-            for g in range(meta.num_row_groups):
-                st = meta.row_group(g).column(ki).statistics
-                if st is None or not st.has_min_max:
-                    raise ValueError(f"no parquet stats for key '{key}' in {base}")
-                mins.append(st.min)
-                maxs.append(st.max)
-            rel = os.path.join(_DATA_DIR, f"part-{uuid.uuid4().hex}.parquet")
-            # same filesystem (scratch lives inside the table root): atomic
-            os.rename(src, os.path.join(self.path, rel))
-            out.append(FileStat(rel, meta.num_rows, min(mins), max(maxs)))
+        if partition_by:
+            for pdir in sorted(os.listdir(scratch)):
+                if "=" not in pdir:
+                    continue
+                # hive dir encoding; values here are plain scalars (the
+                # partition column contract), no URL escaping involved
+                out.extend(
+                    _harvest(
+                        os.path.join(scratch, pdir), pdir.split("=", 1)[1]
+                    )
+                )
+        else:
+            out = _harvest(scratch, None)
         shutil.rmtree(scratch, ignore_errors=True)
         return out
 
@@ -259,17 +345,20 @@ class VersionedTable:
         df: DataFrame,
         key: str,
         target_rows_per_file: int = 250_000,
+        partition_by: str | None = None,
     ) -> "VersionedTable":
         t = cls(spark, path)
         if t.latest_version():
             raise FileExistsError(f"table already exists at {path}")
         n = max(1, math.ceil(df.count() / target_rows_per_file))
-        files = t._write_files(df, key, n)
-        t._commit(1, "create", files, [], schema=df.schema)
+        files = t._write_files(df, key, n, partition_by)
+        t._commit(
+            1, "create", files, [], schema=df.schema, partition_by=partition_by
+        )
         return t
 
     def append(self, df: DataFrame, key: str, max_attempts: int = 5) -> int:
-        files = self._write_files(df, key, 1)
+        files = self._write_files(df, key, 1, self.partition_column())
         for _ in range(max_attempts):
             v = self.latest_version()
             try:
@@ -286,6 +375,7 @@ class VersionedTable:
         when_matched: dict[str, str] | None = None,
         max_attempts: int = 5,
         allow_new_columns: bool = False,
+        stable_partitions: bool = False,
     ) -> int:
         """MERGE INTO: upsert ``updates`` (unique per ``key``) into the
         table. ``when_matched`` maps column -> SQL expr over aliases
@@ -304,6 +394,7 @@ class VersionedTable:
         rewritten — the explicit read schema null-fills missing columns
         at scan time, so evolution is an O(metadata) operation no matter
         the table size (the Delta/Iceberg contract)."""
+        pcol = self.partition_column()
         for _ in range(max_attempts):
             v, live, schema = self._resolve()
             evolved = False
@@ -319,15 +410,33 @@ class VersionedTable:
             cols = [f.name for f in schema.fields]
             upd = updates.select(*cols)
 
+            # (0) partition pruning: only files in partitions the update
+            # touches can match (bounded: <= one row per touched partition).
+            # SOUND ONLY when the caller asserts the partition value is a
+            # pure function of the key (``stable_partitions``): a
+            # partition-churning upsert's OLD row lives in a partition the
+            # source never mentions, and skipping its file would duplicate
+            # the key. Without the assertion, key-range pruning alone
+            # (which sees every live file) carries the rewrite set.
+            prunable = list(live.values())
+            if pcol is not None and stable_partitions and prunable:
+                touched = {
+                    str(r[0])
+                    for r in upd.select(
+                        F.col(pcol).cast("string")
+                    ).distinct().collect()
+                }
+                prunable = [s for s in prunable if str(s.partition) in touched]
+
             # (1) file pruning via broadcast of the O(#files) stats table
-            if live:
+            if prunable:
                 from ssiintegrateddatapipeline_spark.sources.batch import (
                     local_frame,
                 )
 
                 stats_df = local_frame(
                     self.spark,
-                    [(s.path, s.min_key, s.max_key) for s in live.values()],
+                    [(s.path, s.min_key, s.max_key) for s in prunable],
                     T.StructType(
                         [
                             T.StructField("path", T.StringType()),
@@ -353,8 +462,8 @@ class VersionedTable:
                 candidates = []
 
             if candidates:
-                cand = self.spark.read.schema(schema).parquet(
-                    *[os.path.join(self.path, c) for c in candidates]
+                cand = self._read_files(
+                    [live[c] for c in candidates], schema, v
                 )
                 survivors = cand.join(upd.select(key), key, "left_anti")
                 if when_matched:
@@ -374,7 +483,7 @@ class VersionedTable:
             else:
                 out = upd
                 n_files = 1
-            files = self._write_files(out, key, n_files)
+            files = self._write_files(out, key, n_files, pcol)
             try:
                 self._commit(
                     v + 1,
@@ -395,6 +504,7 @@ class VersionedTable:
         rewriting ONLY files that physically contain a match (found via one
         input_file_name() aggregation — the row-level pruning pass)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        pcol = self.partition_column()
         for _ in range(max_attempts):
             v, live, schema = self._resolve()
             if not live:
@@ -403,8 +513,7 @@ class VersionedTable:
                 os.path.join(self.path, s.path): s.path for s in live.values()
             }
             hit = (
-                self.spark.read.schema(schema)
-                .parquet(*sorted(by_file))
+                self._read_files(list(live.values()), schema, v)
                 .where(cond)
                 .select(F.input_file_name().alias("f"))
                 .distinct()
@@ -413,12 +522,10 @@ class VersionedTable:
             candidates = sorted(by_file[_local_path(r["f"])] for r in hit)
             if not candidates:
                 return v  # nothing to delete — no empty commit
-            kept = (
-                self.spark.read.schema(schema)
-                .parquet(*[os.path.join(self.path, c) for c in candidates])
-                .where(~cond)
-            )
-            files = self._write_files(kept, key, len(candidates))
+            kept = self._read_files(
+                [live[c] for c in candidates], schema, v
+            ).where(~cond)
+            files = self._write_files(kept, key, len(candidates), pcol)
             try:
                 self._commit(v + 1, "delete", files, candidates)
                 return v + 1
@@ -441,16 +548,15 @@ class VersionedTable:
         working (the Delta OPTIMIZE contract). The rewrite re-ranges by
         ``key`` so the post-compaction min/max stats are tight again for
         the next merge's file pruning."""
+        pcol = self.partition_column()
         for _ in range(max_attempts):
             v, live, schema = self._resolve()
             total = sum(s.rows for s in live.values())
             n = max(1, math.ceil(total / target_rows_per_file))
             if n >= len(live):
                 return v  # already at (or below) target granularity
-            df = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, p) for p in sorted(live)]
-            )
-            files = self._write_files(df, key, n)
+            df = self._read_files(list(live.values()), schema, v)
+            files = self._write_files(df, key, n, pcol)
             try:
                 self._commit(v + 1, "compact", files, sorted(live))
                 return v + 1
@@ -470,20 +576,26 @@ class VersionedTable:
         the files and the rest are never touched (pure driver-side
         metadata, no Spark job to decide the file list)."""
         v, live, schema = self._resolve(version)
-        cand = sorted(
-            s.path
-            for s in live.values()
-            if not (s.max_key < lo or s.min_key > hi)
-        )
+        cand = [
+            s for s in live.values() if not (s.max_key < lo or s.min_key > hi)
+        ]
         pred = (F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi))
         if not cand:
             return self.spark.createDataFrame([], schema), 0, len(live)
-        df = (
-            self.spark.read.schema(schema)
-            .parquet(*[os.path.join(self.path, p) for p in cand])
-            .where(pred)
-        )
+        df = self._read_files(cand, schema, v).where(pred)
         return df, len(cand), len(live)
+
+    def partition_scan(
+        self, value, version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Hive partition pruning: read ONLY the files whose add action
+        records the requested partition value — decided from the log,
+        no directory listing, no file opened outside the partition."""
+        v, live, schema = self._resolve(version)
+        cand = [s for s in live.values() if str(s.partition) == str(value)]
+        if not cand:
+            return self.spark.createDataFrame([], schema), 0, len(live)
+        return self._read_files(cand, schema, v), len(cand), len(live)
 
     def change_feed(self, key: str, v_from: int, v_to: int) -> DataFrame:
         """Row-level change data feed between two versions. File-confined:
@@ -498,19 +610,17 @@ class VersionedTable:
         # read both sides with the NEWER schema: evolution between the two
         # versions null-fills the old side, so a widened column shows up
         # as a value change exactly when a row gained it
-        removed = sorted(p for p in live_a if p not in live_b)
-        added = sorted(p for p in live_b if p not in live_a)
+        removed = [s for p, s in sorted(live_a.items()) if p not in live_b]
+        added = [s for p, s in sorted(live_b.items()) if p not in live_a]
 
-        def _read(paths):
-            if not paths:
+        def _read(stats, at_version):
+            if not stats:
                 return self.spark.createDataFrame([], schema_b)
-            return self.spark.read.schema(schema_b).parquet(
-                *[os.path.join(self.path, p) for p in paths]
-            )
+            return self._read_files(stats, schema_b, at_version)
 
         cols = [f.name for f in schema_b.fields]
-        old = _read(removed).alias("o")
-        new = _read(added).alias("n")
+        old = _read(removed, v_from).alias("o")
+        new = _read(added, v_to).alias("n")
         j = old.join(new, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")), "full_outer")
         same = None
         for c in cols:

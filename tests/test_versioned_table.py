@@ -275,6 +275,78 @@ def test_concurrent_writers_all_land_without_lost_updates(spark, table):
     assert len(got) == 34
 
 
+@pytest.fixture()
+def ptable(spark, tmp_path):
+    rows = [(i, "even" if i % 2 == 0 else "odd", 1) for i in range(30)]
+    return VersionedTable.create(
+        spark,
+        str(tmp_path / "pt"),
+        local_frame(spark, rows, "k bigint, par string, n bigint"),
+        key="k",
+        target_rows_per_file=8,
+        partition_by="par",
+    )
+
+
+def test_partitioned_create_and_snapshot(spark, ptable):
+    assert ptable.partition_column() == "par"
+    c = ptable._read_commit(1)
+    assert {a["partition"] for a in c["add"]} == {"even", "odd"}
+    got = {r["k"]: r["par"] for r in ptable.snapshot().collect()}
+    assert len(got) == 30
+    assert got[4] == "even" and got[7] == "odd"  # dir-encoded col restored
+
+
+def test_partition_scan_reads_only_the_partition(spark, ptable):
+    df, opened, total = ptable.partition_scan("even")
+    assert 0 < opened < total
+    ks = sorted(r["k"] for r in df.collect())
+    assert ks == list(range(0, 30, 2))
+    df0, o0, _ = ptable.partition_scan("nope")
+    assert o0 == 0 and df0.count() == 0
+
+
+def test_partitioned_merge_prunes_untouched_partitions(spark, ptable):
+    # update touches only the 'odd' partition → no 'even' file rewritten
+    upd = local_frame(
+        spark, [(7, "odd", 99), (101, "odd", 1)], "k bigint, par string, n bigint"
+    )
+    # par == k % 2 here, a pure function of the key → pruning is sound
+    ptable.merge_into(upd, key="k", stable_partitions=True)
+    c = ptable._read_commit(2)
+    removed = set(c["remove"])
+    adds1 = {a["path"]: a["partition"] for a in ptable._read_commit(1)["add"]}
+    assert removed and all(adds1[p] == "odd" for p in removed)
+    assert {a["partition"] for a in c["add"]} == {"odd"}
+    got = {r["k"]: (r["par"], r["n"]) for r in ptable.snapshot().collect()}
+    assert got[7] == ("odd", 99) and got[101] == ("odd", 1)
+    assert got[4] == ("even", 1) and len(got) == 31
+
+
+def test_partition_churning_merge_moves_the_row(spark, ptable):
+    """Default merge (no stable_partitions claim): a key may CHANGE
+    partition; key-range pruning must still find its old row, so the move
+    lands as exactly one row in the new partition — no duplicates."""
+    upd = local_frame(spark, [(7, "moved", 5)], "k bigint, par string, n bigint")
+    ptable.merge_into(upd, key="k")
+    rows = [r for r in ptable.snapshot().collect() if r["k"] == 7]
+    assert len(rows) == 1 and rows[0]["par"] == "moved" and rows[0]["n"] == 5
+    assert len(_rows(ptable.snapshot())) == 30
+    _, opened, total = ptable.partition_scan("moved")
+    assert opened >= 1  # the new partition exists in the log
+
+
+def test_partitioned_delete_and_compact_keep_layout(spark, ptable):
+    ptable.delete_where(F.col("k") == 2, key="k")
+    assert len(_rows(ptable.snapshot())) == 29
+    v = ptable.compact("k", target_rows_per_file=10**9)
+    c = ptable._read_commit(v)
+    # bin-packed to one file PER PARTITION (hive layout preserved)
+    assert sorted(a["partition"] for a in c["add"]) == ["even", "odd"]
+    got = {r["k"]: r["par"] for r in ptable.snapshot().collect()}
+    assert len(got) == 29 and got[3] == "odd" and 2 not in got
+
+
 def test_commit_files_are_valid_json_with_stats(spark, table):
     with open(os.path.join(table.path, "_log", f"{1:020d}.json")) as f:
         c = json.load(f)
