@@ -125,94 +125,126 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
     root = tempfile.mkdtemp(prefix="ssi_store_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
 
-    main = VersionedTable.create(
-        spark,
-        f"{root}/main",
-        _batch_state(ev.where(F.col("event_id") < cut1)),
-        key="user_id",
-        target_rows_per_file=per_file,  # force a multi-file layout so merge
-        # pruning / data skipping / rewrite actually exercise file granularity
-    )
-    main.merge_into(
-        _batch_state(
-            ev.where((F.col("event_id") >= cut1) & (F.col("event_id") < cut2))
-        ),
-        key="user_id",
-        when_matched=_WHEN_MATCHED,
-    )
-    main.merge_into(
-        _batch_state(ev.where(F.col("event_id") >= cut2)),
-        key="user_id",
-        when_matched=_WHEN_MATCHED,
-    )
+    def build_main() -> VersionedTable:
+        main = VersionedTable.create(
+            spark,
+            f"{root}/main",
+            _batch_state(ev.where(F.col("event_id") < cut1)),
+            key="user_id",
+            target_rows_per_file=per_file,  # multi-file layout so merge
+            # pruning / data skipping / rewrite exercise file granularity
+        )
+        main.merge_into(
+            _batch_state(
+                ev.where(
+                    (F.col("event_id") >= cut1) & (F.col("event_id") < cut2)
+                )
+            ),
+            key="user_id",
+            when_matched=_WHEN_MATCHED,
+        )
+        main.merge_into(
+            _batch_state(ev.where(F.col("event_id") >= cut2)),
+            key="user_id",
+            when_matched=_WHEN_MATCHED,
+        )
+        return main
 
-    erasure = VersionedTable.create(
-        spark, f"{root}/erasure", _batch_state(ev), key="user_id",
-        target_rows_per_file=per_file,
-    )
-    pre_versions = erasure.latest_version()
-    erasure.delete_where(
-        F.col("user_id") % ERASE_MOD == 0, key="user_id"
-    )
-    removed = erasure.vacuum(retain_last=1)
-    try:
-        erasure.snapshot(version=pre_versions)
-        history_pruned = False
-    except VersionPrunedError:
-        history_pruned = True
+    def build_erasure() -> tuple:
+        erasure = VersionedTable.create(
+            spark, f"{root}/erasure", _batch_state(ev), key="user_id",
+            target_rows_per_file=per_file,
+        )
+        pre_versions = erasure.latest_version()
+        erasure.delete_where(
+            F.col("user_id") % ERASE_MOD == 0, key="user_id"
+        )
+        removed = erasure.vacuum(retain_last=1)
+        try:
+            erasure.snapshot(version=pre_versions)
+            history_pruned = False
+        except VersionPrunedError:
+            history_pruned = True
+        return erasure, removed, history_pruned
 
-    compactt = VersionedTable.create(
-        spark, f"{root}/compact", _batch_state(ev), key="user_id",
-        target_rows_per_file=per_file,
-    )
-    files_before = len(compactt._read_commit(1)["add"])
-    compactt.compact("user_id", target_rows_per_file=10**9)  # → 1 file
-    files_after = len(compactt._read_commit(compactt.latest_version())["add"])
-    try:
-        v1_rows = compactt.snapshot(version=1).count()
-        v1_readable = v1_rows == n_users
-    except VersionPrunedError:
-        v1_readable = False
+    def build_compact() -> tuple:
+        compactt = VersionedTable.create(
+            spark, f"{root}/compact", _batch_state(ev), key="user_id",
+            target_rows_per_file=per_file,
+        )
+        files_before = len(compactt._read_commit(1)["add"])
+        compactt.compact("user_id", target_rows_per_file=10**9)  # -> 1 file
+        files_after = len(
+            compactt._read_commit(compactt.latest_version())["add"]
+        )
+        try:
+            v1_readable = compactt.snapshot(version=1).count() == n_users
+        except VersionPrunedError:
+            v1_readable = False
+        return compactt, files_before, files_after, v1_readable
 
-    # hive-partitioned twin of main (partition = last_event_type, which
-    # CHURNS under merges — users move partitions, so merges run with
-    # key-range pruning only; partition pruning stays a read-side device)
-    parts = VersionedTable.create(
-        spark,
-        f"{root}/parts",
-        _batch_state(ev.where(F.col("event_id") < cut1)),
-        key="user_id",
-        target_rows_per_file=per_file,
-        partition_by="last_event_type",
-    )
-    parts.merge_into(
-        _batch_state(
-            ev.where((F.col("event_id") >= cut1) & (F.col("event_id") < cut2))
-        ),
-        key="user_id",
-        when_matched=_WHEN_MATCHED,
-    )
-    parts.merge_into(
-        _batch_state(ev.where(F.col("event_id") >= cut2)),
-        key="user_id",
-        when_matched=_WHEN_MATCHED,
-    )
+    def build_parts() -> VersionedTable:
+        # hive-partitioned twin of main (partition = last_event_type, which
+        # CHURNS under merges -- users move partitions, so merges run with
+        # key-range pruning only; partition pruning is a read-side device)
+        parts = VersionedTable.create(
+            spark,
+            f"{root}/parts",
+            _batch_state(ev.where(F.col("event_id") < cut1)),
+            key="user_id",
+            target_rows_per_file=per_file,
+            partition_by="last_event_type",
+        )
+        parts.merge_into(
+            _batch_state(
+                ev.where(
+                    (F.col("event_id") >= cut1) & (F.col("event_id") < cut2)
+                )
+            ),
+            key="user_id",
+            when_matched=_WHEN_MATCHED,
+        )
+        parts.merge_into(
+            _batch_state(ev.where(F.col("event_id") >= cut2)),
+            key="user_id",
+            when_matched=_WHEN_MATCHED,
+        )
+        return parts
 
-    evolve = VersionedTable.create(
-        spark,
-        f"{root}/evolve",
-        _batch_state(ev.where(F.col("event_id") < cut2)),
-        key="user_id",
-        target_rows_per_file=per_file,
-    )
-    evolve.merge_into(
-        _batch_state(ev.where(F.col("event_id") >= cut2)).withColumn(
-            "suffix_events", F.col("n_events")
-        ),
-        key="user_id",
-        when_matched={**_WHEN_MATCHED, "suffix_events": "s.suffix_events"},
-        allow_new_columns=True,
-    )
+    def build_evolve() -> VersionedTable:
+        evolve = VersionedTable.create(
+            spark,
+            f"{root}/evolve",
+            _batch_state(ev.where(F.col("event_id") < cut2)),
+            key="user_id",
+            target_rows_per_file=per_file,
+        )
+        evolve.merge_into(
+            _batch_state(ev.where(F.col("event_id") >= cut2)).withColumn(
+                "suffix_events", F.col("n_events")
+            ),
+            key="user_id",
+            when_matched={**_WHEN_MATCHED, "suffix_events": "s.suffix_events"},
+            allow_new_columns=True,
+        )
+        return evolve
+
+    # the five tables are independent commit logs -- build them as
+    # concurrent Spark job chains (driver threads; the scheduler
+    # interleaves their stages), ~3x less wall than the serial build
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        f_main = ex.submit(build_main)
+        f_erasure = ex.submit(build_erasure)
+        f_compact = ex.submit(build_compact)
+        f_parts = ex.submit(build_parts)
+        f_evolve = ex.submit(build_evolve)
+        main = f_main.result()
+        erasure, removed, history_pruned = f_erasure.result()
+        compactt, files_before, files_after, v1_readable = f_compact.result()
+        parts = f_parts.result()
+        evolve = f_evolve.result()
 
     out = {
         "main": main,
