@@ -423,16 +423,28 @@ def prefix_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = PREFIX_TOPK_K
     d = spread(load_table(spark, sf_dir, "documents"))
-    keyed = d.select(
-        "doc_id",
-        F.array_sort(
-            F.array_distinct(word_shingles(tokens(F.col("text"))))
-        ).alias("shset"),
-    ).withColumn("ck", F.xxhash64("shset"))  # 64-bit set-identity key:
-    # a collision would merge two distinct classes — probability ~n²/2⁶⁵,
-    # and the exact full-rebuild oracle would hash-mismatch if it ever hit
+    # the shingle-set lineage (tokenize → shingle → distinct → sort) is
+    # the dominant per-row cost and feeds THREE consumers (classes,
+    # members, representative shingles) — pin it once; with the pair-table
+    # pin below, 8.3 s → 3.3 s warm at sf0.1 (lineage otherwise runs per
+    # consumer)
+    keyed = track(
+        d.select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(word_shingles(tokens(F.col("text"))))
+            ).alias("shset"),
+        )
+        .withColumn("ck", F.xxhash64("shset"))  # 64-bit set-identity key:
+        # a collision would merge two distinct classes — probability
+        # ~n²/2⁶⁵, and the exact full-rebuild oracle would hash-mismatch
+        # if it ever hit
+        .persist()
+    )
     classes = keyed.groupBy("ck").agg(F.min("doc_id").alias("class_id"))
-    members = keyed.join(classes, "ck").select("doc_id", "class_id")
+    members = track(
+        keyed.join(classes, "ck").select("doc_id", "class_id").persist()
+    )
     # per-class bounded member slate: the k+1 smallest ids (k for a
     # neighbor class, k+1 to exclude self within the own class)
     w_cls = Window.partitionBy("class_id").orderBy("doc_id")
@@ -448,7 +460,11 @@ def prefix_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("class_id", F.explode("shset").alias("shingle"))
         .withColumnRenamed("class_id", "doc_id")
     )
-    cp = prefix_filtered_jaccard(rep_sh, PREFIX_T_NUM, PREFIX_T_DEN)
+    # the class-level pair table feeds BOTH legs of the symmetric union —
+    # unpinned, the whole prefix-filtered join would run twice
+    cp = track(
+        prefix_filtered_jaccard(rep_sh, PREFIX_T_NUM, PREFIX_T_DEN).persist()
+    )
     sym = cp.select(
         F.col("doc_id_a").alias("cls"),
         F.col("doc_id_b").alias("ncls"),
