@@ -141,6 +141,21 @@ def census(spark=None) -> dict:
             )
         except Exception:
             pass
+        try:
+            beans = (
+                spark._jvm.java.lang.management.ManagementFactory
+                .getGarbageCollectorMXBeans()
+            )
+            out["jvm_gc_ms"] = sum(
+                beans.get(i).getCollectionTime() for i in range(beans.size())
+            )
+            out["jvm_heap_used_mb"] = int(
+                spark._jvm.java.lang.management.ManagementFactory
+                .getMemoryMXBean().getHeapMemoryUsage().getUsed()
+                // (1024 * 1024)
+            )
+        except Exception:
+            pass
     try:
         with open("/proc/self/status") as fh:
             for line in fh:

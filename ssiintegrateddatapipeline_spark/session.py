@@ -84,7 +84,7 @@ def get_spark(
         # instant), not TIMESTAMP_NTZ — keeps window/unix_* functions and
         # the DuckDB-oracle comparison on one timestamp type everywhere
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # whole-stage codegen emits one class per stage shape; the JVM
         # default 240m code cache fills after a few dozen heavy stages and
         # the JIT silently disables itself (5-10x slowdowns on
