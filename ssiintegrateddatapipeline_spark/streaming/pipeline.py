@@ -2079,6 +2079,29 @@ STORE_MERGE_BATCHES = 4
 _STORE_MERGE_CACHE: dict[tuple, str] = register({})
 
 
+def store_merge_batch(spark: SparkSession, table_path: str, bdf: DataFrame, bid: int) -> None:
+    """One micro-batch of the durable MERGE sink: fold the batch to
+    per-user state and commit it as table version ``bid + 1``. A
+    checkpoint-replayed batch finds its version already present and SKIPS
+    — the Delta streaming-sink txn idempotence pattern, enforced by the
+    commit log's exclusive (link(2)) version slots. Module-level so the
+    recovery test exercises exactly the production step."""
+    from ssiintegrateddatapipeline_spark.operators.store import (
+        _WHEN_MATCHED,
+        _batch_state,
+    )
+    from ssiintegrateddatapipeline_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, table_path)
+    if t.latest_version() >= bid + 1:
+        return  # replayed batch: its version already committed
+    state = _batch_state(bdf)
+    if bid == 0:
+        VersionedTable.create(spark, table_path, state, key="user_id")
+    else:
+        t.merge_into(state, key="user_id", when_matched=_WHEN_MATCHED)
+
+
 def streaming_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sink into the DURABLE versioned table (sources/
     versioned.py): the events log arrives as 4 seq-ordered micro-batches
@@ -2130,16 +2153,7 @@ def streaming_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_path = os.path.join(stage_root, "table")
 
         def _merge(bdf: DataFrame, bid: int) -> None:
-            t = VersionedTable(spark, table_path)
-            if t.latest_version() >= bid + 1:
-                return  # replayed batch: its version already committed
-            state = _batch_state(bdf)
-            if bid == 0:
-                VersionedTable.create(spark, table_path, state, key="user_id")
-            else:
-                t.merge_into(
-                    state, key="user_id", when_matched=_WHEN_MATCHED
-                )
+            store_merge_batch(spark, table_path, bdf, bid)
 
         q = (
             spark.readStream.schema(ev.schema)

@@ -222,3 +222,90 @@ def test_online_dedup_index_recovers_across_restart(spark, sf_dir, tmp_path):
     # the resumed run must equal the uninterrupted one: same admissions,
     # same best-match counts, no double-processed batch rows
     assert decisions(resumed) == full
+
+
+def test_store_merge_sink_recovers_without_double_apply(spark, sf_dir, tmp_path):
+    """The durable MERGE sink's exactly-once claim, exercised: the drive
+    is killed after batch 1 (the foreachBatch raises), restarted from the
+    SAME checkpoint, and the replayed batches must be absorbed by the
+    version guard (version == batch_id + 1 already committed → skip) —
+    n_events accumulates each event exactly once, and the final snapshot
+    equals the one-shot batch fold."""
+    from ssiintegrateddatapipeline_spark.sources.versioned import VersionedTable
+
+    # stage SEQ-ORDERED quartiles (the production feed shape): the MERGE's
+    # when_matched takes last_* from the source, which is only correct
+    # when batches arrive in event_id order — _stage_files's modulo split
+    # would violate that contract by design
+    arrivals = str(tmp_path / "feed" / "arrivals")
+    os.makedirs(arrivals)
+    ev = load_table(spark, sf_dir, "events")
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    cuts = [max_id * k // 4 for k in range(4)] + [max_id + 1]
+    base_t = 1_600_000_000
+    for k in range(4):
+        part_dir = str(tmp_path / "feed" / f"w{k}")
+        (
+            ev.where(
+                (F.col("event_id") >= cuts[k]) & (F.col("event_id") < cuts[k + 1])
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        (part_file,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(arrivals, f"b{k}.parquet")
+        shutil.move(part_file, dst)
+        os.utime(dst, (base_t + k, base_t + k))
+    schema = load_table(spark, sf_dir, "events").schema
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    boom = {"armed": True}
+
+    def merge_then_die(bdf, bid):
+        SP.store_merge_batch(spark, table_path, bdf, bid)
+        if boom["armed"] and bid == 1:
+            raise RuntimeError("killed after batch 1 committed")
+
+    def drive():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(arrivals)
+            .writeStream.foreachBatch(merge_then_die)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        drive()
+        raise AssertionError("first drive should have died")
+    except Exception:
+        pass
+    t = VersionedTable(spark, table_path)
+    assert t.latest_version() == 2  # batches 0,1 committed before the kill
+
+    boom["armed"] = False
+    drive()  # resume from the SAME checkpoint: batch 1 may replay → skip
+    assert t.latest_version() == 4
+    ops = [c["op"] for c in t.history()]
+    assert ops == ["create", "merge", "merge", "merge"]
+
+    got = {
+        r["user_id"]: (r["n_events"], r["last_event_id"])
+        for r in t.snapshot().collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["last_event_id"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .collect()
+    }
+    assert got == want  # every event folded exactly once across the kill
