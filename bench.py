@@ -29,6 +29,7 @@ HEADLINE = [
     "store_history",
     "store_cdf_replay",
     "store_partition_pruning",
+    "store_bloom_pruning",
     "streaming_store_merge",
     "dedup_prefix_jaccard_topk",
     "text_pmi_collocations",

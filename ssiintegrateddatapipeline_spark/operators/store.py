@@ -133,6 +133,8 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
             key="user_id",
             target_rows_per_file=per_file,  # multi-file layout so merge
             # pruning / data skipping / rewrite exercise file granularity
+            bloom_by="last_event_id",  # point-lookup index on a column the
+            # user_id-range layout does NOT cluster (min/max stats useless)
         )
         main.merge_into(
             _batch_state(
@@ -358,6 +360,23 @@ def history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point lookup on the main table: find the holder of the
+    log's LAST event by ``last_event_id`` — a column the user_id-range
+    file layout scatters, so min/max stats cannot skip anything and the
+    per-file bloom is the only thing standing between a point predicate
+    and a full-table scan (Delta's bloom filter index, re-derived). Rows
+    must equal the filtered rebuild; ``files_skipped`` records that the
+    bloom actually cut the file list."""
+    built = _built_store(spark, sf_dir)
+    t = built["main"]
+    # bounded: 1 scalar — the global high-water event id, recomputable in
+    # SQL as max(event_id) (the last event is someone's last_event_id)
+    mx = t.snapshot().agg(F.max("last_event_id")).collect()[0][0]
+    df, opened, total = t.point_scan("last_event_id", mx)
+    return df.withColumn("files_skipped", F.lit(opened < total))
+
+
 def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partition pruning on the partitioned twin (3 commits deep, so
     merges-through-partitions are in the read): scan ONE partition — the
@@ -425,6 +444,7 @@ QUERIES = {
     "store_history": history_audit,
     "store_cdf_replay": cdf_replay,
     "store_partition_pruning": partition_pruning,
+    "store_bloom_pruning": bloom_pruning,
 }
 
 # The oracles rebuild the store state straight from the events log —
@@ -501,6 +521,13 @@ ORACLES = {
     # composing every CDF increment last-version-wins == the final table:
     # the rebuild is the same one-shot fold
     "store_cdf_replay": _REBUILD.format(where=""),
+    # the last event's holder via the bloom index == the rebuild filtered
+    # to the global high-water event id
+    "store_bloom_pruning": f"""
+        SELECT r.*, TRUE AS files_skipped
+        FROM ({_REBUILD.format(where="")}) r
+        WHERE r.last_event_id = (SELECT max(event_id) FROM events)
+    """,
     # one partition of the merged-through-partitions twin == the rebuild
     # filtered to the probe type
     "store_partition_pruning": f"""

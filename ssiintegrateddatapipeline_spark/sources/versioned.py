@@ -34,6 +34,16 @@ JSON log (the Delta Lake / Iceberg design, re-derived minimally):
   every data file not referenced by the retained log suffix — the
   physical completion GDPR erasure requires (ties into
   operators/transform.py ``gdpr_erasure``'s ERASE_MOD cohort).
+- **OPTIMIZE / CDF / evolution / layout** (round 9): ``compact()``
+  bin-packs in one commit with history intact; ``change_feed()`` emits
+  the row-level diff between versions file-confined; ``merge_into(...,
+  allow_new_columns=True)`` widens the schema as metadata (untouched
+  files null-fill at read); ``create(partition_by=...)`` records hive
+  partition values per add action (``partition_scan`` prunes from the
+  log; MERGE partition pruning is opt-in via ``stable_partitions``
+  because churning upserts move keys across partitions); ``create(
+  bloom_by=...)`` carries a per-file bloom in the log for point lookups
+  on a column the key-range layout doesn't cluster (``point_scan``).
 
 Scale shape: the log is O(#files) metadata (tiny next to data);
 snapshot resolution is driver-side JSON; all data movement is normal
@@ -70,6 +80,42 @@ class FileStat:
     min_key: object
     max_key: object
     partition: object = None  # hive partition value (one column), if any
+    bloom: str | None = None  # per-file bloom over the bloom_by column (hex)
+
+
+# per-file bloom sizing: 1024 bits (128 bytes, ~256 hex chars in the log)
+# with k=3 md5-derived positions — fp ~8% at ~190 rows/file, i.e. a point
+# lookup opens the 1 true file plus ~8% of the rest instead of all of them.
+# Size m to rows-per-file on a real deployment (Delta's bloom index knob).
+_BLOOM_BITS = 1 << 10
+_BLOOM_K = 3
+
+
+def _bloom_positions(value) -> list[int]:
+    import hashlib
+
+    return [
+        int.from_bytes(
+            hashlib.md5(f"{value}|{seed}".encode()).digest()[:8], "big"
+        )
+        % _BLOOM_BITS
+        for seed in range(_BLOOM_K)
+    ]
+
+
+def _bloom_build(values) -> str:
+    bits = 0
+    for v in values:
+        if v is None:
+            continue
+        for p in _bloom_positions(v):
+            bits |= 1 << p
+    return f"{bits:0{_BLOOM_BITS // 4}x}"
+
+
+def _bloom_might_contain(hex_bits: str, value) -> bool:
+    bits = int(hex_bits, 16)
+    return all(bits >> p & 1 for p in _bloom_positions(value))
 
 
 _LOG_DIR = "_log"
@@ -151,6 +197,7 @@ class VersionedTable:
                     add.get("min_key"),
                     add.get("max_key"),
                     add.get("partition"),
+                    add.get("bloom"),
                 )
         if schema_json is None:
             raise ValueError(f"commit log at {self.path} carries no schema")
@@ -162,6 +209,37 @@ class VersionedTable:
     def partition_column(self) -> str | None:
         """Hive partition column, fixed at create time (or None)."""
         return self._read_commit(1).get("partition_by")
+
+    def bloom_column(self) -> str | None:
+        """Bloom-indexed column, fixed at create time (or None)."""
+        return self._read_commit(1).get("bloom_by")
+
+    def point_scan(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Bloom-index point lookup: open only files whose per-file bloom
+        might contain ``value`` — the data-skipping move min/max stats
+        can't make for a NON-clustered column (the key-range stats are
+        useless for a point predicate on a column the layout doesn't sort
+        by; Delta's bloom filter index fills exactly this gap). The exact
+        predicate still applies after the file cut, so false positives
+        never reach the result."""
+        if col != self.bloom_column():
+            raise ValueError(f"no bloom index on column '{col}'")
+        v, live, schema = self._resolve(version)
+        cand = [
+            s
+            for s in live.values()
+            if s.bloom is None or _bloom_might_contain(s.bloom, value)
+        ]
+        pred = F.col(col) == F.lit(value)
+        if not cand:
+            return self.spark.createDataFrame([], schema), 0, len(live)
+        return (
+            self._read_files(cand, schema, v).where(pred),
+            len(cand),
+            len(live),
+        )
 
     def _read_files(
         self, stats: list[FileStat], schema: T.StructType, version: int
@@ -222,6 +300,7 @@ class VersionedTable:
         remove: list[str],
         schema: T.StructType | None = None,
         partition_by: str | None = None,
+        bloom_by: str | None = None,
     ) -> None:
         """Atomic exclusive publish of commit ``version`` via link(2)."""
         log = os.path.join(self.path, _LOG_DIR)
@@ -236,6 +315,7 @@ class VersionedTable:
                     "min_key": s.min_key,
                     "max_key": s.max_key,
                     **({"partition": s.partition} if s.partition is not None else {}),
+                    **({"bloom": s.bloom} if s.bloom is not None else {}),
                 }
                 for s in add
             ],
@@ -245,6 +325,8 @@ class VersionedTable:
             payload["schema"] = schema.json()
         if partition_by is not None:
             payload["partition_by"] = partition_by
+        if bloom_by is not None:
+            payload["bloom_by"] = bloom_by
         tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(payload, f, sort_keys=True)
@@ -265,6 +347,7 @@ class VersionedTable:
         key: str,
         n_files: int,
         partition_by: str | None = None,
+        bloom_by: str | None = None,
     ) -> list[FileStat]:
         """Write ``df`` into fresh immutable data files + harvest their
         key min/max stats from the parquet FOOTERS driver-side (the
@@ -310,11 +393,23 @@ class VersionedTable:
                         )
                     mins.append(st.min)
                     maxs.append(st.max)
+                bloom = None
+                if bloom_by is not None:
+                    # per-file bloom built from the freshly-written bytes —
+                    # a single-column local read during the same footer
+                    # pass; on a real cluster this folds into the write
+                    # task (Delta computes its bloom index file-side too)
+                    bloom = _bloom_build(
+                        pq.ParquetFile(src)
+                        .read(columns=[bloom_by])
+                        .column(0)
+                        .to_pylist()
+                    )
                 rel = os.path.join(_DATA_DIR, f"part-{uuid.uuid4().hex}.parquet")
                 # same filesystem (scratch is inside the table root): atomic
                 os.rename(src, os.path.join(self.path, rel))
                 stats.append(
-                    FileStat(rel, meta.num_rows, min(mins), max(maxs), pval)
+                    FileStat(rel, meta.num_rows, min(mins), max(maxs), pval, bloom)
                 )
             return stats
 
@@ -346,19 +441,28 @@ class VersionedTable:
         key: str,
         target_rows_per_file: int = 250_000,
         partition_by: str | None = None,
+        bloom_by: str | None = None,
     ) -> "VersionedTable":
         t = cls(spark, path)
         if t.latest_version():
             raise FileExistsError(f"table already exists at {path}")
         n = max(1, math.ceil(df.count() / target_rows_per_file))
-        files = t._write_files(df, key, n, partition_by)
+        files = t._write_files(df, key, n, partition_by, bloom_by)
         t._commit(
-            1, "create", files, [], schema=df.schema, partition_by=partition_by
+            1,
+            "create",
+            files,
+            [],
+            schema=df.schema,
+            partition_by=partition_by,
+            bloom_by=bloom_by,
         )
         return t
 
     def append(self, df: DataFrame, key: str, max_attempts: int = 5) -> int:
-        files = self._write_files(df, key, 1, self.partition_column())
+        files = self._write_files(
+            df, key, 1, self.partition_column(), self.bloom_column()
+        )
         for _ in range(max_attempts):
             v = self.latest_version()
             try:
@@ -395,6 +499,7 @@ class VersionedTable:
         at scan time, so evolution is an O(metadata) operation no matter
         the table size (the Delta/Iceberg contract)."""
         pcol = self.partition_column()
+        bcol = self.bloom_column()
         for _ in range(max_attempts):
             v, live, schema = self._resolve()
             evolved = False
@@ -483,7 +588,7 @@ class VersionedTable:
             else:
                 out = upd
                 n_files = 1
-            files = self._write_files(out, key, n_files, pcol)
+            files = self._write_files(out, key, n_files, pcol, bcol)
             try:
                 self._commit(
                     v + 1,
@@ -505,6 +610,7 @@ class VersionedTable:
         input_file_name() aggregation — the row-level pruning pass)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         pcol = self.partition_column()
+        bcol = self.bloom_column()
         for _ in range(max_attempts):
             v, live, schema = self._resolve()
             if not live:
@@ -525,7 +631,7 @@ class VersionedTable:
             kept = self._read_files(
                 [live[c] for c in candidates], schema, v
             ).where(~cond)
-            files = self._write_files(kept, key, len(candidates), pcol)
+            files = self._write_files(kept, key, len(candidates), pcol, bcol)
             try:
                 self._commit(v + 1, "delete", files, candidates)
                 return v + 1
@@ -549,6 +655,7 @@ class VersionedTable:
         ``key`` so the post-compaction min/max stats are tight again for
         the next merge's file pruning."""
         pcol = self.partition_column()
+        bcol = self.bloom_column()
         for _ in range(max_attempts):
             v, live, schema = self._resolve()
             total = sum(s.rows for s in live.values())
@@ -556,7 +663,7 @@ class VersionedTable:
             if n >= len(live):
                 return v  # already at (or below) target granularity
             df = self._read_files(list(live.values()), schema, v)
-            files = self._write_files(df, key, n, pcol)
+            files = self._write_files(df, key, n, pcol, bcol)
             try:
                 self._commit(v + 1, "compact", files, sorted(live))
                 return v + 1

@@ -347,6 +347,33 @@ def test_partitioned_delete_and_compact_keep_layout(spark, ptable):
     assert len(got) == 29 and got[3] == "odd" and 2 not in got
 
 
+def test_bloom_point_scan_skips_files(spark, tmp_path):
+    rows = [(i, f"v{i}", 1) for i in range(30)]
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "bt"),
+        _frame(spark, rows),
+        key="k",
+        target_rows_per_file=10,
+        bloom_by="v",
+    )
+    assert t.bloom_column() == "v"
+    df, opened, total = t.point_scan("v", "v17")
+    assert total == 3 and opened < total  # the bloom cut the file list
+    assert [(r["k"], r["v"]) for r in df.collect()] == [(17, "v17")]
+    # a value nowhere in the table: every file's bloom rejects it
+    df0, o0, _ = t.point_scan("v", "nope")
+    assert o0 == 0 and df0.count() == 0
+    # the index survives a rewrite (merge recomputes per-file blooms)
+    t.merge_into(_frame(spark, [(17, "rewritten", 9)]), key="k")
+    df2, o2, t2 = t.point_scan("v", "rewritten")
+    assert o2 < t2
+    assert [(r["k"], r["v"]) for r in df2.collect()] == [(17, "rewritten")]
+    # un-indexed column: explicit error, not a silent full scan
+    with pytest.raises(ValueError, match="no bloom index"):
+        t.point_scan("n", 1)
+
+
 def test_commit_files_are_valid_json_with_stats(spark, table):
     with open(os.path.join(table.path, "_log", f"{1:020d}.json")) as f:
         c = json.load(f)
