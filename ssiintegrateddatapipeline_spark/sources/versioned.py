@@ -44,11 +44,27 @@ JSON log (the Delta Lake / Iceberg design, re-derived minimally):
   because churning upserts move keys across partitions); ``create(
   bloom_by=...)`` carries a per-file bloom in the log for point lookups
   on a column the key-range layout doesn't cluster (``point_scan``).
+- **Checkpoints** (round 10): every ``_CHECKPOINT_EVERY`` commits the
+  writer also materializes the RESOLVED state (live file set + schema)
+  as ``_log/<N>.checkpoint.json``; ``_resolve`` starts from the newest
+  checkpoint at-or-below the target version and replays only the tail,
+  so snapshot resolution reads O(_CHECKPOINT_EVERY) log files no matter
+  how long the history grows — the Delta ``_last_checkpoint`` design.
+  Checkpoints are derived data (deterministic function of the log
+  prefix), written atomically via rename, safe to lose or race.
+- **Multi-column data skipping** (round 10): ``create(stats_cols=...)``
+  records per-file [min, max] for a declared column set alongside the
+  merge key's, and ``pruned_scan`` cuts files on any of them — Delta's
+  leading-column stats collection, opt-in by name instead of position.
 
 Scale shape: the log is O(#files) metadata (tiny next to data);
-snapshot resolution is driver-side JSON; all data movement is normal
-pruned parquet scans + one shuffle-by-range per rewrite so min/max stats
-stay tight for the next merge's pruning. Nothing here collects data rows.
+snapshot resolution is driver-side JSON bounded by the checkpoint
+cadence; min/max/row-count stats come from parquet FOOTERS (metadata,
+never data rows) and the per-file bloom index is computed by a bounded
+Spark job over the freshly-written files (executor-side, O(#files)
+metadata collected); all data movement is normal pruned parquet scans +
+one shuffle-by-range per rewrite so min/max stats stay tight for the
+next merge's pruning. Nothing here collects data rows to the driver.
 """
 
 from __future__ import annotations
@@ -81,6 +97,7 @@ class FileStat:
     max_key: object
     partition: object = None  # hive partition value (one column), if any
     bloom: str | None = None  # per-file bloom over the bloom_by column (hex)
+    stats: dict | None = None  # extra per-column {col: [min, max]} skipping stats
 
 
 # per-file bloom sizing: 1024 bits (128 bytes, ~256 hex chars in the log)
@@ -90,13 +107,29 @@ class FileStat:
 _BLOOM_BITS = 1 << 10
 _BLOOM_K = 3
 
+# bloom_by is restricted to integer/string columns so the BUILD-side
+# canonical form (Spark `CAST(col AS STRING)` inside the executor-side
+# harvest job) and the PROBE-side form (`str(value)` here) are bit-equal
+# — a repr divergence (5.0 vs 5, Decimal, date) would be a FALSE NEGATIVE
+# in the filter, i.e. a silently dropped true row, not just lost pruning.
+_BLOOM_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType)
+
+
+def _bloom_canon(value) -> str:
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            f"bloom probe value must be int or string, got {type(value).__name__}"
+        )
+    return str(value)
+
 
 def _bloom_positions(value) -> list[int]:
     import hashlib
 
+    canon = _bloom_canon(value)
     return [
         int.from_bytes(
-            hashlib.md5(f"{value}|{seed}".encode()).digest()[:8], "big"
+            hashlib.md5(f"{canon}|{seed}".encode()).digest()[:8], "big"
         )
         % _BLOOM_BITS
         for seed in range(_BLOOM_K)
@@ -122,9 +155,19 @@ _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _TMP_DIR = "_tmp"
 
+# checkpoint cadence: resolution replays at most this many tail commits
+# past the newest checkpoint. Delta defaults to 10; same here.
+_CHECKPOINT_EVERY = 10
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
 
 def _fmt_version(v: int) -> str:
     return f"{v:020d}.json"
+
+
+def _fmt_checkpoint(v: int) -> str:
+    return f"{v:020d}.checkpoint.json"
 
 
 def _local_path(uri: str) -> str:
@@ -133,6 +176,44 @@ def _local_path(uri: str) -> str:
     from urllib.parse import urlparse
 
     return urlparse(uri).path if uri.startswith("file:") else uri
+
+
+def _hive_unescape(dir_value: str):
+    """Invert Spark's hive partition-directory encoding: percent-escaped
+    special characters (space, ':', '%', '=', ...) and the
+    ``__HIVE_DEFAULT_PARTITION__`` null sentinel. Without this a partition
+    value like ``a b`` would be stored in the commit log as ``a%20b`` and
+    restored as the wrong literal by ``_read_files``."""
+    if dir_value == _HIVE_NULL:
+        return None
+    from urllib.parse import unquote
+
+    return unquote(dir_value)
+
+
+def _stat_dict(s: "FileStat") -> dict:
+    """Add-action JSON for one data file (shared by commits + checkpoints)."""
+    return {
+        "path": s.path,
+        "rows": s.rows,
+        "min_key": s.min_key,
+        "max_key": s.max_key,
+        **({"partition": s.partition} if s.partition is not None else {}),
+        **({"bloom": s.bloom} if s.bloom is not None else {}),
+        **({"stats": s.stats} if s.stats else {}),
+    }
+
+
+def _stat_from_dict(add: dict) -> "FileStat":
+    return FileStat(
+        add["path"],
+        add["rows"],
+        add.get("min_key"),
+        add.get("max_key"),
+        add.get("partition"),
+        add.get("bloom"),
+        add.get("stats"),
+    )
 
 
 class VersionedTable:
@@ -149,22 +230,33 @@ class VersionedTable:
 
     # -- log resolution ----------------------------------------------------
 
-    def _log_versions(self) -> list[int]:
+    def _scan_log(self) -> tuple[list[int], list[int]]:
+        """One listdir → (commit versions, checkpoint versions), sorted."""
         log = os.path.join(self.path, _LOG_DIR)
         if not os.path.isdir(log):
-            return []
-        out = []
+            return [], []
+        commits, checkpoints = [], []
         for name in os.listdir(log):
             stem, ext = os.path.splitext(name)
-            if ext == ".json" and stem.isdigit():
-                out.append(int(stem))
-        out.sort()
+            if ext != ".json":
+                continue
+            if stem.isdigit():
+                commits.append(int(stem))
+            elif stem.endswith(".checkpoint") and stem[:-11].isdigit():
+                checkpoints.append(int(stem[:-11]))
+        commits.sort()
+        checkpoints.sort()
         # Contiguity from 1: a gap means a corrupt log (commits are atomic,
         # so gaps cannot arise from crashes — only external tampering).
-        for i, v in enumerate(out, start=1):
+        for i, v in enumerate(commits, start=1):
             if v != i:
-                raise ValueError(f"non-contiguous commit log at {self.path}: {out}")
-        return out
+                raise ValueError(
+                    f"non-contiguous commit log at {self.path}: {commits}"
+                )
+        return commits, checkpoints
+
+    def _log_versions(self) -> list[int]:
+        return self._scan_log()[0]
 
     def latest_version(self) -> int:
         vs = self._log_versions()
@@ -174,9 +266,19 @@ class VersionedTable:
         with open(os.path.join(self.path, _LOG_DIR, _fmt_version(version))) as f:
             return json.load(f)
 
+    def _read_checkpoint(self, version: int) -> dict:
+        with open(
+            os.path.join(self.path, _LOG_DIR, _fmt_checkpoint(version))
+        ) as f:
+            return json.load(f)
+
     def _resolve(self, version: int | None = None) -> tuple[int, dict[str, FileStat], T.StructType]:
-        """Replay the log prefix → (version, live file set, schema)."""
-        versions = self._log_versions()
+        """Resolve (version, live file set, schema) from the newest
+        checkpoint at-or-below the target plus the commit tail — O(K)
+        log reads at any history depth (K = _CHECKPOINT_EVERY). Time
+        travel to a pre-checkpoint version replays from 1 (or from an
+        older checkpoint, if one survives)."""
+        versions, checkpoints = self._scan_log()
         if not versions:
             raise FileNotFoundError(f"no commits at {self.path}")
         v = versions[-1] if version is None else version
@@ -184,25 +286,47 @@ class VersionedTable:
             raise ValueError(f"version {v} out of range 1..{versions[-1]}")
         live: dict[str, FileStat] = {}
         schema_json = None
-        for n in range(1, v + 1):
+        start = 1
+        usable = [c for c in checkpoints if c <= v]
+        if usable:
+            ck = self._read_checkpoint(usable[-1])
+            live = {a["path"]: _stat_from_dict(a) for a in ck["live"]}
+            schema_json = ck["schema"]
+            start = usable[-1] + 1
+        for n in range(start, v + 1):
             c = self._read_commit(n)
             if c.get("schema"):
                 schema_json = c["schema"]
             for rm in c.get("remove", ()):
                 live.pop(rm, None)
             for add in c.get("add", ()):
-                live[add["path"]] = FileStat(
-                    add["path"],
-                    add["rows"],
-                    add.get("min_key"),
-                    add.get("max_key"),
-                    add.get("partition"),
-                    add.get("bloom"),
-                )
+                live[add["path"]] = _stat_from_dict(add)
         if schema_json is None:
             raise ValueError(f"commit log at {self.path} carries no schema")
         schema = T.StructType.fromJson(json.loads(schema_json))
         return v, live, schema
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Materialize the resolved state at ``version`` if it sits on the
+        checkpoint cadence. Derived data: content is a deterministic
+        function of the log prefix, the write is an atomic replace, and a
+        racing duplicate write is harmless — losing a checkpoint only
+        costs replay length, never correctness."""
+        if version % _CHECKPOINT_EVERY != 0:
+            return
+        _, live, schema = self._resolve(version)
+        payload = {
+            "version": version,
+            "live": [_stat_dict(s) for s in sorted(live.values(), key=lambda s: s.path)],
+            "schema": schema.json(),
+        }
+        log = os.path.join(self.path, _LOG_DIR)
+        tmp = os.path.join(log, f"_tmp_ck_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(payload, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(log, _fmt_checkpoint(version)))
 
     # -- reads ---------------------------------------------------------------
 
@@ -213,6 +337,18 @@ class VersionedTable:
     def bloom_column(self) -> str | None:
         """Bloom-indexed column, fixed at create time (or None)."""
         return self._read_commit(1).get("bloom_by")
+
+    def key_column(self) -> str | None:
+        """Layout/merge key recorded at create time (None on pre-r10 logs)."""
+        return self._read_commit(1).get("key")
+
+    def stats_columns(self) -> tuple[str, ...]:
+        """Extra data-skipping stats columns, fixed at create time."""
+        return tuple(self._read_commit(1).get("stats_cols", ()))
+
+    def target_rows_per_file(self) -> int:
+        """File-sizing target recorded at create time."""
+        return int(self._read_commit(1).get("target_rows_per_file", 250_000))
 
     def point_scan(
         self, col: str, value, version: int | None = None
@@ -301,6 +437,7 @@ class VersionedTable:
         schema: T.StructType | None = None,
         partition_by: str | None = None,
         bloom_by: str | None = None,
+        table_meta: dict | None = None,
     ) -> None:
         """Atomic exclusive publish of commit ``version`` via link(2)."""
         log = os.path.join(self.path, _LOG_DIR)
@@ -308,17 +445,7 @@ class VersionedTable:
         payload = {
             "version": version,
             "op": op,
-            "add": [
-                {
-                    "path": s.path,
-                    "rows": s.rows,
-                    "min_key": s.min_key,
-                    "max_key": s.max_key,
-                    **({"partition": s.partition} if s.partition is not None else {}),
-                    **({"bloom": s.bloom} if s.bloom is not None else {}),
-                }
-                for s in add
-            ],
+            "add": [_stat_dict(s) for s in add],
             "remove": sorted(remove),
         }
         if schema is not None:
@@ -327,6 +454,8 @@ class VersionedTable:
             payload["partition_by"] = partition_by
         if bloom_by is not None:
             payload["bloom_by"] = bloom_by
+        if table_meta:
+            payload.update(table_meta)
         tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(payload, f, sort_keys=True)
@@ -340,6 +469,44 @@ class VersionedTable:
             ) from None
         finally:
             os.unlink(tmp)
+        self._maybe_checkpoint(version)
+
+    def _bloom_harvest(self, scratch: str, bloom_by: str) -> dict[str, str]:
+        """Per-file bloom bitmaps for every file under ``scratch``, computed
+        by ONE bounded Spark job (executor-side — the driver never reads
+        data rows; round-10 fix for the former driver-side column pull).
+        The md5→position arithmetic runs as JVM expressions over the
+        canonical ``CAST(col AS STRING)`` form, bit-identical to the
+        Python probe side (``_bloom_positions``); the collect is
+        O(#files) rows of ≤``_BLOOM_BITS`` distinct positions each —
+        metadata, not data."""
+        pos = [
+            F.expr(
+                "CAST(pmod(CAST(conv(substring(md5(concat(_b, '|', "
+                f"'{seed}')), 1, 16), 16, 10) AS DECIMAL(20,0)), "
+                f"{_BLOOM_BITS}) AS INT)"
+            )
+            for seed in range(_BLOOM_K)
+        ]
+        rows = (
+            self.spark.read.parquet(scratch)
+            .select(
+                F.input_file_name().alias("_f"),
+                F.col(bloom_by).cast("string").alias("_b"),
+            )
+            .where(F.col("_b").isNotNull())
+            .select("_f", F.explode(F.array(*pos)).alias("_p"))
+            .groupBy("_f")
+            .agg(F.collect_set("_p").alias("_ps"))
+            .collect()
+        )
+        out: dict[str, str] = {}
+        for r in rows:
+            bits = 0
+            for p in r["_ps"]:
+                bits |= 1 << p
+            out[_local_path(r["_f"])] = f"{bits:0{_BLOOM_BITS // 4}x}"
+        return out
 
     def _write_files(
         self,
@@ -348,14 +515,17 @@ class VersionedTable:
         n_files: int,
         partition_by: str | None = None,
         bloom_by: str | None = None,
+        stats_cols: tuple[str, ...] | None = None,
     ) -> list[FileStat]:
         """Write ``df`` into fresh immutable data files + harvest their
-        key min/max stats from the parquet FOOTERS driver-side (the
-        Delta/Iceberg stats-collection model: O(#files) metadata reads,
-        zero extra Spark jobs, never O(rows)). With ``partition_by``, ONE
-        Spark job writes the hive layout (partitionBy) and each file's
-        partition value is recorded in its add action — the directory
-        encoding is transient; the log is the source of truth."""
+        per-column min/max stats from the parquet FOOTERS driver-side
+        (the Delta/Iceberg stats-collection model: O(#files) METADATA
+        reads, zero extra Spark jobs, never O(rows)); the per-file bloom,
+        which needs actual values, is computed executor-side by
+        ``_bloom_harvest``. With ``partition_by``, ONE Spark job writes
+        the hive layout (partitionBy) and each file's partition value is
+        recorded in its add action — the directory encoding is transient;
+        the log is the source of truth."""
         import pyarrow.parquet as pq
 
         scratch = os.path.join(self.path, _TMP_DIR, uuid.uuid4().hex)
@@ -373,6 +543,24 @@ class VersionedTable:
         writer.parquet(scratch)
         data_dir = os.path.join(self.path, _DATA_DIR)
         os.makedirs(data_dir, exist_ok=True)
+        blooms = (
+            self._bloom_harvest(scratch, bloom_by)
+            if bloom_by is not None
+            else {}
+        )
+
+        def _footer_range(meta, col: str, base: str) -> tuple:
+            ci = meta.schema.to_arrow_schema().get_field_index(col)
+            mins, maxs = [], []
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"no parquet stats for column '{col}' in {base}"
+                    )
+                mins.append(st.min)
+                maxs.append(st.max)
+            return min(mins), max(maxs)
 
         def _harvest(src_dir: str, pval) -> list[FileStat]:
             stats = []
@@ -383,33 +571,22 @@ class VersionedTable:
                 meta = pq.ParquetFile(src).metadata
                 if meta.num_rows == 0:
                     continue
-                ki = meta.schema.to_arrow_schema().get_field_index(key)
-                mins, maxs = [], []
-                for g in range(meta.num_row_groups):
-                    st = meta.row_group(g).column(ki).statistics
-                    if st is None or not st.has_min_max:
-                        raise ValueError(
-                            f"no parquet stats for key '{key}' in {base}"
-                        )
-                    mins.append(st.min)
-                    maxs.append(st.max)
-                bloom = None
-                if bloom_by is not None:
-                    # per-file bloom built from the freshly-written bytes —
-                    # a single-column local read during the same footer
-                    # pass; on a real cluster this folds into the write
-                    # task (Delta computes its bloom index file-side too)
-                    bloom = _bloom_build(
-                        pq.ParquetFile(src)
-                        .read(columns=[bloom_by])
-                        .column(0)
-                        .to_pylist()
-                    )
+                kmin, kmax = _footer_range(meta, key, base)
+                extra = (
+                    {
+                        c: list(_footer_range(meta, c, base))
+                        for c in stats_cols
+                        if c != key and c != partition_by
+                    }
+                    if stats_cols
+                    else None
+                )
+                bloom = blooms.get(src)
                 rel = os.path.join(_DATA_DIR, f"part-{uuid.uuid4().hex}.parquet")
                 # same filesystem (scratch is inside the table root): atomic
                 os.rename(src, os.path.join(self.path, rel))
                 stats.append(
-                    FileStat(rel, meta.num_rows, min(mins), max(maxs), pval, bloom)
+                    FileStat(rel, meta.num_rows, kmin, kmax, pval, bloom, extra)
                 )
             return stats
 
@@ -418,11 +595,12 @@ class VersionedTable:
             for pdir in sorted(os.listdir(scratch)):
                 if "=" not in pdir:
                     continue
-                # hive dir encoding; values here are plain scalars (the
-                # partition column contract), no URL escaping involved
+                # hive dir encoding: percent-escaped + null sentinel —
+                # invert it so the log stores the TRUE value
                 out.extend(
                     _harvest(
-                        os.path.join(scratch, pdir), pdir.split("=", 1)[1]
+                        os.path.join(scratch, pdir),
+                        _hive_unescape(pdir.split("=", 1)[1]),
                     )
                 )
         else:
@@ -442,12 +620,41 @@ class VersionedTable:
         target_rows_per_file: int = 250_000,
         partition_by: str | None = None,
         bloom_by: str | None = None,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
     ) -> "VersionedTable":
         t = cls(spark, path)
         if t.latest_version():
             raise FileExistsError(f"table already exists at {path}")
+        if bloom_by is not None:
+            if bloom_by == partition_by:
+                # the partition column lives in the directory layout, not
+                # the parquet bytes — there is nothing to bloom-index, and
+                # partition_scan already prunes it exactly
+                raise ValueError(
+                    "bloom_by == partition_by: use partition pruning instead"
+                )
+            btype = df.schema[bloom_by].dataType
+            if not isinstance(btype, _BLOOM_TYPES):
+                raise TypeError(
+                    f"bloom_by column '{bloom_by}' must be integer or "
+                    f"string (got {btype.simpleString()}): other types have "
+                    "no canonical cross-engine string form and would risk "
+                    "bloom false negatives"
+                )
+        for c in stats_cols or ():
+            if not isinstance(
+                df.schema[c].dataType,
+                (*_BLOOM_TYPES, T.FloatType, T.DoubleType),
+            ):
+                raise TypeError(
+                    f"stats_cols column '{c}' must be numeric or string "
+                    f"(got {df.schema[c].dataType.simpleString()}): min/max "
+                    "must round-trip through the JSON log"
+                )
         n = max(1, math.ceil(df.count() / target_rows_per_file))
-        files = t._write_files(df, key, n, partition_by, bloom_by)
+        files = t._write_files(
+            df, key, n, partition_by, bloom_by, tuple(stats_cols or ())
+        )
         t._commit(
             1,
             "create",
@@ -456,12 +663,34 @@ class VersionedTable:
             schema=df.schema,
             partition_by=partition_by,
             bloom_by=bloom_by,
+            table_meta={
+                "key": key,
+                "target_rows_per_file": target_rows_per_file,
+                **(
+                    {"stats_cols": list(stats_cols)}
+                    if stats_cols
+                    else {}
+                ),
+            },
         )
         return t
 
-    def append(self, df: DataFrame, key: str, max_attempts: int = 5) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        key: str,
+        max_attempts: int = 5,
+        target_rows_per_file: int | None = None,
+    ) -> int:
+        """Blind append sized like ``create``: a large append fans out to
+        ``ceil(count / target)`` range-partitioned files with tight
+        min/max stats instead of serializing through one task (the
+        pre-r10 ``coalesce(1)``)."""
+        target = target_rows_per_file or self.target_rows_per_file()
+        n = max(1, math.ceil(df.count() / target))
         files = self._write_files(
-            df, key, 1, self.partition_column(), self.bloom_column()
+            df, key, n, self.partition_column(), self.bloom_column(),
+            self.stats_columns(),
         )
         for _ in range(max_attempts):
             v = self.latest_version()
@@ -500,6 +729,7 @@ class VersionedTable:
         the table size (the Delta/Iceberg contract)."""
         pcol = self.partition_column()
         bcol = self.bloom_column()
+        scols = self.stats_columns()
         for _ in range(max_attempts):
             v, live, schema = self._resolve()
             evolved = False
@@ -525,13 +755,23 @@ class VersionedTable:
             # (which sees every live file) carries the rewrite set.
             prunable = list(live.values())
             if pcol is not None and stable_partitions and prunable:
-                touched = {
-                    str(r[0])
+                vals = [
+                    r[0]
                     for r in upd.select(
                         F.col(pcol).cast("string")
                     ).distinct().collect()
-                }
-                prunable = [s for s in prunable if str(s.partition) in touched]
+                ]
+                touched = {v for v in vals if v is not None}
+                touched_null = any(v is None for v in vals)
+                prunable = [
+                    s
+                    for s in prunable
+                    if (
+                        touched_null
+                        if s.partition is None
+                        else str(s.partition) in touched
+                    )
+                ]
 
             # (1) file pruning via broadcast of the O(#files) stats table
             if prunable:
@@ -588,7 +828,7 @@ class VersionedTable:
             else:
                 out = upd
                 n_files = 1
-            files = self._write_files(out, key, n_files, pcol, bcol)
+            files = self._write_files(out, key, n_files, pcol, bcol, scols)
             try:
                 self._commit(
                     v + 1,
@@ -611,6 +851,7 @@ class VersionedTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         pcol = self.partition_column()
         bcol = self.bloom_column()
+        scols = self.stats_columns()
         for _ in range(max_attempts):
             v, live, schema = self._resolve()
             if not live:
@@ -631,7 +872,7 @@ class VersionedTable:
             kept = self._read_files(
                 [live[c] for c in candidates], schema, v
             ).where(~cond)
-            files = self._write_files(kept, key, len(candidates), pcol, bcol)
+            files = self._write_files(kept, key, len(candidates), pcol, bcol, scols)
             try:
                 self._commit(v + 1, "delete", files, candidates)
                 return v + 1
@@ -656,6 +897,7 @@ class VersionedTable:
         the next merge's file pruning."""
         pcol = self.partition_column()
         bcol = self.bloom_column()
+        scols = self.stats_columns()
         for _ in range(max_attempts):
             v, live, schema = self._resolve()
             total = sum(s.rows for s in live.values())
@@ -663,7 +905,7 @@ class VersionedTable:
             if n >= len(live):
                 return v  # already at (or below) target granularity
             df = self._read_files(list(live.values()), schema, v)
-            files = self._write_files(df, key, n, pcol, bcol)
+            files = self._write_files(df, key, n, pcol, bcol, scols)
             try:
                 self._commit(v + 1, "compact", files, sorted(live))
                 return v + 1
@@ -674,19 +916,40 @@ class VersionedTable:
         raise CommitConflict(f"compact lost {max_attempts} races at {self.path}")
 
     def pruned_scan(
-        self, key, lo, hi, version: int | None = None
+        self, col, lo, hi, version: int | None = None
     ) -> tuple[DataFrame, int, int]:
-        """Data-skipping read: a key-range predicate evaluated against the
-        log's per-file [min_key, max_key] stats BEFORE any file is opened.
+        """Data-skipping read: a range predicate on ``col`` evaluated
+        against the log's per-file [min, max] stats BEFORE any file is
+        opened — the merge key or any column declared in
+        ``create(stats_cols=...)`` (multi-column skipping, round 10).
         Returns (rows in [lo, hi], files_opened, files_total) — at 100 TB
         a 1%-of-keyspace range over a range-clustered table opens ~1% of
         the files and the rest are never touched (pure driver-side
-        metadata, no Spark job to decide the file list)."""
+        metadata, no Spark job to decide the file list). Stats on a
+        non-key column are not clustered by the layout, so they skip less
+        — but correctness never depends on it: a file with no recorded
+        range for ``col`` is conservatively kept."""
+        kcol = self.key_column()
+        is_key = kcol is None or col == kcol  # pre-r10 logs: first arg IS the key
+        if not is_key and col not in self.stats_columns():
+            raise ValueError(
+                f"no skipping stats for column '{col}' "
+                f"(key={kcol!r}, stats_cols={self.stats_columns()!r})"
+            )
         v, live, schema = self._resolve(version)
-        cand = [
-            s for s in live.values() if not (s.max_key < lo or s.min_key > hi)
-        ]
-        pred = (F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi))
+
+        def overlaps(s: FileStat) -> bool:
+            rng = (
+                (s.min_key, s.max_key)
+                if is_key
+                else (tuple(s.stats[col]) if s.stats and col in s.stats else None)
+            )
+            if rng is None:
+                return True  # no stats -> must read
+            return not (rng[1] < lo or rng[0] > hi)
+
+        cand = [s for s in live.values() if overlaps(s)]
+        pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         if not cand:
             return self.spark.createDataFrame([], schema), 0, len(live)
         df = self._read_files(cand, schema, v).where(pred)
@@ -697,9 +960,19 @@ class VersionedTable:
     ) -> tuple[DataFrame, int, int]:
         """Hive partition pruning: read ONLY the files whose add action
         records the requested partition value — decided from the log,
-        no directory listing, no file opened outside the partition."""
+        no directory listing, no file opened outside the partition.
+        ``value=None`` selects the null partition (the hive
+        ``__HIVE_DEFAULT_PARTITION__`` cohort, stored as JSON null)."""
         v, live, schema = self._resolve(version)
-        cand = [s for s in live.values() if str(s.partition) == str(value)]
+        cand = [
+            s
+            for s in live.values()
+            if (
+                s.partition is None
+                if value is None
+                else s.partition is not None and str(s.partition) == str(value)
+            )
+        ]
         if not cand:
             return self.spark.createDataFrame([], schema), 0, len(live)
         return self._read_files(cand, schema, v), len(cand), len(live)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import atexit
 import glob
+import threading
 from contextlib import contextmanager
 import os
 import shutil
@@ -2074,9 +2075,12 @@ def streaming_store_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # staged micro-batch count for the streaming MERGE sink drive
 STORE_MERGE_BATCHES = 4
 
-# built-table path per (app, sf_dir) — the drive is deterministic, so one
-# table serves every later read (the online-dedup staging precedent)
-_STORE_MERGE_CACHE: dict[tuple, str] = register({})
+# (built-table path, drive progress) per (app, sf_dir) — the drive is
+# deterministic, so one table serves every later read (the online-dedup
+# staging precedent). The lock keeps two concurrent first callers from
+# driving the same build twice (wasteful, though never incorrect).
+_STORE_MERGE_CACHE: dict[tuple, tuple[str, dict | None]] = register({})
+_STORE_MERGE_LOCK = threading.Lock()
 
 
 def store_merge_batch(spark: SparkSession, table_path: str, bdf: DataFrame, bid: int) -> None:
@@ -2126,50 +2130,51 @@ def streaming_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssiintegrateddatapipeline_spark.sources.versioned import VersionedTable
 
     ckey = (spark.sparkContext.applicationId, sf_dir)
-    if ckey not in _STORE_MERGE_CACHE:
-        ev = load_table(spark, sf_dir, "events")
-        max_id = ev.agg(F.max("event_id")).collect()[0][0]  # bounded: 1 scalar
-        n = STORE_MERGE_BATCHES
-        cuts = [max_id * k // n for k in range(n)] + [max_id + 1]
-        stage_root = tempfile.mkdtemp(dir=_session_ckpt_root())
-        arrivals = os.path.join(stage_root, "arrivals")
-        os.makedirs(arrivals)
-        base_t = 1_600_000_000
-        for k in range(n):
-            part_dir = os.path.join(stage_root, f"w{k}")
-            (
-                ev.where(
-                    (F.col("event_id") >= cuts[k])
-                    & (F.col("event_id") < cuts[k + 1])
+    with _STORE_MERGE_LOCK:
+        if ckey not in _STORE_MERGE_CACHE:
+            ev = load_table(spark, sf_dir, "events")
+            max_id = ev.agg(F.max("event_id")).collect()[0][0]  # bounded: 1 scalar
+            n = STORE_MERGE_BATCHES
+            cuts = [max_id * k // n for k in range(n)] + [max_id + 1]
+            stage_root = tempfile.mkdtemp(dir=_session_ckpt_root())
+            arrivals = os.path.join(stage_root, "arrivals")
+            os.makedirs(arrivals)
+            base_t = 1_600_000_000
+            for k in range(n):
+                part_dir = os.path.join(stage_root, f"w{k}")
+                (
+                    ev.where(
+                        (F.col("event_id") >= cuts[k])
+                        & (F.col("event_id") < cuts[k + 1])
+                    )
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(part_dir)
                 )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(part_dir)
+                (pf,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+                dst = os.path.join(arrivals, f"b{k}.parquet")
+                shutil.move(pf, dst)
+                os.utime(dst, (base_t + k, base_t + k))
+            table_path = os.path.join(stage_root, "table")
+
+            def _merge(bdf: DataFrame, bid: int) -> None:
+                store_merge_batch(spark, table_path, bdf, bid)
+
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(arrivals)
+                .writeStream.foreachBatch(_merge)
+                .option("checkpointLocation", os.path.join(stage_root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
             )
-            (pf,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            dst = os.path.join(arrivals, f"b{k}.parquet")
-            shutil.move(pf, dst)
-            os.utime(dst, (base_t + k, base_t + k))
-        table_path = os.path.join(stage_root, "table")
-
-        def _merge(bdf: DataFrame, bid: int) -> None:
-            store_merge_batch(spark, table_path, bdf, bid)
-
-        q = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(arrivals)
-            .writeStream.foreachBatch(_merge)
-            .option("checkpointLocation", os.path.join(stage_root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        drive_prog = q.lastProgress
-        _STORE_MERGE_CACHE[ckey] = (
-            table_path,
-            dict(drive_prog) if drive_prog else None,
-        )
+            q.awaitTermination()
+            drive_prog = q.lastProgress
+            _STORE_MERGE_CACHE[ckey] = (
+                table_path,
+                dict(drive_prog) if drive_prog else None,
+            )
     table_path, prog = _STORE_MERGE_CACHE[ckey]
     # publish the DRIVE's progress (zero state operators) even on memoized
     # reads, so state-bound checks never see a stale predecessor's counters

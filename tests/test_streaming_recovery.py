@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import glob
 import os
+
+import pytest
 import shutil
 import uuid
 
@@ -280,11 +282,8 @@ def test_store_merge_sink_recovers_without_double_apply(spark, sf_dir, tmp_path)
         )
         q.awaitTermination()
 
-    try:
+    with pytest.raises(Exception, match="killed after batch 1"):
         drive()
-        raise AssertionError("first drive should have died")
-    except Exception:
-        pass
     t = VersionedTable(spark, table_path)
     assert t.latest_version() == 2  # batches 0,1 committed before the kill
 
