@@ -30,7 +30,10 @@ HEADLINE = [
     "store_cdf_replay",
     "store_partition_pruning",
     "store_bloom_pruning",
+    "store_pushdown_scan",
+    "store_timewindow_scan",
     "streaming_store_merge",
+    "streaming_store_cdf",
     "dedup_prefix_jaccard_topk",
     "text_pmi_collocations",
     "analytics_acf_daily",

@@ -213,6 +213,39 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         )
         return parts
 
+    def build_eventslog() -> VersionedTable:
+        # append-only versioned twin of the raw events log itself: the
+        # layout keys on event_id (sequence) and the declared stats column
+        # ts_ms rides along — time correlates with sequence, so the
+        # multi-column skipping stats are tight per file (the 100 TB
+        # pattern: Delta collects stats on leading columns for exactly
+        # this time-travel-by-time-window read). Batches 2 and 3 land via
+        # the round-10 SIZED append (multi-file, range-partitioned).
+        base = ev.select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        n_ev = base.count()  # bounded: 1 scalar (row count for file sizing)
+        elog = VersionedTable.create(
+            spark,
+            f"{root}/eventslog",
+            base.where(F.col("event_id") < cut1),
+            key="event_id",
+            target_rows_per_file=max(1, n_ev // _N_FILES),
+            stats_cols=["ts_ms"],
+        )
+        elog.append(
+            base.where(
+                (F.col("event_id") >= cut1) & (F.col("event_id") < cut2)
+            ),
+            key="event_id",
+        )
+        elog.append(base.where(F.col("event_id") >= cut2), key="event_id")
+        return elog
+
     def build_evolve() -> VersionedTable:
         evolve = VersionedTable.create(
             spark,
@@ -236,17 +269,19 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
     # interleaves their stages), ~3x less wall than the serial build
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=5) as ex:
+    with ThreadPoolExecutor(max_workers=6) as ex:
         f_main = ex.submit(build_main)
         f_erasure = ex.submit(build_erasure)
         f_compact = ex.submit(build_compact)
         f_parts = ex.submit(build_parts)
         f_evolve = ex.submit(build_evolve)
+        f_elog = ex.submit(build_eventslog)
         main = f_main.result()
         erasure, removed, history_pruned = f_erasure.result()
         compactt, files_before, files_after, v1_readable = f_compact.result()
         parts = f_parts.result()
         evolve = f_evolve.result()
+        eventslog = f_elog.result()
 
     out = {
         "main": main,
@@ -259,7 +294,9 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         "compact_v1_readable": v1_readable,
         "evolve": evolve,
         "parts": parts,
+        "eventslog": eventslog,
         "max_user_id": None,  # filled lazily by stats_pruning
+        "ts_bounds": None,  # filled lazily by timewindow_scan
     }
     _STORE_CACHE[key] = out
     return out
@@ -433,6 +470,63 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-integrated data skipping (round 10): the SAME key-range
+    read as ``store_stats_pruning``, but through a plain declarative
+    ``spark.read.format("versioned")...where(...)`` — the predicate
+    reaches the commit-log file cut via the Python DataSource's
+    ``pushFilters`` (sources/versioned_ds.py), no bespoke scan API.
+    ``files_skipped`` replays the exact pushed filters against the
+    reader driver-side and records that untouched files leave the plan
+    before any is opened."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from ssiintegrateddatapipeline_spark.sources.versioned_ds import (
+        _VersionedReader,
+        read_versioned,
+    )
+
+    built = _built_store(spark, sf_dir)
+    t = built["main"]
+    if built["max_user_id"] is None:
+        built["max_user_id"] = t.snapshot().agg(F.max("user_id")).collect()[0][0]
+    mx = built["max_user_id"]
+    lo = mx * _SCAN_LO_NUM // 10
+    hi = mx * _SCAN_HI_NUM // 10
+    df = read_versioned(spark, t.path).where(
+        (F.col("user_id") >= lo) & (F.col("user_id") <= hi)
+    )
+    r = _VersionedReader({"path": t.path})
+    r.pushFilters(
+        [GreaterThanOrEqual(("user_id",), lo), LessThanOrEqual(("user_id",), hi)]
+    )
+    opened, total = len(r.partitions()), r.files_total
+    return df.withColumn("files_skipped", F.lit(opened < total))
+
+
+def timewindow_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column data skipping (round 10): a TIME-window read of the
+    append-only events-log table, pruned on the declared ``ts_ms`` stats
+    column — the layout keys on event_id (sequence), but time correlates
+    with sequence, so the per-file [min, max] ts stats cut the file list
+    without the layout ever clustering on time. The window is the middle
+    [30%, 40%] of the time domain; rows must equal the filtered rebuild
+    and ``files_skipped`` records the cut really happened."""
+    built = _built_store(spark, sf_dir)
+    t = built["eventslog"]
+    if built["ts_bounds"] is None:
+        # bounded: 2 scalars — the time-domain bounds the oracle
+        # recomputes from the events log with identical arithmetic
+        built["ts_bounds"] = tuple(
+            t.snapshot().agg(F.min("ts_ms"), F.max("ts_ms")).collect()[0]
+        )
+    mn, mx = built["ts_bounds"]
+    lo = mn + (mx - mn) * 3 // 10
+    hi = mn + (mx - mn) * 4 // 10
+    df, opened, total = t.pruned_scan("ts_ms", lo, hi)
+    return df.withColumn("files_skipped", F.lit(opened < total))
+
+
 QUERIES = {
     "store_merge_snapshot": merge_snapshot,
     "store_time_travel": time_travel,
@@ -445,6 +539,8 @@ QUERIES = {
     "store_cdf_replay": cdf_replay,
     "store_partition_pruning": partition_pruning,
     "store_bloom_pruning": bloom_pruning,
+    "store_pushdown_scan": pushdown_scan,
+    "store_timewindow_scan": timewindow_scan,
 }
 
 # The oracles rebuild the store state straight from the events log —
@@ -556,6 +652,30 @@ ORACLES = {
         SELECT 3::INT, 'merge', count(DISTINCT user_id)::BIGINT,
                max(event_id)::BIGINT
         FROM events
+    """,
+    # the Catalyst-pushdown read == the bespoke stats-pruned read == the
+    # filtered rebuild (same range, same flag)
+    "store_pushdown_scan": f"""
+        SELECT r.*, TRUE AS files_skipped
+        FROM ({_REBUILD.format(where="")}) r
+        WHERE r.user_id BETWEEN
+              (SELECT max(user_id) * {_SCAN_LO_NUM} // 10 FROM events)
+          AND (SELECT max(user_id) * {_SCAN_HI_NUM} // 10 FROM events)
+    """,
+    # the ts-stats-pruned time-window read == the events log filtered to
+    # the same integer-arithmetic window (epoch millis in both engines)
+    "store_timewindow_scan": """
+        WITH b AS (SELECT min(epoch_ms(ts)) AS mn, max(epoch_ms(ts)) AS mx
+                   FROM events)
+        SELECT event_id,
+               epoch_ms(ts) AS ts_ms,
+               user_id,
+               event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_cents,
+               TRUE AS files_skipped
+        FROM events, b
+        WHERE epoch_ms(ts) BETWEEN b.mn + (b.mx - b.mn) * 3 // 10
+                               AND b.mn + (b.mx - b.mn) * 4 // 10
     """,
     # two-phase rebuild: matched users fold prefix+suffix and carry the
     # new column; prefix-only users read back NULL for it (never rewritten)

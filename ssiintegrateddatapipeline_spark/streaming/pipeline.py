@@ -2186,9 +2186,79 @@ def streaming_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_store_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE-DATA-FEED consumption of the durable store table
+    (the Delta ``readChangeFeed`` streaming surface; round-9's
+    ``store_cdf_replay`` proved the batch half of the composition): a
+    ``versioned_cdf`` Python DataSource stream (sources/versioned_ds.py)
+    whose OFFSETS are table versions — each micro-batch carries exactly
+    one commit's row-level diff, computed file-confined over only the
+    files that commit added/removed (survivors of a rewrite cancel).
+    The drained union of per-version batches must hash-match the 3-way
+    prefix-diff rebuild.
+
+    Scale: zero streaming state (append-only source, no aggregation);
+    per-batch work is bounded by the commit's touched files, never the
+    table size; offsets checkpoint like any stream, so a downstream
+    consumer resumes mid-history exactly-once."""
+    import time
+
+    from ssiintegrateddatapipeline_spark.operators.store import _built_store
+    from ssiintegrateddatapipeline_spark.sources.versioned_ds import (
+        VersionedCdfDataSource,
+        ensure_registered,
+    )
+
+    t = _built_store(spark, sf_dir)["main"]
+    latest = t.latest_version()
+    ensure_registered(spark, VersionedCdfDataSource)
+    plan = (
+        spark.readStream.format("versioned_cdf").option("path", t.path).load()
+    )
+    # one version per trigger = real multi-batch offset progression
+    # (availableNow would snapshot latestOffset once — the trade_feed
+    # drain precedent), polled until the head version's batch lands
+    name = f"cdf_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(dir=_session_ckpt_root())
+    q = (
+        plan.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    drained = False
+    while time.time() < deadline:
+        if (
+            spark.table(name)
+            .where(F.col("_commit_version") == latest)
+            .count()
+            > 0
+        ):
+            drained = True
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    _record_progress(q)
+    _capture_stream_plan(q, "source")
+    if not drained:
+        raise TimeoutError(
+            f"store CDF stream incomplete after 120s (query {name}) — "
+            "refusing to return a partial change feed"
+        )
+    out = spark.table(name)
+    pdf = out.toPandas()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(pdf, out.schema)
+
+
 QUERIES = {
     "streaming_store_mutations": streaming_store_mutations,
     "streaming_store_merge": streaming_store_merge,
+    "streaming_store_cdf": streaming_store_cdf,
     "streaming_sliding_rate": streaming_sliding_rate,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_dedup": streaming_dedup,
@@ -2739,3 +2809,51 @@ from ssiintegrateddatapipeline_spark.operators.analytics import (  # noqa: E402
 
 ORACLES["streaming_holt_forecast"] = _AN_ORACLES["analytics_holt_forecast"]
 ORACLES["streaming_acf_daily"] = _AN_ORACLES["analytics_acf_daily"]
+
+# streaming CDF == the 3-way prefix-diff rebuild: v1 = all create rows as
+# inserts, v2/v3 = the value diff of consecutive prefix rebuilds (the same
+# CTE family as store.py's batch change-feed oracle), tagged per version
+from ssiintegrateddatapipeline_spark.operators.store import (  # noqa: E402
+    _CUT1_NUM as _STORE_CUT1,
+    _REBUILD as _STORE_REBUILD,
+    _PREFIX_WHERE as _STORE_P2_WHERE,
+)
+
+_STORE_P1_WHERE = (
+    f"WHERE event_id < (SELECT max(event_id) * {_STORE_CUT1} // 10 FROM events)"
+)
+
+
+def _cdf_diff_sql(a: str, b: str, version: int) -> str:
+    """One UNION branch: the value diff of two named rebuild CTEs."""
+    return f"""
+        SELECT coalesce({b}.user_id, {a}.user_id) AS user_id,
+               coalesce({b}.last_event_id, {a}.last_event_id) AS last_event_id,
+               coalesce({b}.last_event_type, {a}.last_event_type)
+                   AS last_event_type,
+               coalesce({b}.last_value_cents, {a}.last_value_cents)
+                   AS last_value_cents,
+               coalesce({b}.n_events, {a}.n_events) AS n_events,
+               CASE WHEN {a}.user_id IS NULL THEN 'insert'
+                    WHEN {b}.user_id IS NULL THEN 'delete'
+                    ELSE 'update_postimage' END AS _change_type,
+               {version}::INT AS _commit_version
+        FROM {a} FULL OUTER JOIN {b} ON {a}.user_id = {b}.user_id
+        WHERE NOT ({a}.user_id IS NOT NULL AND {b}.user_id IS NOT NULL
+                   AND {a}.last_event_id = {b}.last_event_id
+                   AND {a}.last_event_type = {b}.last_event_type
+                   AND {a}.last_value_cents = {b}.last_value_cents
+                   AND {a}.n_events = {b}.n_events)
+    """
+
+
+ORACLES["streaming_store_cdf"] = f"""
+    WITH p1 AS ({_STORE_REBUILD.format(where=_STORE_P1_WHERE)}),
+         p2 AS ({_STORE_REBUILD.format(where=_STORE_P2_WHERE)}),
+         fl AS ({_STORE_REBUILD.format(where="")})
+    SELECT r.*, 'insert' AS _change_type, 1::INT AS _commit_version FROM p1 r
+    UNION ALL
+    {_cdf_diff_sql("p1", "p2", 2)}
+    UNION ALL
+    {_cdf_diff_sql("p2", "fl", 3)}
+"""

@@ -98,6 +98,9 @@ _STATE_BOUNDS = {
     "streaming_p95_value": lambda s, n: 2 * s["n_types"] * 12 + 8,
     "streaming_cms_grid": lambda s, n: CMS_DEPTH * CMS_WIDTH + 8,
     "streaming_sign_verify": lambda s, n: 8,  # 5 symbols
+    # append-only CDF source, no aggregation: zero state rows (per-batch
+    # work is bounded by the commit's touched files, not the table)
+    "streaming_store_cdf": lambda s, n: 8,
     "streaming_provider_matrix": lambda s, n: 16,  # 6 configs
     "streaming_ab_monitor": lambda s, n: 8,  # 2 arms
     # (arm, day) counters: 2 arms x days-in-span (n == result rows,

@@ -1,0 +1,225 @@
+"""Catalyst-integrated versioned-table reads (sources/versioned_ds.py):
+filter pushdown file cuts, Arrow read path (partition restore + schema
+evolution null-fill), time travel through options, and the streaming CDF
+source's per-version batches + checkpoint resume."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    LessThanOrEqual,
+)
+
+from ssiintegrateddatapipeline_spark.sources.batch import local_frame
+from ssiintegrateddatapipeline_spark.sources.versioned import VersionedTable
+from ssiintegrateddatapipeline_spark.sources.versioned_ds import (
+    VersionedCdfDataSource,
+    _VersionedReader,
+    ensure_registered,
+    read_versioned,
+)
+
+SCHEMA = "k bigint, v string, n bigint"
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    rows = [(i, f"v{i}", 1000 + i) for i in range(30)]
+    return VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        local_frame(spark, rows, SCHEMA),
+        key="k",
+        target_rows_per_file=10,
+        stats_cols=["n"],
+        bloom_by="v",
+    )
+
+
+def test_pushfilters_cuts_files_and_returns_all(table):
+    r = _VersionedReader({"path": table.path})
+    assert r.files_total == 3
+    fs = [GreaterThanOrEqual(("k",), 12), LessThanOrEqual(("k",), 17)]
+    returned = list(r.pushFilters(fs))
+    assert returned == fs  # file-granular: Spark must re-apply row-level
+    assert len(r.partitions()) == 1  # only the [10,19] file survives
+
+    r2 = _VersionedReader({"path": table.path})
+    r2.pushFilters([EqualTo(("n",), 1025)])  # declared stats column
+    assert len(r2.partitions()) == 1
+    r3 = _VersionedReader({"path": table.path})
+    r3.pushFilters([EqualTo(("v",), "v7")])  # bloom column
+    assert len(r3.partitions()) < 3
+    r4 = _VersionedReader({"path": table.path})
+    r4.pushFilters([In(("k",), (3, 23))])
+    assert len(r4.partitions()) == 2
+    # unsupported / unknown-column filters: no cut, no error
+    r5 = _VersionedReader({"path": table.path})
+    r5.pushFilters([IsNotNull(("k",)), EqualTo(("v",), 3.5)])
+    assert len(r5.partitions()) == 3
+    # a range excluding every file opens nothing
+    r6 = _VersionedReader({"path": table.path})
+    r6.pushFilters([GreaterThanOrEqual(("k",), 1000)])
+    assert len(r6.partitions()) == 0
+
+
+def test_catalyst_read_matches_and_filters(spark, table):
+    df = read_versioned(spark, table.path)
+    assert df.count() == 30
+    got = sorted(
+        tuple(r) for r in df.where((F.col("k") >= 12) & (F.col("k") <= 17)).collect()
+    )
+    assert got == [(i, f"v{i}", 1000 + i) for i in range(12, 18)]
+    # the pushed-but-returned filter is still applied row-level by Spark
+    assert df.where(F.col("k") == 12).count() == 1
+
+
+def test_datasource_time_travel_and_schema_evolution(spark, table):
+    table.merge_into(
+        local_frame(
+            spark, [(2, "evolved", 7, 42)],
+            "k bigint, v string, n bigint, extra bigint",
+        ),
+        key="k",
+        allow_new_columns=True,
+    )
+    cur = read_versioned(spark, table.path)
+    assert "extra" in cur.columns
+    got = {r["k"]: r["extra"] for r in cur.collect()}
+    assert got[2] == 42 and got[25] is None  # null-filled untouched file
+    old = read_versioned(spark, table.path, version=1)
+    assert "extra" not in old.columns and old.count() == 30
+
+
+def test_datasource_partitioned_read_restores_column(spark, tmp_path):
+    rows = [(i, "even" if i % 2 == 0 else "odd", i) for i in range(20)]
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "pt"),
+        local_frame(spark, rows, "k bigint, par string, n bigint"),
+        key="k",
+        target_rows_per_file=5,
+        partition_by="par",
+    )
+    df = read_versioned(spark, t.path)
+    got = {r["k"]: r["par"] for r in df.collect()}
+    assert len(got) == 20 and got[4] == "even" and got[7] == "odd"
+    # partition-column equality cuts files at plan time
+    r = _VersionedReader({"path": t.path})
+    total = r.files_total
+    r.pushFilters([EqualTo(("par",), "even")])
+    assert 0 < len(r.partitions()) < total
+    assert sorted(
+        x["k"] for x in df.where(F.col("par") == "even").collect()
+    ) == list(range(0, 20, 2))
+
+
+def _drain_cdf(spark, path, latest, ckpt):
+    name = f"cdf_t_{uuid.uuid4().hex[:6]}"
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.table(name).where(F.col("_commit_version") == latest).count():
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    rows = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.table(name).collect()
+    )
+    batch_id = (q.lastProgress or {}).get("batchId")
+    spark.catalog.dropTempView(name)
+    return rows, batch_id
+
+
+def test_cdf_stream_emits_per_version_batches(spark, tmp_path):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "ct"),
+        local_frame(spark, [(i, f"v{i}", 1) for i in range(30)], SCHEMA),
+        key="k",
+        target_rows_per_file=10,
+    )
+    t.merge_into(
+        local_frame(spark, [(1, "u1", 5), (100, "new", 1)], SCHEMA), key="k"
+    )
+    t.delete_where(F.col("k") == 15, key="k")
+    ensure_registered(spark, VersionedCdfDataSource)
+    rows, batch_id = _drain_cdf(
+        spark, t.path, 3, str(tmp_path / "ck")
+    )
+    assert batch_id >= 2  # one version per micro-batch: real progression
+    by_v = {v: [(k, c) for k, c, vv in rows if vv == v] for v in (1, 2, 3)}
+    assert len(by_v[1]) == 30 and all(c == "insert" for _, c in by_v[1])
+    assert sorted(by_v[2]) == [(1, "update_postimage"), (100, "insert")]
+    assert by_v[3] == [(15, "delete")]  # pre-image row, delete-typed
+
+
+def test_cdf_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Offsets are table versions: a consumer drained to version V and
+    restarted after more commits must emit ONLY the new versions (the
+    memory sink can't recover a checkpoint, so the drains collect via
+    foreachBatch — the recoverable-sink shape)."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "ct"),
+        local_frame(spark, [(i, f"v{i}", 1) for i in range(10)], SCHEMA),
+        key="k",
+        target_rows_per_file=100,
+    )
+    ensure_registered(spark, VersionedCdfDataSource)
+    ckpt = str(tmp_path / "ck")
+
+    def drain(until_version):
+        got = []
+
+        def emit(bdf, _bid):
+            got.extend(
+                (r["k"], r["_change_type"], r["_commit_version"])
+                for r in bdf.collect()
+            )
+
+        q = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", t.path)
+            .load()
+            .writeStream.foreachBatch(emit)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(v == until_version for _, _, v in got):
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+        return sorted(got)
+
+    rows_a = drain(1)
+    assert len(rows_a) == 10  # v1 inserts
+    t.merge_into(local_frame(spark, [(3, "upd", 9)], SCHEMA), key="k")
+    # same checkpoint: only version 2's diff arrives, v1 never replays
+    assert drain(2) == [(3, "update_postimage", 2)]
