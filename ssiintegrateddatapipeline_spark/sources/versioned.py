@@ -1042,4 +1042,20 @@ class VersionedTable:
                     os.unlink(os.path.join(data_dir, name))
                     removed.append(rel)
         shutil.rmtree(os.path.join(self.path, _TMP_DIR), ignore_errors=True)
+        # sweep crashed writers' _log temp files too (commit/checkpoint
+        # staging; committed log files are never removed). Age-gated so a
+        # CONCURRENT writer's in-flight temp is never yanked out from
+        # under its link(2)/replace.
+        import time as _time
+
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        cutoff = _time.time() - 600
+        for name in os.listdir(log_dir):
+            if name.startswith("_tmp_"):
+                p = os.path.join(log_dir, name)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.unlink(p)
+                except FileNotFoundError:
+                    pass  # the writer finished and unlinked it mid-sweep
         return removed
