@@ -32,6 +32,7 @@ HEADLINE = [
     "store_bloom_pruning",
     "store_pushdown_scan",
     "store_timewindow_scan",
+    "store_writer_scan",
     "streaming_store_merge",
     "streaming_store_cdf",
     "dedup_prefix_jaccard_topk",

@@ -246,6 +246,52 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         elog.append(base.where(F.col("event_id") >= cut2), key="event_id")
         return elog
 
+    def build_writer() -> VersionedTable:
+        # the DECLARATIVE write surface (round 10): executors stream
+        # Arrow batches into immutable files and compute stats/bloom IN
+        # the write task (the commit message carries them); the driver
+        # publishes one log entry per save() — create + 2 appends, the
+        # same 3-commit history as eventslog but written via
+        # df.write.format("versioned") (sources/versioned_ds.py)
+        import math
+
+        from ssiintegrateddatapipeline_spark.sources.versioned_ds import (
+            VersionedDataSource,
+            activate_session,
+            ensure_registered,
+        )
+
+        ensure_registered(spark, VersionedDataSource)
+        activate_session(spark)  # this build runs in a pool thread
+        base = ev.select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        n_ev = base.count()  # bounded: 1 scalar (file sizing)
+        target = max(1, n_ev // _N_FILES)
+        path = f"{root}/writer"
+        slices = [
+            (F.col("event_id") < cut1, 4, "overwrite"),
+            ((F.col("event_id") >= cut1) & (F.col("event_id") < cut2), 3, "append"),
+            (F.col("event_id") >= cut2, 3, "append"),
+        ]
+        for cond, tenths, mode in slices:
+            n_files = max(1, math.ceil(n_ev * tenths / 10 / target))
+            w = (
+                base.where(cond)
+                .repartitionByRange(n_files, "event_id")
+                .write.format("versioned")
+                .mode(mode)
+                .option("path", path)
+            )
+            if mode == "overwrite":
+                w = w.option("key", "event_id").option("stats_cols", "ts_ms")
+            w.save()
+        return VersionedTable(spark, path)
+
     def build_evolve() -> VersionedTable:
         evolve = VersionedTable.create(
             spark,
@@ -269,19 +315,21 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
     # interleaves their stages), ~3x less wall than the serial build
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=6) as ex:
+    with ThreadPoolExecutor(max_workers=7) as ex:
         f_main = ex.submit(build_main)
         f_erasure = ex.submit(build_erasure)
         f_compact = ex.submit(build_compact)
         f_parts = ex.submit(build_parts)
         f_evolve = ex.submit(build_evolve)
         f_elog = ex.submit(build_eventslog)
+        f_writer = ex.submit(build_writer)
         main = f_main.result()
         erasure, removed, history_pruned = f_erasure.result()
         compactt, files_before, files_after, v1_readable = f_compact.result()
         parts = f_parts.result()
         evolve = f_evolve.result()
         eventslog = f_elog.result()
+        writert = f_writer.result()
 
     out = {
         "main": main,
@@ -295,6 +343,7 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         "evolve": evolve,
         "parts": parts,
         "eventslog": eventslog,
+        "writert": writert,
         "max_user_id": None,  # filled lazily by stats_pruning
         "ts_bounds": None,  # filled lazily by timewindow_scan
     }
@@ -527,6 +576,38 @@ def timewindow_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("files_skipped", F.lit(opened < total))
 
 
+def writer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative-writer roundtrip (round 10): the events projection was
+    written as create + 2 appends via ``df.write.format("versioned")`` —
+    per-task Arrow streaming with stats/bloom computed in the write task
+    and a single link(2)-published log entry per save. Read back through
+    the pushdown DataSource with an event_id window straddling the
+    create/append commit boundary ([40%, 50%] of the sequence); rows must
+    equal the filtered events projection and ``files_skipped`` records
+    the writer-produced stats actually cut the file list."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from ssiintegrateddatapipeline_spark.sources.versioned_ds import (
+        _VersionedReader,
+        read_versioned,
+    )
+
+    built = _built_store(spark, sf_dir)
+    t = built["writert"]
+    # bounded: 1 scalar — the sequence high-water mark (== max event_id)
+    mx = t.snapshot().agg(F.max("event_id")).collect()[0][0]
+    lo, hi = mx * 4 // 10, mx * 5 // 10
+    df = read_versioned(spark, t.path).where(
+        (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+    )
+    r = _VersionedReader({"path": t.path})
+    r.pushFilters(
+        [GreaterThanOrEqual(("event_id",), lo), LessThanOrEqual(("event_id",), hi)]
+    )
+    opened, total = len(r.partitions()), r.files_total
+    return df.withColumn("files_skipped", F.lit(opened < total))
+
+
 QUERIES = {
     "store_merge_snapshot": merge_snapshot,
     "store_time_travel": time_travel,
@@ -541,6 +622,7 @@ QUERIES = {
     "store_bloom_pruning": bloom_pruning,
     "store_pushdown_scan": pushdown_scan,
     "store_timewindow_scan": timewindow_scan,
+    "store_writer_scan": writer_scan,
 }
 
 # The oracles rebuild the store state straight from the events log —
@@ -676,6 +758,19 @@ ORACLES = {
         FROM events, b
         WHERE epoch_ms(ts) BETWEEN b.mn + (b.mx - b.mn) * 3 // 10
                                AND b.mn + (b.mx - b.mn) * 4 // 10
+    """,
+    # the declaratively-written table filtered through pushdown == the
+    # events projection filtered to the same integer-arithmetic window
+    "store_writer_scan": """
+        SELECT event_id,
+               epoch_ms(ts) AS ts_ms,
+               user_id,
+               event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_cents,
+               TRUE AS files_skipped
+        FROM events
+        WHERE event_id BETWEEN (SELECT max(event_id) * 4 // 10 FROM events)
+                           AND (SELECT max(event_id) * 5 // 10 FROM events)
     """,
     # two-phase rebuild: matched users fold prefix+suffix and carry the
     # new column; prefix-only users read back NULL for it (never rewritten)

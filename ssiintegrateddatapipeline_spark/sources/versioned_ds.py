@@ -36,10 +36,12 @@ data skipping. SURVEY §2 K5/D1.
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -50,6 +52,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from ssiintegrateddatapipeline_spark.sources.versioned import (
@@ -70,6 +73,18 @@ def ensure_registered(spark, cls) -> None:
     if key not in _REGISTERED:
         spark.dataSource.register(cls)
         _REGISTERED.add(key)
+
+
+def activate_session(spark) -> None:
+    """Python-datasource LOOKUP consults the JVM's THREAD-LOCAL active
+    session; a fresh Python thread pins to a fresh JVM thread where it is
+    unset, so ``format("versioned")`` raises DATA_SOURCE_NOT_FOUND there
+    even though the source is registered. Call once per worker thread
+    before driving Python-datasource reads/writes (no-op on the main
+    thread, harmless to repeat)."""
+    spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        spark._jsparkSession
+    )
 
 
 class _FilePartition(InputPartition):
@@ -232,10 +247,194 @@ class _VersionedReader(DataSourceReader):
         yield from out.to_batches(max_chunksize=1 << 16)
 
 
+class _FileCommit(WriterCommitMessage):
+    """One task's staged file + the stats it computed IN the write task
+    (rows, key min/max, declared-column min/max, bloom bits) — the true
+    Delta/Iceberg write model: stats ride the commit message, the driver
+    never touches data (not even footers)."""
+
+    def __init__(self, staged, rows, min_key, max_key, stats, bloom_bits):
+        self.staged = staged  # abs path under _tmp, or None (empty task)
+        self.rows = rows
+        self.min_key = min_key
+        self.max_key = max_key
+        self.stats = stats  # {col: [min, max]} or None
+        self.bloom_bits = bloom_bits  # int bitmap or None
+
+
+class _VersionedArrowWriter(DataSourceArrowWriter):
+    """Declarative writes: ``df.write.format("versioned").option("path",
+    p)``. ``mode("overwrite")`` creates the table (or replaces its live
+    file set in one commit); ``mode("append")`` adds a blind-append
+    commit. Each Spark task streams its Arrow batches straight into one
+    immutable parquet file and returns (path, rows, min/max, bloom) as
+    its commit message; the driver's ``commit()`` publishes ONE log
+    entry via the table's link(2) slot — executor-parallel data, O(#files)
+    driver metadata, crash-safe (``abort()`` deletes staged files; a
+    crashed driver leaves orphans for ``vacuum``).
+
+    Hive-partitioned tables keep the ``VersionedTable`` API (one writer
+    task would straddle partitions); everything else round-trips."""
+
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("option 'path' is required for format('versioned')")
+        self._path = os.path.abspath(path)
+        self._overwrite = overwrite
+        t = VersionedTable(None, self._path)
+        exists = t.latest_version() > 0
+        if exists:
+            _, _, tschema = t._resolve()
+            if t.partition_column() is not None:
+                raise ValueError(
+                    "hive-partitioned tables: use the VersionedTable API"
+                )
+            if [f.name for f in schema.fields] != [
+                f.name for f in tschema.fields
+            ]:
+                raise ValueError(
+                    f"schema mismatch: writing {[f.name for f in schema.fields]} "
+                    f"into table {[f.name for f in tschema.fields]}"
+                )
+            self._key = t.key_column()
+            self._bcol = t.bloom_column()
+            self._scols = t.stats_columns()
+            self._meta = None
+        else:
+            if not overwrite:
+                raise ValueError(f"no table at {path} — append needs one")
+            key = options.get("key")
+            if not key:
+                raise ValueError("option 'key' is required to create a table")
+            self._key = key
+            self._bcol = options.get("bloom_by")
+            sc = options.get("stats_cols")
+            self._scols = tuple(sc.split(",")) if sc else ()
+            self._meta = {
+                "key": key,
+                "target_rows_per_file": int(
+                    options.get("target_rows_per_file", 250_000)
+                ),
+                **({"stats_cols": list(self._scols)} if self._scols else {}),
+            }
+        self._schema = schema
+        self._job = uuid.uuid4().hex
+
+    # -- executor side -------------------------------------------------------
+
+    def write(self, iterator) -> _FileCommit:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ssiintegrateddatapipeline_spark.sources.versioned import (
+            _bloom_positions,
+        )
+
+        staged_dir = os.path.join(self._path, "_tmp", f"w_{self._job}")
+        os.makedirs(staged_dir, exist_ok=True)
+        staged = os.path.join(staged_dir, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        kmin = kmax = None
+        stats: dict[str, list] = {}
+        bloom_bits = 0 if self._bcol is not None else None
+
+        def _rng(batch, col):
+            mm = pc.min_max(batch.column(col))
+            return mm["min"].as_py(), mm["max"].as_py()
+
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                writer = pq.ParquetWriter(staged, batch.schema)
+            writer.write_table(pa.Table.from_batches([batch]))
+            rows += batch.num_rows
+            lo, hi = _rng(batch, self._key)
+            kmin = lo if kmin is None else min(kmin, lo)
+            kmax = hi if kmax is None else max(kmax, hi)
+            for c in self._scols:
+                lo, hi = _rng(batch, c)
+                if c in stats:
+                    stats[c] = [min(stats[c][0], lo), max(stats[c][1], hi)]
+                else:
+                    stats[c] = [lo, hi]
+            if self._bcol is not None:
+                for v in batch.column(self._bcol).to_pylist():
+                    if v is None:
+                        continue
+                    for p in _bloom_positions(v):
+                        bloom_bits |= 1 << p
+        if writer is None:
+            return _FileCommit(None, 0, None, None, None, None)
+        writer.close()
+        return _FileCommit(staged, rows, kmin, kmax, stats or None, bloom_bits)
+
+    # -- driver side -----------------------------------------------------------
+
+    def commit(self, messages) -> None:
+        from ssiintegrateddatapipeline_spark.sources.versioned import (
+            _BLOOM_BITS,
+            CommitConflict,
+            FileStat,
+        )
+
+        t = VersionedTable(None, self._path)
+        data_dir = os.path.join(self._path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        adds = []
+        for m in messages:
+            if m is None or m.staged is None:
+                continue
+            rel = os.path.join("data", f"part-{uuid.uuid4().hex}.parquet")
+            os.rename(m.staged, os.path.join(self._path, rel))
+            bloom = (
+                f"{m.bloom_bits:0{_BLOOM_BITS // 4}x}"
+                if m.bloom_bits is not None
+                else None
+            )
+            adds.append(
+                FileStat(rel, m.rows, m.min_key, m.max_key, None, bloom,
+                         m.stats)
+            )
+        for attempt in range(5):
+            v = t.latest_version()
+            if v == 0:
+                op, remove, schema, meta = "create", [], self._schema, self._meta
+                bloom_by = self._bcol
+            elif self._overwrite:
+                _, live, _ = t._resolve()
+                op, remove, schema, meta = "overwrite", sorted(live), None, None
+                bloom_by = None
+            else:
+                op, remove, schema, meta = "append", [], None, None
+                bloom_by = None
+            try:
+                t._commit(
+                    v + 1, op, adds, remove, schema=schema,
+                    bloom_by=bloom_by, table_meta=meta,
+                )
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"writer lost 5 races at {self._path}")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and getattr(m, "staged", None):
+                try:
+                    os.unlink(m.staged)
+                except FileNotFoundError:
+                    pass
+
+
 class VersionedDataSource(DataSource):
     """``spark.read.format("versioned").option("path", p)[.option("version",
     n)].load()`` — snapshot-isolated, time-travel-able, filter-pushdown
-    read of a commit-log table."""
+    read of a commit-log table; ``df.write.format("versioned")`` is the
+    matching declarative write surface (``_VersionedArrowWriter``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -246,6 +445,9 @@ class VersionedDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _VersionedReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _VersionedArrowWriter(self.options, schema, overwrite)
 
 
 def read_versioned(spark, path: str, version: int | None = None):

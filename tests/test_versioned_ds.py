@@ -223,3 +223,116 @@ def test_cdf_stream_resumes_from_checkpoint(spark, tmp_path):
     t.merge_into(local_frame(spark, [(3, "upd", 9)], SCHEMA), key="k")
     # same checkpoint: only version 2's diff arrives, v1 never replays
     assert drain(2) == [(3, "update_postimage", 2)]
+
+
+# ---------------------------------------------------------------------------
+# declarative writer (df.write.format("versioned"))
+# ---------------------------------------------------------------------------
+
+
+def test_writer_create_append_records_stats_and_bloom(spark, tmp_path):
+    from ssiintegrateddatapipeline_spark.sources.versioned import _bloom_build
+    import pyarrow.parquet as pq
+
+    ensure_registered(spark, __import__(
+        "ssiintegrateddatapipeline_spark.sources.versioned_ds",
+        fromlist=["VersionedDataSource"]).VersionedDataSource)
+    path = str(tmp_path / "wt")
+    df = local_frame(spark, [(i, f"v{i}", 1000 + i) for i in range(30)], SCHEMA)
+    (
+        df.repartitionByRange(3, "k")
+        .write.format("versioned")
+        .mode("overwrite")
+        .option("path", path)
+        .option("key", "k")
+        .option("bloom_by", "v")
+        .option("stats_cols", "n")
+        .save()
+    )
+    t = VersionedTable(spark, path)
+    assert t.key_column() == "k"
+    assert t.bloom_column() == "v"
+    assert t.stats_columns() == ("n",)
+    adds = t._read_commit(1)["add"]
+    assert len(adds) == 3  # one file per write task
+    ranges = sorted((a["min_key"], a["max_key"]) for a in adds)
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # range partitioning -> tight disjoint stats
+    # write-task stats == a reference pass over the final bytes
+    for a in adds:
+        tbl = pq.read_table(os.path.join(t.path, a["path"]))
+        ks = tbl.column("k").to_pylist()
+        assert (a["min_key"], a["max_key"]) == (min(ks), max(ks))
+        assert a["stats"]["n"] == [
+            min(tbl.column("n").to_pylist()),
+            max(tbl.column("n").to_pylist()),
+        ]
+        assert a["bloom"] == _bloom_build(tbl.column("v").to_pylist())
+    # blind append through the writer; bloom/stats keep working
+    local_frame(spark, [(100, "x100", 5000)], SCHEMA).write.format(
+        "versioned"
+    ).mode("append").option("path", path).save()
+    assert t.latest_version() == 2
+    assert t.snapshot().count() == 31
+    dfp, o, tot = t.point_scan("v", "x100")
+    assert o < tot and [r["k"] for r in dfp.collect()] == [100]
+    dfn, o2, _ = t.pruned_scan("n", 5000, 5000)
+    assert o2 == 1 and [r["k"] for r in dfn.collect()] == [100]
+
+
+def test_writer_overwrite_is_one_commit_with_history(spark, table):
+    ensure_registered(spark, __import__(
+        "ssiintegrateddatapipeline_spark.sources.versioned_ds",
+        fromlist=["VersionedDataSource"]).VersionedDataSource)
+    before = table.snapshot().count()
+    local_frame(spark, [(7, "z", 1)], SCHEMA).write.format(
+        "versioned"
+    ).mode("overwrite").option("path", table.path).save()
+    c = table._read_commit(2)
+    assert c["op"] == "overwrite" and len(c["remove"]) == 3
+    assert table.snapshot().count() == 1
+    assert table.snapshot(version=1).count() == before  # time travel intact
+
+
+def test_writer_guards(spark, tmp_path, table):
+    ensure_registered(spark, __import__(
+        "ssiintegrateddatapipeline_spark.sources.versioned_ds",
+        fromlist=["VersionedDataSource"]).VersionedDataSource)
+    df = local_frame(spark, [(1, "a", 1)], SCHEMA)
+    with pytest.raises(Exception, match="append needs one"):
+        df.write.format("versioned").mode("append").option(
+            "path", str(tmp_path / "nope")
+        ).save()
+    with pytest.raises(Exception, match="'key' is required"):
+        df.write.format("versioned").mode("overwrite").option(
+            "path", str(tmp_path / "nokey")
+        ).save()
+    with pytest.raises(Exception, match="schema mismatch"):
+        local_frame(spark, [(1, "a")], "k bigint, v string").write.format(
+            "versioned"
+        ).mode("append").option("path", table.path).save()
+
+
+def test_writer_failed_job_leaves_table_unchanged(spark, table):
+    """A task failure mid-job must never publish a commit: abort() (or
+    the never-reached commit) leaves the log at its prior version and the
+    staged orphans live under _tmp where vacuum() sweeps them."""
+    ensure_registered(spark, __import__(
+        "ssiintegrateddatapipeline_spark.sources.versioned_ds",
+        fromlist=["VersionedDataSource"]).VersionedDataSource)
+    before = sorted(map(tuple, table.snapshot().collect()))
+    from pyspark.sql.functions import udf
+
+    @udf("bigint")
+    def boom(k):
+        raise RuntimeError("task killed mid-write")
+
+    bad = local_frame(spark, [(1, "a", 1)], SCHEMA).withColumn("n", boom("k"))
+    with pytest.raises(Exception):
+        bad.write.format("versioned").mode("append").option(
+            "path", table.path
+        ).save()
+    assert table.latest_version() == 1
+    assert sorted(map(tuple, table.snapshot().collect())) == before
+    table.vacuum(retain_last=1)  # sweeps any staged orphans
+    assert not os.path.exists(os.path.join(table.path, "_tmp"))
