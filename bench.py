@@ -33,6 +33,7 @@ HEADLINE = [
     "store_pushdown_scan",
     "store_timewindow_scan",
     "store_writer_scan",
+    "store_zorder_scan",
     "streaming_store_merge",
     "streaming_store_cdf",
     "dedup_prefix_jaccard_topk",

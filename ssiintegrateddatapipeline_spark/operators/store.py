@@ -292,6 +292,34 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
             w.save()
         return VersionedTable(spark, path)
 
+    def build_zorder() -> VersionedTable:
+        # OPTIMIZE ZORDER BY twin (round 10): the same events projection,
+        # created event_id-keyed then REWRITTEN along a Morton curve over
+        # (user_id, ts_ms) — after it, range predicates on EITHER column
+        # skip files via the per-file stats, which no single-column sort
+        # can give for two dimensions at once (user_id and event time are
+        # independent in this log: every user is active all month)
+        base = ev.select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        n_ev = base.count()  # bounded: 1 scalar (file sizing)
+        zt = VersionedTable.create(
+            spark,
+            f"{root}/ztable",
+            base,
+            key="event_id",
+            target_rows_per_file=max(1, n_ev // _N_FILES),
+            stats_cols=["user_id", "ts_ms"],
+        )
+        zt.zorder(
+            ["user_id", "ts_ms"], target_rows_per_file=max(1, n_ev // _N_FILES)
+        )
+        return zt
+
     def build_evolve() -> VersionedTable:
         evolve = VersionedTable.create(
             spark,
@@ -315,7 +343,7 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
     # interleaves their stages), ~3x less wall than the serial build
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=7) as ex:
+    with ThreadPoolExecutor(max_workers=8) as ex:
         f_main = ex.submit(build_main)
         f_erasure = ex.submit(build_erasure)
         f_compact = ex.submit(build_compact)
@@ -323,6 +351,7 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         f_evolve = ex.submit(build_evolve)
         f_elog = ex.submit(build_eventslog)
         f_writer = ex.submit(build_writer)
+        f_zorder = ex.submit(build_zorder)
         main = f_main.result()
         erasure, removed, history_pruned = f_erasure.result()
         compactt, files_before, files_after, v1_readable = f_compact.result()
@@ -330,6 +359,7 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         evolve = f_evolve.result()
         eventslog = f_elog.result()
         writert = f_writer.result()
+        ztable = f_zorder.result()
 
     out = {
         "main": main,
@@ -344,6 +374,7 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         "parts": parts,
         "eventslog": eventslog,
         "writert": writert,
+        "ztable": ztable,
         "max_user_id": None,  # filled lazily by stats_pruning
         "ts_bounds": None,  # filled lazily by timewindow_scan
     }
@@ -608,6 +639,31 @@ def writer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("files_skipped", F.lit(opened < total))
 
 
+def zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data skipping (round 10): the events projection was
+    rewritten along a Morton curve over (user_id, ts_ms) — two columns
+    the event_id layout clusters for neither. The probe is the middle
+    [30%, 50%] of the USER space; ``files_skipped_user`` records that the
+    user-range cut skipped files, and ``files_skipped_ts`` that an
+    INDEPENDENT time-window probe over the same curve-clustered files
+    also skipped — multi-dimensional locality no single sort order gives.
+    Rows must equal the user-filtered rebuild of the projection."""
+    built = _built_store(spark, sf_dir)
+    t = built["ztable"]
+    # bounded: 3 scalars — probe bounds the oracle recomputes in SQL
+    mu, mn, mx = t.snapshot().agg(
+        F.max("user_id"), F.min("ts_ms"), F.max("ts_ms")
+    ).collect()[0]
+    lo, hi = mu * _SCAN_LO_NUM // 10, mu * _SCAN_HI_NUM // 10
+    df, o_user, total = t.pruned_scan("user_id", lo, hi)
+    tlo = mn + (mx - mn) * 3 // 10
+    thi = mn + (mx - mn) * 4 // 10
+    _, o_ts, _ = t.pruned_scan("ts_ms", tlo, thi)
+    return df.withColumn("files_skipped_user", F.lit(o_user < total)).withColumn(
+        "files_skipped_ts", F.lit(o_ts < total)
+    )
+
+
 QUERIES = {
     "store_merge_snapshot": merge_snapshot,
     "store_time_travel": time_travel,
@@ -623,6 +679,7 @@ QUERIES = {
     "store_pushdown_scan": pushdown_scan,
     "store_timewindow_scan": timewindow_scan,
     "store_writer_scan": writer_scan,
+    "store_zorder_scan": zorder_scan,
 }
 
 # The oracles rebuild the store state straight from the events log —
@@ -771,6 +828,20 @@ ORACLES = {
         FROM events
         WHERE event_id BETWEEN (SELECT max(event_id) * 4 // 10 FROM events)
                            AND (SELECT max(event_id) * 5 // 10 FROM events)
+    """,
+    # the zordered table's user-range scan == the user-filtered projection
+    # (both skip flags asserted TRUE: the curve clusters BOTH dimensions)
+    "store_zorder_scan": """
+        SELECT event_id,
+               epoch_ms(ts) AS ts_ms,
+               user_id,
+               event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_cents,
+               TRUE AS files_skipped_user,
+               TRUE AS files_skipped_ts
+        FROM events
+        WHERE user_id BETWEEN (SELECT max(user_id) * 3 // 10 FROM events)
+                          AND (SELECT max(user_id) * 5 // 10 FROM events)
     """,
     # two-phase rebuild: matched users fold prefix+suffix and carry the
     # new column; prefix-only users read back NULL for it (never rewritten)

@@ -516,6 +516,7 @@ class VersionedTable:
         partition_by: str | None = None,
         bloom_by: str | None = None,
         stats_cols: tuple[str, ...] | None = None,
+        order_by=None,
     ) -> list[FileStat]:
         """Write ``df`` into fresh immutable data files + harvest their
         per-column min/max stats from the parquet FOOTERS driver-side
@@ -525,12 +526,14 @@ class VersionedTable:
         ``_bloom_harvest``. With ``partition_by``, ONE Spark job writes
         the hive layout (partitionBy) and each file's partition value is
         recorded in its add action — the directory encoding is transient;
-        the log is the source of truth."""
+        the log is the source of truth. ``order_by`` overrides the
+        range-shuffle expression (the Z-order path); default is the key."""
         import pyarrow.parquet as pq
 
         scratch = os.path.join(self.path, _TMP_DIR, uuid.uuid4().hex)
+        cluster = order_by if order_by is not None else F.col(key)
         shuffle_cols = (
-            [F.col(partition_by), F.col(key)] if partition_by else [F.col(key)]
+            [F.col(partition_by), cluster] if partition_by else [cluster]
         )
         part = (
             df.repartitionByRange(n_files, *shuffle_cols)
@@ -914,6 +917,104 @@ class VersionedTable:
                     os.unlink(os.path.join(self.path, s.path))
                 continue
         raise CommitConflict(f"compact lost {max_attempts} races at {self.path}")
+
+    @staticmethod
+    def _morton(cols, bounds: dict, bits: int = 16):
+        """Bit-interleaved (Morton / Z-order) curve position over the
+        given columns, as one pure-JVM Column expression: each column is
+        min/max-normalized into ``bits``-bit cells, then the cells' bits
+        are interleaved so curve-adjacent rows are close in EVERY
+        dimension — the locality that makes per-file [min, max] rectangles
+        tight on all clustered columns at once."""
+        norm = []
+        for c in cols:
+            lo, hi = bounds[c]
+            span = max(1, int(hi) - int(lo))
+            # floor((c - lo) * 2^bits / (span + 1)) in exact int arithmetic
+            norm.append(
+                F.expr(
+                    f"((cast(`{c}` as bigint) - {int(lo)}) * {1 << bits}) "
+                    f"div {span + 1}"
+                )
+            )
+        z = F.lit(0).cast("long")
+        d = len(cols)
+        for b in range(bits):
+            for i, n in enumerate(norm):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(n, b).bitwiseAND(F.lit(1)), b * d + i
+                    )
+                )
+        return z
+
+    def zorder(
+        self,
+        cols: list[str],
+        target_rows_per_file: int = 250_000,
+        max_attempts: int = 5,
+    ) -> int:
+        """OPTIMIZE ZORDER BY: rewrite the live file set clustered along a
+        Morton (Z-order) curve over ``cols`` — after it, a range predicate
+        on ANY of the clustered columns skips files via the recorded
+        per-file stats, which no single-column sort order can give for
+        two columns at once (the Delta ``OPTIMIZE ... ZORDER BY`` design).
+        Data is value-identical; history stays intact like ``compact``.
+        ``cols`` must be integer-typed and carry recorded stats (the merge
+        key or declared ``stats_cols``) so both the curve normalization
+        bounds and the post-rewrite skipping are log-driven."""
+        kcol = self.key_column()
+        scols = self.stats_columns()
+        for c in cols:
+            if c != kcol and c not in scols:
+                raise ValueError(
+                    f"zorder column '{c}' has no recorded stats "
+                    f"(key={kcol!r}, stats_cols={scols!r})"
+                )
+        pcol = self.partition_column()
+        bcol = self.bloom_column()
+        for _ in range(max_attempts):
+            v, live, schema = self._resolve()
+            if not live:
+                return v
+            for c in cols:
+                if not isinstance(
+                    schema[c].dataType,
+                    (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+                ):
+                    raise TypeError(
+                        f"zorder column '{c}' must be integer-typed "
+                        f"(got {schema[c].dataType.simpleString()})"
+                    )
+            # curve bounds from the LOG's stats — no data scan to plan
+            bounds = {}
+            for c in cols:
+                per_file = [
+                    (s.min_key, s.max_key)
+                    if c == kcol
+                    else tuple(s.stats[c])
+                    for s in live.values()
+                    if c == kcol or (s.stats and c in s.stats)
+                ]
+                bounds[c] = (
+                    min(r[0] for r in per_file),
+                    max(r[1] for r in per_file),
+                )
+            total = sum(s.rows for s in live.values())
+            n = max(1, math.ceil(total / target_rows_per_file))
+            df = self._read_files(list(live.values()), schema, v)
+            files = self._write_files(
+                df, kcol or cols[0], n, pcol, bcol, scols,
+                order_by=self._morton(cols, bounds),
+            )
+            try:
+                self._commit(v + 1, "zorder", files, sorted(live))
+                return v + 1
+            except CommitConflict:
+                for s in files:
+                    os.unlink(os.path.join(self.path, s.path))
+                continue
+        raise CommitConflict(f"zorder lost {max_attempts} races at {self.path}")
 
     def pruned_scan(
         self, col, lo, hi, version: int | None = None

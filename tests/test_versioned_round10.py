@@ -294,3 +294,49 @@ def test_append_fans_out_to_sized_files(spark, tmp_path):
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi < lo  # tight, disjoint stats per appended file
     assert t.snapshot().count() == 31
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_skips_on_both_dimensions(spark, tmp_path):
+    """A 40x40 grid keyed on row index: pre-Z, an x-range scan opens every
+    file (x cycles inside each file); post-Z, BOTH x and y range scans
+    skip most files — multi-dimensional locality no single sort gives.
+    Values stay identical and time travel across the rewrite works."""
+    rows = [(i, i % 40, i // 40, f"r{i}") for i in range(1600)]
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "zt"),
+        local_frame(spark, rows, "k bigint, x bigint, y bigint, s string"),
+        key="k",
+        target_rows_per_file=100,
+        stats_cols=["x", "y"],
+    )
+    _, ox_pre, total = t.pruned_scan("x", 0, 4)
+    assert ox_pre == total  # x cycles mod 40: no file can be skipped
+    v = t.zorder(["x", "y"], target_rows_per_file=100)
+    assert t._read_commit(v)["op"] == "zorder"
+    dfx, ox, tot = t.pruned_scan("x", 0, 4)
+    dfy, oy, _ = t.pruned_scan("y", 0, 4)
+    assert ox < tot / 2 and oy < tot / 2  # both dims skip
+    assert sorted(r["k"] for r in dfx.collect()) == [
+        i for i in range(1600) if i % 40 <= 4
+    ]
+    assert dfy.count() == 200
+    assert t.snapshot().count() == 1600
+    assert t.snapshot(version=1).count() == 1600  # history intact
+    # guards: no recorded stats / non-integer column
+    with pytest.raises(ValueError, match="no recorded stats"):
+        t.zorder(["s"])
+    t2 = VersionedTable.create(
+        spark,
+        str(tmp_path / "zt2"),
+        local_frame(spark, [(1, "a")], "k bigint, s string"),
+        key="k",
+        stats_cols=["s"],
+    )
+    with pytest.raises(TypeError, match="integer-typed"):
+        t2.zorder(["s"])
