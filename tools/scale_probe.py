@@ -386,15 +386,49 @@ def probe_store_writes(ks: tuple[int, ...] = (1, 3, 10)) -> list[str]:
         compact_wall = time.time() - t0
         compact_rewritten = len(t._read_commit(vc)["remove"])
 
+        # zorder over (last_event_id, last_value_cents): full rewrite like
+        # compact (wall ~k); the payoff is the post-rewrite 2-D skipping,
+        # measured as files opened for a 10%-range probe on EACH dimension
+        zt = VersionedTable.create(
+            spark, tempfile.mkdtemp(prefix=f"ssi_scalez_{k}x_"), state,
+            key="user_id", target_rows_per_file=200,
+            stats_cols=["last_event_id", "last_value_cents"],
+        )
+        t0 = time.time()
+        zv = zt.zorder(
+            ["last_event_id", "last_value_cents"], target_rows_per_file=200
+        )
+        zorder_wall = time.time() - t0
+        zf = len(zt._read_commit(zv)["add"])
+        b1 = state.agg(
+            F.min("last_event_id"), F.max("last_event_id"),
+            F.min("last_value_cents"), F.max("last_value_cents"),
+        ).collect()[0]
+        def probe(col, lo, hi):
+            _, opened, total = zt.pruned_scan(col, lo, hi)
+            return opened, total
+        o1, tot1 = probe(
+            "last_event_id",
+            b1[0] + (b1[1] - b1[0]) * 3 // 10,
+            b1[0] + (b1[1] - b1[0]) * 4 // 10,
+        )
+        o2, _ = probe(
+            "last_value_cents",
+            b1[2] + (b1[3] - b1[2]) * 3 // 10,
+            b1[2] + (b1[3] - b1[2]) * 4 // 10,
+        )
+
         rows.append(
             (k, files_total, merge_rewritten, merge_wall, append_wall,
-             compact_rewritten, compact_wall)
+             compact_rewritten, compact_wall, zorder_wall, o1, o2, tot1)
         )
         print(
             f"# store-writes {k}x: files={files_total} "
             f"merge={merge_rewritten} rewritten in {merge_wall:.2f}s "
             f"append={append_wall:.2f}s "
-            f"compact={compact_rewritten} in {compact_wall:.2f}s",
+            f"compact={compact_rewritten} in {compact_wall:.2f}s "
+            f"zorder {zorder_wall:.2f}s d1={o1}/{tot1} d2={o2}/{tot1} "
+            f"({zf} files)",
             file=sys.stderr, flush=True,
         )
 
@@ -412,13 +446,19 @@ def probe_store_writes(ks: tuple[int, ...] = (1, 3, 10)) -> list[str]:
         "rewrites everything by design (wall ~k); the append is a fixed",
         "400-row batch (wall ~flat).",
         "",
+        "Z-order rewrites everything (wall ~k, like compact); the payoff",
+        "column is `z 10% probe d1 / d2`: files opened out of files_total",
+        "for an independent 10%-range probe on EACH clustered dimension —",
+        "both stay a fraction of the total at every scale.",
+        "",
         "| k | files_total | merge files rewritten | merge s | append s |"
-        " compact files | compact s |",
-        "|---|---|---|---|---|---|---|",
+        " compact files | compact s | zorder s | z 10% probe d1 | d2 |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for k, ft, mr, mw, aw, cr, cw in rows:
+    for k, ft, mr, mw, aw, cr, cw, zw, o1, o2, tot1 in rows:
         lines.append(
             f"| {k}× | {ft} | {mr} | {mw:.2f} | {aw:.2f} | {cr} | {cw:.2f} |"
+            f" {zw:.2f} | {o1}/{tot1} | {o2}/{tot1} |"
         )
     lines.append("")
     return lines
