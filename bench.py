@@ -34,8 +34,10 @@ HEADLINE = [
     "store_timewindow_scan",
     "store_writer_scan",
     "store_zorder_scan",
+    "store_restore",
     "streaming_store_merge",
     "streaming_store_cdf",
+    "streaming_store_replica",
     "dedup_prefix_jaccard_topk",
     "text_pmi_collocations",
     "analytics_acf_daily",

@@ -42,6 +42,7 @@ full-log fold — which is exactly what the oracles recompute as CTEs.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -320,6 +321,46 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         )
         return zt
 
+    def build_restore() -> tuple:
+        # RESTORE twin (round 10): full state -> gdpr delete -> restore(1)
+        # as ONE metadata-only commit (files re-added by reference). The
+        # engine facts recorded here: zero new data files appeared, and
+        # the restore commit's adds are a subset of v1's file set.
+        rt = VersionedTable.create(
+            spark, f"{root}/restoret", _batch_state(ev), key="user_id",
+            target_rows_per_file=per_file,
+        )
+        rt.delete_where(F.col("user_id") % ERASE_MOD == 0, key="user_id")
+        files_before = set(os.listdir(os.path.join(rt.path, "data")))
+        v = rt.restore(1)
+        files_after = set(os.listdir(os.path.join(rt.path, "data")))
+        metadata_only = files_after == files_before and {
+            a["path"] for a in rt._read_commit(v)["add"]
+        } <= {a["path"] for a in rt._read_commit(1)["add"]}
+        return rt, metadata_only
+
+    def build_cdcsrc() -> VersionedTable:
+        # CDC source for the streaming replica: create + accumulating
+        # merge + a DELETING commit (never vacuumed — the change feed
+        # reads removed files), so the downstream replica must apply
+        # inserts, updates, and deletes to converge
+        cdcsrc = VersionedTable.create(
+            spark,
+            f"{root}/cdcsrc",
+            _batch_state(ev.where(F.col("event_id") < cut1)),
+            key="user_id",
+            target_rows_per_file=per_file,
+        )
+        cdcsrc.merge_into(
+            _batch_state(ev.where(F.col("event_id") >= cut1)),
+            key="user_id",
+            when_matched=_WHEN_MATCHED,
+        )
+        cdcsrc.delete_where(
+            F.col("user_id") % ERASE_MOD == 0, key="user_id"
+        )
+        return cdcsrc
+
     def build_evolve() -> VersionedTable:
         evolve = VersionedTable.create(
             spark,
@@ -343,7 +384,7 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
     # interleaves their stages), ~3x less wall than the serial build
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
+    with ThreadPoolExecutor(max_workers=10) as ex:
         f_main = ex.submit(build_main)
         f_erasure = ex.submit(build_erasure)
         f_compact = ex.submit(build_compact)
@@ -352,6 +393,8 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         f_elog = ex.submit(build_eventslog)
         f_writer = ex.submit(build_writer)
         f_zorder = ex.submit(build_zorder)
+        f_restore = ex.submit(build_restore)
+        f_cdcsrc = ex.submit(build_cdcsrc)
         main = f_main.result()
         erasure, removed, history_pruned = f_erasure.result()
         compactt, files_before, files_after, v1_readable = f_compact.result()
@@ -360,6 +403,8 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         eventslog = f_elog.result()
         writert = f_writer.result()
         ztable = f_zorder.result()
+        restoret, restore_metadata_only = f_restore.result()
+        cdcsrc = f_cdcsrc.result()
 
     out = {
         "main": main,
@@ -375,6 +420,9 @@ def _built_store(spark: SparkSession, sf_dir: str) -> dict:
         "eventslog": eventslog,
         "writert": writert,
         "ztable": ztable,
+        "restoret": restoret,
+        "restore_metadata_only": restore_metadata_only,
+        "cdcsrc": cdcsrc,
         "max_user_id": None,  # filled lazily by stats_pruning
         "ts_bounds": None,  # filled lazily by timewindow_scan
     }
@@ -664,6 +712,19 @@ def zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE audit (round 10): full state (v1) -> gdpr delete (v2) ->
+    ``restore(1)`` (v3). The restored snapshot must equal the full
+    rebuild — the deleted cohort is BACK — and ``metadata_only`` records
+    the engine facts: the restore commit wrote zero data files; its adds
+    reference v1's immutable files. O(metadata) rollback at any size."""
+    built = _built_store(spark, sf_dir)
+    t = built["restoret"]
+    return t.snapshot().withColumn(
+        "table_version", F.lit(t.latest_version()).cast("int")
+    ).withColumn("metadata_only", F.lit(built["restore_metadata_only"]))
+
+
 QUERIES = {
     "store_merge_snapshot": merge_snapshot,
     "store_time_travel": time_travel,
@@ -680,6 +741,7 @@ QUERIES = {
     "store_timewindow_scan": timewindow_scan,
     "store_writer_scan": writer_scan,
     "store_zorder_scan": zorder_scan,
+    "store_restore": restore_table,
 }
 
 # The oracles rebuild the store state straight from the events log —
@@ -828,6 +890,12 @@ ORACLES = {
         FROM events
         WHERE event_id BETWEEN (SELECT max(event_id) * 4 // 10 FROM events)
                            AND (SELECT max(event_id) * 5 // 10 FROM events)
+    """,
+    # the restored snapshot == the full rebuild (the delete rolled back
+    # as pure metadata), restore commit = version 3
+    "store_restore": f"""
+        SELECT r.*, 3::INT AS table_version, TRUE AS metadata_only
+        FROM ({_REBUILD.format(where="")}) r
     """,
     # the zordered table's user-range scan == the user-filtered projection
     # (both skip flags asserted TRUE: the curve clusters BOTH dimensions)

@@ -1123,6 +1123,35 @@ class VersionedTable:
             *image, change.alias("_change_type")
         )
 
+    def restore(self, version: int, max_attempts: int = 5) -> int:
+        """RESTORE TABLE ... TO VERSION: make the CURRENT snapshot equal
+        the snapshot at ``version`` via one METADATA-ONLY commit — the old
+        files are re-added BY REFERENCE (immutable, still on disk unless
+        vacuumed) and the current live set is removed; zero data bytes
+        move no matter the table size (the Delta RESTORE design). History
+        stays intact: the restore is itself a new version, so the
+        un-restored state remains time-travelable until vacuum."""
+        for _ in range(max_attempts):
+            v, live, _schema = self._resolve()
+            _, old_live, old_schema = self._resolve(version)
+            for s in old_live.values():
+                if not os.path.exists(os.path.join(self.path, s.path)):
+                    raise VersionPrunedError(
+                        f"cannot restore to version {version}: file "
+                        f"{s.path} was vacuumed"
+                    )
+            add = [s for p, s in sorted(old_live.items()) if p not in live]
+            remove = [p for p in sorted(live) if p not in old_live]
+            if not add and not remove:
+                return v  # already identical — no empty commit
+            try:
+                # schema is restored too (evolution rolls back with it)
+                self._commit(v + 1, "restore", add, remove, schema=old_schema)
+                return v + 1
+            except CommitConflict:
+                continue  # no files of ours to orphan: rebase and retry
+        raise CommitConflict(f"restore lost {max_attempts} races at {self.path}")
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Physically delete every file under data/ not referenced by the
         last ``retain_last`` versions — both tombstoned files (erasure

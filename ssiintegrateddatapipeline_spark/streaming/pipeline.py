@@ -2255,10 +2255,114 @@ def streaming_store_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, out.schema)
 
 
+# (replica table path) per (app, sf_dir); the lock keeps two concurrent
+# first callers from driving the same apply twice
+_STORE_REPLICA_CACHE: dict[tuple, str] = register({})
+_STORE_REPLICA_LOCK = threading.Lock()
+
+
+def streaming_store_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION: a downstream replica table maintained purely from
+    the source's streaming change feed — the composition of the two
+    round-10 surfaces (``versioned_cdf`` source + the MERGE/DELETE write
+    path), i.e. the Delta "CDF-to-downstream-table" pattern. Each
+    micro-batch carries one source commit's row diff; the apply step
+    MERGEs the post-images and deletes the delete-keys, so the replica
+    converges through inserts, updates, AND deletes (the source's v3 is
+    a deleting commit). The final replica snapshot must hash-match the
+    gdpr-filtered rebuild, and its own commit history must be exactly
+    create+merge+delete (replica_versions == 3) — a clean 1:1 apply.
+
+    Scale: zero streaming state; per-batch work is bounded by the source
+    commit's touched files; the delete key-list is bounded by the
+    commit's delete count (collected driver-side per batch, never the
+    table)."""
+    import time
+
+    from ssiintegrateddatapipeline_spark.operators.store import _built_store
+    from ssiintegrateddatapipeline_spark.sources.versioned import (
+        VersionedTable,
+    )
+    from ssiintegrateddatapipeline_spark.sources.versioned_ds import (
+        VersionedCdfDataSource,
+        ensure_registered,
+    )
+
+    src = _built_store(spark, sf_dir)["cdcsrc"]
+    latest = src.latest_version()
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    with _STORE_REPLICA_LOCK:
+        if ckey not in _STORE_REPLICA_CACHE:
+            ensure_registered(spark, VersionedCdfDataSource)
+            rp = os.path.join(
+                tempfile.mkdtemp(dir=_session_ckpt_root()), "replica"
+            )
+            data_cols = src.snapshot(version=1).columns
+            seen: set[int] = set()
+
+            def _apply(bdf: DataFrame, _bid: int) -> None:
+                vs = [
+                    r[0]
+                    for r in bdf.select("_commit_version").distinct().collect()
+                ]
+                ups = bdf.where(
+                    F.col("_change_type") != "delete"
+                ).select(*data_cols)
+                dels = [
+                    r[0]
+                    for r in bdf.where(F.col("_change_type") == "delete")
+                    .select("user_id")
+                    .collect()  # bounded: the commit's delete count
+                ]
+                t = VersionedTable(spark, rp)
+                if t.latest_version() == 0:
+                    if ups.count():
+                        VersionedTable.create(spark, rp, ups, key="user_id")
+                else:
+                    if ups.count():
+                        t.merge_into(ups, key="user_id")  # post-image replace
+                    if dels:
+                        t.delete_where(
+                            F.col("user_id").isin(dels), key="user_id"
+                        )
+                seen.update(vs)
+
+            q = (
+                spark.readStream.format("versioned_cdf")
+                .option("path", src.path)
+                .load()
+                .writeStream.foreachBatch(_apply)
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(dir=_session_ckpt_root()),
+                )
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            deadline = time.time() + 120
+            while time.time() < deadline and latest not in seen:
+                time.sleep(0.2)
+            q.stop()
+            q.awaitTermination()
+            _record_progress(q)
+            _capture_stream_plan(q, "source")
+            if latest not in seen:
+                raise TimeoutError(
+                    "CDC replica drain incomplete after 120s — refusing "
+                    "to return a partial replica"
+                )
+            _STORE_REPLICA_CACHE[ckey] = rp
+    t = VersionedTable(spark, _STORE_REPLICA_CACHE[ckey])
+    return t.snapshot().withColumn(
+        "replica_versions", F.lit(t.latest_version()).cast("int")
+    )
+
+
 QUERIES = {
     "streaming_store_mutations": streaming_store_mutations,
     "streaming_store_merge": streaming_store_merge,
     "streaming_store_cdf": streaming_store_cdf,
+    "streaming_store_replica": streaming_store_replica,
     "streaming_sliding_rate": streaming_sliding_rate,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_dedup": streaming_dedup,
@@ -2856,4 +2960,17 @@ ORACLES["streaming_store_cdf"] = f"""
     {_cdf_diff_sql("p1", "p2", 2)}
     UNION ALL
     {_cdf_diff_sql("p2", "fl", 3)}
+"""
+
+# the replica's final state == the gdpr-filtered full rebuild (the source's
+# deleting commit propagated through the change feed); its own history is
+# exactly create+merge+delete — one commit per source version
+from ssiintegrateddatapipeline_spark.operators.transform import (  # noqa: E402
+    ERASE_MOD as _ERASE_MOD,
+)
+
+ORACLES["streaming_store_replica"] = f"""
+    SELECT r.*, 3::INT AS replica_versions
+    FROM ({_STORE_REBUILD.format(where="")}) r
+    WHERE r.user_id % {_ERASE_MOD} <> 0
 """

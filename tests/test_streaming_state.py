@@ -101,6 +101,8 @@ _STATE_BOUNDS = {
     # append-only CDF source, no aggregation: zero state rows (per-batch
     # work is bounded by the commit's touched files, not the table)
     "streaming_store_cdf": lambda s, n: 8,
+    # CDF-to-replica apply runs entirely in foreachBatch: zero state rows
+    "streaming_store_replica": lambda s, n: 8,
     "streaming_provider_matrix": lambda s, n: 16,  # 6 configs
     "streaming_ab_monitor": lambda s, n: 8,  # 2 arms
     # (arm, day) counters: 2 arms x days-in-span (n == result rows,

@@ -340,3 +340,63 @@ def test_zorder_skips_on_both_dimensions(spark, tmp_path):
     )
     with pytest.raises(TypeError, match="integer-typed"):
         t2.zorder(["s"])
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (metadata-only rollback)
+# ---------------------------------------------------------------------------
+
+
+def test_restore_is_metadata_only_and_history_safe(spark, tmp_path):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "rt"),
+        _frame(spark, [(i, f"v{i}", 1) for i in range(30)]),
+        key="k",
+        target_rows_per_file=10,
+    )
+    t.merge_into(_frame(spark, [(1, "upd", 9), (100, "new", 1)]), key="k")
+    t.delete_where(F.col("k") == 25, key="k")
+    files_before = set(os.listdir(os.path.join(t.path, "data")))
+
+    v = t.restore(1)
+    assert v == 4 and t._read_commit(4)["op"] == "restore"
+    # metadata only: no new data file was written
+    assert set(os.listdir(os.path.join(t.path, "data"))) == files_before
+    # re-added files are v1's, by reference
+    assert {a["path"] for a in t._read_commit(4)["add"]} <= {
+        a["path"] for a in t._read_commit(1)["add"]
+    }
+    assert _rows(t.snapshot()) == _rows(t.snapshot(version=1))
+    # the un-restored state is still time-travelable (history intact)
+    got3 = {r["k"]: r["v"] for r in t.snapshot(version=3).collect()}
+    assert got3[1] == "upd" and 25 not in got3
+    # idempotent: restoring to the now-identical state adds no commit
+    assert t.restore(1) == 4
+    # vacuum keeps the restored (live-again) files, sweeps the rest
+    removed = t.vacuum(retain_last=1)
+    assert removed and _rows(t.snapshot()) == _rows(t.snapshot(version=1))
+    with pytest.raises(VersionPrunedError):
+        t.snapshot(version=3).collect()
+    # restoring to a vacuumed version is a loud error
+    with pytest.raises(VersionPrunedError, match="vacuumed"):
+        t.restore(3)
+
+
+def test_restore_rolls_back_schema_evolution(spark, tmp_path):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "rt"),
+        _frame(spark, [(1, "a", 1)]),
+        key="k",
+    )
+    t.merge_into(
+        local_frame(
+            spark, [(1, "a", 1, 42)], "k bigint, v string, n bigint, extra bigint"
+        ),
+        key="k",
+        allow_new_columns=True,
+    )
+    assert "extra" in t.snapshot().columns
+    t.restore(1)
+    assert "extra" not in t.snapshot().columns  # evolution rolled back
