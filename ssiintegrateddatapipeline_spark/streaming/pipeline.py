@@ -2255,9 +2255,9 @@ def streaming_store_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, out.schema)
 
 
-# (replica table path) per (app, sf_dir); the lock keeps two concurrent
-# first callers from driving the same apply twice
-_STORE_REPLICA_CACHE: dict[tuple, str] = register({})
+# (replica table path, drive progress) per (app, sf_dir); the lock keeps
+# two concurrent first callers from driving the same apply twice
+_STORE_REPLICA_CACHE: dict[tuple, tuple[str, dict | None]] = register({})
 _STORE_REPLICA_LOCK = threading.Lock()
 
 
@@ -2351,8 +2351,14 @@ def streaming_store_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "CDC replica drain incomplete after 120s — refusing "
                     "to return a partial replica"
                 )
-            _STORE_REPLICA_CACHE[ckey] = rp
-    t = VersionedTable(spark, _STORE_REPLICA_CACHE[ckey])
+            prog = q.lastProgress
+            _STORE_REPLICA_CACHE[ckey] = (rp, dict(prog) if prog else None)
+    rp, prog = _STORE_REPLICA_CACHE[ckey]
+    # publish the DRIVE's progress (zero state operators) even on memoized
+    # reads, so state-bound checks never see a stale predecessor's counters
+    global LAST_QUERY_PROGRESS
+    LAST_QUERY_PROGRESS = prog
+    t = VersionedTable(spark, rp)
     return t.snapshot().withColumn(
         "replica_versions", F.lit(t.latest_version()).cast("int")
     )
