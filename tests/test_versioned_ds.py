@@ -336,3 +336,68 @@ def test_writer_failed_job_leaves_table_unchanged(spark, table):
     assert sorted(map(tuple, table.snapshot().collect())) == before
     table.vacuum(retain_last=1)  # sweeps any staged orphans
     assert not os.path.exists(os.path.join(table.path, "_tmp"))
+
+
+def test_datasource_reads_through_checkpointed_log(spark, tmp_path):
+    """The DataSource planner resolves via the commit-log checkpoint: a
+    table deeper than the checkpoint cadence reads correctly and pushdown
+    still cuts files from the checkpoint-carried stats."""
+    from ssiintegrateddatapipeline_spark.sources.versioned import (
+        _CHECKPOINT_EVERY,
+    )
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "dt"),
+        local_frame(spark, [(0, "v0", 1)], SCHEMA),
+        key="k",
+    )
+    for i in range(1, _CHECKPOINT_EVERY + 4):
+        t.append(
+            local_frame(spark, [(i * 10, f"v{i}", 1)], SCHEMA), key="k"
+        )
+    df = read_versioned(spark, t.path)
+    assert df.count() == _CHECKPOINT_EVERY + 4
+    r = _VersionedReader({"path": t.path})
+    total = r.files_total
+    r.pushFilters([EqualTo(("k",), 50)])
+    assert len(r.partitions()) < total
+    assert [x["v"] for x in df.where(F.col("k") == 50).collect()] == ["v5"]
+
+
+def test_cdf_versions_per_batch_option(spark, tmp_path):
+    """versionsPerBatch > 1 groups several commits into one micro-batch;
+    rows keep their per-commit _commit_version tags either way."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "vt"),
+        local_frame(spark, [(1, "a", 1)], SCHEMA),
+        key="k",
+    )
+    t.append(local_frame(spark, [(2, "b", 1)], SCHEMA), key="k")
+    t.append(local_frame(spark, [(3, "c", 1)], SCHEMA), key="k")
+    ensure_registered(spark, VersionedCdfDataSource)
+    got = []
+
+    def emit(bdf, _bid):
+        got.extend(
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in bdf.collect()
+        )
+
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", t.path)
+        .option("versionsPerBatch", 10)
+        .load()
+        .writeStream.foreachBatch(emit)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)  # one latestOffset snapshot covers all
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got) == [
+        (1, "insert", 1),
+        (2, "insert", 2),
+        (3, "insert", 3),
+    ]
