@@ -33,6 +33,8 @@ HEADLINE = [
     "store_pushdown_scan",
     "store_timewindow_scan",
     "store_writer_scan",
+    "store_writer_partitioned",
+    "store_log_retention",
     "store_zorder_scan",
     "store_restore",
     "streaming_store_merge",

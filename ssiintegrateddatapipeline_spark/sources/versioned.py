@@ -246,12 +246,24 @@ class VersionedTable:
                 checkpoints.append(int(stem[:-11]))
         commits.sort()
         checkpoints.sort()
-        # Contiguity from 1: a gap means a corrupt log (commits are atomic,
-        # so gaps cannot arise from crashes — only external tampering).
-        for i, v in enumerate(commits, start=1):
-            if v != i:
+        # Contiguity from the FIRST surviving commit: a gap means a corrupt
+        # log (commits are atomic, so gaps cannot arise from crashes — only
+        # external tampering). The log may start past 1 after a log-
+        # retention vacuum, which always leaves a checkpoint at (or just
+        # below) the first surviving commit so resolution stays closed.
+        if commits:
+            first = commits[0]
+            for i, v in enumerate(commits):
+                if v != first + i:
+                    raise ValueError(
+                        f"non-contiguous commit log at {self.path}: {commits}"
+                    )
+            if first > 1 and not any(
+                c in (first - 1, first) for c in checkpoints
+            ):
                 raise ValueError(
-                    f"non-contiguous commit log at {self.path}: {commits}"
+                    f"pruned commit log at {self.path} starts at {first} "
+                    f"with no checkpoint at {first - 1} or {first}"
                 )
         return commits, checkpoints
 
@@ -293,7 +305,16 @@ class VersionedTable:
             live = {a["path"]: _stat_from_dict(a) for a in ck["live"]}
             schema_json = ck["schema"]
             start = usable[-1] + 1
+        elif versions[0] > 1:
+            # log retention pruned every commit and checkpoint <= v
+            raise VersionPrunedError(
+                f"version {v} predates the log retention horizon at "
+                f"{self.path} (oldest resolvable state: checkpoint "
+                f"{checkpoints[0] if checkpoints else '?'})"
+            )
         for n in range(start, v + 1):
+            if n < versions[0]:
+                continue  # folded into the checkpoint (log retention)
             c = self._read_commit(n)
             if c.get("schema"):
                 schema_json = c["schema"]
@@ -319,6 +340,9 @@ class VersionedTable:
             "version": version,
             "live": [_stat_dict(s) for s in sorted(live.values(), key=lambda s: s.path)],
             "schema": schema.json(),
+            # table-level meta rides every checkpoint so a log-retention
+            # vacuum can prune the create commit without losing it
+            "meta": self._table_meta(),
         }
         log = os.path.join(self.path, _LOG_DIR)
         tmp = os.path.join(log, f"_tmp_ck_{uuid.uuid4().hex}.json")
@@ -330,25 +354,49 @@ class VersionedTable:
 
     # -- reads ---------------------------------------------------------------
 
+    _META_KEYS = (
+        "key", "partition_by", "bloom_by", "stats_cols",
+        "target_rows_per_file",
+    )
+
+    def _table_meta(self) -> dict:
+        """Table-level metadata fixed at create time. Read from commit 1
+        while it survives; after a log-retention ``vacuum`` pruned it,
+        from the oldest surviving checkpoint (vacuum copies the meta into
+        the retained checkpoint before pruning its source commits)."""
+        try:
+            c = self._read_commit(1)
+            return {k: c[k] for k in self._META_KEYS if k in c}
+        except FileNotFoundError:
+            pass
+        _, checkpoints = self._scan_log()
+        for ck in checkpoints:
+            d = self._read_checkpoint(ck)
+            if "meta" in d:
+                return d["meta"]
+        raise ValueError(
+            f"pruned log at {self.path} has no meta-carrying checkpoint"
+        )
+
     def partition_column(self) -> str | None:
         """Hive partition column, fixed at create time (or None)."""
-        return self._read_commit(1).get("partition_by")
+        return self._table_meta().get("partition_by")
 
     def bloom_column(self) -> str | None:
         """Bloom-indexed column, fixed at create time (or None)."""
-        return self._read_commit(1).get("bloom_by")
+        return self._table_meta().get("bloom_by")
 
     def key_column(self) -> str | None:
         """Layout/merge key recorded at create time (None on pre-r10 logs)."""
-        return self._read_commit(1).get("key")
+        return self._table_meta().get("key")
 
     def stats_columns(self) -> tuple[str, ...]:
         """Extra data-skipping stats columns, fixed at create time."""
-        return tuple(self._read_commit(1).get("stats_cols", ()))
+        return tuple(self._table_meta().get("stats_cols", ()))
 
     def target_rows_per_file(self) -> int:
         """File-sizing target recorded at create time."""
-        return int(self._read_commit(1).get("target_rows_per_file", 250_000))
+        return int(self._table_meta().get("target_rows_per_file", 250_000))
 
     def point_scan(
         self, col: str, value, version: int | None = None
@@ -1155,12 +1203,20 @@ class VersionedTable:
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Physically delete every file under data/ not referenced by the
         last ``retain_last`` versions — both tombstoned files (erasure
-        completion) and orphans from crashed writers. Returns what it
-        removed. Time travel past the retention horizon raises
-        VersionPrunedError afterwards (the Delta contract)."""
+        completion) and orphans from crashed writers — AND (round 11)
+        prune the commit LOG to the same horizon: commits and checkpoints
+        strictly older than the newest checkpoint at-or-below the horizon
+        are deleted, after copying the table meta into that checkpoint.
+        The log stays O(K + retain_last) files forever instead of
+        O(commits) (Delta pairs data retention with log retention the
+        same way). Returns the data files it removed. Time travel past
+        the retention horizon raises VersionPrunedError afterwards (the
+        Delta contract); ``history()`` shrinks to the surviving commits."""
         latest = self.latest_version()
+        versions, checkpoints = self._scan_log()
+        v_min = max(1, latest - retain_last + 1)
         keep: set[str] = set()
-        for v in range(max(1, latest - retain_last + 1), latest + 1):
+        for v in range(v_min, latest + 1):
             _, live, _ = self._resolve(v)
             keep.update(live)
         data_dir = os.path.join(self.path, _DATA_DIR)
@@ -1188,4 +1244,34 @@ class VersionedTable:
                         os.unlink(p)
                 except FileNotFoundError:
                     pass  # the writer finished and unlinked it mid-sweep
+        # -- log retention: prune commits/checkpoints below the newest
+        # checkpoint at-or-below the horizon. Commit ``ck`` itself is
+        # KEPT so the log never empties and ``latest_version`` (driven by
+        # commit files) stays truthful; resolution from ``ck`` onward
+        # needs only the checkpoint plus the surviving tail — O(K) reads.
+        usable = [c for c in checkpoints if c <= v_min]
+        if usable:
+            ck = usable[-1]
+            ck_path = os.path.join(log_dir, _fmt_checkpoint(ck))
+            d = self._read_checkpoint(ck)
+            if "meta" not in d:  # pre-r11 checkpoint: upgrade in place
+                d["meta"] = self._table_meta()
+                tmp = os.path.join(log_dir, f"_tmp_ck_{uuid.uuid4().hex}.json")
+                with open(tmp, "w") as f:
+                    json.dump(d, f, sort_keys=True)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, ck_path)
+            for v in versions:
+                if v < ck:
+                    try:
+                        os.unlink(os.path.join(log_dir, _fmt_version(v)))
+                    except FileNotFoundError:
+                        pass
+            for c in checkpoints:
+                if c < ck:
+                    try:
+                        os.unlink(os.path.join(log_dir, _fmt_checkpoint(c)))
+                    except FileNotFoundError:
+                        pass
         return removed

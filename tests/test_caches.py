@@ -124,3 +124,34 @@ def test_track_reinvocation_replaces_instead_of_appending(spark):
     assert len(caches._EPHEMERAL) == n1  # replaced, not appended
     assert _n_persisted(spark) == persisted1  # one shared cache entry
     clear_caches(spark)
+
+
+def test_built_store_builds_once_under_concurrent_first_callers(spark):
+    """r10 verdict #5: the store fleet's check-then-build is locked — two
+    (here four) concurrent FIRST callers must produce exactly ONE build
+    (one scratch root), all receiving the same dict."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ssiintegrateddatapipeline_spark.operators.store as S
+    from tests.conftest import SF_DIR
+
+    key = (spark.sparkContext.applicationId, SF_DIR)
+    S._STORE_CACHE.pop(key, None)  # force a cold build for this test
+    real_mkdtemp = S.tempfile.mkdtemp
+    roots = []
+
+    def counting(*a, **kw):
+        if kw.get("prefix") == "ssi_store_":
+            roots.append(1)
+        return real_mkdtemp(*a, **kw)
+
+    S.tempfile.mkdtemp = counting
+    try:
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            outs = list(
+                ex.map(lambda _: S._built_store(spark, SF_DIR), range(4))
+            )
+    finally:
+        S.tempfile.mkdtemp = real_mkdtemp
+    assert len(roots) == 1  # the fleet was built exactly once
+    assert all(o is outs[0] for o in outs)

@@ -175,11 +175,22 @@ def test_exhausted_retries_raise(spark, table, monkeypatch):
 
 
 def test_log_contiguity_guard(spark, table):
+    table.append(_frame(spark, [(100, "x", 1)]), key="k")  # v2
+    # a HOLE inside the log is corruption (commits are atomic)
     os.rename(
-        os.path.join(table.path, "_log", f"{1:020d}.json"),
+        os.path.join(table.path, "_log", f"{2:020d}.json"),
         os.path.join(table.path, "_log", f"{5:020d}.json"),
     )
     with pytest.raises(ValueError, match="non-contiguous"):
+        table.snapshot()
+    os.rename(
+        os.path.join(table.path, "_log", f"{5:020d}.json"),
+        os.path.join(table.path, "_log", f"{2:020d}.json"),
+    )
+    # a log starting past 1 WITHOUT a covering checkpoint is tampering,
+    # not a legal retention prune (vacuum always leaves the checkpoint)
+    os.unlink(os.path.join(table.path, "_log", f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="no checkpoint"):
         table.snapshot()
 
 
@@ -382,3 +393,58 @@ def test_commit_files_are_valid_json_with_stats(spark, table):
         a["rows"] > 0 and a["min_key"] <= a["max_key"] for a in c["add"]
     )
     assert "schema" in c
+
+
+def test_vacuum_prunes_commit_log_to_retention_horizon(spark, tmp_path):
+    """Round 11: vacuum pairs DATA retention with LOG retention — commits
+    and checkpoints strictly below the newest checkpoint at-or-below the
+    horizon are deleted (meta copied into the surviving checkpoint
+    first), so the log is O(K + retain_last) files at any history depth.
+    Resolution inside the horizon stays green; below it raises."""
+    from ssiintegrateddatapipeline_spark.sources.versioned import (
+        _CHECKPOINT_EVERY,
+        _fmt_checkpoint,
+    )
+
+    path = str(tmp_path / "lt")
+    t = VersionedTable.create(
+        spark, path, _frame(spark, [(1, "v1", 1)]), key="k",
+        target_rows_per_file=100, bloom_by="v",
+    )
+    for i in range(2, 41):
+        t.append(_frame(spark, [(i, f"v{i}", 1)]), key="k")
+    assert t.latest_version() == 40
+    log_dir = os.path.join(path, "_log")
+    assert len(os.listdir(log_dir)) == 40 + 40 // _CHECKPOINT_EVERY
+    # strip meta from the surviving checkpoint: proves the pre-r11
+    # upgrade path (vacuum must copy meta in before pruning commit 1)
+    ck_path = os.path.join(log_dir, _fmt_checkpoint(30))
+    d = json.load(open(ck_path))
+    d.pop("meta")
+    json.dump(d, open(ck_path, "w"), sort_keys=True)
+
+    t.vacuum(retain_last=3)  # horizon v38 -> newest usable checkpoint: 30
+    names = sorted(os.listdir(log_dir))
+    commits = [int(n.split(".")[0]) for n in names if ".checkpoint" not in n]
+    cks = [int(n.split(".")[0]) for n in names if ".checkpoint" in n]
+    assert commits == list(range(30, 41))  # ck itself survives
+    assert cks == [30, 40]
+    assert len(names) <= _CHECKPOINT_EVERY + 3  # K + retain_last
+    # table meta survived the create commit's deletion
+    assert t.key_column() == "k" and t.bloom_column() == "v"
+    assert t.target_rows_per_file() == 100
+    # time travel inside (and at) the horizon still green
+    assert t.snapshot().count() == 40
+    assert t.snapshot(version=38).count() == 38
+    assert t.snapshot(version=30).count() == 30  # straight off checkpoint
+    assert len(t.history()) == 11
+    with pytest.raises(VersionPrunedError):
+        t.snapshot(version=29)  # below the surviving checkpoint
+    # idempotent: a second vacuum changes nothing further
+    t.vacuum(retain_last=3)
+    assert sorted(os.listdir(log_dir)) == names
+    # the pruned log still round-trips a fresh handle + new commits
+    t2 = VersionedTable(spark, path)
+    t2.append(_frame(spark, [(41, "v41", 1)]), key="k")
+    assert t2.snapshot().count() == 41
+    assert t2.latest_version() == 41
