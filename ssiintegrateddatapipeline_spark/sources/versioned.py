@@ -73,6 +73,7 @@ import json
 import math
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -464,8 +465,38 @@ class VersionedTable:
             out = out.unionByName(leg)
         return out
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
-        """Snapshot-isolated read; ``version`` pins time travel."""
+    def version_at(self, ts_ms: int) -> int:
+        """TIMESTAMP AS OF resolution (the Delta surface): the latest
+        version whose commit timestamp is <= ``ts_ms``. O(surviving
+        commits) metadata reads — bounded by log retention. Commits from
+        pre-timestamp logs sort as arbitrarily old. Raises if every
+        surviving commit is newer (or, after a log-retention vacuum, if
+        the true answer was pruned — refusing beats a wrong snapshot)."""
+        versions = self._log_versions()
+        if not versions:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        best = None
+        for v in versions:
+            t = self._read_commit(v).get("ts_ms")
+            if t is None or t <= ts_ms:
+                best = v
+        if best is None:
+            raise VersionPrunedError(
+                f"no commit at or before ts_ms={ts_ms} survives at "
+                f"{self.path} (oldest surviving commit is newer)"
+            )
+        return best
+
+    def snapshot(
+        self, version: int | None = None, as_of_ts_ms: int | None = None
+    ) -> DataFrame:
+        """Snapshot-isolated read; ``version`` pins VERSION AS OF time
+        travel, ``as_of_ts_ms`` pins TIMESTAMP AS OF (mutually
+        exclusive)."""
+        if as_of_ts_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ts_ms, not both")
+            version = self.version_at(as_of_ts_ms)
         v, live, schema = self._resolve(version)
         if not live:
             return self.spark.createDataFrame([], schema)
@@ -493,6 +524,7 @@ class VersionedTable:
         payload = {
             "version": version,
             "op": op,
+            "ts_ms": int(time.time() * 1000),  # TIMESTAMP AS OF anchor
             "add": [_stat_dict(s) for s in add],
             "remove": sorted(remove),
         }

@@ -124,11 +124,19 @@ class _VersionedReader(DataSourceReader):
         if not path:
             raise ValueError("option 'path' is required for format('versioned')")
         version = options.get("version")
+        ts = options.get("timestamp")  # TIMESTAMP AS OF, epoch millis
         # Log resolution is pure file I/O (JSON checkpoint + tail) — no
         # SparkSession needed, which matters because Python DataSource
         # planning runs in a dedicated Python worker process where
         # getOrCreate would launch a whole second JVM.
         t = VersionedTable(None, path)
+        if ts is not None:
+            if version is not None:
+                raise ValueError(
+                    "options 'version' and 'timestamp' are mutually "
+                    "exclusive"
+                )
+            version = t.version_at(int(ts))
         v, live, schema = t._resolve(int(version) if version else None)
         self._table_path = t.path
         self._schema = schema
@@ -560,14 +568,22 @@ class VersionedDataSource(DataSource):
         return _VersionedArrowWriter(self.options, schema, overwrite)
 
 
-def read_versioned(spark, path: str, version: int | None = None):
+def read_versioned(
+    spark,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+):
     """Register-and-read sugar; enables the pushdown conf (session-wide,
-    idempotent) so `.where(...)` predicates reach ``pushFilters``."""
+    idempotent) so `.where(...)` predicates reach ``pushFilters``.
+    ``version`` / ``timestamp_ms`` pin VERSION AS OF / TIMESTAMP AS OF."""
     spark.conf.set(PUSHDOWN_CONF, "true")
     ensure_registered(spark, VersionedDataSource)
     r = spark.read.format("versioned").option("path", path)
     if version is not None:
         r = r.option("version", str(version))
+    if timestamp_ms is not None:
+        r = r.option("timestamp", str(timestamp_ms))
     return r.load()
 
 
@@ -660,6 +676,12 @@ class _VersionedCdfStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("option 'path' is required for format('versioned_cdf')")
         self._versions_per_batch = int(options.get("versionsperbatch", 1))
+        # Delta readChangeFeed parity: startingVersion positions a FRESH
+        # query's first offset so versions below it never emit (a
+        # checkpointed restart keeps its own offset, as in Delta)
+        self._start_version = int(options.get("startingversion", 1))
+        if self._start_version < 1:
+            raise ValueError("startingVersion must be >= 1")
         self._path = os.path.abspath(path)
         t = VersionedTable(None, self._path)
         _, _, schema = t._resolve()
@@ -673,8 +695,11 @@ class _VersionedCdfStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         # called on FRESH queries only (a restart restores from the offset
         # log instead) — the one reliable restart detector the API offers
-        self._paced = 0
-        return {"version": 0}
+        start = self._start_version - 1
+        self._paced = start
+        if start > self._floor:
+            self._floor = start
+        return {"version": start}
 
     def latestOffset(self) -> dict:
         latest = VersionedTable(None, self._path).latest_version()

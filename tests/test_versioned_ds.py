@@ -663,3 +663,78 @@ def test_writer_concurrent_appends_race_cleanly(spark, tmp_path):
     live = t._resolve()[1]
     on_disk = set(os.listdir(os.path.join(path, "data")))
     assert {os.path.basename(p) for p in live} == on_disk
+
+
+def test_cdf_starting_version_skips_history(spark, tmp_path):
+    """Delta readChangeFeed parity: option("startingVersion", N) positions
+    a fresh query's first offset at N-1, so versions below N never emit."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "sv"),
+        local_frame(spark, [(1, "a", 1)], SCHEMA),
+        key="k",
+    )
+    t.append(local_frame(spark, [(2, "b", 1)], SCHEMA), key="k")
+    t.append(local_frame(spark, [(3, "c", 1)], SCHEMA), key="k")
+    ensure_registered(spark, VersionedCdfDataSource)
+    got = []
+
+    def emit(bdf, _bid):
+        got.extend(
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in bdf.collect()
+        )
+
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", t.path)
+        .option("startingVersion", 2)
+        .load()
+        .writeStream.foreachBatch(emit)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got) == [(2, "insert", 2), (3, "insert", 3)]
+    with pytest.raises(Exception, match="startingVersion"):
+        from ssiintegrateddatapipeline_spark.sources.versioned_ds import (
+            _VersionedCdfStreamReader,
+        )
+
+        _VersionedCdfStreamReader({"path": t.path, "startingversion": "0"})
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF (Delta parity): commits carry a wall-clock ts_ms;
+    version_at / snapshot(as_of_ts_ms) / option("timestamp") resolve the
+    latest version at-or-before the probe."""
+    import time as _t
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "tt"),
+        local_frame(spark, [(1, "a", 1)], SCHEMA),
+        key="k",
+    )
+    _t.sleep(0.05)
+    t.append(local_frame(spark, [(2, "b", 1)], SCHEMA), key="k")
+    ts1 = t._read_commit(1)["ts_ms"]
+    ts2 = t._read_commit(2)["ts_ms"]
+    assert ts1 < ts2
+    assert t.version_at(ts1) == 1
+    assert t.version_at(ts2) == 2
+    assert t.version_at(ts2 + 10_000) == 2  # future probe -> latest
+    with pytest.raises(Exception, match="no commit at or before"):
+        t.version_at(ts1 - 1)
+    assert t.snapshot(as_of_ts_ms=ts1).count() == 1
+    assert t.snapshot(as_of_ts_ms=ts2).count() == 2
+    with pytest.raises(ValueError, match="not both"):
+        t.snapshot(version=1, as_of_ts_ms=ts1)
+    # declarative surface: option("timestamp") == option("version")
+    assert read_versioned(spark, t.path, timestamp_ms=ts1).count() == 1
+    assert read_versioned(spark, t.path, timestamp_ms=ts2).count() == 2
+    with pytest.raises(Exception, match="mutually exclusive"):
+        read_versioned(
+            spark, t.path, version=1, timestamp_ms=ts1
+        ).count()
