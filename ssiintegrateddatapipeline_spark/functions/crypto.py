@@ -74,14 +74,22 @@ def did_key_for(pub: Ed25519PublicKey) -> str:
     return "did:key:z" + b58encode(b"\xed\x01" + public_bytes(pub))
 
 
+# the JOSE header is a constant — encode it once at import instead of a
+# json.dumps + b64 per signed token (identical bytes to the former
+# per-call encoding; the sign/verify kernels call jwt_sign per row)
+_ENC_EDDSA_HEADER = base64.urlsafe_b64encode(
+    json.dumps(
+        {"alg": "EdDSA", "typ": "JWT"}, sort_keys=True, separators=(",", ":")
+    ).encode()
+).rstrip(b"=").decode("ascii")
+
+
 def jwt_sign(claims: dict, priv: Ed25519PrivateKey) -> str:
     """Compact JWS, alg=EdDSA. Deterministic: sorted keys, no whitespace."""
-    header = {"alg": "EdDSA", "typ": "JWT"}
-
-    def enc(obj: dict) -> str:
-        return b64url(json.dumps(obj, sort_keys=True, separators=(",", ":")).encode())
-
-    signing_input = f"{enc(header)}.{enc(claims)}"
+    payload = b64url(
+        json.dumps(claims, sort_keys=True, separators=(",", ":")).encode()
+    )
+    signing_input = f"{_ENC_EDDSA_HEADER}.{payload}"
     sig = priv.sign(signing_input.encode("ascii"))
     return f"{signing_input}.{b64url(sig)}"
 

@@ -738,15 +738,22 @@ def vp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         holder_dids: dict = {}
         for pdf in batches:
             vcs = []
-            for r in pdf.itertuples():
-                if r.symbol not in issuer_keys:
-                    priv, pub = crypto.keypair_for(r.symbol)
-                    issuer_keys[r.symbol] = (priv, crypto.did_key_for(pub))
-                uid = int(r.user_id)
+            # plain-list zip over the three touched columns: itertuples
+            # materializes a namedtuple per row across ALL columns, a
+            # measurable share of this 100k-sign kernel's overhead
+            for sym, uid, etype in zip(
+                pdf["symbol"].tolist(),
+                pdf["user_id"].tolist(),
+                pdf["event_type"].tolist(),
+            ):
+                if sym not in issuer_keys:
+                    priv, pub = crypto.keypair_for(sym)
+                    issuer_keys[sym] = (priv, crypto.did_key_for(pub))
+                uid = int(uid)
                 if uid not in holder_dids:
                     _, hpub = crypto.keypair_for(f"user:{uid}")
                     holder_dids[uid] = crypto.did_key_for(hpub)
-                priv, issuer_did = issuer_keys[r.symbol]
+                priv, issuer_did = issuer_keys[sym]
                 vcs.append(
                     crypto.jwt_sign(
                         {
@@ -755,7 +762,7 @@ def vp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "vc": {
                                 "type": [
                                     "VerifiableCredential",
-                                    str(r.event_type),
+                                    str(etype),
                                 ],
                                 "credentialSubject": {
                                     "id": holder_dids[uid]
@@ -786,6 +793,23 @@ def vp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("creds"),
         )
         .where(F.size("creds") >= 2)
+        # hand the Python stage PARALLEL string arrays, not an
+        # array<struct>: Arrow converts list<string> to plain Python
+        # lists, where the struct array materializes one dict per
+        # credential row (measured as a large share of the kernel's
+        # per-row overhead)
+        .select(
+            "user_id",
+            "presentation_date",
+            F.size("creds").alias("n_creds"),
+            F.transform("creds", lambda c: c["vc_jwt"]).alias("vc_jwts"),
+            F.transform("creds", lambda c: c["symbol"]).alias("symbols"),
+        )
+        # the verify stage is the query's crypto wall; the groupBy's
+        # post-shuffle partitioning is AQE-coalesced by BYTES (bundles are
+        # small), which serialized the Ed25519 work onto half the cores —
+        # pin the stage to the session's parallelism
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def present_and_verify(
@@ -799,8 +823,14 @@ def vp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         issuer_pubs: dict = {}
         for pdf in batches:
             rows = []
-            for r in pdf.itertuples():
-                uid = int(r.user_id)
+            for uid, pdate, n_creds, vc_jwts, symbols in zip(
+                pdf["user_id"].tolist(),
+                pdf["presentation_date"].tolist(),
+                pdf["n_creds"].tolist(),
+                pdf["vc_jwts"].tolist(),
+                pdf["symbols"].tolist(),
+            ):
+                uid = int(uid)
                 if uid not in holder_keys:
                     hpriv, hpub = crypto.keypair_for(f"user:{uid}")
                     holder_keys[uid] = (
@@ -809,8 +839,7 @@ def vp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         crypto.did_key_for(hpub),
                     )
                 hpriv, hpub, holder_did = holder_keys[uid]
-                vc_jwts = [c["vc_jwt"] for c in r.creds]
-                symbols = [c["symbol"] for c in r.creds]
+                vc_jwts = list(vc_jwts)
                 if uid % 41 == 0:  # inner tamper BEFORE presenting
                     vc_jwts[0] += "x"
                 vp_jwt = crypto.jwt_sign(
@@ -850,8 +879,8 @@ def vp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(
                     {
                         "user_id": uid,
-                        "presentation_date": r.presentation_date,
-                        "n_credentials": len(r.creds),
+                        "presentation_date": pdate,
+                        "n_credentials": int(n_creds),
                         "vp_verified": vp_ok and iss_ok,
                         "n_vcs_verified": n_vcs_verified,
                         "holder_binding_ok": binding_ok,
