@@ -547,33 +547,52 @@ def prefix_filtered_jaccard(
         .select("doc_id_a", "doc_id_b", "n_a", "n_b")
         .distinct()
     )
-    # verify stage: expand candidate pairs by side-a shingles, probe side-b
-    # membership — cost is |cand| * |doc|, never corpus x corpus. Both
-    # shingle streams are first semi-joined down to docs that appear in
-    # some candidate (the containment_pairs device), so the membership
-    # join shuffles the candidate sliver, not the whole corpus. The
-    # candidate table is persisted (it feeds three consumers) and the
-    # semi-joins carry NO broadcast hint: the candidate doc set is
-    # data-dependent and unbounded — on a near-dup-rich corpus a forced
-    # broadcast would blow the driver; Catalyst/AQE picks broadcast
-    # itself whenever the set is actually small.
+    # verify stage: attach each candidate doc's SHINGLE SET (an in-row
+    # array) to the pair and compute the exact intersection size with one
+    # array_intersect expression per pair — cost is |cand| * |doc|, never
+    # corpus x corpus. The former formulation expanded every pair by its
+    # left doc's shingles and hash-probed (shingle, right doc) membership:
+    # correct, but it materialized a |cand| x |shingles(a)| row stream
+    # (7.5M rows / 33 CPU-s at sf0.1) through two joins and a re-aggregate.
+    # The set table is first semi-joined down to docs that appear in some
+    # candidate (the containment_pairs device), so only the candidate
+    # sliver's arrays move. Shingles per doc are distinct by the function's
+    # input contract ("exploded set frame"), so |array_intersect| is the
+    # exact overlap. The attach joins carry NO broadcast hint: the
+    # candidate doc set is data-dependent and unbounded — on a
+    # near-dup-rich corpus a forced broadcast would blow the driver;
+    # Catalyst/AQE picks broadcast itself whenever the set is small.
     from ssiintegrateddatapipeline_spark.caches import track as _track
 
     cand = _track(cand.persist())
-    cand_a = cand.select(F.col("doc_id_a").alias("doc_id")).distinct()
-    cand_b = cand.select(F.col("doc_id_b").alias("doc_id")).distinct()
-    sh_a = sh.join(cand_a, "doc_id", "leftsemi")
-    sh_b = sh.join(cand_b, "doc_id", "leftsemi")
-    ta = cand.join(
-        sh_a.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a"
+    cand_docs = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_docs, "doc_id", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("ss"))
     )
     inter = (
-        ta.join(
-            sh_b.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
-            ["doc_id_b", "shingle"],
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_id_a"), F.col("ss").alias("sa")),
+            "doc_id_a",
         )
-        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
+        .join(
+            sets.select(F.col("doc_id").alias("doc_id_b"), F.col("ss").alias("sb")),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_a",
+            "n_b",
+            # cast: the former count(*) formulation emitted int64 — keep
+            # the declared output schema bit-identical for the oracle
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_common"),
+        )
     )
     jaccard = F.round(
         F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
@@ -1314,43 +1333,52 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_id_b").alias("doc_id")))
         .distinct()
     )
-    sh = d.join(docs_in, "doc_id", "left_semi").select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(tokens(F.col("text"))))).alias(
-            "shingle"
-        ),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # intersect THROUGH the pair list, not via a shingle self-join: the
-    # self-join counts every co-shingled doc pair among the candidate
-    # docs (quadratic in a near-dup-dense corpus — the replica-twin probe
-    # measured 23x work on 3x data); fanning each pair out to its left
-    # doc's shingles and hash-probing (shingle, right doc) is linear in
-    # Σ_pairs |shingles(a)|.
-    inter = (
-        pairs.select("doc_id_a", "doc_id_b")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"),
-            "doc_id_a",
+    # intersect THROUGH the pair list with one array_intersect per pair,
+    # not via a shingle self-join: the self-join counts every co-shingled
+    # doc pair among the candidate docs (quadratic in a near-dup-dense
+    # corpus — the replica-twin probe measured 23x work on 3x data), and
+    # the former pair-fan-out join materialized |pairs| x |shingles(a)|
+    # rows through two joins + a re-aggregate. Attaching each candidate
+    # doc's distinct-shingle ARRAY to the pair and taking
+    # |array_intersect| is exact (the arrays are sets) and linear in
+    # Σ_pairs (|shingles(a)| + |shingles(b)|) with no wide intermediate.
+    # The n_sh > 0 filter mirrors the former explode+count shape, which
+    # only emitted sizes for docs with at least one shingle (an inner
+    # join then dropped empty-shingle docs' pairs).
+    sets = (
+        d.join(docs_in, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokens(F.col("text")))).alias("ss"),
         )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
-            ["doc_id_b", "shingle"],
-        )
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("n_common"))
+        .select("doc_id", "ss", F.size("ss").cast("long").alias("n_sh"))
+        .where(F.col("n_sh") > 0)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
     exact_j = F.round(
         F.col("n_common")
         / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         6,
     )
     return (
-        pairs.join(inter, ["doc_id_a", "doc_id_b"], "left")
-        .join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
+        pairs.join(
+            sets.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("ss").alias("sa"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("ss").alias("sb"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_id_b",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sa", "sb")).cast("long")
+        )
         .select(
             "doc_id_a",
             "doc_id_b",
