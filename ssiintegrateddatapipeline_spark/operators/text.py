@@ -219,11 +219,20 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-repartition on doc_id BEFORE the explode: the window below needs
     # hashpartitioning(doc_id) anyway, so placing the one shuffle here means
     # the explode+hash fan-out runs on every core (the local single-split
-    # scan would otherwise feed one task) and the window adds no exchange
+    # scan would otherwise feed one task) and the window adds no exchange.
+    # The partition count is EXPLICIT: a bare repartition(col) is eligible
+    # for AQE partition coalescing, and the per-row rolling-hash work is
+    # tiny in BYTES — AQE's size heuristic collapsed the exchange to ONE
+    # partition (measured: the whole 1.8 s explode+window stage ran as a
+    # single task). Pinning to defaultParallelism keeps the CPU-dense
+    # stage wide on any cluster while the column keeps co-partitioning
+    # with the window.
     per_doc = (
         d.where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
         .select("doc_id", "text")
-        .repartition(F.col("doc_id"))
+        .repartition(
+            d.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+        )
         .select("doc_id", codes.alias("codes"))
     )
     grams = per_doc.select(
@@ -674,8 +683,17 @@ def kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (uniform hash keys) with the context/continuation tables broadcast.
     Every model statistic is an exact integer; the probability expression
     has the identical operation order in both engines."""
-    bi = _bigram_stream(spark, sf_dir)
-    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    from ssiintegrateddatapipeline_spark.caches import track
+
+    # the tokenize+explode stream feeds model training AND scoring, and
+    # the bigram-count table feeds FOUR consumers (ctx, cont, types, the
+    # scoring join) — unpinned, the explode lineage re-runs per consumer
+    # (measured 5 near-identical ~10 CPU-s stages at sf0.1); pinned, the
+    # corpus is tokenized once and counted once
+    bi = track(_bigram_stream(spark, sf_dir).persist())
+    bc = track(
+        bi.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist()
+    )
     ctx = bc.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count("*").alias("n1f")
     )
@@ -708,7 +726,11 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc's bigrams against the model on the bigram key (uniform hash
     keys, even shuffle) with the unigram table and vocab size broadcast.
     """
-    bi = _bigram_stream(spark, sf_dir)
+    from ssiintegrateddatapipeline_spark.caches import track
+
+    # same pin rationale as the Kneser-Ney scorer: the explode stream has
+    # four consumers (bigram counts, unigram counts, vocab, scoring join)
+    bi = track(_bigram_stream(spark, sf_dir).persist())
     bigram_c = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     unigram_c = bi.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = bi.select(F.countDistinct("w2").alias("v"))
@@ -908,6 +930,12 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_target",
         (md5_int32(F.col("bg")) % DSIR_BUCKETS).alias("f"),
     )
+    # the tokenize → bigram explode → md5 lineage feeds BOTH the hashed-LM
+    # aggregation and the scoring join — pin it so the corpus is featurized
+    # once per invocation, not once per consumer
+    from ssiintegrateddatapipeline_spark.caches import track
+
+    feats = track(feats.persist())
     per_f = feats.groupBy("f").agg(
         F.count("*").alias("c_raw"),
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_tgt"),
