@@ -1242,10 +1242,16 @@ def streaming_cms_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract query: the fully-drained streaming CMS grid equals the
     batch grid (same hash rows, same counters) — sketch maintenance
     verified end-to-end through the streaming engine."""
-    # state = the fixed d x w counter grid: O(1) state partitions
-    return run_available_now(
-        cms_grid_plan(events_stream(spark, sf_dir)), state_partitions=2
+    # state = the fixed d x w counter grid: O(1) state partitions.
+    # The CMS_DEPTH-way explode + per-cell hashing is the batch's compute
+    # wall and would otherwise run inside the single-split file-source
+    # scan task (one core); the repartition fans it across the session's
+    # parallelism before the hash work, mirroring the batch spread()
+    # idiom (measured: addBatch 1.9 s -> 0.75 s at sf0.1/local[32]).
+    src = events_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return run_available_now(cms_grid_plan(src), state_partitions=2)
 
 
 def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
