@@ -570,10 +570,15 @@ def prefix_filtered_jaccard(
         .union(cand.select(F.col("doc_id_b").alias("doc_id")))
         .distinct()
     )
-    sets = (
+    # persisted: sets feeds the pair join through TWO differently-aliased
+    # branches (sa / sb), which canonicalize differently and so defeat
+    # ReuseExchange — unpinned, the semi-join + collect_list subtree (and
+    # everything beneath it) is computed once per branch (r11, measured)
+    sets = _track(
         sh.join(cand_docs, "doc_id", "leftsemi")
         .groupBy("doc_id")
         .agg(F.collect_list("shingle").alias("ss"))
+        .persist()
     )
     inter = (
         cand.join(
@@ -1333,52 +1338,47 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_id_b").alias("doc_id")))
         .distinct()
     )
-    # intersect THROUGH the pair list with one array_intersect per pair,
-    # not via a shingle self-join: the self-join counts every co-shingled
-    # doc pair among the candidate docs (quadratic in a near-dup-dense
-    # corpus — the replica-twin probe measured 23x work on 3x data), and
-    # the former pair-fan-out join materialized |pairs| x |shingles(a)|
-    # rows through two joins + a re-aggregate. Attaching each candidate
-    # doc's distinct-shingle ARRAY to the pair and taking
-    # |array_intersect| is exact (the arrays are sets) and linear in
-    # Σ_pairs (|shingles(a)| + |shingles(b)|) with no wide intermediate.
-    # The n_sh > 0 filter mirrors the former explode+count shape, which
-    # only emitted sizes for docs with at least one shingle (an inner
-    # join then dropped empty-shingle docs' pairs).
-    sets = (
-        d.join(docs_in, "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            F.array_distinct(word_shingles(tokens(F.col("text")))).alias("ss"),
-        )
-        .select("doc_id", "ss", F.size("ss").cast("long").alias("n_sh"))
-        .where(F.col("n_sh") > 0)
+    sh = d.join(docs_in, "doc_id", "left_semi").select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens(F.col("text"))))).alias(
+            "shingle"
+        ),
     )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # intersect THROUGH the pair list, not via a shingle self-join: the
+    # self-join counts every co-shingled doc pair among the candidate
+    # docs (quadratic in a near-dup-dense corpus — the replica-twin probe
+    # measured 23x work on 3x data); fanning each pair out to its left
+    # doc's shingles and hash-probing (shingle, right doc) is linear in
+    # Σ_pairs |shingles(a)|. An attach-the-arrays variant (one
+    # array_intersect per pair) was measured 3x SLOWER here (r11): its two
+    # differently-aliased broadcast subtrees defeat ReuseExchange, so the
+    # uncached pair graph + shingle pipeline computed twice, while this
+    # form's identical shuffle exchanges are planned once.
+    inter = (
+        pairs.select("doc_id_a", "doc_id_b")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"),
+            "doc_id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            ["doc_id_b", "shingle"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
     exact_j = F.round(
         F.col("n_common")
         / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         6,
     )
     return (
-        pairs.join(
-            sets.select(
-                F.col("doc_id").alias("doc_id_a"),
-                F.col("ss").alias("sa"),
-                F.col("n_sh").alias("n_a"),
-            ),
-            "doc_id_a",
-        )
-        .join(
-            sets.select(
-                F.col("doc_id").alias("doc_id_b"),
-                F.col("ss").alias("sb"),
-                F.col("n_sh").alias("n_b"),
-            ),
-            "doc_id_b",
-        )
-        .withColumn(
-            "n_common", F.size(F.array_intersect("sa", "sb")).cast("long")
-        )
+        pairs.join(inter, ["doc_id_a", "doc_id_b"], "left")
+        .join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
