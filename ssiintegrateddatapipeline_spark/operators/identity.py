@@ -243,13 +243,32 @@ def sign_column_by(
     def _sign(
         symbols: pd.Series, payloads: pd.Series, providers: pd.Series
     ) -> pd.Series:
+        from ssiintegrateddatapipeline_spark.functions import crypto
+
+        # per-batch (provider, symbol) key-cache hoist, same as
+        # sign_column's kernel — the per-row TTL get_or_load bookkeeping
+        # is measurable next to the native sign
+        local: dict = {}
+        out = []
+        ap = out.append
         # null provider = no-crypto row (an SSI-off config) -> null jwt
-        return pd.Series(
-            [
-                None if pd.isna(prov) else _sign_for(sym, prov, {"claims": payload})
-                for sym, payload, prov in zip(symbols, payloads, providers)
-            ]
-        )
+        for sym, payload, prov in zip(
+            symbols.tolist(), payloads.tolist(), providers.tolist()
+        ):
+            if prov is None or prov != prov:  # None or float('nan')
+                ap(None)
+                continue
+            ent = local.get((prov, sym))
+            if ent is None:
+                priv, _, did, alg = _executor_keys(sym, prov)
+                ent = local[(prov, sym)] = (priv, did, alg)
+            priv, did, alg = ent
+            claims = {"iss": did, "claims": payload}
+            if alg == "EdDSA":
+                ap(crypto.jwt_sign(claims, priv))
+            else:
+                ap(crypto.jwt_sign_es256k(claims, priv))
+        return pd.Series(out)
 
     return df.withColumn(
         "jwt", _sign(F.col(symbol_col), F.col(payload_col), F.col(provider_col))
@@ -266,15 +285,28 @@ def verify_column_by(
     def _verify(
         symbols: pd.Series, jwts: pd.Series, providers: pd.Series
     ) -> pd.Series:
-        return pd.Series(
-            [
-                None
-                if (pd.isna(prov) or pd.isna(token))
-                else _verify_for(sym, prov, token)
-                for sym, token, prov in zip(symbols, jwts, providers)
-            ],
-            dtype="object",
-        )
+        from ssiintegrateddatapipeline_spark.functions import crypto
+
+        # per-batch (provider, symbol) key-cache hoist, as in _sign
+        local: dict = {}
+        out = []
+        ap = out.append
+        for sym, token, prov in zip(
+            symbols.tolist(), jwts.tolist(), providers.tolist()
+        ):
+            if prov is None or prov != prov or token is None or token != token:
+                ap(None)
+                continue
+            ent = local.get((prov, sym))
+            if ent is None:
+                _, pub, _, alg = _executor_keys(sym, prov)
+                ent = local[(prov, sym)] = (pub, alg)
+            pub, alg = ent
+            if alg == "EdDSA":
+                ap(crypto.jwt_verify(token, pub))
+            else:
+                ap(crypto.jwt_verify_es256k(token, pub))
+        return pd.Series(out, dtype="object")
 
     return df.withColumn(
         "verified", _verify(F.col(symbol_col), F.col(jwt_col), F.col(provider_col))

@@ -192,10 +192,14 @@ def _wire_env(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The envelope projected into the wire field order (_FIELDS),
     timestamps as epoch-microsecond longs, fanned across cores for the
     Python codec stage (the local scan is a single parquet split; at
-    production scale the repartition is a no-op to remove)."""
-    return (
-        trade_envelope(spark, sf_dir)
-        .select(
+    production scale the repartition is a no-op to remove). Hash exchange
+    on the unique event id, not round-robin: keyless repartition pays a
+    local sort-before-repartition (SPARK-23207) that the deterministic
+    key skips (r11: 0.52 s -> 0.31 s for this exchange at sf0.1)."""
+    from ssiintegrateddatapipeline_spark.sources.batch import spread
+
+    return spread(
+        trade_envelope(spark, sf_dir).select(
             "trade_event_id",
             "symbol",
             "price",
@@ -204,8 +208,8 @@ def _wire_env(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("event_timestamp").alias("event_ts_us"),
             F.unix_micros("start_timestamp").alias("start_ts_us"),
             "e2e_latency_secs",
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
+        ),
+        key="trade_event_id",
     )
 
 
