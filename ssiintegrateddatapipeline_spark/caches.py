@@ -121,21 +121,27 @@ _PLAN_MEMO: dict[tuple, object] = register({})
 
 def memo_plan(name: str, fn):
     """Prepared-query reuse: build (analyze) a query's DataFrame once per
-    (application, sf_dir) and return the SAME immutable DataFrame object on
-    repeat calls. ONLY the unexecuted plan is memoized — every execution
-    (toPandas / noop write) still runs the full job from the parquet
-    inputs, AQE and all; nothing about the result is cached. This is the
-    driver-side twin of the _memo_col literal-expression memo: for the
-    plan-heavy queries (iterative greedy loops, plan-time literal
-    codebooks, multi-way delta-fold lattices) eager per-transformation
-    Catalyst analysis was 0.3-1.7 s of every invocation, re-derived from
-    the same deterministic inputs each time (55.6 s of a 174 s bench run
-    was DataFrame construction; a real client prepares such a query once
-    per session). Applied in __spark_entry__.queries() to an audited
-    whitelist of PURE-PLAN batch queries — functions whose only eager
-    work is session-cached fixture loading; queries that execute work in
-    the function body (streaming drives, write-path proofs, build-time
-    counts) stay unwrapped so their measured work is never skipped."""
+    (application, sf_dir); repeat calls return a FRESH Dataset over the
+    memoized, already-analyzed plan (``df.select("*")``). ONLY analysis
+    is amortized — each returned Dataset carries its own QueryExecution,
+    so every execution (toPandas / noop write) re-runs the full job from
+    the parquet inputs, AQE and all; nothing about the result is cached.
+    Returning the SAME Dataset object would silently reuse AQE's
+    materialized shuffle stages across actions (measured: 5.6 s first
+    execution, 0.14 s re-execution of one object vs 2.5 s through a
+    fresh wrapper) — that is result caching, which this engine bans in
+    query paths, hence the wrapper. This is the driver-side twin of the
+    _memo_col literal-expression memo: for the plan-heavy queries
+    (iterative greedy loops, plan-time literal codebooks, multi-way
+    delta-fold lattices) eager per-transformation Catalyst analysis was
+    0.3-1.7 s of every invocation, re-derived from the same
+    deterministic inputs each time (a real client prepares such a query
+    once per session). Applied in __spark_entry__.queries() to an
+    audited whitelist of PURE-PLAN batch queries — functions whose only
+    eager work is session-cached fixture loading; queries that execute
+    work in the function body (streaming drives, write-path proofs,
+    build-time counts) stay unwrapped so their measured work is never
+    skipped."""
     from functools import wraps
 
     @wraps(fn)
@@ -145,7 +151,8 @@ def memo_plan(name: str, fn):
         if df is None:
             df = fn(spark, sf_dir)
             _PLAN_MEMO[key] = df
-        return df
+        # fresh Dataset + QueryExecution per call: no AQE stage reuse
+        return df.select("*")
 
     return wrapped
 

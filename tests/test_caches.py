@@ -155,3 +155,36 @@ def test_built_store_builds_once_under_concurrent_first_callers(spark):
         S.tempfile.mkdtemp = real_mkdtemp
     assert len(roots) == 1  # the fleet was built exactly once
     assert all(o is outs[0] for o in outs)
+
+
+def test_memo_plan_builds_once_but_never_shares_a_dataset(spark):
+    """r11: memo_plan amortizes Catalyst analysis (the underlying build
+    runs once per (app, sf_dir)) but must hand each caller a FRESH
+    Dataset — re-collecting one shared Dataset object silently reuses
+    AQE's materialized shuffle stages, i.e. cached results. Assert the
+    build count, the object freshness, and value equality."""
+    from ssiintegrateddatapipeline_spark.caches import _PLAN_MEMO, memo_plan
+
+    from pyspark.sql import functions as F
+
+    calls = []
+
+    def build(s, sf_dir):
+        calls.append(sf_dir)
+        return (
+            s.range(0, 100)
+            .groupBy((F.col("id") % 7).alias("k"))
+            .count()
+        )
+
+    wrapped = memo_plan("_test_memo_plan_q", build)
+    a = wrapped(spark, SF_A)
+    b = wrapped(spark, SF_A)
+    assert len(calls) == 1  # analyzed once
+    assert a is not b  # fresh Dataset per call -> fresh QueryExecution
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) == 7
+    _PLAN_MEMO.pop(
+        (spark.sparkContext.applicationId, "_test_memo_plan_q", SF_A), None
+    )
