@@ -315,9 +315,25 @@ def main() -> None:
             "exec": round(med[2], 3),
         }
         total += dt
+        # JVM-health timeline on stderr (outside every timed window): a
+        # mid-suite GC or JIT-recompile storm shows up as a jump in these
+        # deltas next to the queries it inflated — the per-query medians
+        # on a noisy box are uninterpretable without this
+        jvm = ""
+        try:
+            from ssiintegrateddatapipeline_spark.caches import census
+
+            c = census(spark)
+            jvm = (
+                f" gc={c.get('jvm_gc_ms', 0)} jit={c.get('jvm_jit_ms', 0)}"
+                f" ch={c.get('jvm_codeheap_used_mb', 0)}"
+                f" heap={c.get('jvm_heap_used_mb', 0)}"
+            )
+        except Exception:
+            pass
         print(
             f"# {name}: {dt:.3f}s (build {med[1]:.3f} exec {med[2]:.3f}, "
-            f"best {runs[0][0]:.3f}, {rows} rows)",
+            f"best {runs[0][0]:.3f}, {rows} rows){jvm}",
             file=sys.stderr,
         )
 

@@ -195,6 +195,23 @@ def census(spark=None) -> dict:
                 .getMemoryMXBean().getHeapMemoryUsage().getUsed()
                 // (1024 * 1024)
             )
+            # JIT code-cache fill: a full code cache (flushing on) degrades
+            # a codegen-heavy suite into recompile churn; bounding it in the
+            # artifact makes that failure mode observable round-over-round
+            pools = (
+                spark._jvm.java.lang.management.ManagementFactory
+                .getMemoryPoolMXBeans()
+            )
+            code_used = 0
+            for i in range(pools.size()):
+                p = pools.get(i)
+                if "CodeHeap" in p.getName() or "Code Cache" in p.getName():
+                    code_used += p.getUsage().getUsed()
+            out["jvm_codeheap_used_mb"] = int(code_used // (1024 * 1024))
+            out["jvm_jit_ms"] = int(
+                spark._jvm.java.lang.management.ManagementFactory
+                .getCompilationMXBean().getTotalCompilationTime()
+            )
         except Exception:
             pass
     try:
