@@ -172,7 +172,20 @@ def sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle predicts the outcome column exactly: verification succeeds
     iff the payload was not tampered with.
+
+    Sign, tamper and verify run in ONE Arrow kernel (guide §4.1): composed
+    as sign_column → when() → verify_column the intermediate ~60 MB of JWT
+    strings crossed the JVM↔Python boundary through two ArrowEvalPython
+    nodes with a JVM projection between them — pure transfer cost, since
+    the tokens are produced and consumed by Python on the same rows.
+    Fusing measured 2.05 → 1.53 s (median-of-4 interleaved A/B, sf0.1,
+    results bit-identical). The composed U1/U2 operators remain exercised
+    by streaming_sign_verify and the 6-config pipeline family.
     """
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd  # noqa: F811
+
     ev = (
         load_table(spark, sf_dir, "events")
         # the crypto UDF stage must be wide: the scan is 1-2 parquet splits,
@@ -180,18 +193,43 @@ def sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("event_id", _symbol_col().alias("symbol"), F.col("props").alias("payload"))
     )
-    signed = sign_column(ev, "symbol", "payload")
-    tampered = signed.withColumn(
-        "jwt",
-        F.when(
-            F.col("event_id") % 50 == 0, F.concat(F.col("jwt"), F.lit("x"))
-        ).otherwise(F.col("jwt")),
-    )
-    return verify_column(tampered, "symbol", "jwt").select(
-        "event_id",
-        "symbol",
-        (F.col("event_id") % 50 == 0).alias("tampered"),
-        "verified",
+
+    def kernel(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        from ssiintegrateddatapipeline_spark.functions import crypto
+        from ssiintegrateddatapipeline_spark.operators.identity import (
+            _executor_keys,
+        )
+
+        local: dict = {}  # per-batch key-cache hoist, as in sign_column
+        for pdf in batches:
+            eids = pdf["event_id"].tolist()
+            verified = []
+            ap = verified.append
+            for eid, sym, payload in zip(
+                eids, pdf["symbol"].tolist(), pdf["payload"].tolist()
+            ):
+                ent = local.get(sym)
+                if ent is None:
+                    priv, pub, did, _alg = _executor_keys(sym, "did:key")
+                    ent = local[sym] = (priv, pub, did)
+                priv, pub, did = ent
+                jwt = crypto.jwt_sign({"iss": did, "claims": payload}, priv)
+                if eid % 50 == 0:  # same tamper predicate as the oracle
+                    jwt += "x"
+                ap(crypto.jwt_verify(jwt, pub))
+            yield pd.DataFrame(
+                {
+                    "event_id": eids,
+                    "symbol": pdf["symbol"],
+                    "tampered": [e % 50 == 0 for e in eids],
+                    "verified": verified,
+                }
+            )
+
+    return ev.mapInPandas(
+        kernel,
+        schema="event_id long, symbol string, tampered boolean,"
+        " verified boolean",
     )
 
 
@@ -695,23 +733,32 @@ def vp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (veramo-methods.ts:56-58) as a real JWT sign→verify roundtrip — the
     last computational Veramo credential-operation family.
 
-    Flow (three Arrow-batched stages around one shuffle):
-      1. VC issuance: every event becomes a VC JWT — the event's issuer
-         symbol signs {iss: issuer did:key, sub: holder did:key, vc: …}
-         with its Ed25519 key (the U1 device).
-      2. Bundle + present: VCs shuffle to their (holder, day) bundle
-         (credstore.presentations' bundle definition); bundles with ≥2
-         credentials become a VP JWT — the HOLDER key signs a ``vp``
-         claim wrapping the bundle's VC JWTs. A deterministic 1-in-41
-         holder subset gets its first embedded VC tampered BEFORE the VP
-         is signed (the VP signature stays valid; that inner VC must
-         fail), and a 1-in-37 subset gets the VP JWT itself tampered
-         after signing (the VP signature must fail).
-      3. verifyPresentation: re-derive the EXPECTED holder key from
-         user_id (never trusting the token), verify the VP signature,
-         check iss == the expected holder DID, then verify every
-         embedded VC against its issuer's key and its sub == VP iss
-         (the holder-binding rule).
+    Flow (ONE small-row shuffle, then one fused Arrow kernel — guide §8:
+    decide placement with small rows, never move the heavy bytes):
+      1. The raw event rows (~50 B each) hash-exchange straight to their
+         (holder, day) bundle partition. This replaces the former
+         sign-then-shuffle shape, whose exchange carried the ~600 B VC
+         JWTs (~60 MB at sf0.1) that the very next stage re-consumed —
+         the tokens are produced AND consumed in Python, so shuffling
+         them was pure transfer cost (measured 4.49 → 2.47 s median-of-4
+         interleaved A/B at sf0.1, results bit-identical).
+      2. One Arrow kernel per partition then does the whole credential
+         flow co-located: VC issuance (every event becomes a VC JWT —
+         the issuer symbol signs {iss, sub: holder, vc: …} with its
+         Ed25519 key, the U1 device), bundling (groups of ≥2 in
+         event_id order — the former array_sort(collect_list) contract),
+         presentation (the HOLDER key signs a ``vp`` claim wrapping the
+         bundle's VC JWTs; a deterministic 1-in-41 holder subset gets
+         its first VC tampered BEFORE the VP is signed, a 1-in-37
+         subset gets the VP JWT tampered after), and verifyPresentation
+         (re-derive the EXPECTED holder key from user_id — never
+         trusting the token — verify the VP signature, check iss ==
+         the expected holder DID, then verify every embedded VC against
+         its issuer's key and its sub == VP iss, the holder-binding
+         rule). Bundle groups can straddle Arrow batch boundaries, so
+         the kernel buffers its partition's rows (bounded by the
+         partition's share of the hash exchange — scale the partition
+         count with data, as the exchange already does).
 
     The oracle replays the bundle definition and both tamper predicates
     in SQL; every crypto outcome column is exactly predicted."""
@@ -719,9 +766,9 @@ def vp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd  # noqa: F811
 
+    n = spark.sparkContext.defaultParallelism
     ev = (
         load_table(spark, sf_dir, "events")
-        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "event_id",
             "user_id",
@@ -729,177 +776,130 @@ def vp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("ts").alias("presentation_date"),
             F.col("event_type"),
         )
+        # the ONLY exchange: raw event rows to their bundle partition
+        .repartition(n, "user_id", "presentation_date")
     )
 
-    def issue(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
-        from ssiintegrateddatapipeline_spark.functions import crypto
-
-        issuer_keys: dict = {}
-        holder_dids: dict = {}
-        for pdf in batches:
-            vcs = []
-            # plain-list zip over the three touched columns: itertuples
-            # materializes a namedtuple per row across ALL columns, a
-            # measurable share of this 100k-sign kernel's overhead
-            for sym, uid, etype in zip(
-                pdf["symbol"].tolist(),
-                pdf["user_id"].tolist(),
-                pdf["event_type"].tolist(),
-            ):
-                if sym not in issuer_keys:
-                    priv, pub = crypto.keypair_for(sym)
-                    issuer_keys[sym] = (priv, crypto.did_key_for(pub))
-                uid = int(uid)
-                if uid not in holder_dids:
-                    _, hpub = crypto.keypair_for(f"user:{uid}")
-                    holder_dids[uid] = crypto.did_key_for(hpub)
-                priv, issuer_did = issuer_keys[sym]
-                vcs.append(
-                    crypto.jwt_sign(
-                        {
-                            "iss": issuer_did,
-                            "sub": holder_dids[uid],
-                            "vc": {
-                                "type": [
-                                    "VerifiableCredential",
-                                    str(etype),
-                                ],
-                                "credentialSubject": {
-                                    "id": holder_dids[uid]
-                                },
-                            },
-                        },
-                        priv,
-                    )
-                )
-            out = pdf[
-                ["event_id", "user_id", "symbol", "presentation_date"]
-            ].copy()
-            out["vc_jwt"] = vcs
-            yield out
-
-    issued = ev.mapInPandas(
-        issue,
-        schema="event_id long, user_id long, symbol string,"
-        " presentation_date date, vc_jwt string",
-    )
-    bundles = (
-        issued.groupBy("user_id", "presentation_date")
-        .agg(
-            # array_sort on the struct orders by event_id: deterministic
-            # bundle order regardless of shuffle arrival
-            F.array_sort(
-                F.collect_list(F.struct("event_id", "symbol", "vc_jwt"))
-            ).alias("creds"),
-        )
-        .where(F.size("creds") >= 2)
-        # hand the Python stage PARALLEL string arrays, not an
-        # array<struct>: Arrow converts list<string> to plain Python
-        # lists, where the struct array materializes one dict per
-        # credential row (measured as a large share of the kernel's
-        # per-row overhead)
-        .select(
-            "user_id",
-            "presentation_date",
-            F.size("creds").alias("n_creds"),
-            F.transform("creds", lambda c: c["vc_jwt"]).alias("vc_jwts"),
-            F.transform("creds", lambda c: c["symbol"]).alias("symbols"),
-        )
-        # the verify stage is the query's crypto wall; the groupBy's
-        # post-shuffle partitioning is AQE-coalesced by BYTES (bundles are
-        # small), which serialized the Ed25519 work onto half the cores —
-        # pin the stage to the session's parallelism
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-
-    def present_and_verify(
-        batches: _Iterator[pd.DataFrame],
-    ) -> _Iterator[pd.DataFrame]:
+    def kernel(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
         import json as _json
 
         from ssiintegrateddatapipeline_spark.functions import crypto
 
-        holder_keys: dict = {}
-        issuer_pubs: dict = {}
+        # bundle rows are co-located by the hash exchange but may straddle
+        # Arrow batch boundaries — buffer the partition by bundle key
+        groups: dict = {}
         for pdf in batches:
-            rows = []
-            for uid, pdate, n_creds, vc_jwts, symbols in zip(
+            for eid, uid, sym, pdate, etype in zip(
+                pdf["event_id"].tolist(),
                 pdf["user_id"].tolist(),
+                pdf["symbol"].tolist(),
                 pdf["presentation_date"].tolist(),
-                pdf["n_creds"].tolist(),
-                pdf["vc_jwts"].tolist(),
-                pdf["symbols"].tolist(),
+                pdf["event_type"].tolist(),
             ):
-                uid = int(uid)
-                if uid not in holder_keys:
-                    hpriv, hpub = crypto.keypair_for(f"user:{uid}")
-                    holder_keys[uid] = (
-                        hpriv,
-                        hpub,
-                        crypto.did_key_for(hpub),
+                groups.setdefault((int(uid), pdate), []).append(
+                    (int(eid), sym, str(etype))
+                )
+        issuer_keys: dict = {}
+        holder_keys: dict = {}
+        cols = (
+            "user_id",
+            "presentation_date",
+            "n_credentials",
+            "vp_verified",
+            "n_vcs_verified",
+            "holder_binding_ok",
+            "vp_sig_bytes",
+        )
+        rows: dict = {c: [] for c in cols}
+        for (uid, pdate), evs in groups.items():
+            if len(evs) < 2:  # bundles need >= 2 credentials
+                continue
+            evs.sort()  # bundle order = event_id order (the array_sort rule)
+            if uid not in holder_keys:
+                hpriv, hpub = crypto.keypair_for(f"user:{uid}")
+                holder_keys[uid] = (hpriv, hpub, crypto.did_key_for(hpub))
+            hpriv, hpub, holder_did = holder_keys[uid]
+            vc_jwts: list = []
+            symbols: list = []
+            for _eid, sym, etype in evs:
+                ik = issuer_keys.get(sym)
+                if ik is None:
+                    ipriv, ipub = crypto.keypair_for(sym)
+                    ik = issuer_keys[sym] = (
+                        ipriv,
+                        ipub,
+                        crypto.did_key_for(ipub),
                     )
-                hpriv, hpub, holder_did = holder_keys[uid]
-                vc_jwts = list(vc_jwts)
-                if uid % 41 == 0:  # inner tamper BEFORE presenting
-                    vc_jwts[0] += "x"
-                vp_jwt = crypto.jwt_sign(
-                    {
-                        "iss": holder_did,
-                        "vp": {
-                            "type": ["VerifiablePresentation"],
-                            "verifiableCredential": vc_jwts,
+                ipriv, _ipub, issuer_did = ik
+                vc_jwts.append(
+                    crypto.jwt_sign(
+                        {
+                            "iss": issuer_did,
+                            "sub": holder_did,
+                            "vc": {
+                                "type": ["VerifiableCredential", etype],
+                                "credentialSubject": {"id": holder_did},
+                            },
                         },
+                        ipriv,
+                    )
+                )
+                symbols.append(sym)
+            n_creds = len(vc_jwts)
+            if uid % 41 == 0:  # inner tamper BEFORE presenting
+                vc_jwts[0] += "x"
+            vp_jwt = crypto.jwt_sign(
+                {
+                    "iss": holder_did,
+                    "vp": {
+                        "type": ["VerifiablePresentation"],
+                        "verifiableCredential": vc_jwts,
                     },
-                    hpriv,
+                },
+                hpriv,
+            )
+            if uid % 37 == 0:  # envelope tamper AFTER signing
+                vp_jwt += "x"
+            # --- verifyPresentation, trusting only user_id ---
+            vp_ok = crypto.jwt_verify(vp_jwt, hpub)
+            claims = crypto.jwt_claims(vp_jwt)
+            iss_ok = claims.get("iss") == holder_did
+            embedded = claims.get("vp", {}).get("verifiableCredential", [])
+            n_vcs_verified = 0
+            binding_ok = len(embedded) > 0
+            for tok, sym in zip(embedded, symbols):
+                if crypto.jwt_verify(tok, issuer_keys[sym][1]):
+                    n_vcs_verified += 1
+                try:
+                    sub = _json.loads(
+                        crypto.b64url_decode(tok.split(".")[1])
+                    ).get("sub")
+                except Exception:
+                    sub = None
+                binding_ok = binding_ok and sub == claims.get("iss")
+            rows["user_id"].append(uid)
+            rows["presentation_date"].append(pdate)
+            rows["n_credentials"].append(n_creds)
+            rows["vp_verified"].append(vp_ok and iss_ok)
+            rows["n_vcs_verified"].append(n_vcs_verified)
+            rows["holder_binding_ok"].append(binding_ok)
+            rows["vp_sig_bytes"].append(
+                len(
+                    crypto.b64url_decode(
+                        (vp_jwt[:-1] if uid % 37 == 0 else vp_jwt)
+                        .rsplit(".", 1)[1]
+                    )
                 )
-                if uid % 37 == 0:  # envelope tamper AFTER signing
-                    vp_jwt += "x"
-                # --- verifyPresentation, trusting only user_id ---
-                vp_ok = crypto.jwt_verify(vp_jwt, hpub)
-                claims = crypto.jwt_claims(vp_jwt)
-                iss_ok = claims.get("iss") == holder_did
-                embedded = claims.get("vp", {}).get(
-                    "verifiableCredential", []
-                )
-                n_vcs_verified = 0
-                binding_ok = len(embedded) > 0
-                for tok, sym in zip(embedded, symbols):
-                    if sym not in issuer_pubs:
-                        _, ipub = crypto.keypair_for(sym)
-                        issuer_pubs[sym] = ipub
-                    if crypto.jwt_verify(tok, issuer_pubs[sym]):
-                        n_vcs_verified += 1
-                    try:
-                        sub = _json.loads(
-                            crypto.b64url_decode(tok.split(".")[1])
-                        ).get("sub")
-                    except Exception:
-                        sub = None
-                    binding_ok = binding_ok and sub == claims.get("iss")
-                rows.append(
-                    {
-                        "user_id": uid,
-                        "presentation_date": pdate,
-                        "n_credentials": int(n_creds),
-                        "vp_verified": vp_ok and iss_ok,
-                        "n_vcs_verified": n_vcs_verified,
-                        "holder_binding_ok": binding_ok,
-                        "vp_sig_bytes": len(
-                            crypto.b64url_decode(
-                                (vp_jwt[:-1] if uid % 37 == 0 else vp_jwt)
-                                .rsplit(".", 1)[1]
-                            )
-                        ),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            )
+        yield pd.DataFrame(rows)
 
-    return bundles.mapInPandas(
-        present_and_verify,
+    return ev.mapInPandas(
+        kernel,
         schema="user_id long, presentation_date date, n_credentials int,"
         " vp_verified boolean, n_vcs_verified int,"
         " holder_binding_ok boolean, vp_sig_bytes int",
     )
+
 
 
 # discoverDid search terms: alias hits, store hits, a case-sensitive
