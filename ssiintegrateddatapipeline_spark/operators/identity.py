@@ -227,6 +227,63 @@ def sign_column(
     return df.withColumn("jwt", _sign(F.col(symbol_col), F.col(payload_col)))
 
 
+def sign_tamper_verify_column(
+    df: DataFrame,
+    symbol_col: str,
+    payload_col: str,
+    tamper_col: str,
+    did_provider: str = "did:key",
+) -> DataFrame:
+    """U1+U2 round trip in ONE Arrow kernel (guide §4.1): sign the payload,
+    append one byte when ``tamper_col`` is true, verify — adding a boolean
+    ``verified`` column. For round-trip queries the token is produced and
+    consumed on the SAME row, so composing sign_column → verify_column
+    ships every intermediate JWT across the JVM↔Python boundary twice
+    (two ArrowEvalPython nodes) with no other consumer — pure transfer
+    cost. The fused kernel also moves fewer bytes than a fused
+    mapInPandas: only (symbol, payload, tamper) cross inward and one
+    boolean crosses back. Measured 2.05 → 1.4 s for the 100k-row batch
+    round trip at sf0.1 (results bit-identical). Queries that USE the
+    token downstream (the envelope sinks, the 6-config pipeline) keep the
+    composed operators."""
+    import pandas as pd  # noqa: F811
+
+    @F.pandas_udf("boolean")
+    def _roundtrip(
+        symbols: pd.Series, payloads: pd.Series, tampers: pd.Series
+    ) -> pd.Series:
+        from ssiintegrateddatapipeline_spark.functions import crypto
+
+        local: dict = {}  # per-batch key-cache hoist, as in sign_column
+        out = []
+        ap = out.append
+        for sym, payload, tam in zip(
+            symbols.tolist(), payloads.tolist(), tampers.tolist()
+        ):
+            ent = local.get(sym)
+            if ent is None:
+                priv, pub, did, alg = _executor_keys(sym, did_provider)
+                ent = local[sym] = (priv, pub, did, alg)
+            priv, pub, did, alg = ent
+            claims = {"iss": did, "claims": payload}
+            if alg == "EdDSA":
+                jwt = crypto.jwt_sign(claims, priv)
+                if tam:
+                    jwt += "x"
+                ap(crypto.jwt_verify(jwt, pub))
+            else:
+                jwt = crypto.jwt_sign_es256k(claims, priv)
+                if tam:
+                    jwt += "x"
+                ap(crypto.jwt_verify_es256k(jwt, pub))
+        return pd.Series(out)
+
+    return df.withColumn(
+        "verified",
+        _roundtrip(F.col(symbol_col), F.col(payload_col), F.col(tamper_col)),
+    )
+
+
 def sign_column_by(
     df: DataFrame, symbol_col: str, payload_col: str, provider_col: str
 ) -> DataFrame:

@@ -173,63 +173,34 @@ def sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle predicts the outcome column exactly: verification succeeds
     iff the payload was not tampered with.
 
-    Sign, tamper and verify run in ONE Arrow kernel (guide §4.1): composed
-    as sign_column → when() → verify_column the intermediate ~60 MB of JWT
+    Sign, tamper and verify run in ONE Arrow kernel
+    (identity.sign_tamper_verify_column, guide §4.1): composed as
+    sign_column → when() → verify_column the intermediate ~60 MB of JWT
     strings crossed the JVM↔Python boundary through two ArrowEvalPython
     nodes with a JVM projection between them — pure transfer cost, since
     the tokens are produced and consumed by Python on the same rows.
-    Fusing measured 2.05 → 1.53 s (median-of-4 interleaved A/B, sf0.1,
+    Fusing measured 2.05 → ~1.4 s (median-of-4 interleaved A/B, sf0.1,
     results bit-identical). The composed U1/U2 operators remain exercised
-    by streaming_sign_verify and the 6-config pipeline family.
+    by the 6-config pipeline family, whose sinks consume the tokens.
     """
-    from collections.abc import Iterator as _Iterator
-
-    import pandas as pd  # noqa: F811
+    from ssiintegrateddatapipeline_spark.operators.identity import (
+        sign_tamper_verify_column,
+    )
 
     ev = (
         load_table(spark, sf_dir, "events")
         # the crypto UDF stage must be wide: the scan is 1-2 parquet splits,
         # which would serialize all signing onto 1-2 Python workers
         .repartition(spark.sparkContext.defaultParallelism)
-        .select("event_id", _symbol_col().alias("symbol"), F.col("props").alias("payload"))
-    )
-
-    def kernel(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
-        from ssiintegrateddatapipeline_spark.functions import crypto
-        from ssiintegrateddatapipeline_spark.operators.identity import (
-            _executor_keys,
+        .select(
+            "event_id",
+            _symbol_col().alias("symbol"),
+            F.col("props").alias("payload"),
+            (F.col("event_id") % 50 == 0).alias("tampered"),
         )
-
-        local: dict = {}  # per-batch key-cache hoist, as in sign_column
-        for pdf in batches:
-            eids = pdf["event_id"].tolist()
-            verified = []
-            ap = verified.append
-            for eid, sym, payload in zip(
-                eids, pdf["symbol"].tolist(), pdf["payload"].tolist()
-            ):
-                ent = local.get(sym)
-                if ent is None:
-                    priv, pub, did, _alg = _executor_keys(sym, "did:key")
-                    ent = local[sym] = (priv, pub, did)
-                priv, pub, did = ent
-                jwt = crypto.jwt_sign({"iss": did, "claims": payload}, priv)
-                if eid % 50 == 0:  # same tamper predicate as the oracle
-                    jwt += "x"
-                ap(crypto.jwt_verify(jwt, pub))
-            yield pd.DataFrame(
-                {
-                    "event_id": eids,
-                    "symbol": pdf["symbol"],
-                    "tampered": [e % 50 == 0 for e in eids],
-                    "verified": verified,
-                }
-            )
-
-    return ev.mapInPandas(
-        kernel,
-        schema="event_id long, symbol string, tampered boolean,"
-        " verified boolean",
+    )
+    return sign_tamper_verify_column(ev, "symbol", "payload", "tampered").select(
+        "event_id", "symbol", "tampered", "verified"
     )
 
 

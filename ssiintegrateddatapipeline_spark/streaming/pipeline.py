@@ -998,11 +998,15 @@ def streaming_sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     tampered, verified, and the per-symbol verification tally aggregated —
     kafka_consumer.py:82-161's per-message verify loop expressed as one
     declarative plan. State is one row per symbol (complete mode); the
-    crypto runs inside the micro-batch pipeline, not a side service."""
+    crypto runs inside the micro-batch pipeline, not a side service.
+
+    The sign→tamper→verify round trip is ONE fused Arrow kernel
+    (identity.sign_tamper_verify_column, guide §4.1) — as in the batch
+    twin, the composed U1/U2 pair shipped every intermediate JWT across
+    the Python boundary twice per micro-batch for no other consumer."""
     from ssiintegrateddatapipeline_spark.operators.identity import (
         SYMBOLS,
-        sign_column,
-        verify_column,
+        sign_tamper_verify_column,
     )
 
     stream = events_stream(spark, sf_dir)
@@ -1015,15 +1019,9 @@ def streaming_sign_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(arr, (F.col("user_id") % 5 + 1).cast("int")).alias("symbol"),
         F.col("props").alias("payload"),
+        (F.col("event_id") % 50 == 0).alias("tampered"),
     ).repartition(spark.sparkContext.defaultParallelism, F.col("event_id"))
-    signed = sign_column(ev, "symbol", "payload")
-    tampered = signed.withColumn(
-        "jwt",
-        F.when(
-            F.col("event_id") % 50 == 0, F.concat(F.col("jwt"), F.lit("x"))
-        ).otherwise(F.col("jwt")),
-    )
-    verified = verify_column(tampered, "symbol", "jwt")
+    verified = sign_tamper_verify_column(ev, "symbol", "payload", "tampered")
     tally = verified.groupBy("symbol").agg(
         F.count("*").alias("n_events"),
         F.sum(F.when(F.col("verified"), 1).otherwise(0))
