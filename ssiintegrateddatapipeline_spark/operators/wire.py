@@ -216,9 +216,30 @@ def _wire_env(spark: SparkSession, sf_dir: str) -> DataFrame:
 def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 + S3 round trip over the trade envelope: serialize every event to
     Avro binary, deserialize, restore timestamps. Output equals the envelope
-    exactly — the oracle is the envelope SQL itself."""
+    exactly — the oracle is the envelope SQL itself.
+
+    When the session resolves to the Python codec (no spark-avro jar), the
+    encode and decode run FUSED in one Arrow kernel (guide §4.1): composed
+    as avro_serialize → avro_deserialize the wire bytes are produced and
+    consumed by Python on the same rows, so two mapInPandas stages shipped
+    them through the JVM for nothing. The wire bytes themselves are built
+    and parsed by the same codec either way. With the jar present both
+    hops stay in the JVM (zero Python boundary) and composition is free —
+    that path keeps the separate operators."""
     env = _wire_env(spark, sf_dir)
-    decoded = avro_deserialize(avro_serialize(env))
+    if jvm_avro_available(spark):
+        decoded = avro_deserialize(avro_serialize(env))
+    else:
+
+        def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            dumps_b = avro_codec.compile_dumps_batch(TRADE_WIRE_SCHEMA)
+            loads_b = avro_codec.compile_loads_batch(TRADE_WIRE_SCHEMA)
+            for pdf in batches:
+                yield pd.DataFrame(
+                    loads_b(dumps_b([pdf[n].tolist() for n in _FIELDS]))
+                )
+
+        decoded = env.mapInPandas(rt, _DECODED_SPARK_SCHEMA)
     return decoded.select(
         "trade_event_id",
         "symbol",
@@ -334,32 +355,22 @@ def corrupt_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the surviving decoded values."""
     env = _wire_env(spark, sf_dir)
 
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fused encode → deterministic truncation → permissive decode in
+        # one Arrow kernel (guide §4.1): the wire frames are produced,
+        # tampered, and consumed on the same rows — shipping them through
+        # the JVM between two mapInPandas stages was pure transfer cost.
+        # Failed records null out + flag, never crash the stream (F5
+        # routing, columnar).
         dumps_b = avro_codec.compile_dumps_batch(TRADE_WIRE_SCHEMA)
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "trade_event_id": pdf["trade_event_id"],
-                    "symbol": pdf["symbol"],
-                    "value": dumps_b([pdf[n].tolist() for n in _FIELDS]),
-                }
-            )
-
-    wire = env.mapInPandas(enc, "trade_event_id string, symbol string, value binary")
-    tampered = wire.withColumn(
-        "value",
-        F.when(
-            F.substring("trade_event_id", 1, 2) == "00",
-            F.expr("substring(value, 1, 5)"),  # truncated mid-record
-        ).otherwise(F.col("value")),
-    )
-
-    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # permissive batch decode: failed records null out + flag, never
-        # crash the stream (F5 routing, now columnar)
         loads_b = avro_codec.compile_loads_batch(TRADE_WIRE_SCHEMA, permissive=True)
         for pdf in batches:
-            cols = loads_b(pdf["value"].tolist())
+            wire = dumps_b([pdf[n].tolist() for n in _FIELDS])
+            wire = [
+                v[:5] if tid[:2] == "00" else v  # truncated mid-record
+                for tid, v in zip(pdf["trade_event_id"].tolist(), wire)
+            ]
+            cols = loads_b(wire)
             yield pd.DataFrame(
                 {
                     "symbol": pdf["symbol"],
@@ -368,9 +379,7 @@ def corrupt_route(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    decoded = tampered.mapInPandas(
-        dec, "symbol string, volume double, corrupt boolean"
-    )
+    decoded = env.mapInPandas(rt, "symbol string, volume double, corrupt boolean")
     return decoded.groupBy("symbol").agg(
         F.sum(F.when(~F.col("corrupt"), 1).otherwise(0)).alias("n_ok"),
         F.sum(F.when(F.col("corrupt"), 1).otherwise(0)).alias("n_corrupt"),
@@ -607,9 +616,27 @@ def proto_deserialize(df: DataFrame) -> DataFrame:
 def proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Protobuf twin of `wire_avro_roundtrip`: encode every envelope row to
     proto wire bytes, decode, restore timestamps — output equals the
-    envelope exactly, so the oracle is the envelope SQL itself."""
+    envelope exactly, so the oracle is the envelope SQL itself.
+
+    Encode→decode run fused in one Arrow kernel (guide §4.1, same
+    rationale as avro_roundtrip's Python path — the wire bytes have no
+    consumer outside this kernel); proto has no JVM path to preserve."""
+    from ssiintegrateddatapipeline_spark.functions import proto_codec
+
     env = _wire_env(spark, sf_dir)
-    decoded = proto_deserialize(proto_serialize(env))
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wire = proto_codec.encode_batch([pdf[n].tolist() for n in _FIELDS])
+            recs = [proto_codec.decode_trade(v) for v in wire]
+            yield pd.DataFrame.from_records(recs, columns=_FIELDS)
+
+    decoded = env.mapInPandas(
+        rt,
+        "trade_event_id string, symbol string, price double, volume double,"
+        " trade_condition array<string>, event_ts_us long, start_ts_us long,"
+        " e2e_latency_secs double",
+    )
     return decoded.select(
         "trade_event_id",
         "symbol",
