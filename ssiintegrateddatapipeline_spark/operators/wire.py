@@ -529,37 +529,35 @@ def jwe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     @F.pandas_udf("string")
-    def _enc(symbols: pd.Series, payloads: pd.Series) -> pd.Series:
-        from ssiintegrateddatapipeline_spark.functions import crypto
-
-        return pd.Series(
-            [
-                crypto.jwe_encrypt_deterministic(p.encode(), s)
-                for s, p in zip(symbols, payloads)
-            ]
-        )
-
-    @F.pandas_udf("string")
-    def _dec(symbols: pd.Series, tokens: pd.Series) -> pd.Series:
+    def _roundtrip(
+        symbols: pd.Series, payloads: pd.Series, tampers: pd.Series
+    ) -> pd.Series:
+        # fused encrypt → deterministic mid-ciphertext flip → decrypt in
+        # one Arrow kernel (guide §4.1): the JWE tokens are produced and
+        # consumed on the same rows, so the former _enc / JVM-splice /
+        # _dec chain shipped every token across the Python boundary twice
+        # for nothing. The splice reproduces the SQL
+        # substring(jwe,1,40) || 'x' || substring(jwe,42) exactly.
         from ssiintegrateddatapipeline_spark.functions import crypto
 
         out = []
-        for s, t in zip(symbols, tokens):
-            pt = crypto.jwe_decrypt(t, s)
-            out.append(None if pt is None else pt.decode())
+        ap = out.append
+        for s, p, tam in zip(symbols, payloads, tampers):
+            jwe = crypto.jwe_encrypt_deterministic(p.encode(), s)
+            if tam:  # flip a ciphertext character: AEAD must reject
+                jwe = jwe[:40] + "x" + jwe[41:]
+            pt = crypto.jwe_decrypt(jwe, s)
+            ap(None if pt is None else pt.decode())
         return pd.Series(out)
 
-    enc = ev.withColumn("jwe", _enc(F.col("symbol"), F.col("payload")))
-    # flip a ciphertext character on every 50th event: AEAD must reject
-    tampered = enc.withColumn(
-        "jwe",
-        F.when(
-            F.col("event_id") % 50 == 0,
-            F.concat(F.substring(F.col("jwe"), 1, 40), F.lit("x"),
-                     F.expr("substring(jwe, 42)")),
-        ).otherwise(F.col("jwe")),
+    dec = ev.withColumn(
+        "plain",
+        _roundtrip(
+            F.col("symbol"),
+            F.col("payload"),
+            (F.col("event_id") % 50 == 0).alias("tampered"),
+        ),
     )
-    dec = tampered.withColumn("plain", _dec(F.col("symbol"), F.col("jwe")))
     return dec.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n_messages"),
         F.sum(F.col("plain").isNotNull().cast("long")).alias("n_ok"),
