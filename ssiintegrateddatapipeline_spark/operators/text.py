@@ -1343,13 +1343,22 @@ def substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens) shuffled twice, exactly the published suffix-array scrub's
     distributed-join reformulation.
     """
+    from ssiintegrateddatapipeline_spark.caches import track
+
     d = spread(load_table(spark, sf_dir, "documents"))
     toks_df = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     grams8 = F.when(
         F.size("toks") >= SCRUB_K, word_shingles(F.col("toks"), k=SCRUB_K)
     ).otherwise(F.array().cast("array<string>"))
-    grams = toks_df.select(
-        "doc_id", F.posexplode(grams8).alias("pos0", "gram")
+    # the exploded gram stream feeds TWO differently-shaped consumers (the
+    # dup aggregate and the semi-join probe), whose exchanges canonicalize
+    # differently — unpinned, the tokenize+shingle+posexplode lineage runs
+    # once per consumer (§2.4/§5: cache only what is reused). Same pinned-
+    # stream device as the KN/bigram scorers; evicted via caches.track.
+    grams = track(
+        toks_df.select(
+            "doc_id", F.posexplode(grams8).alias("pos0", "gram")
+        ).persist()
     )
     dup = (
         grams.groupBy("gram")
@@ -1359,7 +1368,10 @@ def substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     starts = grams.join(dup, "gram", "leftsemi")
     cov = starts.groupBy("doc_id").agg(
-        F.countDistinct("pos0").alias("n_dup_starts"),
+        # one row per (doc_id, pos0) by construction (posexplode emits each
+        # position once), so a plain count equals the distinct count
+        # without the distinct's extra aggregation pass
+        F.count(F.lit(1)).alias("n_dup_starts"),
         F.array_sort(
             F.array_distinct(
                 F.flatten(
