@@ -1,8 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]. Prints the full JSON result line
 {"queries": {...}, "metric": ..., "unit": "sec", "sf": ..., "value": total_sec}
-followed by a short headline-only JSON line (always inside the driver's
-~2.2 KB stdout tail capture), and writes the full result to bench_last.json.
+followed by the driver-contract line (same headline fields plus the
+heaviest queries' medians, packed to stay inside the driver's ~2.0 KB
+stdout tail capture — see contract_line), and writes the full result to
+bench_last.json.
 
 Each query is forced with a full materialization to the driver via the
 Arrow path (toPandas) — every value crosses to the driver, but through
@@ -247,6 +249,57 @@ HEADLINE = [
 ]
 
 
+# The driver tail-parses only ~2.0 KB of stdout; a line longer than that
+# yields "parsed": null and loses the round's headline number (round-2
+# incident). Budget chosen with ~60 B of safety under 2000.
+CONTRACT_LINE_BUDGET = 1940
+
+
+def contract_line(result: dict, budget: int = CONTRACT_LINE_BUDGET) -> str:
+    """Build the final driver-contract stdout line.
+
+    Carries the headline fields plus a ``queries`` map with as many
+    per-query medians (2 dp) as fit in ``budget`` bytes, heaviest
+    first — the complete map lives in bench_last.json and the preceding
+    full stdout line. Deterministic: ties break on name.
+    """
+    per_query = result["queries"]
+    summary = {
+        "metric": result["metric"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "value": result["value"],
+        "n_queries": len(per_query),
+    }
+    if "load_avg_1m" in result:
+        summary["load_avg_1m"] = result["load_avg_1m"]
+    cc = result.get("cache_census", {})
+    short_cc = {
+        k: cc[k]
+        for k in ("memo_entries", "persisted_entries", "jvm_persistent_rdds")
+        if k in cc
+    }
+    if short_cc:
+        summary["cache_census"] = short_cc
+    summary["queries"] = {}
+    summary["queries_omitted"] = len(per_query)
+    summary["queries_full"] = "bench_last.json"
+    used = len(json.dumps(summary, separators=(",", ":")))
+    qmap: dict[str, float] = {}
+    for name, dt in sorted(per_query.items(), key=lambda kv: (-kv[1], kv[0])):
+        val = round(dt, 2)
+        entry = len(json.dumps(name)) + 1 + len(json.dumps(val)) + 1
+        if used + entry > budget:
+            continue  # a shorter name may still fit
+        used += entry
+        qmap[name] = val
+    summary["queries"] = qmap
+    summary["queries_omitted"] = len(per_query) - len(qmap)
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) <= budget + 2, f"contract line {len(line)}B > budget"
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -264,15 +317,26 @@ def main() -> None:
     # target sf compiles and JITs exactly the plans being measured.
     warm_dir = sf_dir
     t0 = time.perf_counter()
+    warmup: dict[str, float] = {}
     for name in HEADLINE:
+        tq = time.perf_counter()
         try:
             queries[name](spark, warm_dir).toPandas()
         except Exception as exc:  # warm-up must never fail the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+        warmup[name] = round(time.perf_counter() - tq, 3)
     print(
         f"# warmup pass ({warm_dir}): {time.perf_counter() - t0:.1f}s",
         file=sys.stderr,
     )
+    # Cold cost of the disclosed once-per-session write-path-proof
+    # fixtures (r11 VERDICT item 1): these two drives run inside the
+    # warm-up and are memoized per (app, sf_dir), so their timed medians
+    # measure the warm sink re-read — the artifact carries the cold drive
+    # explicitly. (streaming_store_cdf re-drives per invocation since
+    # round 12 and is NOT in this list.)
+    FIXTURE_DRIVES = ["streaming_store_merge", "streaming_store_replica"]
+    fixture_cold = {n: warmup[n] for n in FIXTURE_DRIVES if n in warmup}
 
     # Median-of-3 timed runs per query (round-4 VERDICT task 6): the box
     # hosts other processes whose bursts can inflate a single timing
@@ -303,6 +367,7 @@ def main() -> None:
             t2 = time.perf_counter()
             runs.append((t2 - t0, t1 - t0, t2 - t1))
             rows = len(n)
+        first_wall = runs[0][0]
         runs.sort()
         med = runs[N_RUNS // 2]
         dt = round(med[0], 3)
@@ -313,6 +378,11 @@ def main() -> None:
             "best": round(runs[0][0], 3),
             "build": round(med[1], 3),
             "exec": round(med[2], 3),
+            # run-1 wall (r11 VERDICT "what's wrong" #2): for queries
+            # whose persisted intra-query streams survive in the
+            # CacheManager across invocations, runs 2-3 read warm blocks;
+            # first-vs-median makes that visible in the artifact
+            "first": round(first_wall, 3),
         }
         total += dt
         # JVM-health timeline on stderr (outside every timed window): a
@@ -375,14 +445,27 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # The driver captures only the last ~2.2 KB of stdout; the per-query
-    # dict alone outgrew that in round 2 ("parsed": null). Robust layout:
-    # (1) the full result is written to bench_last.json for human readers,
-    # (2) the big per-query line prints FIRST so its tail stays visible in
-    #     the capture, and
-    # (3) the LAST stdout line is a short, always-complete JSON object with
-    #     the headline fields, so any tail parser (last-line json.loads,
-    #     regex, balanced-brace scan) recovers metric/value/unit/sf.
+    # Stdout layout (round-12 fix for the empty PERF per-query contract —
+    # r11 VERDICT item 2). Evidence on how the driver reads stdout: it
+    # keeps a ~2.0 KB tail and json-parses the last line inside it —
+    # round 1's 1.7 KB single line WITH its full "queries" map parsed
+    # fine, round 2's 29 KB line yielded "parsed": null, and the compact
+    # final lines of rounds 3-11 parsed but carried no "queries" map (so
+    # PERF per_query sat empty two rounds running). A full 225-name map
+    # is ~6.6 KB at 2 dp and can never fit, so:
+    # (1) bench_last.json gets the complete result (all queries, detail,
+    #     census, solo reruns) — the durable full record,
+    # (2) the first stdout line is that same complete result as one JSON
+    #     line (any full-stdout consumer still gets everything), and
+    # (3) the LAST stdout line is the driver-contract object
+    #     {"metric","unit","sf","value","queries":{name: sec},...} with
+    #     the heaviest queries' medians (2 dp) greedily packed so the
+    #     line stays under ~1.94 KB and always parses from the tail.
+    #     "queries_omitted" counts the rest (all present in (1)/(2)).
+    #     Selecting by descending median makes the 32- and 8-core runs'
+    #     maps overlap on the heavy set, which is what the driver's
+    #     scaling comparator needs. Timed methodology (warm-up,
+    #     median-of-3, solo reruns) is byte-identical to rounds 4-11.
     result = {
         "queries": per_query,  # name -> median-of-3 seconds (driver contract)
         "queries_detail": detail,  # name -> {median, n, best, build, exec}
@@ -390,6 +473,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "value": round(total, 3),
+        "warmup": warmup,  # first-ever call per query (fixture builds inside)
+        "fixture_cold_s": fixture_cold,
     }
     # cache-accumulation evidence (r8-VERDICT task 2): the session's memo/
     # persist census after the full run, so growth across a ~200-query
@@ -400,29 +485,19 @@ def main() -> None:
         result["cache_census"] = census(spark)
     except Exception:
         pass
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_last.json"), "w") as fh:
-        json.dump(result, fh, indent=1, sort_keys=True)
-    line = json.dumps(result, separators=(",", ":"))
-    print(line)
-    summary = {k: result[k] for k in ("metric", "unit", "sf", "value")}
-    summary["n_queries"] = len(per_query)
-    summary["per_query"] = "median-of-3"
     # contention evidence travels IN the artifact (r7-VERDICT task 4):
     # 1-min load average plus the largest solo-rerun movers, so a noisy
     # round is self-diagnosing without chasing bench_last.json.
     try:
-        summary["load_avg_1m"] = round(os.getloadavg()[0], 2)
+        result["load_avg_1m"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
-    if "cache_census" in result:
-        summary["cache_census"] = result["cache_census"]
     movers = sorted(
         (n for n in flagged if "solo" in detail.get(n, {})),
         key=lambda n: -abs(per_query[n] / prev[n] - 1.0),
     )[:12]
     if movers:
-        summary["solo_reruns"] = {
+        result["solo_reruns"] = {
             n: {
                 "suite": per_query[n],
                 "solo": detail[n]["solo"],
@@ -430,8 +505,13 @@ def main() -> None:
             }
             for n in movers
         }
-        summary["n_flagged"] = len(flagged)
-    print(json.dumps(summary, separators=(",", ":")))
+        result["n_flagged"] = len(flagged)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_last.json"), "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+    line = json.dumps(result, separators=(",", ":"))
+    print(line)
+    print(contract_line(result))
     print(f"# bench line bytes: {len(line)}", file=sys.stderr)
 
 

@@ -1617,10 +1617,14 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reshuffles the pair table. All-integer arithmetic until one final
     division keeps lift bit-identical across engines.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # NOTE no .distinct() before the groupBy (round 12): collect_set is
+    # duplicate-agnostic, and Catalyst's RemoveRedundantAggregates was
+    # already deleting the pre-distinct from the physical plan (verified:
+    # byte-identical plans with and without it — plans/r12/). Dropped in
+    # source so the code says what the engine actually runs; one fact
+    # exchange either way.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
     # one shuffle assembles each basket as a sorted in-row array; the i<j
     # pair combinations are generated by pure expressions (transform over

@@ -606,11 +606,26 @@ def apply_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both folds are hash aggregations keyed by (did[, item]);
     the cutoff is one bounded 1-row aggregate; no windows, no collects of
     data rows. At 100 TB the feed is small next to the base, and the
-    anti/semi joins ship only dids."""
-    muts = _mutation_log(spark, sf_dir)
+    anti/semi joins ship only dids.
+
+    Round 12 (§2.4 — two operations keyed the same way share one
+    exchange): the log hash-partitions by ``did`` ONCE, right after the
+    projection; every fold/aggregate downstream keys on did or a
+    superset (HashPartitioning(did) satisfies their clustered
+    distributions), so the base folds, the affected-did distinct and the
+    final per-did aggregates all read the SAME reused exchange instead
+    of each shuffling its own filtered subset — the r9-audited
+    14-broadcast-join lattice is unchanged, only its ~6 aggregation
+    exchanges over events-derived rows collapse to 1 (+ the small
+    merged-fold exchanges above the unions, whose inputs are feed-sized).
+    The cut scalar stays on the RAW projection so the build-time collect
+    never pays the shuffle. Measured (interleaved A/B, sf0.1): exec
+    2.9 -> 2.0 s, frame-equal."""
+    muts_raw = _mutation_log(spark, sf_dir)
     cut = int(
-        muts.agg((F.max("seq") * 3 / 5).cast("long")).collect()[0][0]
+        muts_raw.agg((F.max("seq") * 3 / 5).cast("long")).collect()[0][0]
     )  # bounded: single scalar, the two-phase-device precedent
+    muts = muts_raw.repartition(F.col("did"))
     base_b, base_i = _fold_mutations(muts.where(F.col("seq") < cut))
     delta = muts.where(F.col("seq") >= cut)
     affected = delta.select("did").distinct()

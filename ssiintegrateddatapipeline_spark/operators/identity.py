@@ -332,6 +332,77 @@ def sign_column_by(
     )
 
 
+def sign_tamper_verify_column_by(
+    df: DataFrame,
+    symbol_col: str,
+    payload_col: str,
+    tamper_col: str,
+    provider_col: str,
+) -> DataFrame:
+    """U1+U2 round trip in ONE Arrow kernel with the DID provider as DATA
+    (guide §4.1) — the fusion of :func:`sign_tamper_verify_column` and
+    the ``_by`` per-row provider dispatch. For the provider-matrix sweep
+    the token is produced and consumed on the same row with no other
+    consumer, so the composed sign_column_by → tamper → verify_column_by
+    shipped every JWT across the JVM↔Python boundary twice (two
+    ArrowEvalPython nodes). Only (symbol, payload, tamper, provider)
+    cross inward; one boolean crosses back. Null provider = SSI-off row
+    → null verified, exactly as the composed pair (null jwt → null
+    verified). The composed ``_by`` operators stay contract-exercised by
+    streaming_provider_matrix."""
+    import pandas as pd  # noqa: F811
+
+    @F.pandas_udf("boolean")
+    def _roundtrip(
+        symbols: pd.Series,
+        payloads: pd.Series,
+        tampers: pd.Series,
+        providers: pd.Series,
+    ) -> pd.Series:
+        from ssiintegrateddatapipeline_spark.functions import crypto
+
+        # per-batch (provider, symbol) key-cache hoist, as in the _by pair
+        local: dict = {}
+        out = []
+        ap = out.append
+        for sym, payload, tam, prov in zip(
+            symbols.tolist(),
+            payloads.tolist(),
+            tampers.tolist(),
+            providers.tolist(),
+        ):
+            if prov is None or prov != prov:  # None or float('nan')
+                ap(None)
+                continue
+            ent = local.get((prov, sym))
+            if ent is None:
+                priv, pub, did, alg = _executor_keys(sym, prov)
+                ent = local[(prov, sym)] = (priv, pub, did, alg)
+            priv, pub, did, alg = ent
+            claims = {"iss": did, "claims": payload}
+            if alg == "EdDSA":
+                jwt = crypto.jwt_sign(claims, priv)
+                if tam:
+                    jwt += "x"
+                ap(crypto.jwt_verify(jwt, pub))
+            else:
+                jwt = crypto.jwt_sign_es256k(claims, priv)
+                if tam:
+                    jwt += "x"
+                ap(crypto.jwt_verify_es256k(jwt, pub))
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(
+        "verified",
+        _roundtrip(
+            F.col(symbol_col),
+            F.col(payload_col),
+            F.col(tamper_col),
+            F.col(provider_col),
+        ),
+    )
+
+
 def verify_column_by(
     df: DataFrame, symbol_col: str, jwt_col: str, provider_col: str
 ) -> DataFrame:

@@ -26,8 +26,6 @@ from pyspark.sql import functions as F
 from ssiintegrateddatapipeline_spark.operators.identity import (
     SYMBOLS,
     build_identity_dim,
-    sign_column,
-    verify_column,
 )
 from ssiintegrateddatapipeline_spark.sources.batch import load_table
 from ssiintegrateddatapipeline_spark.sources.batch import local_frame
@@ -781,8 +779,19 @@ def vp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "holder_binding_ok",
             "vp_sig_bytes",
         )
+        # cap peak Python memory (ADVICE r11): each bundle's input rows
+        # are freed as it is processed (popitem) and the output flushes
+        # every FLUSH_BUNDLES bundles, so the resident set is the
+        # unprocessed input plus one output chunk — never input + full
+        # output simultaneously. Output row order is not part of the
+        # contract (the oracle compare sorts).
+        FLUSH_BUNDLES = 4096
         rows: dict = {c: [] for c in cols}
-        for (uid, pdate), evs in groups.items():
+        while groups:
+            (uid, pdate), evs = groups.popitem()
+            if len(rows["user_id"]) >= FLUSH_BUNDLES:
+                yield pd.DataFrame(rows)
+                rows = {c: [] for c in cols}
             if len(evs) < 2:  # bundles need >= 2 credentials
                 continue
             evs.sort()  # bundle order = event_id order (the array_sort rule)

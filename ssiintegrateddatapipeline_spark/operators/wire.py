@@ -367,7 +367,10 @@ def corrupt_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             wire = dumps_b([pdf[n].tolist() for n in _FIELDS])
             wire = [
-                v[:5] if tid[:2] == "00" else v  # truncated mid-record
+                # truncated mid-record; None-guard keeps the F5 routing
+                # path's never-crash contract on a null id (the SQL
+                # substring() predecessor was null-safe)
+                v[:5] if tid is not None and tid[:2] == "00" else v
                 for tid, v in zip(pdf["trade_event_id"].tolist(), wire)
             ]
             cols = loads_b(wire)

@@ -154,8 +154,7 @@ def provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (veramo_create_protected_did.ts:332-337) never fires for them — same
     tamper/verify contract across methods."""
     from ssiintegrateddatapipeline_spark.operators.identity import (
-        sign_column_by,
-        verify_column_by,
+        sign_tamper_verify_column_by,
     )
 
     # ONE plan for the whole sweep: the provider is a data column (a
@@ -163,7 +162,12 @@ def provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallel plan branches — same crypto volume, a third of the stages,
     # and the eager per-Dataset analysis cost is paid once instead of
     # three times (the branched form spent ~4 s of driver time just
-    # CONSTRUCTING the union plan at sf0.1)
+    # CONSTRUCTING the union plan at sf0.1). Round 12: the sweep's
+    # sign → tamper → verify is ONE fused kernel (guide §4.1) — the JWTs
+    # have no downstream consumer here, so the composed _by pair shipped
+    # every token through the JVM twice for nothing; the composed
+    # operators stay contract-exercised by streaming_provider_matrix
+    # (which also proves the null-provider SSI-off dispatch).
     env = trade_envelope(spark, sf_dir)
     env = env.where(F.substring("trade_event_id", 1, 1) < F.lit("1"))
     ev = spread(env).select(
@@ -172,20 +176,16 @@ def provider_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_timestamp",
         F.to_json(F.struct("price", "volume")).alias("payload"),
     )
-    provs = local_frame(spark, 
+    provs = local_frame(spark,
         [(p,) for p in ("did:key", "did:web", "did:ethr:sepolia")],
         "did_provider string",
     )
-    evp = ev.crossJoin(F.broadcast(provs))
-    signed = sign_column_by(evp, "symbol", "payload", "did_provider")
-    tampered = signed.withColumn(
-        "jwt",
-        F.when(
-            F.substring("trade_event_id", 1, 2) == F.lit("00"),
-            F.concat(F.col("jwt"), F.lit("x")),
-        ).otherwise(F.col("jwt")),
+    evp = ev.crossJoin(F.broadcast(provs)).withColumn(
+        "tamper", F.substring("trade_event_id", 1, 2) == F.lit("00")
     )
-    out = verify_column_by(tampered, "symbol", "jwt", "did_provider").select(
+    out = sign_tamper_verify_column_by(
+        evp, "symbol", "payload", "tamper", "did_provider"
+    ).select(
         "did_provider",
         F.lit(True).alias("ssi_validation"),
         F.lit(True).alias("cache_did"),
