@@ -2246,21 +2246,28 @@ def streaming_store_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen: set[int] = set()
 
     def _drain(bdf: DataFrame, _bid: int) -> None:
-        # bounded: one row per version in the batch (metadata)
-        vs = [
-            r[0]
-            for r in bdf.select("_commit_version")
-            .distinct()
-            .collect()
-        ]
-        if not vs:
-            return
-        st = VersionedTable(spark, sink_path)
-        if st.latest_version() == 0:
-            VersionedTable.create(spark, sink_path, bdf, key="user_id")
-        else:
-            st.append(bdf, key="user_id")
-        seen.update(vs)
+        # persist the micro-batch: the version census (bounded — one row
+        # per version) and the sink append would otherwise each re-run
+        # the batch's file-pair diff from scratch (§5 — cache only what
+        # is reused; measured ~2x the per-batch cost without it)
+        bdf.persist()
+        try:
+            vs = [
+                r[0]
+                for r in bdf.select("_commit_version")
+                .distinct()
+                .collect()
+            ]
+            if not vs:
+                return
+            st = VersionedTable(spark, sink_path)
+            if st.latest_version() == 0:
+                VersionedTable.create(spark, sink_path, bdf, key="user_id")
+            else:
+                st.append(bdf, key="user_id")
+            seen.update(vs)
+        finally:
+            bdf.unpersist()
 
     q = (
         plan.writeStream.foreachBatch(_drain)
